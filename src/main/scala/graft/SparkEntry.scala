@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2): the reference
+  * pipeline end-to-end (g01 + entry), the relational pack (q*), dedup (d*),
+  * text analytics (t*), similarity search (v*), multimodal (m*). Every
+  * SQL-expressible query has a DuckDB oracle with matching column aliases;
+  * engine-hash-dependent ops (MinHash/SimHash/LSH/decode stubs) are
+  * deterministic but rows-only.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the whole reference pipeline (3 scans → inner join → guarded
+    * left join → JS-coalesce projections → freshness + prefix filters →
+    * GeoJSON features) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    geotab.GeotabPipeline.geojson(
+      geotab.GeotabSynth.flagship(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational.queries ++
+      ops.DedupOps.queries ++
+      ops.TextOps.queries ++
+      ops.SimilarityOps.queries ++
+      multimodal.Multimodal.queries ++
+      Map[String, (SparkSession, String) => DataFrame](
+        "g01_geotab_flagship" -> ((s, d) => geotab.GeotabSynth.flagship(s, d)))
+
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracle ++
+      ops.DedupOps.oracle ++
+      ops.TextOps.oracle ++
+      ops.SimilarityOps.oracle ++
+      multimodal.Multimodal.oracle ++
+      Map("g01_geotab_flagship" -> geotab.GeotabSynth.flagshipOracleSql)
 }

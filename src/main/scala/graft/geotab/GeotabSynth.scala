@@ -1,0 +1,158 @@
+package graft.geotab
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic Geotab-shaped entity tables synthesized from the driver's
+  * TPC-H-ish fixtures, so the full reference pipeline (joins, union-driver
+  * guard, JS-coalesce defaults, freshness + prefix filters) can be verified
+  * against a DuckDB oracle running the equivalent SQL over the same parquet.
+  *
+  * Mapping: customer -> device registry, latest order per customer -> device
+  * status info, supplier -> drivers. All derived values are integer/string
+  * arithmetic — bit-exact across engines.
+  */
+object GeotabSynth {
+
+  /** Device registry (reference schema task.ts:49-55), incl. rows with NULL
+    * and empty-string licenseState / licensePlate / name to exercise the
+    * JS `||` vs `??` default-fill semantics (task.ts:241-244, 261-263). */
+  def devices(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    c.select(
+      concat(lit("dev-"), col("c_custkey")).as("id"),
+      concat(lit("VIN"), col("c_custkey")).as("vehicleIdentificationNumber"),
+      when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+        .when(col("c_custkey") % 5 === 1, lit(""))
+        .otherwise(concat(lit("S"), col("c_nationkey"))).as("licenseState"),
+      when(col("c_custkey") % 7 === 0, lit(""))
+        .when(col("c_custkey") % 7 === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("P"), col("c_custkey"))).as("licensePlate"),
+      when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+        .when(col("c_custkey") % 11 === 1, lit(""))
+        .otherwise(col("c_name")).as("name"))
+  }
+
+  /** DeviceStatusInfo (task.ts:12-36): the latest order per customer becomes
+    * that device's current status row (latest-per-key window dedup). The
+    * union-typed driver field is synthesized in all three variants: string
+    * ("UnknownDriverId", must not join), object joining a real supplier, and
+    * object with an unknown id (left-join miss). */
+  def info(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        concat(lit("dev-"), col("o_custkey")).as("device_id"),
+        col("o_orderdate").as("dateTime"),
+        ((col("o_orderkey") % 180) - 90 + 0.5).as("latitude"),
+        ((col("o_orderkey") % 360) - 180 + 0.25).as("longitude"),
+        (col("o_orderkey") % 200).cast("double").as("speed"),
+        (col("o_orderkey") % 360).cast("double").as("bearing"),
+        when(col("o_orderkey") % 3 === 1, concat(lit("s"), col("o_orderkey") % 100))
+          .when(col("o_orderkey") % 3 === 2, concat(lit("sX-"), col("o_orderkey")))
+          .otherwise(lit("UnknownDriverId")).as("driverId"),
+        (col("o_orderkey") % 3 =!= 0).as("driverIsObject"),
+        concat(lit("g"), col("o_custkey") % 5).as("groups"))
+  }
+
+  /** Drivers (task.ts:39-47) from the supplier table. */
+  def drivers(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables(spark, sfDir, "supplier")
+    s.select(
+      concat(lit("s"), col("s_suppkey")).as("id"),
+      col("s_name").as("name"),
+      concat(lit("c"), col("s_suppkey")).as("comment"),
+      concat(lit("555-"), col("s_suppkey")).as("phoneNumber"),
+      concat(lit("F"), col("s_suppkey")).as("firstName"),
+      concat(lit("L"), col("s_suppkey")).as("lastName"),
+      concat(lit("D"), col("s_suppkey") % 3).as("designation"))
+  }
+
+  /** The flagship end-to-end query: full reference pipeline over the
+    * synthesized entities, freshness boundary = max(o_orderdate) (a
+    * parameterized "now", per SURVEY.md §5 determinism rules), 365-day
+    * horizon, prefix filter "C". Flat projection, ordered for the oracle. */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    // scalar "now" boundary (o_orderdate may read as TIMESTAMP_NTZ →
+    // LocalDateTime; lit() handles either)
+    val maxDate = Tables(spark, sfDir, "orders")
+      .agg(max(col("o_orderdate"))).head().get(0)
+    val cfg = GeotabPipeline.Config(
+      prefix = "C", now = lit(maxDate), freshness = "INTERVAL 365 DAYS")
+    GeotabPipeline.featuresFlat(
+        devices(spark, sfDir), info(spark, sfDir), drivers(spark, sfDir), cfg)
+      .orderBy("id")
+  }
+
+  /** DuckDB oracle mirroring [[flagship]] exactly. */
+  val flagshipOracleSql: String =
+    """WITH devices AS (
+      |  SELECT 'dev-' || c_custkey AS id,
+      |         'VIN' || c_custkey AS vin,
+      |         CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |              WHEN c_custkey % 5 = 1 THEN ''
+      |              ELSE 'S' || c_nationkey END AS license_state_raw,
+      |         CASE WHEN c_custkey % 7 = 0 THEN ''
+      |              WHEN c_custkey % 7 = 1 THEN NULL
+      |              ELSE 'P' || c_custkey END AS license_plate_raw,
+      |         CASE WHEN c_custkey % 11 = 0 THEN NULL
+      |              WHEN c_custkey % 11 = 1 THEN ''
+      |              ELSE c_name END AS name_raw
+      |  FROM customer
+      |), latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |), info AS (
+      |  SELECT 'dev-' || o_custkey AS device_id,
+      |         o_orderdate AS datetime,
+      |         (o_orderkey % 180) - 90 + 0.5 AS latitude,
+      |         (o_orderkey % 360) - 180 + 0.25 AS longitude,
+      |         CAST(o_orderkey % 200 AS DOUBLE) AS speed,
+      |         CAST(o_orderkey % 360 AS DOUBLE) AS bearing,
+      |         CASE WHEN o_orderkey % 3 = 1 THEN 's' || (o_orderkey % 100)
+      |              WHEN o_orderkey % 3 = 2 THEN 'sX-' || o_orderkey
+      |              ELSE 'UnknownDriverId' END AS driver_id,
+      |         (o_orderkey % 3 <> 0) AS driver_is_object,
+      |         'g' || (o_custkey % 5) AS groups
+      |  FROM latest WHERE rn = 1
+      |), drivers AS (
+      |  SELECT 's' || s_suppkey AS d_id, s_name AS d_name,
+      |         'c' || s_suppkey AS d_comment, '555-' || s_suppkey AS d_phone,
+      |         'F' || s_suppkey AS d_first, 'L' || s_suppkey AS d_last,
+      |         'D' || (s_suppkey % 3) AS d_designation
+      |  FROM supplier
+      |), joined AS (
+      |  SELECT * FROM devices d
+      |  JOIN info i ON d.id = i.device_id
+      |  LEFT JOIN drivers dr ON i.driver_is_object AND i.driver_id = dr.d_id
+      |  WHERE i.datetime > (SELECT max(o_orderdate) FROM orders) - INTERVAL 365 DAY
+      |)
+      |SELECT 'geotab-' || device_id AS id,
+      |       CASE WHEN name_raw IS NOT NULL AND name_raw <> '' THEN name_raw
+      |            ELSE coalesce(license_state_raw, 'US') || '-' ||
+      |                 (CASE WHEN license_plate_raw IS NULL OR license_plate_raw = ''
+      |                       THEN 'Unknown' ELSE license_plate_raw END) END AS callsign,
+      |       bearing AS course,
+      |       datetime AS start_ts,
+      |       speed * 0.277778 AS speed_ms,
+      |       longitude, latitude, vin,
+      |       CASE WHEN license_state_raw IS NULL OR license_state_raw = ''
+      |            THEN 'US' ELSE license_state_raw END AS license_state,
+      |       CASE WHEN license_plate_raw IS NULL OR license_plate_raw = ''
+      |            THEN 'Unknown' ELSE license_plate_raw END AS license_plate,
+      |       CASE WHEN name_raw IS NULL OR name_raw = ''
+      |            THEN 'No Name' ELSE name_raw END AS vehicle_name,
+      |       groups,
+      |       d_name AS driver_username, d_first AS driver_first_name,
+      |       d_last AS driver_last_name, d_phone AS driver_phone,
+      |       d_designation AS driver_designation, d_comment AS driver_comment
+      |FROM joined
+      |WHERE (CASE WHEN name_raw IS NULL OR name_raw = ''
+      |            THEN 'No Name' ELSE name_raw END) LIKE 'C%'
+      |ORDER BY id""".stripMargin
+}

@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.6): media payloads travel as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extraction runs as a partition-local batch transform
+  * (`mapPartitions` over a typed Dataset — the Scala analogue of
+  * `mapInPandas`: one iterator per partition, amortized per-batch setup,
+  * executor-side only).
+  *
+  * The actual codec is STUBBED (this container has no image/audio libs):
+  * [[StubDecoder]] derives deterministic fake dimensions from the bytes.
+  * The Spark-side contract — schema, binary transport, partition batching,
+  * decoder lifecycle (one per partition, like one Python worker per batch) —
+  * is real and tested; swapping in a real codec changes only
+  * [[MediaDecoder.decode]].
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque payload. */
+  case class MediaMeta(mimeType: String, nBytes: Long, sourceTable: String)
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], mimeType: String,
+                      nBytes: Long, sourceTable: String)
+
+  case class DecodedRow(doc_id: Long, nBytes: Long, width: Int, height: Int,
+                        nFrames: Int, phash: Long)
+
+  /** Decoder contract: one instance per partition (constructed inside
+    * mapPartitions), decode called per record. A real implementation would
+    * wrap an image/audio library handle here. */
+  trait MediaDecoder extends Serializable {
+    def decode(media: Array[Byte]): (Int, Int, Int, Long)
+  }
+
+  /** STUB: deterministic fake decode — dimensions and a perceptual-hash
+    * stand-in derived from the payload bytes (FNV-1a). Replaces the
+    * unavailable codec; keeps every decoded value reproducible. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(media: Array[Byte]): (Int, Int, Int, Long) = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < media.length) {
+        h ^= (media(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      val width = 160 + (((h & 0x7fffffff) % 8) * 80).toInt   // 160..720
+      val height = 120 + ((((h >>> 31) & 0x7fffffff) % 8) * 60).toInt
+      val frames = 1 + (((h >>> 17) & 0x7)).toInt
+      (width, height, frames, h)
+    }
+  }
+
+  /** documents.text reinterpreted as a binary media payload + metadata —
+    * the ingest shape a real image/audio table would have. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      lit("application/octet-stream").as("mimeType"),
+      length(col("text").cast("binary")).cast("long").as("nBytes"),
+      lit("documents").as("sourceTable"))
+
+  /** Partition-local batched decode: the executor-side pattern that scales —
+    * no driver involvement, one decoder per partition, pipelined iterator
+    * (never materializes the partition in memory). */
+  def decodeAll(media: DataFrame, decoder: MediaDecoder = StubDecoder): Dataset[DecodedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val d = decoder // per-partition decoder instance
+      rows.map { r =>
+        val (w, h, f, p) = d.decode(r.media)
+        DecodedRow(r.doc_id, r.nBytes, w, h, f, p)
+      }
+    }
+  }
+
+  /** m01: binary transport metadata — oracle-able (byte lengths). */
+  private def m01(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("doc_id"), col("nBytes").as("n_bytes"),
+        col("mimeType").as("mime_type"))
+      .orderBy("doc_id")
+
+  /** m02: full stub decode pipeline (rows-only; deterministic). */
+  private def m02(s: SparkSession, d: String): DataFrame =
+    decodeAll(mediaTable(s, d)).toDF()
+      .select(col("doc_id"), col("nBytes").as("n_bytes"), col("width"),
+        col("height"), col("nFrames").as("n_frames"), col("phash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_binary_meta" -> m01 _, "m02_media_decode" -> m02 _)
+
+  val oracle: Map[String, String] = Map(
+    "m01_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | 'application/octet-stream' AS mime_type
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,624 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator pack over the driver fixtures: scans, filters,
+  * projections, the join family, aggregation family (incl. rollup / cube /
+  * grouping sets), window family, sort/limit, set ops, JSON / date / string /
+  * math scalar functions, sessionization and as-of join compositions.
+  *
+  * Every query is deterministic (explicit ORDER BY on a unique key, no
+  * wall-clock), uses only value-stable arithmetic (integer derivations, or
+  * doubles rounded below the cross-engine noise floor), and has a DuckDB
+  * oracle with identical column aliases (driver hash-compares by column
+  * name). Doubles that pass through untouched are emitted raw — both engines
+  * read the identical parquet bits.
+  *
+  * Scale notes (100 TB readiness): filters/projections sit directly on the
+  * parquet scan (pushdown + pruning); aggregations are partial+final hash
+  * aggregates; windows partition by high-cardinality keys (no global
+  * single-partition windows); joins are equi-joins Catalyst can broadcast or
+  * shuffle by size; nothing collects to the driver.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  // ---------------------------------------------------------------- scans/agg
+
+  /** TPC-H Q1-style pricing summary: filter → partial/final hash aggregate. */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        StableAgg.moneySum(col("l_quantity")).as("sum_qty"),
+        StableAgg.moneySum(col("l_extendedprice")).as("sum_base_price"),
+        StableAgg.scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+        StableAgg.scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 8).as("sum_charge"),
+        StableAgg.moneyAvg(col("l_quantity")).as("avg_qty"),
+        StableAgg.moneyAvg(col("l_extendedprice")).as("avg_price"),
+        StableAgg.moneyAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection — both reach the parquet scan (PushedFilters /
+    * ReadSchema in the formatted plan). */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ------------------------------------------------------------------- joins
+
+  /** Inner equi-join with a pushed filter on the fact side. */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "inner")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Multi-way join: revenue per nation. nation/region are broadcast-sized
+    * dims; the orders⋈lineitem join shuffles on the key at scale. */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val o = t(s, d, "orders")
+    val l = t(s, d, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(StableAgg.scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Left outer join preserving customers with zero orders. */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(StableAgg.moneySum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi join = EXISTS. */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_orderpriority").startsWith("1-"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join = NOT EXISTS. */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // ------------------------------------------------------------ agg variants
+
+  /** Exact distinct aggregation alongside plain aggregates. */
+  private def q08(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        StableAgg.moneyAvg(col("c_acctbal")).as("avg_bal"),
+        StableAgg.moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+
+  /** ROLLUP subtotals (nulls canonicalized to 'ALL' so both engines order
+    * rows identically). */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(StableAgg.moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** CUBE over order status × priority. */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), StableAgg.moneySum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** GROUPING SETS via SQL. */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(1) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  // ----------------------------------------------------------------- windows
+
+  /** Ranking window: top-3 orders per customer (fully tie-broken). */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Analytic window: per-user value delta over the event stream (window
+    * ordered by the unique event_id — immune to sub-microsecond timestamp
+    * precision differences between engines). */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, d, "events")
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"), col("prev_value"),
+        (col("value") - col("prev_value")).as("delta"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Running sum per customer (ordered frame — identical addition order in
+    * both engines, so the doubles are bit-equal). */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("run_sum"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** NTILE quartiles within each order status (partitioned — no global
+    * single-partition window at scale). */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .withColumn("tile", ntile(4).over(w))
+      .groupBy(col("o_orderstatus"), col("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_orderstatus", "tile")
+  }
+
+  /** Latest-per-key dedup (the window the reference sidesteps because its
+    * API returns one status row per device — SURVEY.md §2.5). Ordering uses
+    * millisecond-truncated ts (both engines agree) + unique id tiebreak. */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(date_trunc("millisecond", col("ts")).desc, col("event_id").desc)
+    t(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------------------- sort/set ops
+
+  /** Global top-k — Spark plans TakeOrderedAndProject (no full sort). */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def q18(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  private def q19(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  private def q20(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  private def q21(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  // ------------------------------------------- scalar function families
+
+  /** JSON extraction from the events.props payload. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("k_val"))
+      .agg(count(lit(1)).as("n"), StableAgg.moneySum(col("value")).as("sum_value"))
+      .orderBy("k_val")
+
+  /** Date bucketing: events per day. */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"), StableAgg.moneySum(col("value")).as("sum_value"))
+      .orderBy("day")
+
+  /** 5-minute tumbling windows via integer epoch arithmetic (exact in both
+    * engines; the streaming twin uses window()/watermark — see
+    * graft.streaming.EventStreams). */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("win_start_s", expr("(unix_micros(ts) div 300000000) * 300"))
+      .groupBy(col("win_start_s"), col("event_type"))
+      .agg(count(lit(1)).as("n"), StableAgg.moneySum(col("value")).as("sum_value"))
+      .orderBy("win_start_s", "event_type")
+
+  /** String function family. */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .filter(col("c_name").like("%42%"))
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 10, 9).as("custnum"),
+        length(col("c_name")).cast("long").as("name_len"),
+        expr("replace(c_name, 'Customer#', 'C-')").as("short_name"),
+        concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"))
+      .orderBy("c_custkey")
+
+  /** Math function family (rounded below cross-libm noise). */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        ceil(col("l_discount") * 100).cast("long").as("ceil_disc"),
+        floor(col("l_tax") * 100).cast("long").as("floor_tax"),
+        (col("l_orderkey") % 7).as("mod7"),
+        round(log(col("l_extendedprice") + 1), 6).as("ln_price"),
+        abs(col("l_quantity") - 25).as("abs_qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** CASE WHEN bucketing. */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("bucket",
+        when(col("o_totalprice") >= 300000, "high")
+          .when(col("o_totalprice") >= 150000, "mid")
+          .otherwise("low"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), StableAgg.moneyAvg(col("o_totalprice")).as("avg_price"))
+      .orderBy("bucket")
+
+  /** HAVING (post-aggregation filter). */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), StableAgg.moneySum(col("c_acctbal")).as("sum_bal"))
+      .filter(col("n_cust") > 40)
+      .orderBy("c_nationkey")
+
+  /** Decorrelated "above the per-group average" — aggregate + self-join. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val avgBal = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(StableAgg.moneyAvg(col("c_acctbal")).as("nation_avg"))
+    c.join(avgBal, c("c_nationkey") === avgBal("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("nation_avg"))
+      .orderBy("c_custkey")
+  }
+
+  /** Exact interpolated median per segment. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
+        round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"))
+      .orderBy("c_mktsegment")
+
+  /** Approximate distinct (HLL++). No SQL oracle — DuckDB's sketch differs;
+    * the driver records a rows-only check. */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Gap-based sessionization as a batch composition (lag → flag → running
+    * count → aggregate). The streaming twin uses session_window — this
+    * formulation is portable and oracle-checkable bit-for-bit. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    t(s, d, "events")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 300000, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of join (engine addition, SURVEY.md §2.2): for each purchase, the
+    * latest click of the same user at or before it — composed as
+    * union → ordered window → last non-null, the shuffle-once formulation
+    * that scales (no per-row subqueries, no range cross join). */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").withColumn("ts_ms", unix_millis(col("ts")))
+    val tagged = e.select(col("user_id"), col("event_id"), col("ts_ms"),
+      col("event_type"),
+      when(col("event_type") === "click", col("event_id")).as("click_id"),
+      when(col("event_type") === "click", col("ts_ms")).as("click_ms"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ms", last(col("click_ms"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_ms").as("purchase_ms"), col("last_click_id"),
+        (col("ts_ms") - col("last_click_ms")).as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01 _, "q02_filter_project" -> q02 _,
+    "q03_join_inner" -> q03 _, "q04_join_multiway" -> q04 _,
+    "q05_join_left" -> q05 _, "q06_join_semi" -> q06 _,
+    "q07_join_anti" -> q07 _, "q08_agg_distinct" -> q08 _,
+    "q09_rollup" -> q09 _, "q10_cube" -> q10 _,
+    "q11_grouping_sets" -> q11 _, "q12_window_rank" -> q12 _,
+    "q13_window_lag" -> q13 _, "q14_window_running_sum" -> q14 _,
+    "q15_window_ntile" -> q15 _, "q16_latest_per_key" -> q16 _,
+    "q17_topk" -> q17 _, "q18_set_union" -> q18 _,
+    "q19_set_except" -> q19 _, "q20_set_intersect" -> q20 _,
+    "q21_distinct" -> q21 _, "q22_json_extract" -> q22 _,
+    "q23_date_buckets" -> q23 _, "q24_window_tumbling" -> q24 _,
+    "q25_string_funcs" -> q25 _, "q26_math_funcs" -> q26 _,
+    "q27_case_when" -> q27 _, "q28_having" -> q28 _,
+    "q29_subquery_avg" -> q29 _, "q30_percentile" -> q30 _,
+    "q31_approx_distinct" -> q31 _, "q32_sessionize" -> q32 _,
+    "q33_asof_join" -> q33 _)
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_disc,
+        | count(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_inner" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+    "q04_join_multiway" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        | count(1) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q05_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q06_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1-%')
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_agg_distinct" ->
+      """SELECT c_mktsegment, count(1) AS n_cust,
+        | count(DISTINCT c_nationkey) AS n_nations,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_bal,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q09_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        | count(1) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q10_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        | coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        | count(1) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q11_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        | count(1) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q12_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) x
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q13_window_lag" ->
+      """SELECT user_id, event_id, value,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        | value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q14_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q15_window_ntile" ->
+      """SELECT o_orderstatus, tile, count(1) AS n,
+        | min(o_totalprice) AS min_price,
+        | max(o_totalprice) AS max_price
+        |FROM (SELECT o_orderstatus, o_totalprice,
+        |        ntile(4) OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice ASC, o_orderkey ASC) AS tile
+        |      FROM orders) x
+        |GROUP BY o_orderstatus, tile ORDER BY o_orderstatus, tile""".stripMargin,
+    "q16_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+        |  FROM events) x
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q17_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q18_set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q19_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q20_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q21_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q22_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        | count(1) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY k_val ORDER BY k_val""".stripMargin,
+    "q23_date_buckets" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        | count(1) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "q24_window_tumbling" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300 AS win_start_s, event_type,
+        | count(1) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY win_start_s, event_type
+        |ORDER BY win_start_s, event_type""".stripMargin,
+    "q25_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname,
+        | substring(c_name, 10, 9) AS custnum,
+        | length(c_name) AS name_len,
+        | replace(c_name, 'Customer#', 'C-') AS short_name,
+        | concat_ws('/', c_mktsegment, c_name) AS seg_name
+        |FROM customer WHERE c_name LIKE '%42%' ORDER BY c_custkey""".stripMargin,
+    "q26_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        | CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_disc,
+        | CAST(floor(l_tax * 100) AS BIGINT) AS floor_tax,
+        | l_orderkey % 7 AS mod7,
+        | round(ln(l_extendedprice + 1), 6) AS ln_price,
+        | abs(l_quantity - 25) AS abs_qty
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q27_case_when" ->
+      """SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+        |            WHEN o_totalprice >= 150000 THEN 'mid'
+        |            ELSE 'low' END AS bucket,
+        | count(1) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q28_having" ->
+      """SELECT c_nationkey, count(1) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_nationkey HAVING count(1) > 40
+        |ORDER BY c_nationkey""".stripMargin,
+    "q29_subquery_avg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, nation_avg
+        |FROM customer
+        |JOIN (SELECT c_nationkey AS nk,
+        |        CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS nation_avg
+        |      FROM customer GROUP BY c_nationkey) a ON c_nationkey = nk
+        |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin,
+    "q30_percentile" ->
+      """SELECT c_mktsegment,
+        | round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+        | round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q32_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_ms, 1) OVER w IS NULL
+        |                   OR ts_ms - lag(ts_ms, 1) OVER w > 300000
+        |            THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(1) AS n_events,
+        | min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q33_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS click_ms
+        |  FROM events
+        |), lastc AS (
+        |  SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER w AS last_click_id,
+        |    last_value(click_ms IGNORE NULLS) OVER w AS last_click_ms
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, ts_ms AS purchase_ms,
+        | last_click_id, ts_ms - last_click_ms AS gap_ms
+        |FROM lastc WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin)
+}

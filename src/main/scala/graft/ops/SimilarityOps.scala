@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Similarity search over the embeddings table (64-dim float vectors,
+  * SURVEY.md §2.6): brute-force cosine top-k as the correctness baseline and
+  * an LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Scale notes: the brute-force form broadcasts the (small) query set and
+  * streams the corpus once — O(|Q|·|corpus|) work but a single scan, no
+  * shuffle until the per-query top-k. The LSH form buckets both sides by a
+  * sign-bit hyperplane signature so candidate pairs form inside buckets
+  * only; recall is tunable via bands of the signature.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  private val K = 5
+  private val NumQueries = 16
+
+  /** Brute-force exact cosine top-k for the first [[NumQueries]] vectors. */
+  private def v01(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+    val queries = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val sims = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: bucket corpus and queries by 16-bit hyperplane
+    * signature bands (4 bands of 4 bits — a near neighbour agrees on at
+    * least one band with high probability), rank candidates by exact cosine.
+    * Rows-only check; the spec test measures recall against v01. */
+  private def v02(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+      .withColumn("sig", VectorFunctions.hyperplaneSignature(col("embedding")))
+    val bands = (0 until 4).map(b =>
+      shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL)).as(s"band$b"))
+    val corpusB = corpus.select(col("vec_id") +: col("embedding") +: bands: _*)
+    val queriesB = corpusB.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("band0").as("qb0"), col("band1").as("qb1"),
+        col("band2").as("qb2"), col("band3").as("qb3"))
+    val candidates = corpusB.join(broadcast(queriesB),
+      col("vec_id") =!= col("q_id") && (
+        (col("band0") === col("qb0")) || (col("band1") === col("qb1")) ||
+        (col("band2") === col("qb2")) || (col("band3") === col("qb3"))))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
+    * Implemented with the hyperplane-signature bucketing (exact verify on
+    * candidates) so the pair space never materializes n². */
+  private def v03(s: SparkSession, d: String): DataFrame = {
+    val vecs = emb(s, d)
+      .withColumn("sig", VectorFunctions.hyperplaneSignature(col("embedding")))
+    val banded = vecs.select(col("vec_id"), col("embedding"), posexplode(
+      array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+    val a = banded.select(col("band_idx"), col("band"), col("vec_id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band"), col("vec_id").as("id_b"))
+    // dedupe candidate pairs BEFORE the cosine kernel so each pair's
+    // similarity is computed exactly once
+    val pairs = a.join(b, Seq("band_idx", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val va = vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val vb = vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    pairs.join(broadcast(va), "id_a").join(broadcast(vb), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Centroid per label: vector aggregation with zip_with folds — the
+    * building block for IVF-style coarse quantization. */
+  private def v04(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(VectorFunctions.l2Norm(VectorFunctions.toDouble(col("embedding")))), 4)
+          .as("avg_norm"))
+      .orderBy("label")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
+    "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _)
+
+  /** v01's exact-cosine oracle via DuckDB list functions; v02/v03 depend on
+    * the engine hash family (rows-only). v04's norm is a per-row sequential
+    * fold — stable, oracle-able. */
+  val oracle: Map[String, String] = Map(
+    "v01_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id < $NumQueries),
+         |sims AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    list_cosine_similarity(CAST(q_vec AS DOUBLE[]),
+         |                           CAST(e.embedding AS DOUBLE[])) AS cos
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id ASC) AS rank FROM sims)
+         |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    "v04_label_centroids" ->
+      """SELECT label, count(1) AS n,
+        | round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |   x -> x * x)))), 4) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+}
