@@ -94,7 +94,9 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorExpressions.cosineSim(
           s, col("v_a"), col("v_b")).as("cos"))
-      .filter(col("cos") >= 0.5)
+      .filter(col("cos") >= 0.4) // fixtures are random unit-ish vectors: the
+      // max pairwise cosine is ~0.48-0.60 across SFs, so 0.4 marks the
+      // "suspiciously similar" tail while keeping output non-empty
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
   }

@@ -1,0 +1,119 @@
+package graft.sources.geotab
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Client abstraction over the Geotab JSON-RPC API surface the reference
+  * uses (task.ts: `Authenticate` task.ts:326-355, `Get User by name` probe
+  * task.ts:301-324, `Get {typeName, search}` scans task.ts:148-218).
+  *
+  * The environment is offline, so the shipped implementation is a
+  * fixture-backed fake; a production HTTP client implements the same three
+  * calls against `<api>/apiv1`. Instances are resolved by name from a
+  * registry so executors can look the client up without serializing it.
+  */
+case class GeotabCredentials(database: String, sessionId: String, userName: String)
+
+trait GeotabClient {
+  /** POST Authenticate (rate-limited in production — task.ts:297-300). */
+  def authenticate(database: String, userName: String, password: String): GeotabCredentials
+
+  /** Cheap probe validating a cached session (task.ts:301-324). */
+  def validateSession(credentials: GeotabCredentials): Boolean
+
+  /** JSON-RPC Get: returns raw JSON rows for an entity scan, with the
+    * source-side `search` predicate payload (task.ts:175-177, 194-202). */
+  def get(typeName: String, search: Map[String, String],
+          credentials: GeotabCredentials): Seq[String]
+}
+
+object GeotabClients {
+  private val registry = new ConcurrentHashMap[String, GeotabClient]()
+  def register(name: String, client: GeotabClient): Unit = registry.put(name, client)
+  def apply(name: String): GeotabClient = {
+    val c = registry.get(name)
+    require(c != null, s"no GeotabClient registered under '$name'")
+    c
+  }
+}
+
+/** Driver/executor-local session cache with validate-on-use, reproducing the
+  * reference's ephemeral-store credential reuse (task.ts:127-143): cached
+  * session is probed with a cheap call; only on failure do we re-login,
+  * because the login endpoint is rate-limited. Keyed per (client, database,
+  * user) — the analogue of the reference's per-layer ephemeral KV.
+  */
+object GeotabSessionCache {
+  private val cache = new ConcurrentHashMap[(String, String, String), GeotabCredentials]()
+  val logins = new AtomicInteger(0) // observability for tests/metrics
+
+  def credentials(clientName: String, database: String, userName: String,
+                  password: String): GeotabCredentials = {
+    val key = (clientName, database, userName)
+    val client = GeotabClients(clientName)
+    val cached = cache.get(key)
+    if (cached != null && client.validateSession(cached)) cached
+    else {
+      val fresh = client.authenticate(database, userName, password)
+      logins.incrementAndGet()
+      cache.put(key, fresh)
+      fresh
+    }
+  }
+
+  def clear(): Unit = { cache.clear(); logins.set(0) }
+}
+
+/** Fixture-backed fake client. Records every `get` invocation (typeName +
+  * search payload) so tests can assert that predicate pushdown actually
+  * reached the source. Applies the search semantics the real API applies
+  * server-side: isDriver on User, excludeUntrackedAssets/groups on Device.
+  */
+class InMemoryGeotabClient(
+    users: Seq[Map[String, Any]],
+    devices: Seq[Map[String, Any]],
+    deviceInfo: Seq[String]) extends GeotabClient {
+
+  val getCalls = new java.util.concurrent.CopyOnWriteArrayList[(String, Map[String, String])]()
+  @volatile var validSessionIds: Set[String] = Set.empty
+
+  override def authenticate(database: String, userName: String, password: String): GeotabCredentials = {
+    val cred = GeotabCredentials(database, s"sess-${System.nanoTime()}", userName)
+    validSessionIds += cred.sessionId
+    cred
+  }
+
+  override def validateSession(c: GeotabCredentials): Boolean =
+    validSessionIds.contains(c.sessionId)
+
+  private def toJson(m: Map[String, Any]): String =
+    m.map {
+      case (k, v: String) => s""""$k":"$v""""
+      case (k, v: Boolean) => s""""$k":$v"""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}")
+
+  override def get(typeName: String, search: Map[String, String],
+                   credentials: GeotabCredentials): Seq[String] = {
+    require(validSessionIds.contains(credentials.sessionId), "invalid session")
+    getCalls.add((typeName, search))
+    typeName match {
+      case "User" =>
+        val filtered = search.get("isDriver") match {
+          case Some("true") => users.filter(_.getOrElse("isDriver", false) == true)
+          case _ => users
+        }
+        filtered.map(toJson)
+      case "Device" =>
+        var out = devices
+        if (search.get("excludeUntrackedAssets").contains("true"))
+          out = out.filter(_.getOrElse("tracked", true) == true)
+        search.get("groups").foreach { g =>
+          out = out.filter(_.get("group").contains(g))
+        }
+        out.map(toJson)
+      case "DeviceStatusInfo" => deviceInfo
+      case other => throw new IllegalArgumentException(s"unknown typeName $other")
+    }
+  }
+}

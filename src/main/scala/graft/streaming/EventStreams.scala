@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+/** Streaming analytics over the events schema (ts, user_id, event_type,
+  * value, ...). Every transform here takes a plain DataFrame, so the same
+  * code runs in batch and under readStream — the reference is itself a
+  * scheduled micro-batch with a 1-hour late-data policy
+  * (task.ts:106-107, 231), i.e. exactly
+  * `Trigger.AvailableNow` + `withWatermark("ts", "1 hour")` in Spark terms
+  * (SURVEY.md §1.4).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums with late-data handling. */
+  def tumblingCounts(events: DataFrame, window: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window per-type average. */
+  def slidingAvg(events: DataFrame, window: String = "10 minutes",
+                 slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("avg_value"), col("n"))
+
+  /** Gap-based sessions via the native session_window operator (the batch
+    * twin, q32_sessionize, composes the same semantics from lag+cumsum so
+    * it can be oracle-verified). */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** The sink seam of the reference (S8, task.ts:294 `this.submit(fc)`):
+    * each micro-batch of GeoJSON features goes to a pluggable sink —
+    * file / console(DEBUG, task.ts:76) / in-memory for tests. A real
+    * CloudTAK HTTP submitter is one more implementation of this trait. */
+  trait FeatureSink extends Serializable {
+    def submit(batch: Dataset[Row], batchId: Long): Unit
+  }
+
+  class ConsoleSink extends FeatureSink {
+    override def submit(batch: Dataset[Row], batchId: Long): Unit =
+      batch.show(20, truncate = false)
+  }
+
+  class FileSink(dir: String) extends FeatureSink {
+    override def submit(batch: Dataset[Row], batchId: Long): Unit =
+      batch.write.mode("append").json(s"$dir/batch_$batchId")
+  }
+
+  /** Collecting sink for tests (driver-side; test-scale batches only). */
+  class MemorySink extends FeatureSink {
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Array[Row]]
+    override def submit(batch: Dataset[Row], batchId: Long): Unit =
+      batches.synchronized { batches += batch.collect() }
+  }
+
+  /** Wire a feature stream into a sink via foreachBatch. */
+  def featureWriter(features: DataFrame, sink: FeatureSink): DataStreamWriter[Row] =
+    features.writeStream
+      .outputMode("append")
+      .foreachBatch((b: Dataset[Row], id: Long) => sink.submit(b, id))
+
+  def start(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =
+    w.option("checkpointLocation", checkpoint).start()
+}

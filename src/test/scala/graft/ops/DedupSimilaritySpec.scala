@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.{SimHash64, VectorExpressions}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the LLM-pipeline operators (SURVEY.md §5.5): hand-built
+  * inputs with known duplicates; LSH recall cross-checked against brute
+  * force. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                             // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),                   // near dup of 0
+    (3L, "completely different words about spark catalyst optimizer rules engine"),
+    (4L, "another unrelated document mentioning parquet files and shuffles everywhere")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val sigs = DedupOps.minhashSignatures(spark, docs)
+    val pairs = DedupOps.lshCandidates(sigs)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      s"near dup pair missing from $pairs")
+    assert(!pairs.contains((3L, 4L)), "unrelated docs must not collide")
+  }
+
+  test("minhash estimated jaccard is 1.0 for identical docs") {
+    val sigs = DedupOps.minhashSignatures(spark, docs)
+    val s0 = sigs.filter($"doc_id" === 0).head().getSeq[Long](1)
+    val s1 = sigs.filter($"doc_id" === 1).head().getSeq[Long](1)
+    assert(s0 === s1)
+    assert(s0.length === 64)
+  }
+
+  test("simhash: identical docs hash equal; near dups within small hamming") {
+    val sig = docs.select($"doc_id",
+      SimHash64.simhash64(spark,
+        transform(split($"text", " "), t => xxhash64(t))).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) === sig(1L))
+    val hammingNear = java.lang.Long.bitCount(sig(0L) ^ sig(2L))
+    val hammingFar = java.lang.Long.bitCount(sig(0L) ^ sig(3L))
+    assert(hammingNear < hammingFar,
+      s"near-dup hamming $hammingNear !< unrelated hamming $hammingFar")
+  }
+
+  test("cosine expression matches hand computation and handles zero vectors") {
+    val vecs = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f), math.sqrt(0.5)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0) // zero-norm guard
+    ).toDF("a", "b", "expected")
+    val got = vecs.select(
+      VectorExpressions.cosineSim(spark, $"a", $"b").as("cos"), $"expected")
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12, s"$c vs $e") }
+  }
+
+  test("LSH knn recall vs brute force at sf0.001 is reasonable") {
+    val d = "/root/testdata/sf0.001"
+    val brute = SparkEntryQueries("v01_knn_brute", d)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntryQueries("v02_knn_lsh", d)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall collapsed") // ANN tradeoff, bounded below
+  }
+
+  private def SparkEntryQueries(name: String, d: String) =
+    graft.SparkEntry.queries(name)(spark, d)
+
+  test("exact dedup keeps min doc_id per text") {
+    val dup = docs.union(docs.filter($"doc_id" === 3))
+    val out = dup.groupBy($"text")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n"))
+    val m = out.as[(String, Long, Long)].collect()
+      .map { case (_, k, n) => k -> n }.toMap
+    assert(m(0L) === 2L) // doc 0 text appears twice (0,1) -> keeper 0
+    assert(m(3L) === 2L) // duplicated row
+  }
+}

@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.geotab._
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** DSv2 connector tests: filter pushdown reaches the API search payload,
+  * column pruning reaches the scan, sessions are cached + revalidated, and
+  * end-to-end the connector feeds the reference pipeline. */
+class GeotabSourceSpec extends SparkSpec {
+
+  private def freshClient(): InMemoryGeotabClient = new InMemoryGeotabClient(
+    users = Seq(
+      Map("id" -> "drv1", "name" -> "jdoe", "firstName" -> "John",
+        "lastName" -> "Doe", "phoneNumber" -> "555", "designation" -> "Sr",
+        "comment" -> "c", "isDriver" -> true),
+      Map("id" -> "admin1", "name" -> "admin", "isDriver" -> false)),
+    devices = Seq(
+      Map("id" -> "d1", "vehicleIdentificationNumber" -> "V1",
+        "licensePlate" -> "P1", "licenseState" -> "CO", "name" -> "Truck One",
+        "group" -> "g1", "tracked" -> true),
+      Map("id" -> "d2", "vehicleIdentificationNumber" -> "V2", "name" -> "Untracked",
+        "group" -> "g1", "tracked" -> false),
+      Map("id" -> "d3", "vehicleIdentificationNumber" -> "V3", "name" -> "Other Group",
+        "group" -> "g2", "tracked" -> true)),
+    deviceInfo = Seq(
+      """{"bearing":90.0,"latitude":39.7,"longitude":-104.9,"speed":100.0,
+        |"dateTime":"2026-01-01T11:30:00Z","device":{"id":"d1"},
+        |"driver":"UnknownDriverId","isDriving":true,
+        |"isDeviceCommunicating":true,"isHistoricLastDriver":false,
+        |"groups":[{"id":"g1"}]}""".stripMargin.replaceAll("\n", "")))
+
+  private def read(client: String, entity: String) =
+    spark.read.format("geotab")
+      .option("entity", entity).option("client", client)
+      .option("database", "fleetdb").option("user", "svc").option("password", "pw")
+      .load()
+
+  test("isDriver predicate is pushed into the API search payload (task.ts:175-177)") {
+    val c = freshClient()
+    GeotabClients.register("t1", c)
+    GeotabSessionCache.clear()
+    val drivers = read("t1", "user").filter(col("isDriver") === true).collect()
+    assert(drivers.map(_.getAs[String]("id")).toSet === Set("drv1"))
+    val calls = c.getCalls.asScala.toList
+    assert(calls === List(("User", Map("isDriver" -> "true"))),
+      s"predicate not pushed: $calls")
+  }
+
+  test("device scan always excludes untracked assets; group filter pushes (task.ts:194-202)") {
+    val c = freshClient()
+    GeotabClients.register("t2", c)
+    GeotabSessionCache.clear()
+    val got = read("t2", "device").filter(col("group") === "g1").collect()
+    assert(got.map(_.getAs[String]("id")).toSet === Set("d1"),
+      "untracked + other-group devices must be filtered at the source")
+    val (typeName, search) = c.getCalls.asScala.head
+    assert(typeName === "Device")
+    assert(search.get("excludeUntrackedAssets").contains("true"))
+    assert(search.get("groups").contains("g1"), s"group filter not pushed: $search")
+  }
+
+  test("column pruning reaches the scan description") {
+    val c = freshClient()
+    GeotabClients.register("t3", c)
+    GeotabSessionCache.clear()
+    val df = read("t3", "device").select("id", "name")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("GeotabScan"), plan)
+    assert(plan.contains("columns=id,name") || df.schema.fieldNames.sameElements(Array("id", "name")),
+      s"pruned schema not propagated:\n$plan")
+    df.collect()
+  }
+
+  test("session cache: one login across scans, re-login after invalidation (task.ts:127-143)") {
+    val c = freshClient()
+    GeotabClients.register("t4", c)
+    GeotabSessionCache.clear()
+    read("t4", "user").collect()
+    read("t4", "device").collect()
+    assert(GeotabSessionCache.logins.get() === 1, "session not reused")
+    c.validSessionIds = Set.empty // expire server-side
+    read("t4", "user").collect()
+    assert(GeotabSessionCache.logins.get() === 2, "no re-login after expiry")
+  }
+
+  test("connector feeds the reference pipeline end-to-end") {
+    val c = freshClient()
+    GeotabClients.register("t5", c)
+    GeotabSessionCache.clear()
+    val info = read("t5", "deviceInfo")
+      .withColumn("n", graft.geotab.GeotabSchemas.normalizeDriver(col("driver")))
+      .select(col("device.id").as("device_id"),
+        to_timestamp(col("dateTime")).as("dateTime"),
+        col("latitude"), col("longitude"), col("speed"), col("bearing"),
+        col("n.driverId").as("driverId"), col("n.driverIsObject").as("driverIsObject"),
+        lit("g1").as("groups"))
+    val devices = read("t5", "device")
+    val drivers = read("t5", "user").filter(col("isDriver") === true)
+      .drop("isDriver")
+    val out = graft.geotab.GeotabPipeline.featuresFlat(devices, info, drivers,
+      graft.geotab.GeotabPipeline.Config(
+        now = lit(java.sql.Timestamp.valueOf("2026-01-01 12:00:00"))))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("id") === "geotab-d1")
+    assert(out.head.getAs[String]("driver_username") === null) // string-variant driver
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.geotab.GeotabPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Info(device_id: String, dateTime: Timestamp, latitude: Double,
+                longitude: Double, speed: Double, bearing: Double,
+                driverId: String, driverIsObject: Boolean, groups: String)
+
+/** Streaming tests (SURVEY.md §5.4): watermark late-drop, windowed aggs,
+  * session windows, and the Geotab pipeline running unchanged on a stream
+  * (stream-static joins) into the pluggable FeatureSink. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling windows with watermark drop late rows") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(in.toDF(), "5 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tumbling_out").start()
+    try {
+      in.addData(
+        Ev(ts("2026-01-01 10:00:10"), 1, "click", 1.0),
+        Ev(ts("2026-01-01 10:01:00"), 1, "click", 2.0),
+        Ev(ts("2026-01-01 10:07:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far enough that the 10:00 window finalizes
+      in.addData(Ev(ts("2026-01-01 10:30:00"), 3, "click", 4.0))
+      q.processAllAvailable()
+      // this row is far behind the watermark -> must be dropped
+      in.addData(Ev(ts("2026-01-01 10:00:30"), 9, "click", 99.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2026-01-01 11:00:00"), 3, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select($"win_start", $"event_type", $"n", $"sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts("2026-01-01 10:00:00"), "click", 2L, 3.0)),
+        s"expected finalized 10:00 click window without the late row, got $rows")
+      assert(rows.contains((ts("2026-01-01 10:05:00"), "view", 1L, 3.0)))
+      assert(!rows.exists { case (_, _, _, s) => s == 102.0 || s == 99.0 },
+        "late row leaked into a window")
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionCounts(in.toDF(), "5 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_out").start()
+    try {
+      in.addData(
+        Ev(ts("2026-01-01 09:00:00"), 1, "click", 1.0),
+        Ev(ts("2026-01-01 09:03:00"), 1, "click", 1.0), // same session
+        Ev(ts("2026-01-01 09:20:00"), 1, "click", 1.0)) // new session
+      q.processAllAvailable()
+      in.addData(Ev(ts("2026-01-01 10:00:00"), 2, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toList
+      assert(rows.count(_ == (1L, 2L)) === 1, s"merged session missing: $rows")
+      assert(rows.count(_ == (1L, 1L)) === 1, s"singleton session missing: $rows")
+    } finally q.stop()
+  }
+
+  test("geotab pipeline runs unchanged on a stream with stream-static joins") {
+    implicit val sql = spark.sqlContext
+    val devices = Seq(("d1", "V1", "CO", "P1", "Truck One"))
+      .toDF("id", "vehicleIdentificationNumber", "licenseState", "licensePlate", "name")
+    val drivers = Seq(("drv1", "jdoe", "John", "Doe", "555", "Sr", "c"))
+      .toDF("id", "name", "firstName", "lastName", "phoneNumber", "designation", "comment")
+    val in = MemoryStream[Info]
+    val cfg = GeotabPipeline.Config(
+      prefix = "", now = lit(ts("2026-01-01 12:00:00")))
+    val features = GeotabPipeline.featuresFlat(devices, in.toDF(), drivers, cfg)
+    val sink = new EventStreams.MemorySink
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = EventStreams.start(EventStreams.featureWriter(features, sink), dir)
+    try {
+      in.addData(
+        Info("d1", ts("2026-01-01 11:30:00"), 39.7, -104.9, 100.0, 90.0, "drv1", true, "g1"),
+        Info("dX", ts("2026-01-01 11:30:00"), 0, 0, 0, 0, "drv1", true, "g1"), // no device
+        Info("d1", ts("2026-01-01 09:00:00"), 1, 1, 1, 1, "drv1", true, "g1")) // stale
+      q.processAllAvailable()
+      val rows = sink.batches.flatten
+      assert(rows.length === 1, s"expected exactly the fresh d1 feature, got ${rows.length}")
+      val r = rows.head
+      assert(r.getAs[String]("id") === "geotab-d1")
+      assert(r.getAs[String]("driver_username") === "jdoe")
+      assert(math.abs(r.getAs[Double]("speed_ms") - 27.7778) < 1e-9)
+    } finally q.stop()
+  }
+}
