@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen, file listing, executor threads) with one
+    // tiny scan per table so per-query timings measure the query, not the
+    // first-touch JVM costs that otherwise land on an arbitrary query.
+    graft.Tables.all.foreach { t =>
+      try graft.Tables(spark, sfDir, t).limit(1).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -391,7 +391,46 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Range join riding on an equi-join (SURVEY.md §2.2 engine addition):
+    * per order, how many of its line items shipped within 90 days. The
+    * range predicate is a post-join filter on the hash-partitioned
+    * orderkey equi-join — no nested-loop blowup at scale. */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped_90d"),
+        min(col("l_shipdate")).as("first_ship"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Pivot (long → wide conditional aggregation). */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(StableAgg.moneySum(col("l_quantity")))
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregate family (variance, stddev, correlation,
+    * covariance). Rounded to 6 — these have no decimal structure, so the
+    * only cross-engine delta is last-ulp accumulation noise. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q01_pricing_summary" -> q01 _, "q02_filter_project" -> q02 _,
     "q03_join_inner" -> q03 _, "q04_join_multiway" -> q04 _,
     "q05_join_left" -> q05 _, "q06_join_semi" -> q06 _,
@@ -411,6 +450,24 @@ object Relational {
     "q33_asof_join" -> q33 _)
 
   val oracle: Map[String, String] = Map(
+    "q34_range_join" ->
+      """SELECT o_orderkey, count(1) AS n_shipped_90d, min(l_shipdate) AS first_ship
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q35_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q37_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(var_samp(l_quantity), 6) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,

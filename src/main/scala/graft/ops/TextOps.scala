@@ -70,12 +70,49 @@ object TextOps {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(100)
 
+  /** tf-idf: corpus-wide document frequency joined back to per-doc term
+    * frequency (two hash aggregations + one broadcastable join — the
+    * standard distributed formulation; df is computed over the FULL corpus
+    * while the output is restricted to a bounded doc set for determinism). */
+  private def t06(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.filter(col("doc_id") < 20)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t06_tfidf" -> t06 _,
     "t01_token_stats" -> t01 _, "t02_lang_profile" -> t02 _,
     "t03_repetition" -> t03 _, "t04_text_profile" -> t04 _,
     "t05_token_frequency" -> t05 _)
 
   val oracle: Map[String, String] = Map(
+    "t06_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), toks_ne AS (
+        |  SELECT doc_id, token FROM toks WHERE length(token) > 0
+        |), tf AS (
+        |  SELECT doc_id, token, count(1) AS tf FROM toks_ne
+        |  WHERE doc_id < 20 GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, count(1) AS df FROM (
+        |    SELECT DISTINCT doc_id, token FROM toks_ne) x GROUP BY token
+        |)
+        |SELECT doc_id, token, tf, df,
+        |  round(tf * ln(CAST((SELECT count(1) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (token)
+        |ORDER BY doc_id, token""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         | length(text) AS n_chars_calc, n_chars
