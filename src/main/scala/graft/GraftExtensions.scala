@@ -1,0 +1,11 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension entry point:
+  * `--conf spark.sql.extensions=graft.GraftExtensions` injects the engine's
+  * native functions into every session built on the cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.GraftFunctions.descriptions.foreach(e.injectFunction)
+}

@@ -89,13 +89,16 @@ object DedupOps {
       .orderBy("doc_id")
 
   /** Exact n-gram Jaccard verification of the MinHash candidates: join the
-    * shingle sets back in and compute |A∩B| / |A∪B| exactly. */
+    * shingle sets back in and compute |A∩B| / |A∪B| exactly. Sets are
+    * carried as 64-bit shingle hashes (set semantics identical up to
+    * negligible 64-bit collisions) — long-array intersects are far cheaper
+    * to shuffle and compare than the shingle strings. */
   private def d05(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
     val sigs = minhashSignatures(s, dd)
     val pairs = lshCandidates(sigs)
     val sh = dd.select(col("doc_id"),
-      array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
+      TextFunctions.shingleHashes(col("text")).as("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairs.join(a, "doc_a").join(b, "doc_b")

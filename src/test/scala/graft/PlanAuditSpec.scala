@@ -1,0 +1,50 @@
+package graft
+
+/** Locks in the physical-plan properties the engine is designed around —
+  * if a refactor silently breaks scan pushdown or turns a broadcast into a
+  * cartesian product, these fail before any benchmark notices. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), s"filter not pushed:\n$p")
+    assert(p.contains("LessThan(l_discount,0.02)"), s"filter not pushed:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("q04: dims broadcast, no cartesian products") {
+    val p = plan("q04_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"cartesian product crept in:\n$p")
+  }
+
+  test("v01: query side broadcasts; corpus streams once") {
+    val p = plan("v01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q01: partial + final hash aggregation (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("q17: top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q17_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("g01: flagship joins are hash joins with no shuffle on the dim side") {
+    val p = plan("g01_geotab_flagship")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.TripSegmentation.{StatusPing, Trip}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class TripSegmentationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("trips close on stop pings; state survives micro-batch boundaries") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StatusPing]
+    val q = TripSegmentation.trips(spark, in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trips_out").start()
+    try {
+      // batch 1: d1 starts driving; d2 stays stopped
+      in.addData(
+        StatusPing("d1", ts("2026-01-01 08:00:00"), 30.0),
+        StatusPing("d1", ts("2026-01-01 08:05:00"), 45.0),
+        StatusPing("d2", ts("2026-01-01 08:00:00"), 0.0))
+      q.processAllAvailable()
+      assert(spark.table("trips_out").isEmpty) // trip still open
+      // batch 2: d1 keeps driving then stops -> one trip spanning batches
+      in.addData(
+        StatusPing("d1", ts("2026-01-01 08:10:00"), 20.0),
+        StatusPing("d1", ts("2026-01-01 08:15:00"), 0.0))
+      q.processAllAvailable()
+      val trips = spark.table("trips_out").as[Trip].collect()
+      assert(trips.length === 1)
+      val t = trips.head
+      assert(t.deviceId === "d1")
+      assert(t.startMs === ts("2026-01-01 08:00:00").getTime)
+      assert(t.endMs === ts("2026-01-01 08:10:00").getTime)
+      assert(t.nPings === 3)
+      assert(t.maxSpeed === 45.0)
+      // batch 3: d1 drives again -> a second, separate trip
+      in.addData(
+        StatusPing("d1", ts("2026-01-01 09:00:00"), 50.0),
+        StatusPing("d1", ts("2026-01-01 09:02:00"), 0.0))
+      q.processAllAvailable()
+      assert(spark.table("trips_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("batch mode: same segmentation code runs on a bounded dataset") {
+    val pings = Seq(
+      StatusPing("d1", ts("2026-01-01 08:00:00"), 30.0),
+      StatusPing("d1", ts("2026-01-01 08:05:00"), 10.0),
+      StatusPing("d1", ts("2026-01-01 08:06:00"), 0.0),
+      StatusPing("d1", ts("2026-01-01 09:00:00"), 20.0),
+      StatusPing("d1", ts("2026-01-01 09:10:00"), 0.0)).toDS()
+    val trips = TripSegmentation.trips(spark, pings).collect().sortBy(_.startMs)
+    assert(trips.length === 2)
+    assert(trips(0).nPings === 2 && trips(1).nPings === 1)
+  }
+}
