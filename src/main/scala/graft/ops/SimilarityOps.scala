@@ -111,9 +111,54 @@ object SimilarityOps {
           .as("avg_norm"))
       .orderBy("label")
 
+  /** IVF-style ANN: coarse-quantize the corpus into cells (4-bit LSH
+    * signature prefix — at real scale this is a trained codebook), compute
+    * per-cell centroids distributedly, route each query to its n_probe
+    * nearest centroids, and search only those cells. The inverted-file
+    * topology: corpus scanned once to build cells, queries touch
+    * n_probe/n_cells of the data. */
+  private def v05(s: SparkSession, d: String): DataFrame = {
+    val nProbe = 4
+    val vecs = emb(s, d)
+      .withColumn("cell",
+        VectorFunctions.hyperplaneSignature(col("embedding")).bitwiseAND(lit(0xFL)))
+    // distributed centroid: explode dims, average per (cell, pos), reassemble
+    val centroids = vecs
+      .select(col("cell"), posexplode(VectorFunctions.toDouble(col("embedding"))))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        e => e.getField("v")).as("centroid"))
+    val queries = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // route queries to their nProbe nearest cells
+    val routing = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("centroid")).as("cell_sim"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probed = routing.withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    // search only the probed cells
+    val cands = vecs.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
-    "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _)
+    "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
+    "v05_knn_ivf" -> v05 _)
 
   /** v01's exact-cosine oracle via DuckDB list functions; v02/v03 depend on
     * the engine hash family (rows-only). v04's norm is a per-row sequential

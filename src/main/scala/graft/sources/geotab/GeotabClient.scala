@@ -47,8 +47,12 @@ object GeotabSessionCache {
   private val cache = new ConcurrentHashMap[(String, String, String), GeotabCredentials]()
   val logins = new AtomicInteger(0) // observability for tests/metrics
 
+  /** Synchronized: concurrent partition readers must not race a stampede
+    * of logins against the rate-limited endpoint — one thread logs in, the
+    * rest reuse (exactly the property the reference's ephemeral-store cache
+    * provides across Lambda invocations). */
   def credentials(clientName: String, database: String, userName: String,
-                  password: String): GeotabCredentials = {
+                  password: String): GeotabCredentials = synchronized {
     val key = (clientName, database, userName)
     val client = GeotabClients(clientName)
     val cached = cache.get(key)
@@ -75,16 +79,21 @@ class InMemoryGeotabClient(
     deviceInfo: Seq[String]) extends GeotabClient {
 
   val getCalls = new java.util.concurrent.CopyOnWriteArrayList[(String, Map[String, String])]()
-  @volatile var validSessionIds: Set[String] = Set.empty
+  // concurrent partition readers authenticate in parallel — plain var Set
+  // loses updates under the read-modify-write race
+  private val sessions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   override def authenticate(database: String, userName: String, password: String): GeotabCredentials = {
     val cred = GeotabCredentials(database, s"sess-${System.nanoTime()}", userName)
-    validSessionIds += cred.sessionId
+    sessions.add(cred.sessionId)
     cred
   }
 
   override def validateSession(c: GeotabCredentials): Boolean =
-    validSessionIds.contains(c.sessionId)
+    sessions.contains(c.sessionId)
+
+  /** Test hook: server-side session expiry. */
+  def expireAllSessions(): Unit = sessions.clear()
 
   private def toJson(m: Map[String, Any]): String =
     m.map {
@@ -95,7 +104,7 @@ class InMemoryGeotabClient(
 
   override def get(typeName: String, search: Map[String, String],
                    credentials: GeotabCredentials): Seq[String] = {
-    require(validSessionIds.contains(credentials.sessionId), "invalid session")
+    require(sessions.contains(credentials.sessionId), "invalid session")
     getCalls.add((typeName, search))
     typeName match {
       case "User" =>

@@ -62,14 +62,18 @@ class DedupSimilaritySpec extends SparkSpec {
     got.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12, s"$c vs $e") }
   }
 
-  test("LSH knn recall vs brute force at sf0.001 is reasonable") {
+  test("LSH and IVF knn recall vs brute force at sf0.001 is reasonable") {
     val d = "/root/testdata/sf0.001"
     val brute = SparkEntryQueries("v01_knn_brute", d)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val lsh = SparkEntryQueries("v02_knn_lsh", d)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
-    val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.3, s"LSH recall $recall collapsed") // ANN tradeoff, bounded below
+    val ivf = SparkEntryQueries("v05_knn_ivf", d)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lshRecall = (brute & lsh).size.toDouble / brute.size
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    assert(lshRecall >= 0.3, s"LSH recall $lshRecall collapsed")
+    assert(ivfRecall >= 0.3, s"IVF recall $ivfRecall collapsed")
   }
 
   private def SparkEntryQueries(name: String, d: String) =

@@ -81,7 +81,7 @@ class GeotabSourceSpec extends SparkSpec {
     read("t4", "user").collect()
     read("t4", "device").collect()
     assert(GeotabSessionCache.logins.get() === 1, "session not reused")
-    c.validSessionIds = Set.empty // expire server-side
+    c.expireAllSessions() // expire server-side
     read("t4", "user").collect()
     assert(GeotabSessionCache.logins.get() === 2, "no re-login after expiry")
   }
