@@ -25,6 +25,13 @@ trait GeotabClient {
     * source-side `search` predicate payload (task.ts:175-177, 194-202). */
   def get(typeName: String, search: Map[String, String],
           credentials: GeotabCredentials): Seq[String]
+
+  /** Monotonic snapshot version used as the streaming offset: a micro-batch
+    * fires when the version advances. A live HTTP client derives this from
+    * poll time (every trigger sees a new snapshot, like the reference's
+    * scheduled Lambda); the fixture client bumps it when test data changes
+    * so processAllAvailable() terminates deterministically. */
+  def dataVersion: Long
 }
 
 object GeotabClients {
@@ -76,7 +83,18 @@ object GeotabSessionCache {
 class InMemoryGeotabClient(
     users: Seq[Map[String, Any]],
     devices: Seq[Map[String, Any]],
-    deviceInfo: Seq[String]) extends GeotabClient {
+    initialDeviceInfo: Seq[String]) extends GeotabClient {
+
+  @volatile private var deviceInfo: Seq[String] = initialDeviceInfo
+  private val version = new java.util.concurrent.atomic.AtomicLong(1L)
+  override def dataVersion: Long = version.get()
+
+  /** Test hook: replace the live telemetry snapshot (bumps the version so a
+    * streaming read picks it up as a new micro-batch). */
+  def setDeviceInfo(rows: Seq[String]): Unit = {
+    deviceInfo = rows
+    version.incrementAndGet()
+  }
 
   val getCalls = new java.util.concurrent.CopyOnWriteArrayList[(String, Map[String, String])]()
   // concurrent partition readers authenticate in parallel — plain var Set

@@ -72,7 +72,7 @@ class GeotabTable(schema: StructType, props: Map[String, String])
   override def name(): String = s"geotab/${props.getOrElse("entity", "deviceInfo")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeotabScanBuilder(schema, props)
 }
@@ -127,6 +127,37 @@ class GeotabScan(schema: StructType, entity: String,
     s"GeotabScan(entity=$entity, search=$search, columns=${schema.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] =
+    Array(GeotabInputPartition(entity, search))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeotabReaderFactory(schema, props)
+
+  /** Streaming read: each advance of the client's snapshot version fires a
+    * micro-batch that re-polls the API — the reference's scheduled-Lambda
+    * cadence (task.ts:106-107) under engine-managed triggers. */
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new GeotabMicroBatchStream(schema, entity, search, props)
+}
+
+case class GeotabOffset(version: Long) extends streaming.Offset {
+  override def json(): String = version.toString
+}
+
+class GeotabMicroBatchStream(schema: StructType, entity: String,
+                             search: Map[String, String],
+                             props: Map[String, String])
+    extends streaming.MicroBatchStream {
+  private def client = GeotabClients(props.getOrElse("client", "default"))
+
+  override def initialOffset(): streaming.Offset = GeotabOffset(0L)
+  override def latestOffset(): streaming.Offset = GeotabOffset(client.dataVersion)
+  override def deserializeOffset(json: String): streaming.Offset =
+    GeotabOffset(json.toLong)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] =
     Array(GeotabInputPartition(entity, search))
 
   override def createReaderFactory(): PartitionReaderFactory =

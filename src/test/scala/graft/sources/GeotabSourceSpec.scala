@@ -25,7 +25,7 @@ class GeotabSourceSpec extends SparkSpec {
         "group" -> "g1", "tracked" -> false),
       Map("id" -> "d3", "vehicleIdentificationNumber" -> "V3", "name" -> "Other Group",
         "group" -> "g2", "tracked" -> true)),
-    deviceInfo = Seq(
+    initialDeviceInfo = Seq(
       """{"bearing":90.0,"latitude":39.7,"longitude":-104.9,"speed":100.0,
         |"dateTime":"2026-01-01T11:30:00Z","device":{"id":"d1"},
         |"driver":"UnknownDriverId","isDriving":true,
