@@ -43,7 +43,8 @@ object DedupOps {
   def minhashSignatures(s: SparkSession, df: DataFrame, numHashes: Int = 64): DataFrame =
     df.select(col("doc_id"),
       graft.functions.VectorExpressions.minhash(
-        s, TextFunctions.shingleHashes(col("text")), numHashes).as("minhash"))
+        s, graft.functions.ShingleHashes.shingleHashes(s, col("text")),
+        numHashes).as("minhash"))
 
   /** LSH banding: split the signature into `bands` bands of `rows` values,
     * hash each band, and emit (band_idx, band_hash, doc_id). Docs sharing
@@ -98,7 +99,7 @@ object DedupOps {
     val sigs = minhashSignatures(s, dd)
     val pairs = lshCandidates(sigs)
     val sh = dd.select(col("doc_id"),
-      TextFunctions.shingleHashes(col("text")).as("sh"))
+      graft.functions.ShingleHashes.shingleHashes(s, col("text")).as("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairs.join(a, "doc_a").join(b, "doc_b")

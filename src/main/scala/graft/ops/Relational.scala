@@ -429,8 +429,43 @@ object Relational {
         round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** Array/higher-order function family over tokenized text. */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    t(s, d, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        concat_ws("_", slice(toks, 1, 5)).as("head5"),
+        concat_ws("_", reverse(slice(toks, 1, 3))).as("rev3"),
+        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long_tokens"),
+        array_max(transform(toks, t => length(t))).cast("long").as("max_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Regexp function family. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_num"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        col("c_name").rlike("0{3}").cast("boolean").as("has_triple_zero"))
+      .orderBy("c_custkey")
+
+  /** Unpivot (wide → long): each lineitem's rate columns melted to rows. */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_discount"), col("l_tax")), "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
+    "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
+    "q40_unpivot" -> q40 _,
     "q01_pricing_summary" -> q01 _, "q02_filter_project" -> q02 _,
     "q03_join_inner" -> q03 _, "q04_join_multiway" -> q04 _,
     "q05_join_left" -> q05 _, "q06_join_semi" -> q06 _,
@@ -461,6 +496,27 @@ object Relational {
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q38_array_funcs" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | array_to_string(string_split(text, ' ')[1:5], '_') AS head5,
+        | array_to_string(list_reverse(string_split(text, ' ')[1:3]), '_') AS rev3,
+        | len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long_tokens,
+        | list_max(list_transform(string_split(text, ' '), t -> length(t))) AS max_token_len
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "q39_regexp_funcs" ->
+      """SELECT c_custkey,
+        | CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+        | regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        | regexp_matches(c_name, '0{3}') AS has_triple_zero
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
+    "q40_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS value
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS value
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q37_stats_agg" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 6) AS sd_qty,
