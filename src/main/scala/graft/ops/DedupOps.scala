@@ -134,10 +134,48 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup-against-reference (SURVEY.md §2.2): drop documents whose exact
+    * text already exists in a reference corpus — left-anti join, the
+    * incremental-ingest dedup shape (new shard vs existing lake). The
+    * "reference corpus" here is the first docs of the same table. */
+  private def d07(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val reference = all.filter(col("doc_id") < 100).select(col("text"))
+    all.filter(col("doc_id") >= 100)
+      .join(reference, Seq("text"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end corpus dedup: exact dups (keep min doc_id per text) AND
+    * verified near-dups (jaccard >= 0.7 via MinHash LSH -> exact verify)
+    * removed, keeping each cluster's lowest id. Returns the surviving ids —
+    * the operator a training-data pipeline actually runs. */
+  private def d08(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val exactKeepers = dd.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // near-dup pairs among exact-keepers: doc_b (higher id) is dropped
+    val sigs = minhashSignatures(s, dd.join(exactKeepers, "doc_id"))
+    val pairs = lshCandidates(sigs)
+    val sh = dd.select(col("doc_id"),
+      graft.functions.ShingleHashes.shingleHashes(s, col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val nearDupLosers = pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.7)
+      .select(col("doc_b").as("doc_id")).distinct()
+    exactKeepers.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01 _, "d02_key_dedup" -> d02 _,
     "d03_minhash_candidates" -> d03 _, "d04_simhash_signatures" -> d04 _,
-    "d05_ngram_jaccard_verify" -> d05 _, "d06_simhash_pairs" -> d06 _)
+    "d05_ngram_jaccard_verify" -> d05 _, "d06_simhash_pairs" -> d06 _,
+    "d07_anti_dedup" -> d07 _, "d08_dedup_corpus" -> d08 _)
 
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -145,5 +183,10 @@ object DedupOps {
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
     "d02_key_dedup" ->
       """SELECT lang, source, min(doc_id) AS keeper_id, count(1) AS n_in_group
-        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "d07_anti_dedup" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id >= 100 AND text NOT IN (
+        |  SELECT text FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -462,10 +462,21 @@ object Relational {
         Array(col("l_discount"), col("l_tax")), "metric", "value")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** Approximate percentile sketch (t-digest-style; like q31's HLL, the
+    * sketch is engine-specific so the check is rows-only — q30 carries the
+    * exact-percentile oracle). */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(value, array(0.25, 0.75), 1000)").as("quartiles"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
-    "q40_unpivot" -> q40 _,
+    "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
     "q01_pricing_summary" -> q01 _, "q02_filter_project" -> q02 _,
     "q03_join_inner" -> q03 _, "q04_join_multiway" -> q04 _,
     "q05_join_left" -> q05 _, "q06_join_semi" -> q06 _,

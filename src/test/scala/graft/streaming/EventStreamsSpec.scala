@@ -72,6 +72,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-streaming the real events table matches the batch aggregation") {
+    // stream the driver-provided parquet as a file source: same transform
+    // code, same results as batch — the batch/stream duality SURVEY §1.4
+    // requires. (events.ts is TIMESTAMP(NANOS) -> read raw + convert, as
+    // graft.Tables does for batch.)
+    val d = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchDf = graft.Tables(spark, d, "events")
+    // file-stream source wants a directory; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamDf = spark.readStream
+      .schema(spark.read.parquet(s"$d/events.parquet").schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.tumblingCounts(streamDf, "1 hour", "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("file_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_out")
+        .agg(sum($"n")).head().getLong(0)
+      // append mode emits only watermark-closed windows; the final
+      // (unclosed) hour stays in state — compare against batch minus it
+      val batchByHour = batchDf
+        .groupBy(date_trunc("hour", $"ts").as("h")).count()
+      val lastHour = batchByHour.agg(max($"h")).head().getTimestamp(0)
+      val expected = batchByHour.filter($"h" < lastHour)
+        .agg(sum($"count")).head().getLong(0)
+      assert(streamed === expected,
+        s"file-streamed total $streamed != batch total $expected")
+    } finally q.stop()
+  }
+
   test("geotab pipeline runs unchanged on a stream with stream-static joins") {
     implicit val sql = spark.sqlContext
     val devices = Seq(("d1", "V1", "CO", "P1", "Truck One"))
