@@ -20,11 +20,15 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q02_filter_project", "q04_join_multiway",
         "q16_latest_per_key", "v01_knn_brute", "g01_geotab_flagship")
+    val out = new StringBuilder
     names.foreach { n =>
-      println(s"\n=================== $n ===================")
-      println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
+      out.append(s"\n=================== $n ===================\n")
+      out.append(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    println(out)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_plans.txt"), out.toString)
     spark.stop()
   }
 }

@@ -51,11 +51,14 @@ object DedupOps {
     * any band bucket become candidate pairs.
     */
   def lshCandidates(signatures: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
+    // cached: both sides of the self-join consume this subtree, and Spark
+    // does not share it across join branches on its own
     val banded = signatures.select(col("doc_id"), posexplode(
       array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("minhash"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
+      .cache()
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_hash"))
@@ -100,6 +103,7 @@ object DedupOps {
     val pairs = lshCandidates(sigs)
     val sh = dd.select(col("doc_id"),
       graft.functions.ShingleHashes.shingleHashes(s, col("text")).as("sh"))
+      .cache() // consumed by both sides of the pair join
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairs.join(a, "doc_a").join(b, "doc_b")
@@ -161,6 +165,7 @@ object DedupOps {
     val pairs = lshCandidates(sigs)
     val sh = dd.select(col("doc_id"),
       graft.functions.ShingleHashes.shingleHashes(s, col("text")).as("sh"))
+      .cache() // consumed by both sides of the pair join
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val nearDupLosers = pairs.join(a, "doc_a").join(b, "doc_b")
