@@ -127,4 +127,20 @@ object GeotabPipeline {
     flat.select(col("id").as("feature_id"), feature.as("feature"))
       .withColumn("feature_json", to_json(col("feature")))
   }
+
+  /** Assemble sink-batch FeatureCollections (the submit payload,
+    * task.ts:233-234, 294) — `nBuckets` collections of roughly equal size,
+    * bucketed by feature-id hash. The reference submits one fleet-sized
+    * collection per run (nBuckets = 1); at scale, bucketing bounds each
+    * payload instead of collecting the world into one JSON document. */
+  def featureCollections(flat: DataFrame, nBuckets: Int = 1): DataFrame =
+    geojson(flat)
+      .withColumn("fc_bucket",
+        abs(xxhash64(col("feature_id"))) % lit(nBuckets.max(1)))
+      .groupBy(col("fc_bucket"))
+      .agg(collect_list(col("feature")).as("features"))
+      .select(col("fc_bucket"),
+        to_json(struct(lit("FeatureCollection").as("type"), col("features")))
+          .as("collection_json"),
+        size(col("features")).as("n_features"))
 }

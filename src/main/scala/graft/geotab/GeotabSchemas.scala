@@ -71,4 +71,40 @@ object GeotabSchemas {
   /** FAILFAST JSON ingest, reproducing `req.typed()` throw-on-mismatch. */
   def typedIngest(raw: Column, schema: StructType): Column =
     from_json(raw, schema, Map("mode" -> "FAILFAST"))
+
+  /** Flat output-contract schema of the feature pipeline (the engine's
+    * analogue of SchemaOutput, task.ts:79-91). */
+  val featureFlat: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("callsign", StringType),
+    StructField("course", DoubleType),
+    StructField("start_ts", TimestampType),
+    StructField("speed_ms", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("latitude", DoubleType),
+    StructField("vin", StringType),
+    StructField("license_state", StringType),
+    StructField("license_plate", StringType),
+    StructField("vehicle_name", StringType),
+    StructField("groups", StringType),
+    StructField("driver_username", StringType),
+    StructField("driver_first_name", StringType),
+    StructField("driver_last_name", StringType),
+    StructField("driver_phone", StringType),
+    StructField("driver_designation", StringType),
+    StructField("driver_comment", StringType)))
+
+  /** Schema introspection (reference entry point C, task.ts:109-122): the
+    * platform asks for input or output contract; unused combinations return
+    * an empty struct like the reference's `Type.Object({})`. */
+  def describe(schemaType: String, flow: String): StructType =
+    (schemaType, flow) match {
+      case ("input", "incoming") => deviceInfo
+      case ("output", "incoming") => featureFlat
+      case _ => StructType(Nil)
+    }
+
+  /** JSON form for contract registration (StructType.json). */
+  def describeJson(schemaType: String, flow: String): String =
+    describe(schemaType, flow).json
 }

@@ -473,10 +473,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Tumbling windows via the native window() operator (q24 is the
+    * portable epoch-arithmetic twin; this exercises the builtin and oracles
+    * its boundaries through the same integer form). */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), StableAgg.moneySum(col("value")).as("sum_value"))
+      .select(expr("unix_micros(window.start) div 1000000").as("win_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start_s", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
+    "q42_window_builtin" -> q42 _,
     "q01_pricing_summary" -> q01 _, "q02_filter_project" -> q02 _,
     "q03_join_inner" -> q03 _, "q04_join_multiway" -> q04 _,
     "q05_join_left" -> q05 _, "q06_join_semi" -> q06 _,
@@ -496,6 +508,12 @@ object Relational {
     "q33_asof_join" -> q33 _)
 
   val oracle: Map[String, String] = Map(
+    "q42_window_builtin" ->
+      """SELECT (epoch_us(ts) // 900000000) * 900 AS win_start_s, event_type,
+        | count(1) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY win_start_s, event_type
+        |ORDER BY win_start_s, event_type""".stripMargin,
     "q34_range_join" ->
       """SELECT o_orderkey, count(1) AS n_shipped_90d, min(l_shipdate) AS first_ship
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey

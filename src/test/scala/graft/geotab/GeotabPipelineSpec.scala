@@ -103,6 +103,29 @@ class GeotabPipelineSpec extends SparkSpec {
     assert(json.contains(""""vin":"V1""""))
   }
 
+  test("schema introspection returns input/output contracts (task.ts:109-122)") {
+    assert(GeotabSchemas.describe("input", "incoming") === GeotabSchemas.deviceInfo)
+    assert(GeotabSchemas.describe("output", "incoming").fieldNames.contains("callsign"))
+    assert(GeotabSchemas.describe("output", "outgoing").isEmpty) // Type.Object({})
+    assert(GeotabSchemas.describeJson("input", "incoming").contains("\"dateTime\""))
+    // the pipeline's actual output matches the advertised contract
+    assert(run().schema.fieldNames.toSeq ===
+      GeotabSchemas.featureFlat.fieldNames.toSeq)
+  }
+
+  test("featureCollections assembles sink-batch payloads (task.ts:233-294)") {
+    val fc = GeotabPipeline.featureCollections(run(), nBuckets = 1).head()
+    assert(fc.getAs[Long]("fc_bucket") === 0L)
+    assert(fc.getAs[Int]("n_features") === 4)
+    val json = fc.getAs[String]("collection_json")
+    assert(json.startsWith("""{"type":"FeatureCollection","features":["""))
+    assert(json.contains(""""coordinates":[-104.9,39.7]"""))
+    // bucketed form partitions the same features
+    val buckets = GeotabPipeline.featureCollections(run(), nBuckets = 3)
+      .agg(org.apache.spark.sql.functions.sum($"n_features")).head().getLong(0)
+    assert(buckets === 4)
+  }
+
   test("union-typed driver normalization discriminates string vs object (task.ts:25-31)") {
     val df = Seq(
       ("""{"id":"drv9","isDriver":true}"""),

@@ -86,6 +86,21 @@ class GeotabSourceSpec extends SparkSpec {
     assert(GeotabSessionCache.logins.get() === 2, "no re-login after expiry")
   }
 
+  test("FAILFAST deserialize: malformed API row fails the scan (task.ts:161-163)") {
+    val bad = new InMemoryGeotabClient(Seq.empty, Seq.empty,
+      initialDeviceInfo = Seq("""{"latitude": "not-a-number", "device": 42}"""))
+    GeotabClients.register("tbad", bad)
+    GeotabSessionCache.clear()
+    val ex = intercept[Exception] {
+      read("tbad", "deviceInfo").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("FAILFAST") || m.contains("Malformed") || m.contains("parse")),
+      s"expected a fail-fast parse error, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("connector feeds the reference pipeline end-to-end") {
     val c = freshClient()
     GeotabClients.register("t5", c)
