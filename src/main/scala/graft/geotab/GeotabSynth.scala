@@ -41,7 +41,10 @@ object GeotabSynth {
     * object with an unknown id (left-join miss). */
   def info(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // project before the window so the custkey shuffle carries 3 columns,
+    // not the full orders row
     val o = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

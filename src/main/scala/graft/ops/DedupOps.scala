@@ -160,6 +160,7 @@ object DedupOps {
     val exactKeepers = dd.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+      .cache() // joined against docs AND anti-joined against losers
     // near-dup pairs among exact-keepers: doc_b (higher id) is dropped
     val sigs = minhashSignatures(s, dd.join(exactKeepers, "doc_id"))
     val pairs = lshCandidates(sigs)

@@ -484,11 +484,43 @@ object Relational {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start_s", "event_type")
 
+  /** Full outer join with misses on both sides. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "customer").filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("key"), col("c_acctbal"))
+    val b = t(s, d, "orders").filter(col("o_custkey").between(50, 150))
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n_orders"))
+    a.join(b, Seq("key"), "full_outer")
+      .select(col("key"), col("c_acctbal"), col("n_orders"),
+        col("c_acctbal").isNull.as("left_missing"),
+        col("n_orders").isNull.as("right_missing"))
+      .orderBy("key")
+  }
+
+  /** Explicit cross join (small dims — broadcast nested loop). */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").crossJoin(t(s, d, "nation"))
+      .select(col("r_name"), col("n_name"),
+        (col("r_regionkey") === col("n_regionkey")).as("is_home"))
+      .orderBy("r_name", "n_name")
+
+  /** Multiset set-ops (duplicate-preserving EXCEPT ALL / INTERSECT ALL). */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "orders").select(col("o_custkey").as("key"))
+    val b = t(s, d, "customer").filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"))
+    a.exceptAll(b)
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .orderBy("key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
-    "q42_window_builtin" -> q42 _,
+    "q42_window_builtin" -> q42 _, "q43_full_outer" -> q43 _,
+    "q44_cross_join" -> q44 _, "q45_except_all" -> q45 _,
     "q01_pricing_summary" -> q01 _, "q02_filter_project" -> q02 _,
     "q03_join_inner" -> q03 _, "q04_join_multiway" -> q04 _,
     "q05_join_left" -> q05 _, "q06_join_semi" -> q06 _,
@@ -508,6 +540,25 @@ object Relational {
     "q33_asof_join" -> q33 _)
 
   val oracle: Map[String, String] = Map(
+    "q43_full_outer" ->
+      """SELECT coalesce(a.key, b.key) AS key, a.c_acctbal, b.n_orders,
+        | a.c_acctbal IS NULL AS left_missing,
+        | b.n_orders IS NULL AS right_missing
+        |FROM (SELECT c_custkey AS key, c_acctbal FROM customer WHERE c_custkey < 100) a
+        |FULL OUTER JOIN (SELECT o_custkey AS key, count(1) AS n_orders
+        |                 FROM orders WHERE o_custkey BETWEEN 50 AND 150
+        |                 GROUP BY o_custkey) b
+        |  ON a.key = b.key
+        |ORDER BY key""".stripMargin,
+    "q44_cross_join" ->
+      """SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home
+        |FROM region CROSS JOIN nation ORDER BY r_name, n_name""".stripMargin,
+    "q45_except_all" ->
+      """SELECT key, count(1) AS n FROM (
+        |  SELECT o_custkey AS key FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS key FROM customer WHERE c_custkey % 2 = 0) x
+        |GROUP BY key ORDER BY key""".stripMargin,
     "q42_window_builtin" ->
       """SELECT (epoch_us(ts) // 900000000) * 900 AS win_start_s, event_type,
         | count(1) AS n,
