@@ -151,29 +151,27 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** End-to-end corpus dedup: exact dups (keep min doc_id per text) AND
-    * verified near-dups (jaccard >= 0.7 via MinHash LSH -> exact verify)
-    * removed, keeping each cluster's lowest id. Returns the surviving ids —
-    * the operator a training-data pipeline actually runs. */
+  /** End-to-end corpus dedup: duplicate clusters (exact AND near, jaccard
+    * >= 0.7 via MinHash LSH -> exact verify) collapse to their lowest
+    * doc_id. Exact duplicates need no separate pass: identical texts have
+    * identical signatures, so every band collides and their pair verifies
+    * at jaccard 1.0 — a higher-id member of any cluster appears as doc_b of
+    * some verified pair and is dropped. Returns the surviving ids — the
+    * operator a training-data pipeline actually runs. */
   private def d08(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
-    val exactKeepers = dd.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-      .cache() // joined against docs AND anti-joined against losers
-    // near-dup pairs among exact-keepers: doc_b (higher id) is dropped
-    val sigs = minhashSignatures(s, dd.join(exactKeepers, "doc_id"))
+    val sigs = minhashSignatures(s, dd)
     val pairs = lshCandidates(sigs)
     val sh = dd.select(col("doc_id"),
       graft.functions.ShingleHashes.shingleHashes(s, col("text")).as("sh"))
       .cache() // consumed by both sides of the pair join
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val nearDupLosers = pairs.join(a, "doc_a").join(b, "doc_b")
+    val losers = pairs.join(a, "doc_a").join(b, "doc_b")
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.7)
       .select(col("doc_b").as("doc_id")).distinct()
-    exactKeepers.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    dd.select("doc_id").join(losers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

@@ -22,6 +22,14 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sh === SimHash64.eval(Array(1L, 2L, 3L)))
   }
 
+  test("GraftSession front door registers functions and tuned conf") {
+    val s = graft.GraftSession.getOrCreate() // returns the active session
+    assert(s.sql("SELECT size(graft_minhash64(array(7L))) AS n")
+      .as[Int].head() === 64)
+    val b = graft.GraftSession.builder()
+    assert(b.getClass.getSimpleName === "Builder") // constructible for cluster use
+  }
+
   test("GraftExtensions exposes the same function set") {
     assert(GraftFunctions.descriptions.map(_._1.funcName).sorted ===
       Seq("graft_cosine_sim", "graft_minhash64", "graft_simhash64"))
