@@ -515,7 +515,42 @@ object Relational {
       .orderBy("key")
   }
 
+  /** Analytic rank family: dense_rank / percent_rank / cume_dist (exact
+    * rational values — identical divisions in both engines). */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, d, "customer")
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        dense_rank().over(w).as("dr"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  /** Boolean / conditional aggregate family. */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bool_and(l_quantity >= 1)").as("all_qty_pos"),
+        expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+        expr("count_if(l_discount > 0.05)").as("n_discounted"),
+        min(col("l_linestatus")).as("min_status"),
+        max(col("l_linestatus")).as("max_status"))
+      .orderBy("l_returnflag")
+
+  /** Set-valued aggregation (collect_set canonicalized by sorting). */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_rank_family" -> q46 _, "q47_bool_aggs" -> q47 _,
+    "q48_collect_set" -> q48 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -540,6 +575,28 @@ object Relational {
     "q33_asof_join" -> q33 _)
 
   val oracle: Map[String, String] = Map(
+    "q46_rank_family" ->
+      """SELECT c_custkey, c_mktsegment,
+        | dense_rank() OVER w AS dr,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM customer WHERE c_custkey < 300
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+    "q47_bool_aggs" ->
+      """SELECT l_returnflag,
+        | bool_and(l_quantity >= 1) AS all_qty_pos,
+        | bool_or(l_discount > 0.09) AS any_deep_discount,
+        | count_if(l_discount > 0.05) AS n_discounted,
+        | min(l_linestatus) AS min_status,
+        | max(l_linestatus) AS max_status
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q48_collect_set" ->
+      """SELECT o_orderstatus,
+        | list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+        | count(1) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q43_full_outer" ->
       """SELECT coalesce(a.key, b.key) AS key, a.c_acctbal, b.n_orders,
         | a.c_acctbal IS NULL AS left_missing,
