@@ -469,7 +469,8 @@ object Relational {
     t(s, d, "events")
       .groupBy(col("event_type"))
       .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
-        expr("approx_percentile(value, array(0.25, 0.75), 1000)").as("quartiles"),
+        expr("approx_percentile(value, 0.25, 1000)").as("p25_approx"),
+        expr("approx_percentile(value, 0.75, 1000)").as("p75_approx"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
@@ -544,7 +545,8 @@ object Relational {
   private def q48(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .groupBy(col("o_orderstatus"))
-      .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+      .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
@@ -588,13 +590,13 @@ object Relational {
       """SELECT l_returnflag,
         | bool_and(l_quantity >= 1) AS all_qty_pos,
         | bool_or(l_discount > 0.09) AS any_deep_discount,
-        | count_if(l_discount > 0.05) AS n_discounted,
+        | CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
         | min(l_linestatus) AS min_status,
         | max(l_linestatus) AS max_status
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q48_collect_set" ->
       """SELECT o_orderstatus,
-        | list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+        | array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
         | count(1) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q43_full_outer" ->
@@ -847,9 +849,9 @@ object Relational {
         |            THEN 1 ELSE 0 END AS new_session
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
         |), sessions AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
         |    ORDER BY ts_ms, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(1) AS n_events,
         | min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
