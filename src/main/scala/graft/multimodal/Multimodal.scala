@@ -37,19 +37,21 @@ object Multimodal {
   }
 
   /** STUB: deterministic fake decode — dimensions and a perceptual-hash
-    * stand-in derived from the payload bytes (FNV-1a). Replaces the
-    * unavailable codec; keeps every decoded value reproducible. */
+    * stand-in derived from the MD5 of the payload bytes. MD5 (unlike a
+    * bespoke rolling hash) exists verbatim in other engines, so the whole
+    * decode pipeline is DuckDB-oracle-checkable despite the codec being a
+    * stand-in; a real codec changes only this object. */
   object StubDecoder extends MediaDecoder {
     override def decode(media: Array[Byte]): (Int, Int, Int, Long) = {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < media.length) {
-        h ^= (media(i) & 0xffL); h *= 0x100000001b3L; i += 1
-      }
-      val width = 160 + (((h & 0x7fffffff) % 8) * 80).toInt   // 160..720
-      val height = 120 + ((((h >>> 31) & 0x7fffffff) % 8) * 60).toInt
-      val frames = 1 + (((h >>> 17) & 0x7)).toInt
-      (width, height, frames, h)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(media).map("%02x".format(_)).mkString
+      val w8 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val h8 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      val f4 = java.lang.Long.parseLong(hex.substring(16, 20), 16)
+      val ph = java.lang.Long.parseLong(hex.substring(17, 32), 16)
+      (160 + ((w8 % 8) * 80).toInt,     // 160..720
+        120 + ((h8 % 8) * 60).toInt,    // 120..540
+        1 + (f4 % 8).toInt, ph)
     }
   }
 
@@ -85,7 +87,8 @@ object Multimodal {
         col("mimeType").as("mime_type"))
       .orderBy("doc_id")
 
-  /** m02: full stub decode pipeline (rows-only; deterministic). */
+  /** m02: full stub decode pipeline through mapPartitions; oracle-checked
+    * end-to-end because the stub derives everything from md5. */
   private def m02(s: SparkSession, d: String): DataFrame =
     decodeAll(mediaTable(s, d)).toDF()
       .select(col("doc_id"), col("nBytes").as("n_bytes"), col("width"),
@@ -99,5 +102,14 @@ object Multimodal {
     "m01_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | 'application/octet-stream' AS mime_type
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_media_decode" ->
+      """WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |                  md5(text) AS hex FROM documents)
+        |SELECT doc_id, n_bytes,
+        | CAST(160 + (('0x' || substr(hex, 1, 8))::BIGINT % 8) * 80 AS INT) AS width,
+        | CAST(120 + (('0x' || substr(hex, 9, 8))::BIGINT % 8) * 60 AS INT) AS height,
+        | CAST(1 + ('0x' || substr(hex, 17, 4))::BIGINT % 8 AS INT) AS n_frames,
+        | ('0x' || substr(hex, 18, 15))::BIGINT AS phash
+        |FROM h ORDER BY doc_id""".stripMargin)
 }

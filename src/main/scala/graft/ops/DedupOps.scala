@@ -175,13 +175,160 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** MD5-family MinHash: signature slot i = min over the distinct 3-word
+    * shingle set of md5(shingle + "#" + i). Min over fixed-width lowercase
+    * hex strings orders exactly like min over the 128-bit values, and md5
+    * is engine-portable — so unlike the xxhash64 path (d03, the fast one),
+    * this MinHash is DuckDB-oracle-checkable end-to-end. Same distributed
+    * shape: one projection, no shuffle. */
+  private def d09(s: SparkSession, d: String): DataFrame = {
+    // materialize the shingle set once; 8 transforms then share the column
+    // instead of re-deriving it per signature slot (lambda-capture trap)
+    val withSh = docs(s, d).select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
+    val sigs = (0 until 8).map(i =>
+      array_min(transform(col("sh"), x => md5(concat(x, lit("#" + i)))))
+        .as(s"sig$i"))
+    withSh.select(col("doc_id") +: sigs: _*).orderBy("doc_id")
+  }
+
+  /** Near-dup candidates + exact verify, oracle-checkable end-to-end: LSH
+    * bands over the d09 md5-MinHash (4 bands x 2 rows) block the pair
+    * space, then candidates are verified with the exact Jaccard of the
+    * shingle string sets. The fully-portable twin of d05. */
+  private def d10(s: SparkSession, d: String): DataFrame = {
+    val withSh = docs(s, d).select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
+    val withBands = withSh.select(col("doc_id"), col("sh"), posexplode(
+      array((0 until 4).map { b =>
+        val lo = array_min(transform(col("sh"), x => md5(concat(x, lit("#" + (2 * b))))))
+        val hi = array_min(transform(col("sh"), x => md5(concat(x, lit("#" + (2 * b + 1))))))
+        concat(lo, hi)
+      }: _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+    val a = withBands.select(col("band_idx"), col("band"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withBands.select(col("band_idx"), col("band"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("jaccard")).as("jaccard")) // dedupe multi-band hits
+      .filter(col("jaccard") >= 0.7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MD5-family SimHash (oracle-checkable twin of d04): token hash = the
+    * top 60 bits of md5 (15 hex chars — fits a signed long in any engine),
+    * signature bit j set iff more than half the tokens have bit j set
+    * (sign-of-sum majority; ties clear the bit). Pure per-row array
+    * expressions — zero shuffle, same as d04. */
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    val withHs = docs(s, d).select(col("doc_id"),
+      transform(TextFunctions.tokens(col("text")),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("hs"))
+    val n = size(col("hs"))
+    val sig = (0 until 60).map { j =>
+      when(size(filter(col("hs"), h =>
+        shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) * 2 > n, lit(1L << j))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    withHs.select(col("doc_id"), sig.as("simhash60")).orderBy("doc_id")
+  }
+
+  /** End-to-end corpus dedup on the md5-MinHash path (oracle-checkable twin
+    * of d08): near-dup losers (the higher id of any verified pair) drop,
+    * survivors remain. Same band-block -> exact-verify -> anti-join
+    * topology. */
+  private def d12(s: SparkSession, d: String): DataFrame = {
+    val losers = d10(s, d).select(col("doc_b").as("doc_id")).distinct()
+    docs(s, d).select("doc_id").join(losers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
+    "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
     "d01_exact_dedup" -> d01 _, "d02_key_dedup" -> d02 _,
     "d03_minhash_candidates" -> d03 _, "d04_simhash_signatures" -> d04 _,
     "d05_ngram_jaccard_verify" -> d05 _, "d06_simhash_pairs" -> d06 _,
     "d07_anti_dedup" -> d07 _, "d08_dedup_corpus" -> d08 _)
 
+  /** Shared shingle CTE for the md5-MinHash oracles — mirrors
+    * TextFunctions.shingles exactly (3-token windows; whole doc when
+    * shorter than 3 tokens; distinct set). */
+  private val ShingleCte =
+    raw"""WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+      |  FROM documents
+      |), shs AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1), i ->
+      |        array_to_string(list_slice(toks, i, i + 2), ' '))
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM base)""".stripMargin
+
+  /** ShingleCte + md5-MinHash banding + exact-Jaccard verification — the
+    * shared tail of the d10/d12 oracles. */
+  private val BandedPairsCte =
+    ShingleCte + ",\n" +
+      (0 until 4).map(b =>
+        s"""b$b AS (SELECT doc_id, sh, $b AS band_idx,
+           |  list_aggregate(list_transform(sh, x -> md5(x || '#${2 * b}')), 'min') ||
+           |  list_aggregate(list_transform(sh, x -> md5(x || '#${2 * b + 1}')), 'min') AS band
+           |  FROM shs)""".stripMargin).mkString(",\n") + """,
+      |banded AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+      |           UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.sh AS sh_a, b.sh AS sh_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band = b.band
+      |  WHERE a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+      |    CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) AS jaccard
+      |  FROM pairs)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d09_minhash_md5" ->
+      (ShingleCte + "\n" +
+        """SELECT doc_id,
+          |""".stripMargin +
+        (0 until 8).map(i =>
+          s"  list_aggregate(list_transform(sh, x -> md5(x || '#$i')), 'min') AS sig$i")
+          .mkString(",\n") +
+        "\nFROM shs ORDER BY doc_id"),
+    "d10_jaccard_blocked" ->
+      (BandedPairsCte +
+        "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.7" +
+        "\nORDER BY doc_a, doc_b"),
+    "d11_simhash_md5" ->
+      (raw"""WITH base AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
+        |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |""".stripMargin +
+        (0 until 60).map(j =>
+          s"  CASE WHEN len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) * 2 > len(hs)" +
+            s" THEN ${1L << j} ELSE 0 END")
+          .mkString("\n  + ") +
+        "\n  AS simhash60\nFROM base ORDER BY doc_id"),
+    "d12_dedup_corpus_md5" ->
+      (BandedPairsCte + """
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT DISTINCT doc_b FROM verified WHERE jaccard >= 0.7)
+        |ORDER BY doc_id""".stripMargin),
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(1) AS n_copies
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,

@@ -155,10 +155,30 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Exact embedding near-dup pairs over an id-bounded slice: the
+    * oracle-checkable twin of v03 (which LSH-blocks the pair space and so
+    * depends on the engine hash family). The explicit bound keeps the
+    * quadratic pair space fixed-size regardless of corpus scale — the
+    * "verify a sample exactly" companion a production near-dup job runs
+    * next to its blocked full-corpus pass. Filter and output both use the
+    * 4dp-rounded cosine so the threshold decision is identical in both
+    * engines. */
+  private def v06(s: SparkSession, d: String): DataFrame = {
+    val vecs = emb(s, d).filter(col("vec_id") < 300)
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorExpressions.cosineSim(
+          s, col("v_a"), col("v_b")), 4).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
-    "v05_knn_ivf" -> v05 _)
+    "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _)
 
   /** v01's exact-cosine oracle via DuckDB list functions; v02/v03 depend on
     * the engine hash family (rows-only). v04's norm is a per-row sequential
@@ -177,6 +197,15 @@ object SimilarityOps {
          |    ORDER BY cos DESC, n_id ASC) AS rank FROM sims)
          |SELECT q_id, rank, n_id, round(cos, 4) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    "v06_neardup_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "v04_label_centroids" ->
       """SELECT label, count(1) AS n,
         | round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

@@ -60,6 +60,22 @@ object TextOps {
         round(punctRatio(col("text")), 4).as("punct_ratio"))
       .orderBy("doc_id")
 
+  /** Oracle-checkable text-quality profile: the SQL-expressible subset of
+    * t04 (language-ID argmax, quality score, stopword/punct ratios) with NO
+    * rounding — every value is either an exact small-int quotient or a
+    * fixed-order double expression both engines evaluate identically (the
+    * 0.25 weights are exact binary scalings). t04 keeps the full profile
+    * incl. the xxhash64 fingerprint and lookaround-regex token count that
+    * RE2-based engines can't express. */
+  private def t07(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        languageId(col("text")).as("predicted_lang"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
   /** Token-frequency table (explode → count): the tf side of tf-idf. */
   private def t05(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -91,7 +107,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t06_tfidf" -> t06 _,
+    "t06_tfidf" -> t06 _, "t07_text_quality" -> t07 _,
     "t01_token_stats" -> t01 _, "t02_lang_profile" -> t02 _,
     "t03_repetition" -> t03 _, "t04_text_profile" -> t04 _,
     "t05_token_frequency" -> t05 _)
@@ -128,6 +144,58 @@ object TextOps {
         | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
         |   len(string_split(text, ' ')) AS distinct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors TextFunctions term-by-term: same tokenization, same stopword
+    // lists, same fixed-order double arithmetic (0.25 weights are exact
+    // binary scalings, so the sums are bit-identical); the language argmax
+    // is max-over-(score, lang)-structs in both engines.
+    "t07_text_quality" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS ltoks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text, toks, ltoks,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(ltoks) AS DOUBLE) AS ln,
+        |    CAST(length(text) AS DOUBLE) AS clen,
+        |    CAST(length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS nopunct
+        |  FROM base
+        |), r AS (
+        |  SELECT doc_id, text, toks, ltoks, n, ln, clen,
+        |    CASE WHEN n = 0.0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it',
+        |         'on','for','with','as','at','by','be','this','that','are'], t))) AS DOUBLE) / n
+        |    END AS stopword_ratio,
+        |    CASE WHEN clen = 0.0 THEN 0.0 ELSE (clen - nopunct) / clen END AS punct_ratio,
+        |    CASE WHEN n = 0.0 THEN 0.0 ELSE
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / n END AS distinct_ratio
+        |  FROM m
+        |)
+        |SELECT doc_id,
+        |  list_aggregate([
+        |    {'score': CAST(len(list_filter(ltoks, t -> list_contains(
+        |       ['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE)
+        |       / greatest(ln, 1.0), 'lang': 'de'},
+        |    {'score': CAST(len(list_filter(ltoks, t -> list_contains(
+        |       ['the','a','and','of','to','in','is','it','that','for'], t))) AS DOUBLE)
+        |       / greatest(ln, 1.0), 'lang': 'en'},
+        |    {'score': CAST(len(list_filter(ltoks, t -> list_contains(
+        |       ['el','la','los','las','y','de','un','una','es','que'], t))) AS DOUBLE)
+        |       / greatest(ln, 1.0), 'lang': 'es'},
+        |    {'score': CAST(len(list_filter(ltoks, t -> list_contains(
+        |       ['le','la','les','et','de','des','un','une','est','que'], t))) AS DOUBLE)
+        |       / greatest(ln, 1.0), 'lang': 'fr'},
+        |    {'score': CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |       / greatest(clen, 1.0), 'lang': 'zh'}
+        |  ], 'max').lang AS predicted_lang,
+        |  stopword_ratio, punct_ratio,
+        |  least(n / 100.0, 1.0) * 0.25
+        |    + greatest(1.0 - abs(stopword_ratio - 0.1), 0.0) * 0.25
+        |    + (1.0 - punct_ratio) * 0.25
+        |    + distinct_ratio * 0.25 AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
     "t05_token_frequency" ->
       """SELECT token, count(1) AS tf FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) x
