@@ -175,51 +175,72 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** MD5-family MinHash: signature slot i = min over the distinct 3-word
-    * shingle set of md5(shingle + "#" + i). Min over fixed-width lowercase
-    * hex strings orders exactly like min over the 128-bit values, and md5
-    * is engine-portable — so unlike the xxhash64 path (d03, the fast one),
-    * this MinHash is DuckDB-oracle-checkable end-to-end. Same distributed
-    * shape: one projection, no shuffle. */
+  /** MinHash mixing prime (just under 2^29) and the per-slot affine
+    * coefficients: slot i hashes h -> (h * (2i+3) + 97i+31) mod P. The base
+    * hash h is the top 28 bits of md5(shingle), so h * A_i stays far below
+    * 2^63 — no wraparound for ANSI mode to reject, and the identical
+    * arithmetic runs in any engine. */
+  private val MinHashP = 536870909L
+  private def affine(i: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    h => (h * lit((2 * i + 3).toLong) + lit((97 * i + 31).toLong)) % MinHashP
+
+  /** doc_id + 28-bit md5 base hash per distinct shingle: one md5 per
+    * shingle total — the 8 signature slots derive from it by affine mixing
+    * instead of 8 separate md5 passes, and downstream joins carry compact
+    * long arrays, never the shingle strings. */
+  private def withShingleHashes(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), x =>
+          conv(substring(md5(x), 1, 7), 16, 10).cast("long")).as("hv"))
+
+  /** MD5-family MinHash: slot i = min over the shingle set of an affine mix
+    * of the md5 base hash. md5 is engine-portable, so unlike the xxhash64
+    * path (d03, the fast in-engine one) this MinHash is DuckDB-oracle-
+    * checkable end-to-end. Same distributed shape: one projection, no
+    * shuffle. */
   private def d09(s: SparkSession, d: String): DataFrame = {
-    // materialize the shingle set once; 8 transforms then share the column
-    // instead of re-deriving it per signature slot (lambda-capture trap)
-    val withSh = docs(s, d).select(col("doc_id"),
-      array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
     val sigs = (0 until 8).map(i =>
-      array_min(transform(col("sh"), x => md5(concat(x, lit("#" + i)))))
-        .as(s"sig$i"))
-    withSh.select(col("doc_id") +: sigs: _*).orderBy("doc_id")
+      array_min(transform(col("hv"), affine(i))).as(s"sig$i"))
+    withShingleHashes(s, d).select(col("doc_id") +: sigs: _*).orderBy("doc_id")
   }
 
-  /** Near-dup candidates + exact verify, oracle-checkable end-to-end: LSH
-    * bands over the d09 md5-MinHash (4 bands x 2 rows) block the pair
-    * space, then candidates are verified with the exact Jaccard of the
-    * shingle string sets. The fully-portable twin of d05. */
-  private def d10(s: SparkSession, d: String): DataFrame = {
-    val withSh = docs(s, d).select(col("doc_id"),
-      array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
-    val withBands = withSh.select(col("doc_id"), col("sh"), posexplode(
-      array((0 until 4).map { b =>
-        val lo = array_min(transform(col("sh"), x => md5(concat(x, lit("#" + (2 * b))))))
-        val hi = array_min(transform(col("sh"), x => md5(concat(x, lit("#" + (2 * b + 1))))))
-        concat(lo, hi)
-      }: _*)))
+  /** Verified near-dup pairs on the md5-MinHash path: LSH bands (4 bands x
+    * 2 slots, packed into one long) block the pair space; candidate id
+    * pairs are deduped FIRST (longs only), then the hashed shingle sets
+    * join back for the Jaccard verify — set semantics identical to the
+    * string sets up to negligible 28-bit collisions (same move d05 makes
+    * with 64-bit hashes), and long-array intersects are far cheaper to
+    * shuffle and compare. */
+  private def md5VerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val base = withShingleHashes(s, d).cache() // banding + both verify sides
+    val sigCol = (i: Int) => array_min(transform(col("hv"), affine(i)))
+    val banded = base.select(col("doc_id"), posexplode(
+      array((0 until 4).map(b =>
+        sigCol(2 * b) * lit(1L << 29) + sigCol(2 * b + 1)): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
-    val a = withBands.select(col("band_idx"), col("band"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = withBands.select(col("band_idx"), col("band"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band"))
+    val pairs = banded.select(col("band_idx"), col("band"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band_idx"), col("band"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val a = base.select(col("doc_id").as("doc_a"), col("hv").as("hv_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("hv").as("hv_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("jaccard")).as("jaccard")) // dedupe multi-band hits
+        (size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+          size(array_union(col("hv_a"), col("hv_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** Near-dup candidates + exact verify, oracle-checkable end-to-end — the
+    * fully-portable twin of d05. */
+  private def d10(s: SparkSession, d: String): DataFrame =
+    md5VerifiedPairs(s, d)
       .filter(col("jaccard") >= 0.7)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** MD5-family SimHash (oracle-checkable twin of d04): token hash = the
     * top 60 bits of md5 (15 hex chars — fits a signed long in any engine),
@@ -244,7 +265,8 @@ object DedupOps {
     * survivors remain. Same band-block -> exact-verify -> anti-join
     * topology. */
   private def d12(s: SparkSession, d: String): DataFrame = {
-    val losers = d10(s, d).select(col("doc_b").as("doc_id")).distinct()
+    val losers = md5VerifiedPairs(s, d).filter(col("jaccard") >= 0.7)
+      .select(col("doc_b").as("doc_id")).distinct()
     docs(s, d).select("doc_id").join(losers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
@@ -273,38 +295,46 @@ object DedupOps {
       |      ELSE [array_to_string(toks, ' ')] END) AS sh
       |  FROM base)""".stripMargin
 
-  /** ShingleCte + md5-MinHash banding + exact-Jaccard verification — the
-    * shared tail of the d10/d12 oracles. */
+  /** ShingleCte + one-md5-per-shingle base hashes + the 8 affine-mixed
+    * signature mins (mirrors [[affine]] / [[withShingleHashes]]). */
+  private val SigsCte =
+    ShingleCte + raw""",
+      |hv AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hv
+      |  FROM shs),
+      |sigs AS (
+      |  SELECT doc_id,
+      |""".stripMargin +
+      (0 until 8).map(i =>
+        s"    list_aggregate(list_transform(hv, h -> " +
+          s"(h * ${2 * i + 3} + ${97 * i + 31}) % $MinHashP), 'min') AS sig$i")
+        .mkString(",\n") +
+      "\n  FROM hv)"
+
+  /** SigsCte + banding + deduped candidate pairs + exact-Jaccard
+    * verification — the shared tail of the d10/d12 oracles. */
   private val BandedPairsCte =
-    ShingleCte + ",\n" +
-      (0 until 4).map(b =>
-        s"""b$b AS (SELECT doc_id, sh, $b AS band_idx,
-           |  list_aggregate(list_transform(sh, x -> md5(x || '#${2 * b}')), 'min') ||
-           |  list_aggregate(list_transform(sh, x -> md5(x || '#${2 * b + 1}')), 'min') AS band
-           |  FROM shs)""".stripMargin).mkString(",\n") + """,
-      |banded AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
-      |           UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
-      |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |         a.sh AS sh_a, b.sh AS sh_b
+    SigsCte + ",\n" + """banded AS (
+      |  SELECT doc_id, 0 AS band_idx, sig0 * 536870912 + sig1 AS band FROM sigs
+      |  UNION ALL SELECT doc_id, 1, sig2 * 536870912 + sig3 FROM sigs
+      |  UNION ALL SELECT doc_id, 2, sig4 * 536870912 + sig5 FROM sigs
+      |  UNION ALL SELECT doc_id, 3, sig6 * 536870912 + sig7 FROM sigs),
+      |cpairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM banded a JOIN banded b
       |    ON a.band_idx = b.band_idx AND a.band = b.band
       |  WHERE a.doc_id < b.doc_id),
       |verified AS (
       |  SELECT doc_a, doc_b,
-      |    CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-      |    CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) AS jaccard
-      |  FROM pairs)""".stripMargin
+      |    CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE) /
+      |    CAST(len(list_distinct(ha.hv || hb.hv)) AS DOUBLE) AS jaccard
+      |  FROM cpairs JOIN hv ha ON ha.doc_id = cpairs.doc_a
+      |              JOIN hv hb ON hb.doc_id = cpairs.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d09_minhash_md5" ->
-      (ShingleCte + "\n" +
-        """SELECT doc_id,
-          |""".stripMargin +
-        (0 until 8).map(i =>
-          s"  list_aggregate(list_transform(sh, x -> md5(x || '#$i')), 'min') AS sig$i")
-          .mkString(",\n") +
-        "\nFROM shs ORDER BY doc_id"),
+      (SigsCte + "\nSELECT * FROM sigs ORDER BY doc_id"),
     "d10_jaccard_blocked" ->
       (BandedPairsCte +
         "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.7" +
