@@ -429,6 +429,43 @@ object Relational {
         round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** Ordered string aggregation (listagg semantics): canonical sorted
+    * order so both engines agree exactly. */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
+  /** Linear-regression aggregate family (slope / intercept / r2 / counts)
+    * — exact same closed-form accumulations in both engines; round6 like
+    * q37 since the values carry no decimal structure. */
+  private def q50(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Deterministic train/val/test split assignment — the reproducible-split
+    * primitive a training-data pipeline runs before export. Bucket =
+    * md5(doc_id) mod 100 (engine-portable, stable under re-runs and
+    * repartitioning; no RNG, no row order dependence): 80 train / 10 val /
+    * 10 test. */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    t(s, d, "documents")
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Array/higher-order function family over tokenized text. */
   private def q38(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ", -1)
@@ -552,7 +589,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_rank_family" -> q46 _, "q47_bool_aggs" -> q47 _,
-    "q48_collect_set" -> q48 _,
+    "q48_collect_set" -> q48 _, "q49_string_agg" -> q49 _,
+    "q50_regression" -> q50 _, "q51_split_assign" -> q51 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -663,6 +701,25 @@ object Relational {
         | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         | round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q49_string_agg" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(1) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q50_regression" ->
+      """SELECT l_returnflag,
+        | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q51_split_assign" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bucket,
+        | CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 80 THEN 'train'
+        |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,

@@ -175,10 +175,57 @@ object SimilarityOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF with a TRAINED coarse quantizer (v05's "at real scale this is a
+    * trained codebook" made real): seeded k-means fits 16 cell centroids,
+    * every corpus vector is assigned to its nearest cell once, and each
+    * query probes only its nProbe closest cells. Deterministic under the
+    * fixed seed; rows-only check (the codebook is engine-specific), with
+    * the spec measuring recall against v01. */
+  private def v07(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nProbe = 4
+    val vecs = emb(s, d).withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // 16 x 64 doubles — a literal dimension table, broadcast everywhere
+    val centroids = {
+      import s.implicits._
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+        .toDF("cell", "centroid")
+    }
+    val queries = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val routing = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("centroid")).as("cell_sim"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probed = routing.withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    val cands = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
-    "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _)
+    "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,
+    "v07_knn_ivf_trained" -> v07 _)
 
   /** v01's exact-cosine oracle via DuckDB list functions; v02/v03 depend on
     * the engine hash family (rows-only). v04's norm is a per-row sequential

@@ -29,11 +29,13 @@ import scala.jdk.CollectionConverters._
   *  - FAILFAST schema validation like `req.typed()` (task.ts:161-163): a
   *    malformed row throws rather than nulling out.
   *
-  * Scale note: the JSON-RPC API returns one result set per call, so a scan
-  * is a single partition per entity (like the reference's one fetch); the
-  * three entity scans still parallelize across tasks, and group-sharded
-  * fetches (one partition per group id) are the natural extension point in
-  * [[GeotabBatch.planInputPartitions]].
+  * Scale note: the JSON-RPC API returns one result set per call, so an
+  * unfiltered scan is a single partition per entity (like the reference's
+  * one fetch) and the three entity scans parallelize across tasks. A pushed
+  * group-membership predicate shards the scan — one input partition (= one
+  * concurrent API call) per group id — so fleet-of-fleets reads scale with
+  * the group count instead of one serial fetch; see
+  * [[GeotabScan.planInputPartitions]].
   */
 class GeotabTableProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -91,7 +93,7 @@ class GeotabScanBuilder(fullSchema: StructType, props: Map[String, String])
     val (supported, rest) = filters.partition {
       case EqualTo("isDriver", true) if entity == "user" => true
       case EqualTo("group", _: String) if entity == "device" => true
-      case In("group", vs) if entity == "device" && vs.length == 1 => true
+      case In("group", vs) if entity == "device" && vs.nonEmpty => true
       case _ => false
     }
     pushed = supported
@@ -108,26 +110,35 @@ class GeotabScanBuilder(fullSchema: StructType, props: Map[String, String])
   override def build(): Scan = {
     val search = scala.collection.mutable.Map[String, String]()
     if (entity == "device") search += ("excludeUntrackedAssets" -> "true") // task.ts:194
+    var groupShards: Seq[String] = Nil
     pushed.foreach {
       case EqualTo("isDriver", true) => search += ("isDriver" -> "true")
-      case EqualTo("group", g: String) => search += ("groups" -> g)
-      case In("group", vs) => search += ("groups" -> vs.head.toString)
+      case EqualTo("group", g: String) => groupShards = Seq(g)
+      case In("group", vs) => groupShards = vs.toSeq.map(_.toString).sorted
       case _ =>
     }
-    new GeotabScan(prunedSchema, entity, search.toMap, props)
+    new GeotabScan(prunedSchema, entity, search.toMap, groupShards, props)
   }
 }
 
 class GeotabScan(schema: StructType, entity: String,
-                 search: Map[String, String], props: Map[String, String])
+                 search: Map[String, String], groupShards: Seq[String],
+                 props: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"GeotabScan(entity=$entity, search=$search, columns=${schema.fieldNames.mkString(",")})"
+    s"GeotabScan(entity=$entity, search=$search, shards=${groupShards.mkString("|")}, " +
+      s"columns=${schema.fieldNames.mkString(",")})"
 
+  /** Group-sharded parallel fetch: a pushed group-membership predicate
+    * becomes one input partition PER group id, so N groups fetch as N
+    * concurrent API calls (the distributed generalization of the
+    * reference's single `groups:[{id}]` search, task.ts:198-202, and of
+    * its Promise.all request parallelism, CHANGELOG v2.9.0). No groups →
+    * the API's one-result-set-per-call shape: a single partition. */
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GeotabInputPartition(entity, search))
+    GeotabScan.shardPartitions(entity, search, groupShards)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GeotabReaderFactory(schema, props)
@@ -136,7 +147,15 @@ class GeotabScan(schema: StructType, entity: String,
     * micro-batch that re-polls the API — the reference's scheduled-Lambda
     * cadence (task.ts:106-107) under engine-managed triggers. */
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new GeotabMicroBatchStream(schema, entity, search, props)
+    new GeotabMicroBatchStream(schema, entity, search, groupShards, props)
+}
+
+object GeotabScan {
+  def shardPartitions(entity: String, search: Map[String, String],
+                      groupShards: Seq[String]): Array[InputPartition] =
+    if (groupShards.isEmpty) Array(GeotabInputPartition(entity, search))
+    else groupShards.map(g =>
+      GeotabInputPartition(entity, search + ("groups" -> g)): InputPartition).toArray
 }
 
 case class GeotabOffset(version: Long) extends streaming.Offset {
@@ -145,6 +164,7 @@ case class GeotabOffset(version: Long) extends streaming.Offset {
 
 class GeotabMicroBatchStream(schema: StructType, entity: String,
                              search: Map[String, String],
+                             groupShards: Seq[String],
                              props: Map[String, String])
     extends streaming.MicroBatchStream {
   private def client = GeotabClients(props.getOrElse("client", "default"))
@@ -158,7 +178,7 @@ class GeotabMicroBatchStream(schema: StructType, entity: String,
 
   override def planInputPartitions(start: streaming.Offset,
                                    end: streaming.Offset): Array[InputPartition] =
-    Array(GeotabInputPartition(entity, search))
+    GeotabScan.shardPartitions(entity, search, groupShards)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GeotabReaderFactory(schema, props)

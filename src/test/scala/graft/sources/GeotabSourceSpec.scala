@@ -62,6 +62,22 @@ class GeotabSourceSpec extends SparkSpec {
     assert(search.get("groups").contains("g1"), s"group filter not pushed: $search")
   }
 
+  test("multi-group IN predicate shards the scan: one partition per group") {
+    val c = freshClient()
+    GeotabClients.register("t2b", c)
+    GeotabSessionCache.clear()
+    val df = read("t2b", "device").filter(col("group").isin("g1", "g2"))
+    assert(df.rdd.getNumPartitions === 2,
+      "a 2-group membership filter must plan 2 input partitions")
+    val got = df.collect()
+    assert(got.map(_.getAs[String]("id")).toSet === Set("d1", "d3"),
+      "sharded fetches must union to the tracked members of both groups")
+    val searches = c.getCalls.asScala.toList.collect {
+      case ("Device", s) => s.get("groups") }
+    assert(searches.flatten.toSet === Set("g1", "g2"),
+      s"each shard must push exactly its own group id: $searches")
+  }
+
   test("column pruning reaches the scan description") {
     val c = freshClient()
     GeotabClients.register("t3", c)
