@@ -271,9 +271,31 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag training documents that share any
+    * 3-token shingle with a held-out eval set (every 50th doc). The
+    * standard n-gram-overlap contamination check, in its distributed
+    * shape: explode the (hashed) shingle sets, equi-join train x eval on
+    * the shingle hash — overlap pairs only ever form on matching shingles,
+    * never a document cross product — then count distinct shared shingles
+    * and distinct eval docs hit. */
+  private def d13(s: SparkSession, d: String): DataFrame = {
+    val exploded = withShingleHashes(s, d)
+      .select(col("doc_id"), explode(col("hv")).as("h"))
+      .distinct()
+    val train = exploded.filter(col("doc_id") % 50 =!= 0)
+    val eval_ = exploded.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    train.join(eval_, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
+    "d13_contamination" -> d13 _,
     "d01_exact_dedup" -> d01 _, "d02_key_dedup" -> d02 _,
     "d03_minhash_candidates" -> d03 _, "d04_simhash_signatures" -> d04 _,
     "d05_ngram_jaccard_verify" -> d05 _, "d06_simhash_pairs" -> d06 _,
@@ -353,6 +375,21 @@ object DedupOps {
             s" THEN ${1L << j} ELSE 0 END")
           .mkString("\n  + ") +
         "\n  AS simhash60\nFROM base ORDER BY doc_id"),
+    "d13_contamination" ->
+      (ShingleCte + raw""",
+        |hv AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hv
+        |  FROM shs),
+        |exploded AS (
+        |  SELECT DISTINCT doc_id, h FROM (
+        |    SELECT doc_id, unnest(hv) AS h FROM hv) u)
+        |SELECT t.doc_id,
+        |  count(DISTINCT t.h) AS n_shared_shingles,
+        |  count(DISTINCT e.doc_id) AS n_eval_docs
+        |FROM exploded t JOIN exploded e ON t.h = e.h
+        |WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
     "d12_dedup_corpus_md5" ->
       (BandedPairsCte + """
         |SELECT doc_id FROM documents

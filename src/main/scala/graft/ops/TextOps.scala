@@ -1,8 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the documents table (SURVEY.md §2.6):
@@ -106,8 +108,27 @@ object TextOps {
       .orderBy("doc_id", "token")
   }
 
+  /** Sequence packing for LLM training: assign documents to fixed
+    * token-budget bins (2048 tokens) with the prefix-sum formulation —
+    * bin = floor(running-token-total-before-doc / budget) within each
+    * lang partition, deterministic order by doc_id. The scalable
+    * approximation of greedy bin packing: one window per partition key,
+    * no stateful scan; at corpus scale the partition key is the shard. */
+  private def t08(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048L)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_tfidf" -> t06 _, "t07_text_quality" -> t07 _,
+    "t08_pack_sequences" -> t08 _,
     "t01_token_stats" -> t01 _, "t02_lang_profile" -> t02 _,
     "t03_repetition" -> t03 _, "t04_text_profile" -> t04 _,
     "t05_token_frequency" -> t05 _)
@@ -144,6 +165,16 @@ object TextOps {
         | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
         |   len(string_split(text, ' ')) AS distinct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t08_pack_sequences" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |       // 2048 AS BIGINT) AS bin
+        |FROM base ORDER BY doc_id""".stripMargin,
     // Mirrors TextFunctions term-by-term: same tokenization, same stopword
     // lists, same fixed-order double arithmetic (0.25 weights are exact
     // binary scalings, so the sums are bit-identical); the language argmax

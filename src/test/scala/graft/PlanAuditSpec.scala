@@ -41,6 +41,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("d10: candidate pairs dedupe before the Jaccard verify join") {
+    val p = plan("d10_jaccard_blocked")
+    // the distinct (HashAggregate on doc_a/doc_b) must sit between the band
+    // self-join and the verify joins — pairs never fan out the hash arrays
+    assert(p.contains("HashAggregate"), s"pair dedup lost:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("v06: bounded pair space broadcasts the small side") {
+    val p = plan("v06_neardup_exact")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q51: split assignment reads only doc_id from the scan") {
+    val p = plan("q51_split_assign")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"split must not read document bodies: $readSchema")
+  }
+
+  test("d13: contamination joins on shingle hash, never a doc cross product") {
+    val p = plan("d13_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination check must stay an equi-join:\n$p")
+  }
+
   test("g01: flagship joins are hash joins with no shuffle on the dim side") {
     val p = plan("g01_geotab_flagship")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
