@@ -466,6 +466,25 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Time-series resample with gap fill: hourly event counts per user,
+    * zero-filled over each user's own [first, last] active hour — the
+    * telemetry densification step a fleet dashboard or feature pipeline
+    * needs (missing hour = 0, not absent). The grid generates per key via
+    * sequence+explode, so its size is bounded by each key's own span —
+    * never a global calendar cross join. */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").filter(col("user_id") < 20)
+      .withColumn("hour", expr("unix_millis(ts) div 3600000"))
+    val counts = e.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    grid.join(counts, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("user_id", "hour")
+  }
+
   /** Array/higher-order function family over tokenized text. */
   private def q38(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ", -1)
@@ -591,6 +610,7 @@ object Relational {
     "q46_rank_family" -> q46 _, "q47_bool_aggs" -> q47 _,
     "q48_collect_set" -> q48 _, "q49_string_agg" -> q49 _,
     "q50_regression" -> q50 _, "q51_split_assign" -> q51 _,
+    "q52_resample" -> q52 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -720,6 +740,19 @@ object Relational {
         |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour
+        |  FROM events WHERE user_id < 20),
+        |counts AS (
+        |  SELECT user_id, hour, count(1) AS n FROM e GROUP BY user_id, hour),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(hour), max(hour))) AS hour
+        |  FROM e GROUP BY user_id)
+        |SELECT g.user_id, g.hour, coalesce(c.n, 0) AS n
+        |FROM grid g LEFT JOIN counts c
+        |  ON g.user_id = c.user_id AND g.hour = c.hour
+        |ORDER BY g.user_id, g.hour""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,

@@ -221,11 +221,35 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Int8 scalar quantization of the embedding corpus — the vector
+    * compression step before an index ships to serving. Per-dimension
+    * min/max over the whole corpus (one tiny 64-row aggregate, broadcast
+    * back), code = least(floor((x-min)/(max-min)*256), 255) — floor, not
+    * round, so no half-way rounding-mode divergence between engines.
+    * Emitted as per-vector code summaries (sum/min/max — exact ints)
+    * because the gate's compare can't sort array columns. */
+  private def v08(s: SparkSession, d: String): DataFrame = {
+    val dims = emb(s, d)
+      .select(col("vec_id"), posexplode(VectorFunctions.toDouble(col("embedding"))))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+    val stats = dims.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    dims.join(broadcast(stats), "dim")
+      .select(col("vec_id"),
+        least(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256), lit(255.0))
+          .cast("long").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("code")).as("code_sum"),
+        min(col("code")).as("code_min"),
+        max(col("code")).as("code_max"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
     "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,
-    "v07_knn_ivf_trained" -> v07 _)
+    "v07_knn_ivf_trained" -> v07 _, "v08_quantize_int8" -> v08 _)
 
   /** v01's exact-cosine oracle via DuckDB list functions; v02/v03 depend on
     * the engine hash family (rows-only). v04's norm is a per-row sequential
@@ -244,6 +268,20 @@ object SimilarityOps {
          |    ORDER BY cos DESC, n_id ASC) AS rank FROM sims)
          |SELECT q_id, rank, n_id, round(cos, 4) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    "v08_quantize_int8" ->
+      """WITH dims AS (
+        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CAST(least(floor((x - mn) / (mx - mn) * 256), 255.0) AS BIGINT) AS code
+        |  FROM dims JOIN stats USING (dim))
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        |  min(code) AS code_min, max(code) AS code_max
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "v06_neardup_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -49,6 +49,17 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: drop events whose id was already seen within
+    * the watermark horizon — the ingest-side dedup a training-data stream
+    * runs before anything downstream (at-least-once sources redeliver).
+    * State is bounded by the watermark: ids older than the horizon are
+    * evicted, which is the only way streaming dedup state survives at
+    * 100 TB/day. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** The sink seam of the reference (S8, task.ts:294 `this.submit(fc)`):
     * each micro-batch of GeoJSON features goes to a pluggable sink —
     * file / console(DEBUG, task.ts:76) / in-memory for tests. A real

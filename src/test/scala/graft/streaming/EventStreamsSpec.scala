@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class EvId(ts: Timestamp, event_id: Long, user_id: Long, value: Double)
 case class Info(device_id: String, dateTime: Timestamp, latitude: Double,
                 longitude: Double, speed: Double, bearing: Double,
                 driverId: String, driverIsObject: Boolean, groups: String)
@@ -48,6 +49,29 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows.contains((ts("2026-01-01 10:05:00"), "view", 1L, 3.0)))
       assert(!rows.exists { case (_, _, _, s) => s == 102.0 || s == 99.0 },
         "late row leaked into a window")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops redelivered ids across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[EvId]
+    val q = EventStreams.dedupedEvents(in.toDF(), "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      in.addData(
+        EvId(ts("2026-01-01 10:00:00"), 1, 7, 1.0),
+        EvId(ts("2026-01-01 10:00:05"), 2, 7, 2.0),
+        EvId(ts("2026-01-01 10:00:05"), 2, 7, 2.0)) // same-batch duplicate
+      q.processAllAvailable()
+      // redelivery in a later micro-batch, still inside the watermark
+      in.addData(EvId(ts("2026-01-01 10:00:06"), 1, 7, 1.0),
+        EvId(ts("2026-01-01 10:01:00"), 3, 8, 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id")
+        .as[Long].collect().toList.sorted
+      assert(ids === List(1L, 2L, 3L),
+        s"each id must survive exactly once, got $ids")
     } finally q.stop()
   }
 
