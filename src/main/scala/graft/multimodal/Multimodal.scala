@@ -80,6 +80,30 @@ object Multimodal {
     }
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_phash: Long)
+
+  /** Frame sampling — the generator-shaped media transform (one input row
+    * fans out to one row per sampled frame), as a partition-local flatMap:
+    * the executor-side pattern for video frame extraction. Frame count
+    * comes from the decoder; the per-frame perceptual-hash stand-in is
+    * md5(payload + "#f<i>") so the whole fan-out is oracle-checkable. */
+  def sampleFrames(media: DataFrame, decoder: MediaDecoder = StubDecoder): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val d = decoder
+      rows.flatMap { r =>
+        val (_, _, nFrames, _) = d.decode(r.media)
+        (0 until nFrames).iterator.map { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(r.media ++ s"#f$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          FrameRow(r.doc_id, i, java.lang.Long.parseLong(hex.substring(1, 16), 16))
+        }
+      }
+    }
+  }
+
   /** m01: binary transport metadata — oracle-able (byte lengths). */
   private def m01(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d)
@@ -95,8 +119,14 @@ object Multimodal {
         col("height"), col("nFrames").as("n_frames"), col("phash"))
       .orderBy("doc_id")
 
+  /** m03: per-frame fan-out through the generator-shaped sampler. */
+  private def m03(s: SparkSession, d: String): DataFrame =
+    sampleFrames(mediaTable(s, d)).toDF()
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_binary_meta" -> m01 _, "m02_media_decode" -> m02 _)
+    "m01_binary_meta" -> m01 _, "m02_media_decode" -> m02 _,
+    "m03_frame_sample" -> m03 _)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" ->
@@ -111,5 +141,13 @@ object Multimodal {
         | CAST(120 + (('0x' || substr(hex, 9, 8))::BIGINT % 8) * 60 AS INT) AS height,
         | CAST(1 + ('0x' || substr(hex, 17, 4))::BIGINT % 8 AS INT) AS n_frames,
         | ('0x' || substr(hex, 18, 15))::BIGINT AS phash
-        |FROM h ORDER BY doc_id""".stripMargin)
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH h AS (SELECT doc_id, text, md5(text) AS hex FROM documents),
+        |f AS (SELECT doc_id, text,
+        |        1 + ('0x' || substr(hex, 17, 4))::BIGINT % 8 AS n_frames FROM h),
+        |frames AS (SELECT doc_id, text, unnest(range(n_frames)) AS fi FROM f)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  ('0x' || substr(md5(text || '#f' || fi), 2, 15))::BIGINT AS frame_phash
+        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -28,6 +28,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out1.forall(r => r.width >= 160 && r.height >= 120 && r.nFrames >= 1))
   }
 
+  test("frame sampling fans out exactly n_frames rows per media row") {
+    val media = Multimodal.mediaTable(spark, d)
+    val decoded = Multimodal.decodeAll(media).collect().map(r => r.doc_id -> r.nFrames).toMap
+    val frames = Multimodal.sampleFrames(media).collect()
+    val perDoc = frames.groupBy(_.doc_id)
+    assert(perDoc.keySet === decoded.keySet)
+    perDoc.foreach { case (id, fs) =>
+      assert(fs.length === decoded(id), s"doc $id frame count")
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until decoded(id)),
+        s"doc $id frame indices must be 0..n-1")
+    }
+    assert(frames.map(_.frame_phash).distinct.length > 1, "phashes must vary")
+  }
+
   test("custom decoder plugs in per partition") {
     val fixed = new Multimodal.MediaDecoder {
       override def decode(media: Array[Byte]) = (1, 2, 3, 4L)
