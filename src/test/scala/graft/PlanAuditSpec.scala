@@ -67,6 +67,18 @@ class PlanAuditSpec extends SparkSpec {
       s"contamination check must stay an equi-join:\n$p")
   }
 
+  test("sweep: no query plans an unintended cartesian product") {
+    // ops whose semantics ARE a bounded cross product (explicit cross join
+    // of dims, brute-force similarity over a broadcast query set)
+    val intended = Set("q44_cross_join", "v01_knn_brute", "v06_neardup_exact",
+      "v05_knn_ivf", "v07_knn_ivf_trained", "t06_tfidf")
+    SparkEntry.queries.keys.filterNot(intended).toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+    }
+  }
+
   test("g01: flagship joins are hash joins with no shuffle on the dim side") {
     val p = plan("g01_geotab_flagship")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
