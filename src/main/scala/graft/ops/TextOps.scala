@@ -126,9 +126,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Heavy hitters (tokens with frequency >= 1% of the corpus) via the
+    * two-pass sketch pattern that scales: pass 1 runs the Misra-Gries
+    * Aggregator (O(k) memory per partition, guaranteed superset of every
+    * token above n/(k+1) — k=200 covers the 1% threshold with slack) to
+    * get a tiny candidate set; pass 2 exactly re-counts ONLY candidates
+    * (broadcast semi-join — the full vocabulary is never shuffled). The
+    * exact recount makes the output deterministic and oracle-checkable
+    * even though the sketch itself is merge-order-dependent. */
+  private def t09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, d)
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .filter(length(col("token")) > 0)
+    val candidates = toks.as[String]
+      .select(new graft.functions.MisraGriesAggregator(200).toColumn)
+      .toDF("cands")
+      .select(explode(col("cands")).as("token"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(candidates), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(n))
+      .filter(col("tf") * 100L >= col("n_total"))
+      .select(col("token"), col("tf"))
+      .orderBy(col("tf").desc, col("token").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_tfidf" -> t06 _, "t07_text_quality" -> t07 _,
-    "t08_pack_sequences" -> t08 _,
+    "t08_pack_sequences" -> t08 _, "t09_heavy_hitters" -> t09 _,
     "t01_token_stats" -> t01 _, "t02_lang_profile" -> t02 _,
     "t03_repetition" -> t03 _, "t04_text_profile" -> t04 _,
     "t05_token_frequency" -> t05 _)
@@ -165,6 +191,16 @@ object TextOps {
         | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
         |   len(string_split(text, ' ')) AS distinct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t09_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |), toks_ne AS (
+        |  SELECT token FROM toks WHERE length(token) > 0
+        |)
+        |SELECT token, count(1) AS tf FROM toks_ne
+        |GROUP BY token
+        |HAVING count(1) * 100 >= (SELECT count(1) FROM toks_ne)
+        |ORDER BY tf DESC, token ASC""".stripMargin,
     "t08_pack_sequences" ->
       raw"""WITH base AS (
         |  SELECT doc_id, lang,

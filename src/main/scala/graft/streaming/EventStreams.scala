@@ -60,6 +60,30 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: every purchase picks up the same user's
+    * clicks from the preceding `horizon`. Both sides carry watermarks and
+    * the join condition bounds event time on both ends, so each side's
+    * join state is evicted once the other side's watermark passes the
+    * interval — the only way stream-stream join state stays bounded at
+    * scale. The batch as-of twin is q33 (one ordered window, no state). */
+  def purchasesWithClicks(events: DataFrame, horizon: String = "30 minutes",
+                          watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("p_user").as("uid"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** The sink seam of the reference (S8, task.ts:294 `this.submit(fc)`):
     * each micro-batch of GeoJSON features goes to a pluggable sink —
     * file / console(DEBUG, task.ts:76) / in-memory for tests. A real

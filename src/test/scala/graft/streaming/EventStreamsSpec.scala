@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 case class EvId(ts: Timestamp, event_id: Long, user_id: Long, value: Double)
+case class EvFull(ts: Timestamp, event_id: Long, user_id: Long, event_type: String)
 case class Info(device_id: String, dateTime: Timestamp, latitude: Double,
                 longitude: Double, speed: Double, bearing: Double,
                 driverId: String, driverIsObject: Boolean, groups: String)
@@ -72,6 +73,34 @@ class EventStreamsSpec extends SparkSpec {
         .as[Long].collect().toList.sorted
       assert(ids === List(1L, 2L, 3L),
         s"each id must survive exactly once, got $ids")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: purchases pick up in-horizon clicks only") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[EvFull]
+    val q = EventStreams.purchasesWithClicks(in.toDF(), "30 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_out").start()
+    try {
+      in.addData(
+        EvFull(ts("2026-01-01 10:00:00"), 1, 7, "click"),
+        EvFull(ts("2026-01-01 10:20:00"), 2, 7, "click"),
+        EvFull(ts("2026-01-01 10:25:00"), 3, 7, "purchase"),
+        EvFull(ts("2026-01-01 09:00:00"), 4, 8, "click"),
+        EvFull(ts("2026-01-01 10:30:00"), 5, 8, "purchase"))
+      q.processAllAvailable()
+      // advance both watermarks so all joinable state finalizes
+      in.addData(EvFull(ts("2026-01-01 12:00:00"), 6, 9, "click"),
+        EvFull(ts("2026-01-01 12:00:00"), 7, 9, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_out")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(rows.contains((3L, 1L)) && rows.contains((3L, 2L)),
+        s"purchase 3 must join both in-horizon clicks, got $rows")
+      assert(!rows.exists(_._1 == 5L),
+        s"user 8's 90-minute-old click is outside the horizon: $rows")
+      assert(rows.contains((7L, 6L)), s"same-instant click joins: $rows")
     } finally q.stop()
   }
 
