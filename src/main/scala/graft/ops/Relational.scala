@@ -485,6 +485,22 @@ object Relational {
       .orderBy("user_id", "hour")
   }
 
+  /** RANGE-frame window: per event, the 5-minute trailing sum/count over
+    * EVENT TIME (all rows whose ts_ms falls in [t-300000, t] — peers with
+    * equal ts included, so no tie-break is needed for determinism). The
+    * range twin of the row-frame running sum (q14). */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-300000L, 0L)
+    t(s, d, "events")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        sum(col("value").cast("decimal(30,2)")).over(w).cast("double")
+          .as("sum_5min"),
+        count(lit(1)).over(w).as("n_5min"))
+      .orderBy("event_id")
+  }
+
   /** Array/higher-order function family over tokenized text. */
   private def q38(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ", -1)
@@ -610,7 +626,7 @@ object Relational {
     "q46_rank_family" -> q46 _, "q47_bool_aggs" -> q47 _,
     "q48_collect_set" -> q48 _, "q49_string_agg" -> q49 _,
     "q50_regression" -> q50 _, "q51_split_assign" -> q51 _,
-    "q52_resample" -> q52 _,
+    "q52_resample" -> q52 _, "q53_range_frame" -> q53 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -740,6 +756,15 @@ object Relational {
         |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q53_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events)
+        |SELECT event_id, user_id, ts_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum_5min,
+        |  CAST(count(1) OVER w AS BIGINT) AS n_5min
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |  RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q52_resample" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour
