@@ -501,6 +501,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Skew-salted join exercised through the correctness gate: events
+    * (the skewed fact — real workloads concentrate on hot users) join a
+    * per-user aggregate dim via Skew.saltedJoin, which spreads every hot
+    * key over 8 shuffle partitions by salting the fact and replicating
+    * the dim. Salting must be a pure execution-strategy change, so the
+    * oracle is the PLAIN join — identical output proves the rewrite is
+    * semantics-preserving. */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val userDim = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"))
+    Skew.saltedJoin(e, userDim, "user_id", saltFactor = 8)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("user_events"))
+      .orderBy("event_id")
+  }
+
   /** Array/higher-order function family over tokenized text. */
   private def q38(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ", -1)
@@ -627,6 +646,7 @@ object Relational {
     "q48_collect_set" -> q48 _, "q49_string_agg" -> q49 _,
     "q50_regression" -> q50 _, "q51_split_assign" -> q51 _,
     "q52_resample" -> q52 _, "q53_range_frame" -> q53 _,
+    "q54_skew_salted_join" -> q54 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -756,6 +776,12 @@ object Relational {
         |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_skew_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, count(1) AS user_events FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.event_type, dim.user_events
+        |FROM events e JOIN dim USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
     "q53_range_frame" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events)
