@@ -88,9 +88,14 @@ object SimilarityOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    // verify via shuffle equi-joins on the pair ids (NOT broadcast: the
+    // embedding table is the full corpus — at 100 TB a broadcast of either
+    // side is impossible; the deduped pair set stays the small side and the
+    // corpus shuffles by id exactly once per leg, mirroring DedupOps'
+    // md5-MinHash verify topology)
     val va = vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val vb = vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    pairs.join(broadcast(va), "id_a").join(broadcast(vb), "id_b")
+    pairs.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorExpressions.cosineSim(
           s, col("v_a"), col("v_b")).as("cos"))
@@ -228,15 +233,23 @@ object SimilarityOps {
     * round, so no half-way rounding-mode divergence between engines.
     * Emitted as per-vector code summaries (sum/min/max — exact ints)
     * because the gate's compare can't sort array columns. */
-  private def v08(s: SparkSession, d: String): DataFrame = {
-    val dims = emb(s, d)
+  private def v08(s: SparkSession, d: String): DataFrame = quantizeInt8(emb(s, d))
+
+  /** Int8 quantization body over any (vec_id, embedding) frame — public so
+    * the spec can feed a corpus with a constant dimension. A dimension with
+    * mx == mn would otherwise divide 0/0 → NaN with engine-divergent cast
+    * semantics; such dimensions carry no information, so code 0. */
+  def quantizeInt8(vecs: DataFrame): DataFrame = {
+    val dims = vecs
       .select(col("vec_id"), posexplode(VectorFunctions.toDouble(col("embedding"))))
       .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
     val stats = dims.groupBy(col("dim"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     dims.join(broadcast(stats), "dim")
       .select(col("vec_id"),
-        least(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256), lit(255.0))
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(
+            least(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256), lit(255.0)))
           .cast("long").as("code"))
       .groupBy(col("vec_id"))
       .agg(sum(col("code")).as("code_sum"),
@@ -277,7 +290,8 @@ object SimilarityOps {
         |  SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
         |codes AS (
         |  SELECT vec_id,
-        |    CAST(least(floor((x - mn) / (mx - mn) * 256), 255.0) AS BIGINT) AS code
+        |    CAST(CASE WHEN mx = mn THEN 0.0
+        |         ELSE least(floor((x - mn) / (mx - mn) * 256), 255.0) END AS BIGINT) AS code
         |  FROM dims JOIN stats USING (dim))
         |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
         |  min(code) AS code_min, max(code) AS code_max

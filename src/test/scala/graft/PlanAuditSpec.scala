@@ -49,6 +49,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("v03: corpus verify joins never hint-broadcast the embedding table") {
+    // with size-based auto-broadcast off, any remaining BroadcastHashJoin
+    // would have to come from a broadcast() hint — the scale-killer this
+    // pins out. The verify legs must fall back to shuffle equi-joins.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("v03_embed_neardup")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"v03 hint-broadcasts the corpus embedding table:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("v06: bounded pair space broadcasts the small side") {
     val p = plan("v06_neardup_exact")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

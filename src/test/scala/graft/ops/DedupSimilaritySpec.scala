@@ -79,6 +79,20 @@ class DedupSimilaritySpec extends SparkSpec {
   private def SparkEntryQueries(name: String, d: String) =
     graft.SparkEntry.queries(name)(spark, d)
 
+  test("int8 quantization: constant dimension codes to 0, never NaN") {
+    // dim 1 is constant (mx == mn) — unguarded (x-mn)/(mx-mn) would be 0/0
+    val vecs = Seq(
+      (0L, Array(0.0f, 7.5f, -1.0f)),
+      (1L, Array(1.0f, 7.5f, 0.0f)),
+      (2L, Array(2.0f, 7.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeInt8(vecs)
+      .as[(Long, Long, Long, Long)].collect()
+    // codes: dim0 spans 0..2 -> {0,128,255}; dim1 constant -> 0; dim2 -> same as dim0
+    assert(got === Array((0L, 0L, 0L, 0L), (1L, 256L, 0L, 128L), (2L, 510L, 0L, 255L)),
+      got.mkString(", "))
+  }
+
   test("exact dedup keeps min doc_id per text") {
     val dup = docs.union(docs.filter($"doc_id" === 3))
     val out = dup.groupBy($"text")
