@@ -19,20 +19,37 @@ object Bench {
       try graft.Tables(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => }
     }
+    // Warm-up runs at the smallest sibling SF of the bench dir (falling back
+    // to the bench dir itself) so warm-up still fires when the testdata root
+    // is relocated.
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir)
+      Option(p.getParent).map(_.resolve("sf0.001"))
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.toString).getOrElse(sfDir)
+    }
     Seq("q01_pricing_summary", "q12_window_rank", "d09_minhash_md5",
       "v01_knn_brute").foreach { name =>
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query must be VISIBLE in the output ("err:<Exception>"), never
+    // a near-zero time that makes the bench look faster than it is.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r =
+          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left("err:" + e.getClass.getSimpleName) }
+        name -> r
+      }
+    val qs = results.map {
+      case (k, Right(t)) => "\"" + k + "\":" + t
+      case (k, Left(m))  => "\"" + k + "\":\"" + m + "\""
+    }.mkString("{", ",", "}")
+    val errors = results.count(_._2.isLeft)
+    val total = results.collect { case (_, Right(t)) => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
