@@ -135,8 +135,12 @@ class InMemoryGeotabClient(
         var out = devices
         if (search.get("excludeUntrackedAssets").contains("true"))
           out = out.filter(_.getOrElse("tracked", true) == true)
+        // a device matches a group search through its primary `group` or any
+        // secondary membership listed in `memberOf` (comma-separated) — the
+        // single-level analogue of the real API's multi-group membership
         search.get("groups").foreach { g =>
-          out = out.filter(_.get("group").contains(g))
+          out = out.filter(d => d.get("group").contains(g) ||
+            d.get("memberOf").exists(_.toString.split(",").contains(g)))
         }
         out.map(toJson)
       case "DeviceStatusInfo" => deviceInfo

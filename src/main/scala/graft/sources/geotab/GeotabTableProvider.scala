@@ -110,35 +110,46 @@ class GeotabScanBuilder(fullSchema: StructType, props: Map[String, String])
   override def build(): Scan = {
     val search = scala.collection.mutable.Map[String, String]()
     if (entity == "device") search += ("excludeUntrackedAssets" -> "true") // task.ts:194
-    var groupShards: Seq[String] = Nil
+    // A conjunction of pushed group predicates (`group = 'g1' AND group IN
+    // (...)`) constrains rows to the INTERSECTION of the group sets — each
+    // predicate was claimed as fully consumed, so folding them any other way
+    // (e.g. last-write-wins) silently widens the result. An empty
+    // intersection is a contradiction: the scan must return zero rows, not
+    // fall back to an unfiltered fetch.
+    var groupSets: List[Set[String]] = Nil
     pushed.foreach {
       case EqualTo("isDriver", true) => search += ("isDriver" -> "true")
-      case EqualTo("group", g: String) => groupShards = Seq(g)
-      case In("group", vs) => groupShards = vs.toSeq.map(_.toString).sorted
+      case EqualTo("group", g: String) => groupSets ::= Set(g)
+      case In("group", vs) => groupSets ::= vs.map(_.toString).toSet
       case _ =>
     }
-    new GeotabScan(prunedSchema, entity, search.toMap, groupShards, props)
+    val groupShards: Seq[String] =
+      if (groupSets.isEmpty) Nil else groupSets.reduce(_ intersect _).toSeq.sorted
+    val contradiction = groupSets.nonEmpty && groupShards.isEmpty
+    new GeotabScan(prunedSchema, entity, search.toMap, groupShards, contradiction, props)
   }
 }
 
 class GeotabScan(schema: StructType, entity: String,
                  search: Map[String, String], groupShards: Seq[String],
+                 contradiction: Boolean,
                  props: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"GeotabScan(entity=$entity, search=$search, shards=${groupShards.mkString("|")}, " +
-      s"columns=${schema.fieldNames.mkString(",")})"
+      s"empty=$contradiction, columns=${schema.fieldNames.mkString(",")})"
 
   /** Group-sharded parallel fetch: a pushed group-membership predicate
     * becomes one input partition PER group id, so N groups fetch as N
     * concurrent API calls (the distributed generalization of the
     * reference's single `groups:[{id}]` search, task.ts:198-202, and of
     * its Promise.all request parallelism, CHANGELOG v2.9.0). No groups →
-    * the API's one-result-set-per-call shape: a single partition. */
+    * the API's one-result-set-per-call shape: a single partition. A
+    * contradictory group conjunction → zero partitions. */
   override def planInputPartitions(): Array[InputPartition] =
-    GeotabScan.shardPartitions(entity, search, groupShards)
+    GeotabScan.shardPartitions(entity, search, groupShards, contradiction)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GeotabReaderFactory(schema, props)
@@ -147,15 +158,18 @@ class GeotabScan(schema: StructType, entity: String,
     * micro-batch that re-polls the API — the reference's scheduled-Lambda
     * cadence (task.ts:106-107) under engine-managed triggers. */
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new GeotabMicroBatchStream(schema, entity, search, groupShards, props)
+    new GeotabMicroBatchStream(schema, entity, search, groupShards, contradiction, props)
 }
 
 object GeotabScan {
   def shardPartitions(entity: String, search: Map[String, String],
-                      groupShards: Seq[String]): Array[InputPartition] =
-    if (groupShards.isEmpty) Array(GeotabInputPartition(entity, search))
+                      groupShards: Seq[String],
+                      contradiction: Boolean): Array[InputPartition] =
+    if (contradiction) Array.empty
+    else if (groupShards.isEmpty) Array(GeotabInputPartition(entity, search))
     else groupShards.map(g =>
-      GeotabInputPartition(entity, search + ("groups" -> g)): InputPartition).toArray
+      GeotabInputPartition(entity, search + ("groups" -> g),
+        allShards = groupShards): InputPartition).toArray
 }
 
 case class GeotabOffset(version: Long) extends streaming.Offset {
@@ -165,6 +179,7 @@ case class GeotabOffset(version: Long) extends streaming.Offset {
 class GeotabMicroBatchStream(schema: StructType, entity: String,
                              search: Map[String, String],
                              groupShards: Seq[String],
+                             contradiction: Boolean,
                              props: Map[String, String])
     extends streaming.MicroBatchStream {
   private def client = GeotabClients(props.getOrElse("client", "default"))
@@ -178,13 +193,14 @@ class GeotabMicroBatchStream(schema: StructType, entity: String,
 
   override def planInputPartitions(start: streaming.Offset,
                                    end: streaming.Offset): Array[InputPartition] =
-    GeotabScan.shardPartitions(entity, search, groupShards)
+    GeotabScan.shardPartitions(entity, search, groupShards, contradiction)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GeotabReaderFactory(schema, props)
 }
 
-case class GeotabInputPartition(entity: String, search: Map[String, String])
+case class GeotabInputPartition(entity: String, search: Map[String, String],
+                                allShards: Seq[String] = Nil)
   extends InputPartition
 
 class GeotabReaderFactory(schema: StructType, props: Map[String, String])
@@ -200,6 +216,43 @@ class GeotabPartitionReader(schema: StructType, partition: GeotabInputPartition,
     extends PartitionReader[InternalRow] {
 
   private val clientName = props.getOrElse("client", "default")
+
+  // Cross-shard id dedupe (owner-shard rule): with one fetch per pushed
+  // group, a device belonging to several of the pushed groups is returned by
+  // several shards. Each shard keeps only rows whose own `group` value is
+  // this shard's group (that shard "owns" them); rows whose group is some
+  // OTHER pushed shard's are dropped here because that shard is guaranteed
+  // to fetch them itself. Rows whose group is outside the pushed set
+  // (hierarchical/subtree matches) are kept — the connector assumes pushed
+  // groups are not nested inside one another, documented on the scan.
+  private val dedupe = partition.allShards.lengthCompare(1) > 0 &&
+    partition.search.contains("groups")
+  private val myGroup = partition.search.getOrElse("groups", "")
+  private val shardSet = partition.allShards.toSet
+  // the parse schema must carry `group` even when the projection pruned it
+  private val parseSchema =
+    if (dedupe && !schema.fieldNames.contains("group"))
+      schema.add("group", StringType)
+    else schema
+  private val groupOrdinal =
+    if (dedupe) parseSchema.fieldIndex("group") else -1
+  // project appended parse-only fields back off before emitting
+  private val project: InternalRow => InternalRow =
+    if (parseSchema eq schema) identity
+    else {
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+        schema.indices.map(i => org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, schema(i).dataType, schema(i).nullable)))
+      r => proj(r)
+    }
+
+  private def ownedByThisShard(row: InternalRow): Boolean = {
+    if (!dedupe) return true
+    if (row.isNullAt(groupOrdinal)) return myGroup == partition.allShards.head
+    val g = row.getUTF8String(groupOrdinal).toString
+    g == myGroup || !shardSet.contains(g)
+  }
+
   private lazy val rows: Iterator[InternalRow] = {
     val creds = GeotabSessionCache.credentials(
       clientName,
@@ -209,11 +262,13 @@ class GeotabPartitionReader(schema: StructType, partition: GeotabInputPartition,
     val raw = GeotabClients(clientName)
       .get(GeotabTableProvider.typeNameFor(partition.entity), partition.search, creds)
     // FAILFAST JSON deserialize — the req.typed() analogue (task.ts:161-163)
-    val parser = new JacksonParser(schema,
+    val parser = new JacksonParser(parseSchema,
       new JSONOptions(Map("mode" -> "FAILFAST"), "UTC"),
       allowArrayAsStructs = false)
     raw.iterator.flatMap(json =>
       parser.parse(json, CreateJacksonParser.string, org.apache.spark.unsafe.types.UTF8String.fromString))
+      .filter(ownedByThisShard)
+      .map(project)
   }
 
   private var current: InternalRow = _

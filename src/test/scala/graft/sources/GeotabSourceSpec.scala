@@ -78,6 +78,58 @@ class GeotabSourceSpec extends SparkSpec {
       s"each shard must push exactly its own group id: $searches")
   }
 
+  test("conjunction of group predicates narrows to the intersection") {
+    // group = 'g2' AND group IN ('g1','g2'): both predicates are claimed as
+    // fully pushed, so the scan itself must enforce their conjunction — the
+    // intersection {g2} — and fetch nothing else
+    val c = freshClient()
+    GeotabClients.register("t2c", c)
+    GeotabSessionCache.clear()
+    val got = read("t2c", "device")
+      .filter(col("group") === "g2" && col("group").isin("g1", "g2"))
+      .collect()
+    assert(got.map(_.getAs[String]("id")).toSet === Set("d3"),
+      s"conjunction must narrow to g2, got ${got.mkString(",")}")
+    val searches = c.getCalls.asScala.toList.collect {
+      case ("Device", s) => s.get("groups") }.flatten
+    assert(searches === List("g2"), s"scan must fetch only the intersection: $searches")
+  }
+
+  test("contradictory group equalities return zero rows and fetch nothing") {
+    val c = freshClient()
+    GeotabClients.register("t2d", c)
+    GeotabSessionCache.clear()
+    val got = read("t2d", "device")
+      .filter(col("group") === "g1" && col("group") === "g2")
+      .collect()
+    assert(got.isEmpty, "group='g1' AND group='g2' is unsatisfiable")
+    assert(c.getCalls.asScala.isEmpty, "a contradictory scan must not call the API")
+  }
+
+  test("overlapping shard membership yields distinct ids (dedupe across IN shards)") {
+    // d4's primary group is g1 but it is also a member of g2: both shard
+    // fetches return it; the scan must emit it exactly once — including when
+    // the projection prunes the group column away
+    val c = new InMemoryGeotabClient(
+      users = Seq.empty,
+      devices = Seq(
+        Map("id" -> "d1", "name" -> "One", "group" -> "g1", "tracked" -> true),
+        Map("id" -> "d3", "name" -> "Three", "group" -> "g2", "tracked" -> true),
+        Map("id" -> "d4", "name" -> "Both", "group" -> "g1",
+          "memberOf" -> "g2", "tracked" -> true)),
+      initialDeviceInfo = Seq.empty)
+    GeotabClients.register("t2e", c)
+    GeotabSessionCache.clear()
+    val ids = read("t2e", "device").filter(col("group").isin("g1", "g2"))
+      .select("id").collect().map(_.getString(0))
+    assert(ids.length === ids.distinct.length,
+      s"duplicate ids across group shards: ${ids.mkString(",")}")
+    assert(ids.toSet === Set("d1", "d3", "d4"), ids.mkString(","))
+    // both shards did fetch d4 — the dedupe happened in the scan, not the API
+    val fetches = c.getCalls.asScala.toList.collect { case ("Device", s) => s("groups") }
+    assert(fetches.toSet === Set("g1", "g2"), fetches.toString)
+  }
+
   test("column pruning reaches the scan description") {
     val c = freshClient()
     GeotabClients.register("t3", c)
