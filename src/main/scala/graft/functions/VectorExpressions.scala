@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
 
 /** One-pass cosine similarity over two array<float>/array<double> columns.
   * Accumulates dot and both norms in double in a single loop; returns 0.0
-  * for zero-norm inputs (matching VectorFunctions.cosine). */
+  * for zero-norm inputs (matching VectorFunctions.cosine). Participates in
+  * whole-stage codegen via [[doGenCode]] — this kernel is the inner loop of
+  * every similarity query, and a CodegenFallback here would collapse the
+  * whole containing stage to the interpreted path. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -63,6 +66,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
     java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      // element accessors are resolved at codegen time from the child types
+      val getX = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |double $na = 0.0;
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $getX;
+         |  double $y = $getY;
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -72,7 +105,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * mix of (hash, i). Output: array<bigint> of length `numHashes`.
   * Deterministic across JVMs (pure integer arithmetic, no RNG state). */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -85,6 +118,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val hashes = input.asInstanceOf[ArrayData].toLongArray()
     new GenericArrayData(MinHashSignature.compute(hashes, numHashes))
   }
+
+  /** Codegen delegates to the same static kernel the interpreted path uses
+    * (one tight primitive loop, no per-element boxing) — the point is to
+    * keep the containing stage inside whole-stage codegen, which a
+    * CodegenFallback child would abort for every operator in the stage. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinHashSignature$$.MODULE$$.compute(
+         |    $arr.toLongArray(), $numHashes));
+       """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
