@@ -27,7 +27,8 @@ object SparkEntry {
       ops.SimilarityOps.queries ++
       multimodal.Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
-        "g01_geotab_flagship" -> ((s, d) => geotab.GeotabSynth.flagship(s, d)))
+        "g01_geotab_flagship" -> ((s, d) => geotab.GeotabSynth.flagship(s, d)),
+        "g02_geotab_connector" -> ((s, d) => geotab.GeotabSynth.connectorFlagship(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
@@ -35,5 +36,7 @@ object SparkEntry {
       ops.TextOps.oracle ++
       ops.SimilarityOps.oracle ++
       multimodal.Multimodal.oracle ++
-      Map("g01_geotab_flagship" -> geotab.GeotabSynth.flagshipOracleSql)
+      Map("g01_geotab_flagship" -> geotab.GeotabSynth.flagshipOracleSql,
+        // same oracle: g02 is the same pipeline fed through the connector
+        "g02_geotab_connector" -> geotab.GeotabSynth.flagshipOracleSql)
 }

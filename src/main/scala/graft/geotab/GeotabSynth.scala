@@ -91,6 +91,73 @@ object GeotabSynth {
       .orderBy("id")
   }
 
+  /** g02: the same flagship pipeline, but ingesting all three entities
+    * through the DSv2 `geotab` connector (scan → isDriver pushdown →
+    * FAILFAST deserialize → session cache) against a fixture-backed client
+    * whose payloads are generated from the same parquet-derived entities —
+    * so [[flagshipOracleSql]] applies unchanged and the connector path is
+    * inside the DuckDB correctness gate, not just spec-tested.
+    *
+    * Scale note: the driver-side materialization here builds the API
+    * fixtures, not the pipeline input — the real API returns one bounded
+    * fleet per call (the reference's shape, task.ts:145-218); everything
+    * downstream of the reads is the same distributed plan as g01. */
+  def connectorFlagship(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.geotab.{GeotabClients, InMemoryGeotabClient}
+    val users = drivers(spark, sfDir).collect().toSeq.map { r =>
+      Map[String, Any](
+        "id" -> r.getAs[String]("id"), "name" -> r.getAs[String]("name"),
+        "comment" -> r.getAs[String]("comment"),
+        "phoneNumber" -> r.getAs[String]("phoneNumber"),
+        "firstName" -> r.getAs[String]("firstName"),
+        "lastName" -> r.getAs[String]("lastName"),
+        "designation" -> r.getAs[String]("designation"),
+        "isDriver" -> true)
+    }
+    val devs = devices(spark, sfDir).collect().toSeq.map { r =>
+      Map[String, Any](
+        "id" -> r.getAs[String]("id"),
+        "vehicleIdentificationNumber" -> r.getAs[String]("vehicleIdentificationNumber"),
+        "licenseState" -> r.getAs[String]("licenseState"),
+        "licensePlate" -> r.getAs[String]("licensePlate"),
+        "name" -> r.getAs[String]("name"))
+    }
+    // raw DeviceStatusInfo payloads: ISO dateTime, nested device id, the
+    // union-typed driver (string variant | object variant), groups array
+    val infoJson = info(spark, sfDir).select(to_json(struct(
+      col("bearing"), col("latitude"), col("longitude"), col("speed"),
+      date_format(col("dateTime"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("dateTime"),
+      struct(col("device_id").as("id")).as("device"),
+      when(col("driverIsObject"),
+        concat(lit("{\"id\":\""), col("driverId"), lit("\"}")))
+        .otherwise(col("driverId")).as("driver"),
+      array(struct(col("groups").as("id"))).as("groups"))).as("j"))
+      .collect().toSeq.map(_.getString(0))
+    val clientName = "g02-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    GeotabClients.register(clientName, new InMemoryGeotabClient(users, devs, infoJson))
+    def rd(entity: String) = spark.read.format("geotab")
+      .option("entity", entity).option("client", clientName)
+      .option("database", "fleetdb").option("user", "svc").option("password", "pw")
+      .load()
+    val deviceDf = rd("device").drop("group")
+    val driverDf = rd("user").filter(col("isDriver") === true).drop("isDriver")
+    val infoDf = rd("deviceInfo")
+      .withColumn("n", GeotabSchemas.normalizeDriver(col("driver")))
+      .select(col("device.id").as("device_id"),
+        // NTZ to match the parquet-sourced flagship's start_ts type exactly
+        to_timestamp(col("dateTime")).cast("timestamp_ntz").as("dateTime"),
+        col("latitude"), col("longitude"), col("speed"), col("bearing"),
+        col("n.driverId").as("driverId"),
+        col("n.driverIsObject").as("driverIsObject"),
+        col("groups").getItem(0).getField("id").as("groups"))
+    val maxDate = Tables(spark, sfDir, "orders")
+      .agg(max(col("o_orderdate"))).head().get(0)
+    GeotabPipeline.featuresFlat(deviceDf, infoDf, driverDf,
+        GeotabPipeline.Config(
+          prefix = "C", now = lit(maxDate), freshness = "INTERVAL 365 DAYS"))
+      .orderBy("id")
+  }
+
   /** DuckDB oracle mirroring [[flagship]] exactly. */
   val flagshipOracleSql: String =
     """WITH devices AS (
