@@ -25,10 +25,20 @@ object TripSegmentation {
                   nPings: Int, maxSpeed: Double)
 
   /** A device is driving while speed >= stopSpeed; the first non-driving
-    * ping after a driving run closes the trip and emits it. */
-  def segment(stopSpeed: Double)(
+    * ping after a driving run closes the trip and emits it. A device that
+    * goes silent mid-trip is closed by event-time timeout when the
+    * watermark passes lastPing + idleTimeoutMs — without this, the state
+    * store grows with every vehicle that ever disappears mid-trip
+    * (decommissioned, offline), which is unbounded at fleet scale. */
+  def segment(stopSpeed: Double, idleTimeoutMs: Long)(
       deviceId: String, pings: Iterator[StatusPing],
       state: GroupState[TripState]): Iterator[Trip] = {
+    if (state.hasTimedOut) {
+      // silent device: emit the open trip as-of its last ping and free state
+      val s = state.get
+      state.remove()
+      return Iterator.single(Trip(deviceId, s.startMs, s.lastMs, s.nPings, s.maxSpeed))
+    }
     val ordered = pings.toSeq.sortBy(p => (p.ts.getTime, p.speed))
     val out = scala.collection.mutable.ArrayBuffer.empty[Trip]
     var cur = state.getOption
@@ -47,18 +57,30 @@ object TripSegmentation {
       }
     }
     cur match {
-      case Some(s) => state.update(s)
+      case Some(s) =>
+        state.update(s)
+        // arm the idle horizon; in batch execution there is no watermark
+        // (and timeouts never fire), so skip arming there
+        val wm = try Some(state.getCurrentWatermarkMs())
+                 catch { case _: UnsupportedOperationException => None }
+        wm.foreach(w => state.setTimeoutTimestamp(
+          math.max(s.lastMs + idleTimeoutMs, w + 1)))
       case None => state.remove()
     }
     out.iterator
   }
 
-  /** Streaming (or batch) entry point. */
+  /** Streaming (or batch) entry point. The watermark bounds both late data
+    * and state lifetime: an open trip whose device stays silent for
+    * idleTimeoutMs of event time is emitted and evicted. */
   def trips(spark: SparkSession, pings: Dataset[StatusPing],
-            stopSpeed: Double = 1.0): Dataset[Trip] = {
+            stopSpeed: Double = 1.0,
+            watermarkDelay: String = "10 minutes",
+            idleTimeoutMs: Long = 30L * 60 * 1000): Dataset[Trip] = {
     import spark.implicits._
-    pings.groupByKey(_.deviceId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        segment(stopSpeed))
+    pings.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.deviceId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        segment(stopSpeed, idleTimeoutMs))
   }
 }

@@ -47,6 +47,34 @@ class TripSegmentationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("silent device's open trip closes at the event-time idle horizon") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StatusPing]
+    // watermark delay 0 so the horizon is just lastPing + idleTimeout
+    val q = TripSegmentation.trips(spark, in.toDS(),
+      watermarkDelay = "0 seconds", idleTimeoutMs = 30L * 60 * 1000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trips_timeout_out").start()
+    try {
+      // d1 starts a trip, then goes silent forever
+      in.addData(
+        StatusPing("d1", ts("2026-01-01 08:00:00"), 30.0),
+        StatusPing("d1", ts("2026-01-01 08:05:00"), 45.0))
+      q.processAllAvailable()
+      assert(spark.table("trips_timeout_out").isEmpty) // open, within horizon
+      // another device's traffic advances the watermark past 08:35
+      in.addData(StatusPing("d9", ts("2026-01-01 09:30:00"), 0.0))
+      q.processAllAvailable()
+      val trips = spark.table("trips_timeout_out").as[Trip].collect()
+      assert(trips.length === 1, s"open trip not closed by timeout: ${trips.toSeq}")
+      val t = trips.head
+      assert(t.deviceId === "d1")
+      assert(t.startMs === ts("2026-01-01 08:00:00").getTime)
+      assert(t.endMs === ts("2026-01-01 08:05:00").getTime)
+      assert(t.nPings === 2 && t.maxSpeed === 45.0)
+    } finally q.stop()
+  }
+
   test("batch mode: same segmentation code runs on a bounded dataset") {
     val pings = Seq(
       StatusPing("d1", ts("2026-01-01 08:00:00"), 30.0),
