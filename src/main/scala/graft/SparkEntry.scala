@@ -25,6 +25,7 @@ object SparkEntry {
       ops.DedupOps.queries ++
       ops.TextOps.queries ++
       ops.SimilarityOps.queries ++
+      ops.ExportOps.queries ++
       multimodal.Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "g01_geotab_flagship" -> ((s, d) => geotab.GeotabSynth.flagship(s, d)),
@@ -35,6 +36,7 @@ object SparkEntry {
       ops.DedupOps.oracle ++
       ops.TextOps.oracle ++
       ops.SimilarityOps.oracle ++
+      ops.ExportOps.oracle ++
       multimodal.Multimodal.oracle ++
       Map("g01_geotab_flagship" -> geotab.GeotabSynth.flagshipOracleSql,
         // same oracle: g02 is the same pipeline fed through the connector

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Partitioned training-data export — the terminal stage of the LLM-data
+  * pipeline (SURVEY.md §2.6): the deterministic train/val/test assignment
+  * (q51's md5-bucket split) applied to the documents table and written as
+  * parquet partitioned by (split, lang), so a downstream training job's
+  * `WHERE split = 'train' AND lang = 'en'` prunes to one directory and
+  * never lists or scans the other splits' files.
+  *
+  * Scale notes: the split is a per-row expression (no join, no shuffle to
+  * assign); partitionBy hash-routes rows to one directory per (split,lang)
+  * pair and each task writes its own files — no global sort, no driver
+  * collection. At 100 TB, repartition on (split, lang [, salt]) before the
+  * write to bound files-per-directory; at test SF the extra shuffle would
+  * dominate, so it is left to the caller.
+  */
+object ExportOps {
+
+  /** q51's deterministic bucket: md5(doc_id) first-7-hex mod 100 —
+    * engine-portable, stable under re-runs and repartitioning. */
+  private def bucket =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+
+  def withSplit(docs: DataFrame): DataFrame =
+    docs.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+
+  /** Writes the partitioned export; returns the output path. */
+  def trainingExport(s: SparkSession, d: String, outDir: String): String = {
+    withSplit(Tables(s, d, "documents"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("split", "lang")
+      .parquet(outDir)
+    outDir
+  }
+
+  /** e01: export + read-back partition summary. Gates the full
+    * write→read cycle (assignment, partition layout, partition-column
+    * recovery) against a DuckDB twin computing the same assignment
+    * directly from the documents table. */
+  private def e01(s: SparkSession, d: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_export_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+    trainingExport(s, d, out)
+    s.read.parquet(out)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_training_export" -> e01 _)
+
+  val oracle: Map[String, String] = Map(
+    "e01_training_export" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT lang, n_chars,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS b
+        |      FROM documents) x
+        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
+}

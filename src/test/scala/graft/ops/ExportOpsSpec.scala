@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** The partitioned training-data export: directory layout, partition
+  * pruning on read-back, and agreement with the q51 split assignment. */
+class ExportOpsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private lazy val out: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_spec")
+    ExportOps.trainingExport(spark, d, dir.toString)
+  }
+
+  test("export writes one directory per (split, lang) pair") {
+    val splits = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(splits.toSeq === Seq("split=test", "split=train", "split=val"), splits.toSeq)
+    splits.foreach { sp =>
+      val langs = new java.io.File(out, sp).listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(langs.nonEmpty && langs.forall(_.startsWith("lang=")),
+        s"$sp: ${langs.toSeq}")
+    }
+  }
+
+  test("WHERE split='val' prunes the scan to the val partitions") {
+    val valOnly = spark.read.parquet(out).filter(col("split") === "val")
+    val p = valOnly.queryExecution.explainString(FormattedMode)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("split") && pf.contains("= val"),
+      s"split filter did not become a partition filter:\n$p")
+    // and the pushed-data filter list must NOT contain it (it never reaches
+    // row-level filtering — the directories are skipped outright)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(!pushed.contains("split"), s"split leaked into data filters: $pushed")
+  }
+
+  test("read-back assignment matches the q51 split exactly") {
+    val exported = spark.read.parquet(out)
+      .select(col("doc_id"), col("split"))
+    val q51 = graft.SparkEntry.queries("q51_split_assign")(spark, d)
+      .select(col("doc_id"), col("split"))
+    assert(exported.exceptAll(q51).isEmpty && q51.exceptAll(exported).isEmpty,
+      "exported split assignment diverges from q51")
+  }
+}
