@@ -8,8 +8,9 @@ import scala.collection.mutable
 /** Misra-Gries heavy-hitter sketch as a typed [[Aggregator]] (the one UDAF
   * in the library — everything else is built-in expressions, SURVEY.md
   * §2.7). Tracks at most `k` counters; any token with true frequency
-  * > n/k is GUARANTEED to survive in the summary, regardless of partition
-  * or merge order. The summary alone is merge-order-dependent, so the
+  * > n/(k+1) is GUARANTEED to survive in the summary, regardless of
+  * partition or merge order (each decrement round removes k+1 occurrence
+  * credits, so at most n/(k+1) rounds can touch any one token). The summary alone is merge-order-dependent, so the
   * heavy-hitters operator (TextOps t09) uses it only as a candidate set
   * and re-counts candidates exactly — making the final output
   * deterministic and oracle-checkable while the full-corpus pass stays

@@ -6,6 +6,8 @@ import graft.Tables
 import graft.functions.TextFunctions
 import graft.functions.SimHash64.simhash64
 
+import scala.util.chaining._
+
 /** Deduplication operators for LLM-scale training-data pipelines
   * (SURVEY.md §2.6): exact, key-based, MinHash+LSH near-dup, SimHash, and
   * n-gram Jaccard verification.
@@ -20,6 +22,28 @@ import graft.functions.SimHash64.simhash64
 object DedupOps {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** Registry of this object's live .cache() handles. The caches are
+    * per-query-build shared subtrees (both sides of a self-join consume
+    * them), so they cannot unpersist inside the builder — but a long-lived
+    * session accumulates one entry per query invocation otherwise. Runners
+    * call [[unpersistCaches]] after their actions complete. */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cached(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    liveCaches.add(c)
+    c
+  }
+
+  /** Releases every cache this object has registered (non-blocking). */
+  def unpersistCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = liveCaches.poll()
+    }
+  }
 
   /** Exact dedup: canonical keeper (min doc_id) per identical text. */
   private def d01(s: SparkSession, d: String): DataFrame =
@@ -58,7 +82,7 @@ object DedupOps {
         xxhash64(lit(b), slice(col("minhash"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-      .cache()
+      .pipe(cached)
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_hash"))
@@ -71,7 +95,7 @@ object DedupOps {
     * fraction), thresholded. Rows-only oracle: the hash family is
     * engine-specific, but the output is fully deterministic. */
   private def d03(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSignatures(s, docs(s, d)).cache()
+    val sigs = cached(minhashSignatures(s, docs(s, d)))
     val pairs = lshCandidates(sigs)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("minhash").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("minhash").as("sig_b"))
@@ -103,7 +127,7 @@ object DedupOps {
     val pairs = lshCandidates(sigs)
     val sh = dd.select(col("doc_id"),
       graft.functions.ShingleHashes.shingleHashes(s, col("text")).as("sh"))
-      .cache() // consumed by both sides of the pair join
+      .pipe(cached) // consumed by both sides of the pair join
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairs.join(a, "doc_a").join(b, "doc_b")
@@ -164,7 +188,7 @@ object DedupOps {
     val pairs = lshCandidates(sigs)
     val sh = dd.select(col("doc_id"),
       graft.functions.ShingleHashes.shingleHashes(s, col("text")).as("sh"))
-      .cache() // consumed by both sides of the pair join
+      .pipe(cached) // consumed by both sides of the pair join
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val losers = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -215,7 +239,7 @@ object DedupOps {
     * with 64-bit hashes), and long-array intersects are far cheaper to
     * shuffle and compare. */
   private def md5VerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val base = withShingleHashes(s, d).cache() // banding + both verify sides
+    val base = cached(withShingleHashes(s, d)) // banding + both verify sides
     val sigCol = (i: Int) => array_min(transform(col("hv"), affine(i)))
     val banded = base.select(col("doc_id"), posexplode(
       array((0 until 4).map(b =>
