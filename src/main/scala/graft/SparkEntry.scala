@@ -29,7 +29,8 @@ object SparkEntry {
       multimodal.Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "g01_geotab_flagship" -> ((s, d) => geotab.GeotabSynth.flagship(s, d)),
-        "g02_geotab_connector" -> ((s, d) => geotab.GeotabSynth.connectorFlagship(s, d)))
+        "g02_geotab_connector" -> ((s, d) => geotab.GeotabSynth.connectorFlagship(s, d)),
+        "g03_haversine" -> ((s, d) => geotab.GeotabSynth.haversineQuery(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
@@ -40,5 +41,6 @@ object SparkEntry {
       multimodal.Multimodal.oracle ++
       Map("g01_geotab_flagship" -> geotab.GeotabSynth.flagshipOracleSql,
         // same oracle: g02 is the same pipeline fed through the connector
-        "g02_geotab_connector" -> geotab.GeotabSynth.flagshipOracleSql)
+        "g02_geotab_connector" -> geotab.GeotabSynth.flagshipOracleSql,
+        "g03_haversine" -> geotab.GeotabSynth.haversineOracleSql)
 }

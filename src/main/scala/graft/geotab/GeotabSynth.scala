@@ -158,6 +158,41 @@ object GeotabSynth {
       .orderBy("id")
   }
 
+  /** g03: haversine distance from every device's current position to the
+    * fleet operations center (the reference operator's home coordinates) —
+    * the geo query SURVEY.md §2.7 lists as optional, over the same
+    * synthesized DeviceStatusInfo positions as the flagship. Pure per-row
+    * arithmetic on top of the latest-per-key window: no extra shuffle. */
+  def haversineQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (opsLat, opsLon) = (39.7392, -104.9903)
+    info(spark, sfDir)
+      .select(col("device_id"),
+        round(graft.functions.GeoFunctions.haversineKm(
+          col("latitude"), col("longitude"), lit(opsLat), lit(opsLon)), 4)
+          .as("dist_km"))
+      .orderBy("device_id")
+  }
+
+  /** DuckDB twin of [[haversineQuery]], same synth CTE and term order. */
+  val haversineOracleSql: String =
+    """WITH latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |), info AS (
+      |  SELECT 'dev-' || o_custkey AS device_id,
+      |         (o_orderkey % 180) - 90 + 0.5 AS latitude,
+      |         (o_orderkey % 360) - 180 + 0.25 AS longitude
+      |  FROM latest WHERE rn = 1
+      |)
+      |SELECT device_id,
+      |  round(2 * 6371.0088 * asin(sqrt(
+      |    sin(radians(39.7392 - latitude) / 2) * sin(radians(39.7392 - latitude) / 2)
+      |    + cos(radians(latitude)) * cos(radians(39.7392))
+      |      * sin(radians(-104.9903 - longitude) / 2)
+      |      * sin(radians(-104.9903 - longitude) / 2))), 4) AS dist_km
+      |FROM info ORDER BY device_id""".stripMargin
+
   /** DuckDB oracle mirroring [[flagship]] exactly. */
   val flagshipOracleSql: String =
     """WITH devices AS (
