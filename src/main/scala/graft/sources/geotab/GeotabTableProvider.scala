@@ -134,9 +134,24 @@ class GeotabScan(schema: StructType, entity: String,
                  search: Map[String, String], groupShards: Seq[String],
                  contradiction: Boolean,
                  props: Map[String, String])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** A group-sharded scan is ALREADY clustered by `group` — each input
+    * partition holds exactly one group id (enforced by the owner-shard
+    * dedupe). Reporting KeyGroupedPartitioning lets a per-group
+    * aggregation or a join on `group` run with NO Exchange after the scan
+    * (with spark.sql.sources.v2.bucketing.enabled); each partition also
+    * exposes its key via HasPartitionKey. */
+  override def outputPartitioning(): partitioning.Partitioning =
+    if (!contradiction && groupShards.nonEmpty && schema.fieldNames.contains("group"))
+      new partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("group")),
+        groupShards.size)
+    else
+      new partitioning.UnknownPartitioning(
+        if (contradiction) 0 else math.max(groupShards.size, 1))
   override def description(): String =
     s"GeotabScan(entity=$entity, search=$search, shards=${groupShards.mkString("|")}, " +
       s"empty=$contradiction, columns=${schema.fieldNames.mkString(",")})"
@@ -201,7 +216,13 @@ class GeotabMicroBatchStream(schema: StructType, entity: String,
 
 case class GeotabInputPartition(entity: String, search: Map[String, String],
                                 allShards: Seq[String] = Nil)
-  extends InputPartition
+  extends InputPartition with HasPartitionKey {
+  /** The shard's group id — consulted by Spark only when the scan reports
+    * KeyGroupedPartitioning (i.e. when group-sharded). */
+  override def partitionKey(): InternalRow =
+    InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(
+      search.getOrElse("groups", "")))
+}
 
 class GeotabReaderFactory(schema: StructType, props: Map[String, String])
     extends PartitionReaderFactory {

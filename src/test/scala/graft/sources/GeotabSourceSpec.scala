@@ -130,6 +130,30 @@ class GeotabSourceSpec extends SparkSpec {
     assert(fetches.toSet === Set("g1", "g2"), fetches.toString)
   }
 
+  test("group-sharded scan reports its clustering: per-group agg plans no Exchange") {
+    val c = freshClient()
+    GeotabClients.register("t2f", c)
+    GeotabSessionCache.clear()
+    val bucketing = "spark.sql.sources.v2.bucketing.enabled"
+    val aqe = "spark.sql.adaptive.enabled"
+    val prevB = spark.conf.get(bucketing)
+    val prevA = spark.conf.get(aqe)
+    try {
+      spark.conf.set(bucketing, "true")
+      spark.conf.set(aqe, "false") // inspect the static plan
+      val agg = read("t2f", "device").filter(col("group").isin("g1", "g2"))
+        .groupBy(col("group")).count()
+      val plan = agg.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"scan is already clustered by group; agg must not shuffle:\n$plan")
+      val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("g1" -> 1L, "g2" -> 1L), got.toString)
+    } finally {
+      spark.conf.set(bucketing, prevB)
+      spark.conf.set(aqe, prevA)
+    }
+  }
+
   test("column pruning reaches the scan description") {
     val c = freshClient()
     GeotabClients.register("t3", c)
