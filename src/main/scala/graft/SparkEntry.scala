@@ -30,7 +30,8 @@ object SparkEntry {
       Map[String, (SparkSession, String) => DataFrame](
         "g01_geotab_flagship" -> ((s, d) => geotab.GeotabSynth.flagship(s, d)),
         "g02_geotab_connector" -> ((s, d) => geotab.GeotabSynth.connectorFlagship(s, d)),
-        "g03_haversine" -> ((s, d) => geotab.GeotabSynth.haversineQuery(s, d)))
+        "g03_haversine" -> ((s, d) => geotab.GeotabSynth.haversineQuery(s, d)),
+        "g04_cot_xml" -> ((s, d) => geotab.GeotabSynth.cotQuery(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
@@ -42,5 +43,6 @@ object SparkEntry {
       Map("g01_geotab_flagship" -> geotab.GeotabSynth.flagshipOracleSql,
         // same oracle: g02 is the same pipeline fed through the connector
         "g02_geotab_connector" -> geotab.GeotabSynth.flagshipOracleSql,
-        "g03_haversine" -> geotab.GeotabSynth.haversineOracleSql)
+        "g03_haversine" -> geotab.GeotabSynth.haversineOracleSql,
+        "g04_cot_xml" -> geotab.GeotabSynth.cotOracleSql)
 }

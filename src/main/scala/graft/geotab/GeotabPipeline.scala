@@ -128,6 +128,38 @@ object GeotabPipeline {
       .withColumn("feature_json", to_json(col("feature")))
   }
 
+  /** Cursor-on-Target event XML per feature — the sink-side conversion the
+    * reference delegates to `@tak-ps/node-cot` (package-lock.json:696-714;
+    * submit at task.ts:294): uid/type/how/time/start/stale attributes, a
+    * `point` with the lon-first pair restored to lat/lon attributes, and a
+    * `detail` carrying contact callsign + track speed/course. Number
+    * attributes render with fixed %.4f so the output is byte-stable across
+    * engines; the three XML-special characters are escaped. Pure string
+    * expressions — codegen'd, zero shuffle. */
+  def cotXml(flat: DataFrame, staleAfter: String = "INTERVAL 1 HOUR"): DataFrame = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(
+        c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    def f4(c: Column): Column = format_string("%.4f", c)
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    val t = date_format(col("start_ts"), fmt)
+    val stale = date_format(col("start_ts") + expr(staleAfter), fmt)
+    val xml = concat(
+      lit("<event version=\"2.0\" uid=\""), col("id"),
+      lit("\" type=\"a-f-G-E-V-C\" how=\"m-g\" time=\""), t,
+      lit("\" start=\""), t,
+      lit("\" stale=\""), stale,
+      lit("\"><point lat=\""), f4(col("latitude")),
+      lit("\" lon=\""), f4(col("longitude")),
+      lit("\" hae=\"9999999.0\" ce=\"9999999.0\" le=\"9999999.0\"/>"),
+      lit("<detail><contact callsign=\""), esc(col("callsign")),
+      lit("\"/><track speed=\""), f4(col("speed_ms")),
+      lit("\" course=\""), f4(col("course")),
+      lit("\"/><remarks>vin="), esc(col("vin")),
+      lit("</remarks></detail></event>"))
+    flat.select(col("id"), xml.as("cot_xml"))
+  }
+
   /** Assemble sink-batch FeatureCollections (the submit payload,
     * task.ts:233-234, 294) — `nBuckets` collections of roughly equal size,
     * bucketed by feature-id hash. The reference submits one fleet-sized

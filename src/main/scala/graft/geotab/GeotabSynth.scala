@@ -193,8 +193,15 @@ object GeotabSynth {
       |      * sin(radians(-104.9903 - longitude) / 2))), 4) AS dist_km
       |FROM info ORDER BY device_id""".stripMargin
 
-  /** DuckDB oracle mirroring [[flagship]] exactly. */
-  val flagshipOracleSql: String =
+  /** g04: Cursor-on-Target XML per fresh feature — the reference's sink
+    * conversion (node-cot) as a gated, byte-stable string projection over
+    * the flagship pipeline. */
+  def cotQuery(spark: SparkSession, sfDir: String): DataFrame =
+    GeotabPipeline.cotXml(flagship(spark, sfDir)).orderBy("id")
+
+  /** Shared oracle CTE prefix: the synthesized entities + joined pipeline
+    * (devices ⋈ latest-info, guarded driver left join, freshness filter). */
+  private val oracleCtePrefix: String =
     """WITH devices AS (
       |  SELECT 'dev-' || c_custkey AS id,
       |         'VIN' || c_custkey AS vin,
@@ -236,7 +243,11 @@ object GeotabSynth {
       |  JOIN info i ON d.id = i.device_id
       |  LEFT JOIN drivers dr ON i.driver_is_object AND i.driver_id = dr.d_id
       |  WHERE i.datetime > (SELECT max(o_orderdate) FROM orders) - INTERVAL 365 DAY
-      |)
+      |)""".stripMargin
+
+  /** DuckDB oracle mirroring [[flagship]] exactly. */
+  val flagshipOracleSql: String = oracleCtePrefix +
+    """
       |SELECT 'geotab-' || device_id AS id,
       |       CASE WHEN name_raw IS NOT NULL AND name_raw <> '' THEN name_raw
       |            ELSE coalesce(license_state_raw, 'US') || '-' ||
@@ -256,6 +267,36 @@ object GeotabSynth {
       |       d_name AS driver_username, d_first AS driver_first_name,
       |       d_last AS driver_last_name, d_phone AS driver_phone,
       |       d_designation AS driver_designation, d_comment AS driver_comment
+      |FROM joined
+      |WHERE (CASE WHEN name_raw IS NULL OR name_raw = ''
+      |            THEN 'No Name' ELSE name_raw END) LIKE 'C%'
+      |ORDER BY id""".stripMargin
+
+  /** DuckDB twin of [[cotQuery]]: identical CTEs, identical %.4f renders,
+    * identical escape chain. */
+  val cotOracleSql: String = oracleCtePrefix +
+    """
+      |SELECT 'geotab-' || device_id AS id,
+      |  '<event version="2.0" uid="geotab-' || device_id ||
+      |  '" type="a-f-G-E-V-C" how="m-g" time="' ||
+      |    strftime(datetime, '%Y-%m-%dT%H:%M:%SZ') ||
+      |  '" start="' || strftime(datetime, '%Y-%m-%dT%H:%M:%SZ') ||
+      |  '" stale="' || strftime(datetime + INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%SZ') ||
+      |  '"><point lat="' || printf('%.4f', CAST(latitude AS DOUBLE)) ||
+      |  '" lon="' || printf('%.4f', CAST(longitude AS DOUBLE)) ||
+      |  '" hae="9999999.0" ce="9999999.0" le="9999999.0"/>' ||
+      |  '<detail><contact callsign="' ||
+      |    replace(replace(replace(
+      |      CASE WHEN name_raw IS NOT NULL AND name_raw <> '' THEN name_raw
+      |           ELSE coalesce(license_state_raw, 'US') || '-' ||
+      |                (CASE WHEN license_plate_raw IS NULL OR license_plate_raw = ''
+      |                      THEN 'Unknown' ELSE license_plate_raw END) END,
+      |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+      |  '"/><track speed="' || printf('%.4f', CAST(speed * 0.277778 AS DOUBLE)) ||
+      |  '" course="' || printf('%.4f', CAST(bearing AS DOUBLE)) ||
+      |  '"/><remarks>vin=' ||
+      |    replace(replace(replace(vin, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+      |  '</remarks></detail></event>' AS cot_xml
       |FROM joined
       |WHERE (CASE WHEN name_raw IS NULL OR name_raw = ''
       |            THEN 'No Name' ELSE name_raw END) LIKE 'C%'

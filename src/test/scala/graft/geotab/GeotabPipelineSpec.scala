@@ -126,6 +126,24 @@ class GeotabPipelineSpec extends SparkSpec {
     assert(buckets === 4)
   }
 
+  test("cot xml: golden event output with escaping and fixed number renders") {
+    val withXmlName = devices
+      .withColumn("name", when($"id" === "d1", lit("A&B <Truck> One")).otherwise($"name"))
+    val flat = GeotabPipeline.featuresFlat(withXmlName, infoDf, drivers,
+      GeotabPipeline.Config(prefix = "A&B", now = lit(now)))
+    val xml = GeotabPipeline.cotXml(flat)
+      .filter($"id" === "geotab-d1").select("cot_xml").as[String].head()
+    assert(xml ===
+      "<event version=\"2.0\" uid=\"geotab-d1\" type=\"a-f-G-E-V-C\" how=\"m-g\"" +
+        " time=\"2026-01-01T11:30:00Z\" start=\"2026-01-01T11:30:00Z\"" +
+        " stale=\"2026-01-01T12:30:00Z\">" +
+        "<point lat=\"39.7000\" lon=\"-104.9000\"" +
+        " hae=\"9999999.0\" ce=\"9999999.0\" le=\"9999999.0\"/>" +
+        "<detail><contact callsign=\"A&amp;B &lt;Truck&gt; One\"/>" +
+        "<track speed=\"27.7778\" course=\"90.0000\"/>" +
+        "<remarks>vin=V1</remarks></detail></event>", xml)
+  }
+
   test("union-typed driver normalization discriminates string vs object (task.ts:25-31)") {
     val df = Seq(
       ("""{"id":"drv9","isDriver":true}"""),
