@@ -124,9 +124,22 @@ object Multimodal {
     sampleFrames(mediaTable(s, d)).toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** m04: cross-corpus frame dedup — collapse frames sharing a perceptual
+    * hash to one keeper (min doc_id). Identical source payloads produce
+    * identical frame hashes, so duplicate media yields real clusters; at
+    * scale this is the frame-level dedup pass a video training pipeline
+    * runs before feature extraction (hash-partitioned groupBy — the frame
+    * fan-out never collects anywhere). */
+  private def m04(s: SparkSession, d: String): DataFrame =
+    sampleFrames(mediaTable(s, d)).toDF()
+      .groupBy(col("frame_phash"))
+      .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("frame_phash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01 _, "m02_media_decode" -> m02 _,
-    "m03_frame_sample" -> m03 _)
+    "m03_frame_sample" -> m03 _, "m04_frame_dedup" -> m04 _)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" ->
@@ -149,5 +162,16 @@ object Multimodal {
         |frames AS (SELECT doc_id, text, unnest(range(n_frames)) AS fi FROM f)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
         |  ('0x' || substr(md5(text || '#f' || fi), 2, 15))::BIGINT AS frame_phash
-        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin,
+    "m04_frame_dedup" ->
+      """WITH h AS (SELECT doc_id, text, md5(text) AS hex FROM documents),
+        |f AS (SELECT doc_id, text,
+        |        1 + ('0x' || substr(hex, 17, 4))::BIGINT % 8 AS n_frames FROM h),
+        |frames AS (SELECT doc_id, text, unnest(range(n_frames)) AS fi FROM f),
+        |ph AS (SELECT doc_id,
+        |        ('0x' || substr(md5(text || '#f' || fi), 2, 15))::BIGINT AS frame_phash
+        |       FROM frames)
+        |SELECT frame_phash, min(doc_id) AS keeper_doc, count(1) AS n_copies
+        |FROM ph GROUP BY frame_phash HAVING count(1) > 1
+        |ORDER BY frame_phash""".stripMargin)
 }

@@ -520,6 +520,21 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Deterministic stratified sample: ~10% of documents per language via an
+    * md5 bucket over a salted doc_id ("s" prefix so the sample is
+    * independent of q51's split buckets). Hash-based sampling is THE
+    * reproducible-sampling primitive at scale: no RNG state, no row-order
+    * dependence, stable under re-runs and repartitioning, and joinable —
+    * re-running selects the same rows on any cluster layout. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("s"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+      .cast("long") % 100
+    t(s, d, "documents")
+      .filter(bucket < 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Array/higher-order function family over tokenized text. */
   private def q38(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ", -1)
@@ -646,7 +661,7 @@ object Relational {
     "q48_collect_set" -> q48 _, "q49_string_agg" -> q49 _,
     "q50_regression" -> q50 _, "q51_split_assign" -> q51 _,
     "q52_resample" -> q52 _, "q53_range_frame" -> q53 _,
-    "q54_skew_salted_join" -> q54 _,
+    "q54_skew_salted_join" -> q54 _, "q55_stratified_sample" -> q55 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -782,6 +797,10 @@ object Relational {
         |SELECT e.event_id, e.user_id, e.event_type, dim.user_events
         |FROM events e JOIN dim USING (user_id)
         |ORDER BY e.event_id""".stripMargin,
+    "q55_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
     "q53_range_frame" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events)

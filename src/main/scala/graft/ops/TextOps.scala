@@ -152,12 +152,60 @@ object TextOps {
       .orderBy(col("tf").desc, col("token").asc)
   }
 
+  /** PII patterns shared by t10 and its oracle — kept to constructs with
+    * identical semantics in Java regex and RE2 (no lookaround, no
+    * backreferences): emails, dashed/dotted phone numbers, long digit runs
+    * (bare account-number-ish ids). Applied in a fixed order so nested
+    * matches (a phone inside a longer digit run) resolve identically. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+  private val IdRe = "[0-9]{9,}"
+
+  /** PII scrubbing body over any (doc_id, text) frame — public so the spec
+    * can feed synthetic PII (the fixture corpus may contain none). Counts
+    * use the same patterns as the rewrite, so the numbers always agree
+    * with the redacted text. Per-row regex work only: codegen'd, zero
+    * shuffle, scales linearly. */
+  def redactPii(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IdRe, "<ID>")
+        .as("redacted"))
+
+  /** t10: the redaction pass a training corpus runs before anything
+    * ships. */
+  private def t10(s: SparkSession, d: String): DataFrame =
+    redactPii(docs(s, d)).orderBy("doc_id")
+
+  /** t11: corpus bigram counts — the n-gram statistics pass (LM data
+    * analysis / contamination screens build on these). Adjacent-token
+    * pairs form per row with zip_with over two slices (no self-join),
+    * then one hash aggregation; top-100 with a total order. */
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    docs(s, d)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .filter(!col("bigram").startsWith(" ") && !col("bigram").endsWith(" "))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_tfidf" -> t06 _, "t07_text_quality" -> t07 _,
     "t08_pack_sequences" -> t08 _, "t09_heavy_hitters" -> t09 _,
     "t01_token_stats" -> t01 _, "t02_lang_profile" -> t02 _,
     "t03_repetition" -> t03 _, "t04_text_profile" -> t04 _,
-    "t05_token_frequency" -> t05 _)
+    "t05_token_frequency" -> t05 _, "t10_pii_redact" -> t10 _,
+    "t11_bigram_counts" -> t11 _)
 
   val oracle: Map[String, String] = Map(
     "t06_tfidf" ->
@@ -267,5 +315,21 @@ object TextOps {
       """SELECT token, count(1) AS tf FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) x
         |WHERE length(token) > 0
-        |GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin)
+        |GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
+    "t10_pii_redact" ->
+      raw"""SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{9,}', '<ID>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t11_bigram_counts" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+        |         i -> t[i] || ' ' || t[i + 1])) AS bigram FROM toks)
+        |SELECT bigram, count(1) AS n FROM bg
+        |WHERE NOT starts_with(bigram, ' ') AND NOT ends_with(bigram, ' ')
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin)
 }

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the text-pipeline operators whose fixture-corpus gate
+  * rows can't exercise the interesting inputs (the synthetic documents
+  * contain no PII). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii redaction rewrites emails, phones, and long digit runs") {
+    val rows = Seq(
+      (1L, "contact jane.doe+x@example.co.uk or 555-867-5309 today"),
+      (2L, "account 1234567890123 cleared; short 12345 stays"),
+      (3L, "two mails a@b.io c@d.org and a phone 303.555.1234"),
+      (4L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redactPii(rows).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) === ((1L, 1L, 1L, "contact <EMAIL> or <PHONE> today")))
+    assert(got(1) === ((2L, 0L, 0L, "account <ID> cleared; short 12345 stays")))
+    assert(got(2) === ((3L, 2L, 1L, "two mails <EMAIL> <EMAIL> and a phone <PHONE>")))
+    assert(got(3) === ((4L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("bigram pairing matches adjacent tokens and skips empty-token pairs") {
+    // replicate t11's pairing over a controlled doc via the gate query at a
+    // tiny scale is impossible (it reads the fixture corpus), so check the
+    // pairing expression shape directly
+    val toks = split(col("text"), " ", -1)
+    val bigrams = Seq((1L, "a b  c")).toDF("doc_id", "text")
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .filter(!col("bigram").startsWith(" ") && !col("bigram").endsWith(" "))
+      .as[String].collect().toSeq
+    // "a b  c" tokenizes to [a, b, "", c]: pairs (a b), (b ""), ("" c) —
+    // the empty-token pairs are dropped
+    assert(bigrams === Seq("a b"))
+  }
+}
