@@ -124,18 +124,22 @@ object Multimodal {
     sampleFrames(mediaTable(s, d)).toDF()
       .orderBy("doc_id", "frame_idx")
 
-  /** m04: cross-corpus frame dedup — collapse frames sharing a perceptual
-    * hash to one keeper (min doc_id). Identical source payloads produce
-    * identical frame hashes, so duplicate media yields real clusters; at
-    * scale this is the frame-level dedup pass a video training pipeline
-    * runs before feature extraction (hash-partitioned groupBy — the frame
-    * fan-out never collects anywhere). */
-  private def m04(s: SparkSession, d: String): DataFrame =
-    sampleFrames(mediaTable(s, d)).toDF()
+  /** m04: cross-corpus frame dedup — the re-ingest scenario a media
+    * pipeline actually hits: a shard of already-seen payloads arrives
+    * again under new ids (every 10th doc, offset ids here), and frames
+    * sharing a perceptual hash collapse to one keeper (min doc_id).
+    * Hash-partitioned groupBy over the frame fan-out — nothing collects
+    * anywhere, so the pass scales with the frame count. */
+  private def m04(s: SparkSession, d: String): DataFrame = {
+    val base = mediaTable(s, d)
+    val reingested = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    sampleFrames(base.union(reingested)).toDF()
       .groupBy(col("frame_phash"))
       .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .orderBy("frame_phash")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01 _, "m02_media_decode" -> m02 _,
@@ -164,7 +168,11 @@ object Multimodal {
         |  ('0x' || substr(md5(text || '#f' || fi), 2, 15))::BIGINT AS frame_phash
         |FROM frames ORDER BY doc_id, frame_idx""".stripMargin,
     "m04_frame_dedup" ->
-      """WITH h AS (SELECT doc_id, text, md5(text) AS hex FROM documents),
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |h AS (SELECT doc_id, text, md5(text) AS hex FROM corpus),
         |f AS (SELECT doc_id, text,
         |        1 + ('0x' || substr(hex, 17, 4))::BIGINT % 8 AS n_frames FROM h),
         |frames AS (SELECT doc_id, text, unnest(range(n_frames)) AS fi FROM f),

@@ -39,6 +39,22 @@ object ExportOps {
     outDir
   }
 
+  /** Streaming variant of the export: an unbounded document stream lands
+    * in the same split/lang-partitioned layout, exactly-once per file via
+    * the checkpoint — continuous training-data ingestion writing the
+    * directory structure batch readers prune on. The split expression is
+    * per-row and deterministic, so a replayed micro-batch assigns
+    * identically. */
+  def streamingTrainingExport(docs: DataFrame, outDir: String,
+                              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    withSplit(docs).writeStream
+      .partitionBy("split", "lang")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** e01: export + read-back partition summary. Gates the full
     * write→read cycle (assignment, partition layout, partition-column
     * recovery) against a DuckDB twin computing the same assignment

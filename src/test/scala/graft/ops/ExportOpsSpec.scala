@@ -39,6 +39,31 @@ class ExportOpsSpec extends SparkSpec {
     assert(!pushed.contains("split"), s"split leaked into data filters: $pushed")
   }
 
+  test("streaming export lands the same partitioned layout") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val streamOut = java.nio.file.Files.createTempDirectory("graft_export_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_export_ckpt").toString
+    val q = ExportOps.streamingTrainingExport(
+      in.toDS().toDF("doc_id", "lang", "n_chars"), streamOut, ckpt)
+    try {
+      in.addData((0 until 200).map(i => (i.toLong, if (i % 2 == 0) "en" else "de", 10L)): _*)
+      q.processAllAvailable()
+      val back = spark.read.parquet(streamOut)
+      assert(back.count() === 200)
+      val splits = back.select("split").distinct().as[String].collect().toSet
+      assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+      // identical rows replayed into a second batch do not change assignment
+      val assignment = back.select("doc_id", "split").as[(Long, String)].collect().toMap
+      val expected = ExportOps.withSplit(
+        (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "en" else "de", 10L))
+          .toDF("doc_id", "lang", "n_chars"))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(assignment === expected)
+    } finally q.stop()
+  }
+
   test("read-back assignment matches the q51 split exactly") {
     val exported = spark.read.parquet(out)
       .select(col("doc_id"), col("split"))
