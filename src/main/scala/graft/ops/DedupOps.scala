@@ -295,6 +295,55 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation (the Pregel-style pattern): every node adopts
+    * the minimum label among itself and its neighbors until fixpoint.
+    * This is the transitive-closure step pairwise dedup (d08/d12's
+    * drop-the-doc_b rule) cannot express: with pairs (a,c) and (b,c) the
+    * pairwise rule keeps BOTH a and b even though they are connected
+    * through c — components collapse the whole chain to one keeper.
+    * Each round is one join + one aggregation, O(component diameter)
+    * rounds, labels hash-partitioned by node — no driver-side graph
+    * state; lineage truncates per round with localCheckpoint so the plan
+    * stays bounded at any number of rounds. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 30) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(labels("node").as("node"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label")))
+            .as("next_label"),
+          labels("label").as("prev_label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("next_label") < col("prev_label")).count()
+      labels = next.select(col("node"), col("next_label").as("label"))
+      round += 1
+    }
+    labels
+  }
+
+  /** d14: near-dup clusters as connected components of the verified
+    * md5-MinHash pairs — doc_id → component id (the component's min
+    * doc_id). Oracle: DuckDB recursive transitive closure over the same
+    * pairs. */
+  private def d14(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      md5VerifiedPairs(s, d).filter(col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b"))
+      .select(col("node").as("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
+
   /** Benchmark decontamination: flag training documents that share any
     * 3-token shingle with a held-out eval set (every 50th doc). The
     * standard n-gram-overlap contamination check, in its distributed
@@ -319,7 +368,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
-    "d13_contamination" -> d13 _,
+    "d13_contamination" -> d13 _, "d14_neardup_components" -> d14 _,
     "d01_exact_dedup" -> d01 _, "d02_key_dedup" -> d02 _,
     "d03_minhash_candidates" -> d03 _, "d04_simhash_signatures" -> d04 _,
     "d05_ngram_jaccard_verify" -> d05 _, "d06_simhash_pairs" -> d06 _,
@@ -385,6 +434,15 @@ object DedupOps {
       (BandedPairsCte +
         "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.7" +
         "\nORDER BY doc_a, doc_b"),
+    "d14_neardup_components" ->
+      (BandedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+        """pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.7),
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |          UNION SELECT doc_b, doc_a FROM pairs),
+          |reach AS (SELECT a, b FROM edges
+          |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+          |SELECT a AS doc_id, least(a, min(b)) AS component
+          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
     "d11_simhash_md5" ->
       (raw"""WITH base AS (
         |  SELECT doc_id,

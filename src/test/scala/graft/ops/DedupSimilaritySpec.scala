@@ -79,6 +79,19 @@ class DedupSimilaritySpec extends SparkSpec {
   private def SparkEntryQueries(name: String, d: String) =
     graft.SparkEntry.queries(name)(spark, d)
 
+  test("connected components merge transitive near-dup chains") {
+    // (1,3) and (2,3): the pairwise drop-doc_b rule keeps BOTH 1 and 2 —
+    // components must collapse all three through the shared neighbor
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L),
+      (5L, 6L), (6L, 7L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val comp = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L), comp.toString)
+  }
+
   test("int8 quantization: constant dimension codes to 0, never NaN") {
     // dim 1 is constant (mx == mn) — unguarded (x-mn)/(mx-mn) would be 0/0
     val vecs = Seq(
