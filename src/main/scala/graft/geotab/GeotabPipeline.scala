@@ -138,8 +138,8 @@ object GeotabPipeline {
     * expressions — codegen'd, zero shuffle. */
   def cotXml(flat: DataFrame, staleAfter: String = "INTERVAL 1 HOUR"): DataFrame = {
     def esc(c: Column): Column =
-      regexp_replace(regexp_replace(regexp_replace(
-        c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
     def f4(c: Column): Column = format_string("%.4f", c)
     val fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
     val t = date_format(col("start_ts"), fmt)

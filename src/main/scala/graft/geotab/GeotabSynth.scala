@@ -286,16 +286,17 @@ object GeotabSynth {
       |  '" lon="' || printf('%.4f', CAST(longitude AS DOUBLE)) ||
       |  '" hae="9999999.0" ce="9999999.0" le="9999999.0"/>' ||
       |  '<detail><contact callsign="' ||
-      |    replace(replace(replace(
+      |    replace(replace(replace(replace(
       |      CASE WHEN name_raw IS NOT NULL AND name_raw <> '' THEN name_raw
       |           ELSE coalesce(license_state_raw, 'US') || '-' ||
       |                (CASE WHEN license_plate_raw IS NULL OR license_plate_raw = ''
       |                      THEN 'Unknown' ELSE license_plate_raw END) END,
-      |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+      |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') ||
       |  '"/><track speed="' || printf('%.4f', CAST(speed * 0.277778 AS DOUBLE)) ||
       |  '" course="' || printf('%.4f', CAST(bearing AS DOUBLE)) ||
       |  '"/><remarks>vin=' ||
-      |    replace(replace(replace(vin, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+      |    replace(replace(replace(replace(vin,
+      |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') ||
       |  '</remarks></detail></event>' AS cot_xml
       |FROM joined
       |WHERE (CASE WHEN name_raw IS NULL OR name_raw = ''

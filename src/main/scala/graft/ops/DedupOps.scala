@@ -316,20 +316,34 @@ object DedupOps {
       .localCheckpoint(true)
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < 30) {
+    val maxRounds = 50
+    while (changed > 0 && round < maxRounds) {
       val neighborMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin, labels("node") === neighborMin("src"), "left")
         .select(labels("node").as("node"),
           least(labels("label"), coalesce(col("nlabel"), labels("label")))
-            .as("next_label"),
+            .as("label"),
           labels("label").as("prev_label"))
+      // pointer jump (path halving): also adopt the label of one's current
+      // label, so long chains converge in O(log diameter) rounds instead of
+      // O(diameter) — a 1M-node chain closes in ~20 rounds, not 1M
+      val byNode = propagated.select(col("node").as("j_node"), col("label").as("j_label"))
+      val next = propagated
+        .join(byNode, propagated("label") === byNode("j_node"), "left")
+        .select(propagated("node").as("node"),
+          least(propagated("label"), coalesce(col("j_label"), propagated("label")))
+            .as("next_label"),
+          col("prev_label"))
         .localCheckpoint(true)
       changed = next.filter(col("next_label") < col("prev_label")).count()
       labels = next.select(col("node"), col("next_label").as("label"))
       round += 1
     }
+    // an unconverged result is silently WRONG clustering — fail loudly
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxRounds rounds")
     labels
   }
 

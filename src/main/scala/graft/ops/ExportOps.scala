@@ -20,11 +20,8 @@ import graft.Tables
   */
 object ExportOps {
 
-  /** q51's deterministic bucket: md5(doc_id) first-7-hex mod 100 —
-    * engine-portable, stable under re-runs and repartitioning. */
-  private def bucket =
-    conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-      .cast("long") % 100
+  /** q51's deterministic bucket (shared definition — see [[Hashing]]). */
+  private def bucket = Hashing.md5Bucket100(col("doc_id"))
 
   def withSplit(docs: DataFrame): DataFrame =
     docs.withColumn("split",
@@ -60,8 +57,11 @@ object ExportOps {
     * recovery) against a DuckDB twin computing the same assignment
     * directly from the documents table. */
   private def e01(s: SparkSession, d: String): DataFrame = {
+    // per-process suffix: concurrent gate/bench JVMs at the same SF must
+    // not overwrite each other's export mid-read
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_export_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      "graft_export_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid()).getAbsolutePath
     trainingExport(s, d, out)
     s.read.parquet(out)
       .groupBy(col("split"), col("lang"))

@@ -457,8 +457,7 @@ object Relational {
     * repartitioning; no RNG, no row order dependence): 80 train / 10 val /
     * 10 test. */
   private def q51(s: SparkSession, d: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-      .cast("long") % 100
+    val bucket = Hashing.md5Bucket100(col("doc_id"))
     t(s, d, "documents")
       .select(col("doc_id"), bucket.as("bucket"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -527,8 +526,7 @@ object Relational {
     * dependence, stable under re-runs and repartitioning, and joinable —
     * re-running selects the same rows on any cluster layout. */
   private def q55(s: SparkSession, d: String): DataFrame = {
-    val bucket = conv(substring(md5(concat(lit("s"), col("doc_id").cast("string"))), 1, 7), 16, 10)
-      .cast("long") % 100
+    val bucket = Hashing.md5Bucket100(col("doc_id"), salt = "s")
     t(s, d, "documents")
       .filter(bucket < 10)
       .select(col("doc_id"), col("lang"), col("n_chars"))

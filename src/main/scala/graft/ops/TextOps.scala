@@ -162,19 +162,24 @@ object TextOps {
   private val IdRe = "[0-9]{9,}"
 
   /** PII scrubbing body over any (doc_id, text) frame — public so the spec
-    * can feed synthetic PII (the fixture corpus may contain none). Counts
-    * use the same patterns as the rewrite, so the numbers always agree
-    * with the redacted text. Per-row regex work only: codegen'd, zero
-    * shuffle, scales linearly. */
-  def redactPii(df: DataFrame): DataFrame =
+    * can feed synthetic PII (the fixture corpus may contain none). Each
+    * count runs against the text as the PREVIOUS stage left it (emails
+    * first, then phones), so the numbers always equal the number of
+    * <EMAIL>/<PHONE> markers in the redacted output even when patterns
+    * overlap (a phone-shaped string inside an email local part is consumed
+    * by the email rewrite and not double-counted). Per-row regex work
+    * only: codegen'd, zero shuffle, scales linearly. */
+  def redactPii(df: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     df.select(col("doc_id"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
         .cast("long").as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+      size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0)))
         .cast("long").as("n_phones"),
-      regexp_replace(regexp_replace(regexp_replace(col("text"),
-        EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IdRe, "<ID>")
+      regexp_replace(regexp_replace(afterEmail,
+        PhoneRe, "<PHONE>"), IdRe, "<ID>")
         .as("redacted"))
+  }
 
   /** t10: the redaction pass a training corpus runs before anything
     * ships. */
@@ -317,14 +322,19 @@ object TextOps {
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
     "t10_pii_redact" ->
-      raw"""SELECT doc_id,
+      raw"""WITH staged AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |      AS after_email
+        |  FROM documents)
+        |SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}')) AS n_phones,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  len(regexp_extract_all(after_email, '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(after_email,
         |    '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}', '<PHONE>', 'g'),
         |    '[0-9]{9,}', '<ID>', 'g') AS redacted
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM staged ORDER BY doc_id""".stripMargin,
     "t11_bigram_counts" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
         |bg AS (SELECT unnest(list_transform(range(1, len(t)),

@@ -86,9 +86,12 @@ class GeotabScanBuilder(fullSchema: StructType, props: Map[String, String])
   private var pushed: Array[Filter] = Array.empty
   private var prunedSchema: StructType = fullSchema
 
-  /** Translate Catalyst filters to the API's `search` payload. Only the
-    * predicates the API understands are consumed; everything else stays in
-    * Spark (returned as post-scan filters). */
+  /** Translate Catalyst filters to the API's `search` payload. isDriver is
+    * exact server-side (fully consumed); group predicates are pushed
+    * PARTIALLY — they shard the fetch, but the API's membership search may
+    * return supersets (multi-group membership, hierarchies), so they are
+    * also returned as residual filters for Spark to re-apply. That keeps
+    * the scan an optimization, never a semantics change. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition {
       case EqualTo("isDriver", true) if entity == "user" => true
@@ -97,7 +100,11 @@ class GeotabScanBuilder(fullSchema: StructType, props: Map[String, String])
       case _ => false
     }
     pushed = supported
-    rest
+    val residualGroups = supported.filter {
+      case EqualTo("group", _) | In("group", _) => true
+      case _ => false
+    }
+    rest ++ residualGroups
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -138,12 +145,15 @@ class GeotabScan(schema: StructType, entity: String,
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
-  /** A group-sharded scan is ALREADY clustered by `group` — each input
-    * partition holds exactly one group id (enforced by the owner-shard
-    * dedupe). Reporting KeyGroupedPartitioning lets a per-group
-    * aggregation or a join on `group` run with NO Exchange after the scan
-    * (with spark.sql.sources.v2.bucketing.enabled); each partition also
-    * exposes its key via HasPartitionKey. */
+  /** A group-sharded scan is ALREADY clustered by `group`: the owner-shard
+    * dedupe keeps each pushed-group row only in its own shard, and the few
+    * over-fetched rows whose group is outside the pushed set are removed
+    * by the residual group filter Spark re-applies (group predicates are
+    * partially pushed) before any operator relies on the clustering.
+    * Reporting KeyGroupedPartitioning lets a per-group aggregation or a
+    * join on `group` run with NO Exchange after the scan (with
+    * spark.sql.sources.v2.bucketing.enabled); each partition also exposes
+    * its key via HasPartitionKey. */
   override def outputPartitioning(): partitioning.Partitioning =
     if (!contradiction && groupShards.nonEmpty && schema.fieldNames.contains("group"))
       new partitioning.KeyGroupedPartitioning(
@@ -244,8 +254,10 @@ class GeotabPartitionReader(schema: StructType, partition: GeotabInputPartition,
   // this shard's group (that shard "owns" them); rows whose group is some
   // OTHER pushed shard's are dropped here because that shard is guaranteed
   // to fetch them itself. Rows whose group is outside the pushed set
-  // (hierarchical/subtree matches) are kept — the connector assumes pushed
-  // groups are not nested inside one another, documented on the scan.
+  // entirely (hierarchical / secondary-membership matches, null) are kept
+  // here but eliminated by the residual group filter Spark re-applies —
+  // the group predicates are only PARTIALLY pushed (see pushFilters), so
+  // the scan can over-fetch without ever widening query results.
   private val dedupe = partition.allShards.lengthCompare(1) > 0 &&
     partition.search.contains("groups")
   private val myGroup = partition.search.getOrElse("groups", "")
@@ -269,6 +281,7 @@ class GeotabPartitionReader(schema: StructType, partition: GeotabInputPartition,
 
   private def ownedByThisShard(row: InternalRow): Boolean = {
     if (!dedupe) return true
+    // null-group rows pass through; the residual filter drops them
     if (row.isNullAt(groupOrdinal)) return myGroup == partition.allShards.head
     val g = row.getUTF8String(groupOrdinal).toString
     g == myGroup || !shardSet.contains(g)

@@ -128,7 +128,8 @@ class GeotabPipelineSpec extends SparkSpec {
 
   test("cot xml: golden event output with escaping and fixed number renders") {
     val withXmlName = devices
-      .withColumn("name", when($"id" === "d1", lit("A&B <Truck> One")).otherwise($"name"))
+      .withColumn("name",
+        when($"id" === "d1", lit("A&B <Truck> \"One\"")).otherwise($"name"))
     val flat = GeotabPipeline.featuresFlat(withXmlName, infoDf, drivers,
       GeotabPipeline.Config(prefix = "A&B", now = lit(now)))
     val xml = GeotabPipeline.cotXml(flat)
@@ -139,7 +140,7 @@ class GeotabPipelineSpec extends SparkSpec {
         " stale=\"2026-01-01T12:30:00Z\">" +
         "<point lat=\"39.7000\" lon=\"-104.9000\"" +
         " hae=\"9999999.0\" ce=\"9999999.0\" le=\"9999999.0\"/>" +
-        "<detail><contact callsign=\"A&amp;B &lt;Truck&gt; One\"/>" +
+        "<detail><contact callsign=\"A&amp;B &lt;Truck&gt; &quot;One&quot;\"/>" +
         "<track speed=\"27.7778\" course=\"90.0000\"/>" +
         "<remarks>vin=V1</remarks></detail></event>", xml)
   }

@@ -92,6 +92,15 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L), comp.toString)
   }
 
+  test("connected components close a long chain (pointer jumping)") {
+    // a 61-node path needs 60 propagation-only rounds; with path halving it
+    // must converge well inside the round budget
+    val chain = (100L until 160L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = DedupOps.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size === 61 && comp.values.forall(_ == 100L), comp.toString)
+  }
+
   test("int8 quantization: constant dimension codes to 0, never NaN") {
     // dim 1 is constant (mx == mn) — unguarded (x-mn)/(mx-mn) would be 0/0
     val vecs = Seq(

@@ -14,7 +14,10 @@ class TextOpsSpec extends SparkSpec {
       (1L, "contact jane.doe+x@example.co.uk or 555-867-5309 today"),
       (2L, "account 1234567890123 cleared; short 12345 stays"),
       (3L, "two mails a@b.io c@d.org and a phone 303.555.1234"),
-      (4L, "nothing sensitive here")
+      (4L, "nothing sensitive here"),
+      // a phone-shaped string inside an email local part is consumed by the
+      // email rewrite — n_phones must agree with the redacted output (0)
+      (5L, "reach 555-867-5309@corp.example now")
     ).toDF("doc_id", "text")
     val got = TextOps.redactPii(rows).orderBy("doc_id")
       .as[(Long, Long, Long, String)].collect()
@@ -22,6 +25,7 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) === ((2L, 0L, 0L, "account <ID> cleared; short 12345 stays")))
     assert(got(2) === ((3L, 2L, 1L, "two mails <EMAIL> <EMAIL> and a phone <PHONE>")))
     assert(got(3) === ((4L, 0L, 0L, "nothing sensitive here")))
+    assert(got(4) === ((5L, 1L, 0L, "reach <EMAIL> now")))
   }
 
   test("bigram pairing matches adjacent tokens and skips empty-token pairs") {

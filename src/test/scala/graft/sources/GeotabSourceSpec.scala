@@ -130,6 +130,30 @@ class GeotabSourceSpec extends SparkSpec {
     assert(fetches.toSet === Set("g1", "g2"), fetches.toString)
   }
 
+  test("membership over-fetch cannot widen results: residual filter drops foreign groups") {
+    // d9's PRIMARY group is outside the pushed set; it matches both shard
+    // fetches through memberOf. The partially-pushed predicate means Spark
+    // re-applies group IN (...) above the scan, so d9 appears zero times —
+    // the scan over-fetch is an optimization detail, never a result change.
+    val c = new InMemoryGeotabClient(
+      users = Seq.empty,
+      devices = Seq(
+        Map("id" -> "d1", "name" -> "One", "group" -> "g1", "tracked" -> true),
+        Map("id" -> "d9", "name" -> "Foreign", "group" -> "g0",
+          "memberOf" -> "g1,g2", "tracked" -> true)),
+      initialDeviceInfo = Seq.empty)
+    GeotabClients.register("t2g", c)
+    GeotabSessionCache.clear()
+    val multi = read("t2g", "device").filter(col("group").isin("g1", "g2"))
+      .select("id").collect().map(_.getString(0))
+    assert(multi.toSeq === Seq("d1"),
+      s"foreign-primary-group rows must not survive (or duplicate): ${multi.toSeq}")
+    val single = read("t2g", "device").filter(col("group") === "g1")
+      .select("id").collect().map(_.getString(0))
+    assert(single.toSeq === Seq("d1"),
+      s"group='g1' must not return rows with group='g0': ${single.toSeq}")
+  }
+
   test("group-sharded scan reports its clustering: per-group agg plans no Exchange") {
     val c = freshClient()
     GeotabClients.register("t2f", c)
