@@ -145,11 +145,12 @@ class GeotabScan(schema: StructType, entity: String,
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
-  /** A group-sharded scan is ALREADY clustered by `group`: the owner-shard
-    * dedupe keeps each pushed-group row only in its own shard, and the few
-    * over-fetched rows whose group is outside the pushed set are removed
-    * by the residual group filter Spark re-applies (group predicates are
-    * partially pushed) before any operator relies on the clustering.
+  /** A group-sharded scan is clustered by `group` BY CONSTRUCTION: each
+    * reader enforces exact key ownership — it emits only non-null rows
+    * whose own `group` equals its shard key, dropping membership
+    * over-fetch (other-shard, out-of-set, and null-group rows) at the
+    * source. The clustering property therefore holds for ANY consumer of
+    * the scan, not just ones downstream of the residual group filter.
     * Reporting KeyGroupedPartitioning lets a per-group aggregation or a
     * join on `group` run with NO Exchange after the scan (with
     * spark.sql.sources.v2.bucketing.enabled); each partition also exposes
@@ -193,8 +194,7 @@ object GeotabScan {
     if (contradiction) Array.empty
     else if (groupShards.isEmpty) Array(GeotabInputPartition(entity, search))
     else groupShards.map(g =>
-      GeotabInputPartition(entity, search + ("groups" -> g),
-        allShards = groupShards): InputPartition).toArray
+      GeotabInputPartition(entity, search + ("groups" -> g)): InputPartition).toArray
 }
 
 case class GeotabOffset(version: Long) extends streaming.Offset {
@@ -224,8 +224,7 @@ class GeotabMicroBatchStream(schema: StructType, entity: String,
     new GeotabReaderFactory(schema, props)
 }
 
-case class GeotabInputPartition(entity: String, search: Map[String, String],
-                                allShards: Seq[String] = Nil)
+case class GeotabInputPartition(entity: String, search: Map[String, String])
   extends InputPartition with HasPartitionKey {
   /** The shard's group id — consulted by Spark only when the scan reports
     * KeyGroupedPartitioning (i.e. when group-sharded). */
@@ -248,27 +247,26 @@ class GeotabPartitionReader(schema: StructType, partition: GeotabInputPartition,
 
   private val clientName = props.getOrElse("client", "default")
 
-  // Cross-shard id dedupe (owner-shard rule): with one fetch per pushed
-  // group, a device belonging to several of the pushed groups is returned by
-  // several shards. Each shard keeps only rows whose own `group` value is
-  // this shard's group (that shard "owns" them); rows whose group is some
-  // OTHER pushed shard's are dropped here because that shard is guaranteed
-  // to fetch them itself. Rows whose group is outside the pushed set
-  // entirely (hierarchical / secondary-membership matches, null) are kept
-  // here but eliminated by the residual group filter Spark re-applies —
-  // the group predicates are only PARTIALLY pushed (see pushFilters), so
-  // the scan can over-fetch without ever widening query results.
-  private val dedupe = partition.allShards.lengthCompare(1) > 0 &&
-    partition.search.contains("groups")
+  // Strict key ownership (owner-shard rule): with one fetch per pushed
+  // group, the API's membership search can return rows the shard does not
+  // own — devices whose primary group is another pushed shard's (that shard
+  // fetches them itself), devices matched hierarchically whose primary
+  // group is outside the pushed set, and null-group rows. Each shard keeps
+  // ONLY non-null rows whose own `group` equals its shard key. This is
+  // exactly the clustering the scan advertises via KeyGroupedPartitioning,
+  // so the property holds for any consumer — it does not depend on the
+  // residual group filter Spark re-applies (group predicates are partially
+  // pushed; the residual is now redundant but harmless). Query results are
+  // unchanged: every row dropped here would fail that residual predicate.
+  private val sharded = partition.search.contains("groups")
   private val myGroup = partition.search.getOrElse("groups", "")
-  private val shardSet = partition.allShards.toSet
   // the parse schema must carry `group` even when the projection pruned it
   private val parseSchema =
-    if (dedupe && !schema.fieldNames.contains("group"))
+    if (sharded && !schema.fieldNames.contains("group"))
       schema.add("group", StringType)
     else schema
   private val groupOrdinal =
-    if (dedupe) parseSchema.fieldIndex("group") else -1
+    if (sharded) parseSchema.fieldIndex("group") else -1
   // project appended parse-only fields back off before emitting
   private val project: InternalRow => InternalRow =
     if (parseSchema eq schema) identity
@@ -280,11 +278,9 @@ class GeotabPartitionReader(schema: StructType, partition: GeotabInputPartition,
     }
 
   private def ownedByThisShard(row: InternalRow): Boolean = {
-    if (!dedupe) return true
-    // null-group rows pass through; the residual filter drops them
-    if (row.isNullAt(groupOrdinal)) return myGroup == partition.allShards.head
-    val g = row.getUTF8String(groupOrdinal).toString
-    g == myGroup || !shardSet.contains(g)
+    if (!sharded) return true
+    if (row.isNullAt(groupOrdinal)) return false
+    row.getUTF8String(groupOrdinal).toString == myGroup
   }
 
   private lazy val rows: Iterator[InternalRow] = {

@@ -178,6 +178,45 @@ class GeotabSourceSpec extends SparkSpec {
     }
   }
 
+  test("reader enforces exact key ownership: exchange-free agg stays correct under over-fetch") {
+    // Every over-fetch shape at once: d4 is returned by both shard fetches
+    // (secondary membership), d9's primary group is outside the pushed set,
+    // dn has no primary group at all. The scan reports
+    // KeyGroupedPartitioning, so the agg elides its shuffle — the counts
+    // are only correct if each reader emits exactly its own key's rows
+    // (strict ownership), independent of the residual filter.
+    val c = new InMemoryGeotabClient(
+      users = Seq.empty,
+      devices = Seq(
+        Map("id" -> "d1", "name" -> "One", "group" -> "g1", "tracked" -> true),
+        Map("id" -> "d3", "name" -> "Three", "group" -> "g2", "tracked" -> true),
+        Map("id" -> "d4", "name" -> "Both", "group" -> "g1",
+          "memberOf" -> "g2", "tracked" -> true),
+        Map("id" -> "d9", "name" -> "Foreign", "group" -> "g0",
+          "memberOf" -> "g1,g2", "tracked" -> true),
+        Map("id" -> "dn", "name" -> "NoGroup", "memberOf" -> "g1", "tracked" -> true)),
+      initialDeviceInfo = Seq.empty)
+    GeotabClients.register("t2h", c)
+    GeotabSessionCache.clear()
+    val bucketing = "spark.sql.sources.v2.bucketing.enabled"
+    val aqe = "spark.sql.adaptive.enabled"
+    val prevB = spark.conf.get(bucketing)
+    val prevA = spark.conf.get(aqe)
+    try {
+      spark.conf.set(bucketing, "true")
+      spark.conf.set(aqe, "false")
+      val agg = read("t2h", "device").filter(col("group").isin("g1", "g2"))
+        .groupBy(col("group")).count()
+      val plan = agg.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"agg must reuse the scan clustering:\n$plan")
+      val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("g1" -> 2L, "g2" -> 1L), got.toString)
+    } finally {
+      spark.conf.set(bucketing, prevB)
+      spark.conf.set(aqe, prevA)
+    }
+  }
+
   test("column pruning reaches the scan description") {
     val c = freshClient()
     GeotabClients.register("t3", c)
