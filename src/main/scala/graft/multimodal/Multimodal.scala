@@ -132,8 +132,13 @@ object Multimodal {
     * anywhere, so the pass scales with the frame count. */
   private def m04(s: SparkSession, d: String): DataFrame = {
     val base = mediaTable(s, d)
+    // The re-ingested shard's synthetic ids live in a disjoint id space
+    // derived from the data: max(doc_id)+1 cannot collide at any SF
+    // (a fixed offset silently collides once the table outgrows it,
+    // flipping keeper semantics). One scalar from a column-pruned agg.
+    val offset = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val reingested = base.filter(col("doc_id") % 10 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("doc_id", col("doc_id") + lit(offset))
     sampleFrames(base.union(reingested)).toDF()
       .groupBy(col("frame_phash"))
       .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
@@ -168,10 +173,12 @@ object Multimodal {
         |  ('0x' || substr(md5(text || '#f' || fi), 2, 15))::BIGINT AS frame_phash
         |FROM frames ORDER BY doc_id, frame_idx""".stripMargin,
     "m04_frame_dedup" ->
-      """WITH corpus AS (
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text
+        |  FROM documents WHERE doc_id % 10 = 0),
         |h AS (SELECT doc_id, text, md5(text) AS hex FROM corpus),
         |f AS (SELECT doc_id, text,
         |        1 + ('0x' || substr(hex, 17, 4))::BIGINT % 8 AS n_frames FROM h),

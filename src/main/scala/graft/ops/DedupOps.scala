@@ -26,23 +26,37 @@ object DedupOps {
   /** Registry of this object's live .cache() handles. The caches are
     * per-query-build shared subtrees (both sides of a self-join consume
     * them), so they cannot unpersist inside the builder — but a long-lived
-    * session accumulates one entry per query invocation otherwise. Runners
-    * call [[unpersistCaches]] after their actions complete. */
-  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    * session accumulates entries per query invocation otherwise. Runners
+    * call [[unpersistCaches]] after their actions complete; as a backstop
+    * for callers that never do (interactive sessions, test suites), the
+    * registry is capped — on overflow the least-recently-registered cache
+    * is unpersisted, so memory use is bounded regardless of caller
+    * discipline (an evicted cache silently recomputes if re-used; never
+    * wrong, at worst slower). Keyed by the CANONICALIZED plan: Spark's
+    * CacheManager dedupes same-plan cache() calls to one storage entry,
+    * so re-registering the same subtree must refresh its slot, not count
+    * toward the cap — otherwise a run over many queries sharing one cache
+    * would evict that cache while still hot. */
+  private val liveCaches = new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true)
+  private val maxLiveCaches = 32
 
-  private def cached(df: DataFrame): DataFrame = {
+  private def cached(df: DataFrame): DataFrame = synchronized {
     val c = df.cache()
-    liveCaches.add(c)
+    val key = c.queryExecution.analyzed.canonicalized.toString()
+    liveCaches.put(key, c)
+    while (liveCaches.size() > maxLiveCaches) {
+      val it = liveCaches.entrySet().iterator()
+      val oldest = it.next()
+      it.remove()
+      oldest.getValue.unpersist(blocking = false)
+    }
     c
   }
 
   /** Releases every cache this object has registered (non-blocking). */
-  def unpersistCaches(): Unit = {
-    var df = liveCaches.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = liveCaches.poll()
-    }
+  def unpersistCaches(): Unit = synchronized {
+    liveCaches.values().forEach(_.unpersist(false))
+    liveCaches.clear()
   }
 
   /** Exact dedup: canonical keeper (min doc_id) per identical text. */
@@ -304,16 +318,25 @@ object DedupOps {
     * through c — components collapse the whole chain to one keeper.
     * Each round is one join + one aggregation, O(component diameter)
     * rounds, labels hash-partitioned by node — no driver-side graph
-    * state; lineage truncates per round with localCheckpoint so the plan
-    * stays bounded at any number of rounds. */
+    * state; lineage truncates per round so the plan stays bounded at any
+    * number of rounds. Truncation uses RELIABLE checkpointing when the
+    * session has a checkpoint dir and runs on a real cluster (a
+    * localCheckpoint block lives in non-replicated executor storage, so an
+    * executor loss mid-iteration would fail the whole query
+    * unrecoverably); in local mode, or with no checkpoint dir configured,
+    * it falls back to localCheckpoint — fine there, since executor ==
+    * driver process. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    def truncate(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (!sc.isLocal && sc.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    }
+    val edges = truncate(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = truncate(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     var round = 0
     val maxRounds = 50
@@ -330,13 +353,12 @@ object DedupOps {
       // label, so long chains converge in O(log diameter) rounds instead of
       // O(diameter) — a 1M-node chain closes in ~20 rounds, not 1M
       val byNode = propagated.select(col("node").as("j_node"), col("label").as("j_label"))
-      val next = propagated
+      val next = truncate(propagated
         .join(byNode, propagated("label") === byNode("j_node"), "left")
         .select(propagated("node").as("node"),
           least(propagated("label"), coalesce(col("j_label"), propagated("label")))
             .as("next_label"),
-          col("prev_label"))
-        .localCheckpoint(true)
+          col("prev_label")))
       changed = next.filter(col("next_label") < col("prev_label")).count()
       labels = next.select(col("node"), col("next_label").as("label"))
       round += 1

@@ -52,6 +52,13 @@ object ExportOps {
       .outputMode("append")
       .start()
 
+  /** Recursive delete for export scratch dirs. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** e01: export + read-back partition summary. Gates the full
     * write→read cycle (assignment, partition layout, partition-column
     * recovery) against a DuckDB twin computing the same assignment
@@ -61,12 +68,26 @@ object ExportOps {
     // not overwrite each other's export mid-read
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_export_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid()).getAbsolutePath
-    trainingExport(s, d, out)
-    s.read.parquet(out)
-      .groupBy(col("split"), col("lang"))
+        "_" + ProcessHandle.current().pid())
+    trainingExport(s, d, out.getAbsolutePath)
+    // Partition-column values come back through directory-name inference:
+    // cast both to string so a numeric-looking lang can never be inferred
+    // as int and diverge from the oracle's VARCHAR. (A null/empty lang
+    // would round-trip as __HIVE_DEFAULT_PARTITION__ → null; the documents
+    // fixture guarantees non-empty lang codes.)
+    val summary = s.read.parquet(out.getAbsolutePath)
+      .groupBy(col("split").cast("string").as("split"),
+        col("lang").cast("string").as("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("split", "lang")
+    // materialize the (tiny: splits × langs) summary, then delete the
+    // scratch export so repeated gate/bench runs don't accumulate parquet
+    // under java.io.tmpdir without bound
+    import scala.jdk.CollectionConverters._
+    val rows = summary.collect().toList.asJava
+    val local = s.createDataFrame(rows, summary.schema)
+    deleteRecursively(out)
+    local.orderBy("split", "lang")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

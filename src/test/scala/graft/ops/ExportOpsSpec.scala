@@ -6,14 +6,23 @@ import org.apache.spark.sql.functions._
 
 /** The partitioned training-data export: directory layout, partition
   * pruning on read-back, and agreement with the q51 split assignment. */
-class ExportOpsSpec extends SparkSpec {
+class ExportOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private val d = "/root/testdata/sf0.001"
 
-  private lazy val out: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_export_spec")
-    ExportOps.trainingExport(spark, d, dir.toString)
+  private val scratch = scala.collection.mutable.ListBuffer[String]()
+  private def tmp(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    scratch += p
+    p
   }
+
+  override def afterAll(): Unit =
+    try scratch.foreach(p => ExportOps.deleteRecursively(new java.io.File(p)))
+    finally super.afterAll()
+
+  private lazy val out: String =
+    ExportOps.trainingExport(spark, d, tmp("graft_export_spec"))
 
   test("export writes one directory per (split, lang) pair") {
     val splits = new java.io.File(out).listFiles()
@@ -43,8 +52,8 @@ class ExportOpsSpec extends SparkSpec {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
-    val streamOut = java.nio.file.Files.createTempDirectory("graft_export_stream").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_export_ckpt").toString
+    val streamOut = tmp("graft_export_stream")
+    val ckpt = tmp("graft_export_ckpt")
     val q = ExportOps.streamingTrainingExport(
       in.toDS().toDF("doc_id", "lang", "n_chars"), streamOut, ckpt)
     try {
