@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object GeoFunctions {
 
   /** Mean Earth radius (IUGG R1), km. */
-  private val EarthRadiusKm = 6371.0088
+  private[functions] val EarthRadiusKm = 6371.0088
 
   /** Great-circle distance in km between (lat1, lon1) and (lat2, lon2),
     * all in degrees, via the haversine formula:

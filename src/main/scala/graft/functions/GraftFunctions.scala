@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions._
 
 /** SQL registration for the engine's native expressions, so
   * `spark.sql("SELECT graft_cosine_sim(a, b) ...")` works like any builtin.
@@ -26,8 +26,27 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_minhash64"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash64"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 64))
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 64)),
+    (FunctionIdentifier("graft_haversine_km"),
+      new ExpressionInfo(GeoFunctions.getClass.getName, "graft_haversine_km"),
+      (exprs: Seq[Expression]) =>
+        haversineKmExpr(exprs(0), exprs(1), exprs(2), exprs(3)))
   )
+
+  /** Catalyst-tree form of [[GeoFunctions.haversineKm]] for the SQL
+    * registry — identical term order and constants, so the SQL surface and
+    * the Column surface produce bit-identical plans and results. Pure
+    * built-in arithmetic: fully codegen'd, no custom Expression. */
+  def haversineKmExpr(lat1: Expression, lon1: Expression,
+                      lat2: Expression, lon2: Expression): Expression = {
+    val two = Literal(2.0)
+    val sLat = Sin(Divide(ToRadians(Subtract(lat2, lat1)), two))
+    val sLon = Sin(Divide(ToRadians(Subtract(lon2, lon1)), two))
+    val a = Add(Multiply(sLat, sLat),
+      Multiply(Multiply(Multiply(Cos(ToRadians(lat1)), Cos(ToRadians(lat2))),
+        sLon), sLon))
+    Multiply(Literal(2 * GeoFunctions.EarthRadiusKm), Asin(Sqrt(a)))
+  }
 
   def registerAll(spark: SparkSession): Unit =
     descriptions.foreach { case (id, info, builder) =>
