@@ -204,13 +204,70 @@ object TextOps {
       .limit(100)
   }
 
+  /** t12: unigram language-model scoring — the perplexity-style quality
+    * signal training pipelines filter on: the corpus's own unigram
+    * distribution scores each document by its mean token log-probability
+    * (low = unusual/junk text). Two shuffles, both key-partitioned and
+    * necessary: the vocabulary aggregation (map-side combined) and the
+    * token↔model equi-join — the model is vocabulary-sized, so it is
+    * JOINED on token, never collected or broadcast; only the 1-row token
+    * total broadcasts. round(,4) absorbs ln() last-ulp and
+    * summation-order differences vs the oracle. */
+  private def t12(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"),
+      explode(filter(split(col("text"), " ", -1),
+        t => length(t) > 0)).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    toks
+      .join(counts, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("n_total"))), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** t13: winnowing fingerprints (Schleimer et al., SIGMOD'03) — the
+    * copy-detection fingerprinting guarantee-bearing alternative to plain
+    * shingle sampling: hash every k-gram (k=8 chars), slide a w=4 window
+    * over the hash sequence, keep each window's minimum; any shared
+    * substring of length ≥ k+w-1 between two documents is guaranteed to
+    * share a fingerprint. Per-doc work only: one generate + one window
+    * function partitioned by doc_id (the sole shuffle), fingerprint count
+    * ~2n/(w+1). Portable hash (md5 hex → BIGINT) keeps it
+    * oracle-checkable; output bounded to doc_id < 20 like t06. */
+  /** Winnowing body over any (doc_id, text) frame — public so the spec
+    * can verify the guarantee on synthetic shared substrings. */
+  def winnowFingerprints(df: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    df.filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        (length(col("text")) - (k - 1)).as("ng"),
+        transform(sequence(lit(1), length(col("text")) - (k - 1)),
+          p => conv(substring(md5(col("text").substr(p, lit(k))), 1, 15), 16, 10)
+            .cast("long")).as("hs"))
+      .select(col("doc_id"), col("ng"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= col("ng") - w) // 0-based starts: 0 .. ng-w
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  private def t13(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(docs(s, d).filter(col("doc_id") < 20))
+      .orderBy("doc_id", "fp")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_tfidf" -> t06 _, "t07_text_quality" -> t07 _,
     "t08_pack_sequences" -> t08 _, "t09_heavy_hitters" -> t09 _,
     "t01_token_stats" -> t01 _, "t02_lang_profile" -> t02 _,
     "t03_repetition" -> t03 _, "t04_text_profile" -> t04 _,
     "t05_token_frequency" -> t05 _, "t10_pii_redact" -> t10 _,
-    "t11_bigram_counts" -> t11 _)
+    "t11_bigram_counts" -> t11 _, "t12_unigram_logprob" -> t12 _,
+    "t13_winnow_fingerprints" -> t13 _)
 
   val oracle: Map[String, String] = Map(
     "t06_tfidf" ->
@@ -341,5 +398,28 @@ object TextOps {
         |         i -> t[i] || ' ' || t[i + 1])) AS bigram FROM toks)
         |SELECT bigram, count(1) AS n FROM bg
         |WHERE NOT starts_with(bigram, ' ') AND NOT ends_with(bigram, ' ')
-        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin)
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin,
+    "t12_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |counts AS (SELECT token, count(1) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counts)
+        |SELECT doc_id, count(1) AS n_tokens,
+        |  round(avg(ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS avg_logprob
+        |FROM toks JOIN counts USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t13_winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id, text, length(text) - 7 AS ng FROM documents
+        |           WHERE doc_id < 20 AND length(text) >= 11),
+        |g AS (SELECT doc_id, ng, p,
+        |        ('0x' || substr(md5(substr(text, CAST(p AS INT), 8)), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, ng, text, unnest(range(1, ng + 1)) AS p FROM d)),
+        |w AS (SELECT doc_id, p, ng,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM g)
+        |SELECT DISTINCT doc_id, fp FROM w WHERE p <= ng - 3
+        |ORDER BY doc_id, fp""".stripMargin)
 }

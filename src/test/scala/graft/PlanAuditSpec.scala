@@ -94,6 +94,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t11: bigram top-100 is TakeOrderedAndProject over partial aggregation") {
+    val p = plan("t11_bigram_counts")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"),
+      s"bigram pass must scan only text: $readSchema")
+  }
+
+  test("t12: model join stays an equi-join; only the 1-row total broadcasts") {
+    val p = plan("t12_unigram_logprob")
+    assert(!p.contains("CartesianProduct"), p)
+    // the token↔counts join must be a real join (hash or sort-merge), and
+    // the only nested-loop is the broadcast of the single-row total
+    // (FormattedMode prints each node twice: tree line + "(n) Node" detail)
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("g01: flagship joins are hash joins with no shuffle on the dim side") {
     val p = plan("g01_geotab_flagship")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||

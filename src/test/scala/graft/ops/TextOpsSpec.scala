@@ -44,4 +44,44 @@ class TextOpsSpec extends SparkSpec {
     // the empty-token pairs are dropped
     assert(bigrams === Seq("a b"))
   }
+
+  test("winnowing guarantee: docs sharing a substring of length >= k+w-1 share a fingerprint") {
+    // k=8, w=4 → any common substring of length 11+ must yield a common
+    // fingerprint (Schleimer et al. guarantee); two unrelated texts with
+    // no 8-char overlap must share none
+    val shared = "GUARANTEED-MATCH-REGION"
+    val rows = Seq(
+      (1L, s"left padding blah $shared and some tail text here"),
+      (2L, s"totally different opening $shared closing words differ"),
+      (3L, "no overlap with the others at all, distinct content xyz"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(rows)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "shared 11+ char substring must produce a shared fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty,
+      "unrelated docs must not collide")
+    // a doc shorter than one full window produces nothing (no partial windows)
+    val short = TextOps.winnowFingerprints(Seq((9L, "tiny")).toDF("doc_id", "text"))
+    assert(short.isEmpty)
+  }
+
+  test("unigram logprob: repeated tokens score higher than rare ones") {
+    // mirror of t12's scoring shape on a controlled corpus: a doc of
+    // common tokens must outscore a doc of singletons
+    val rows = Seq(
+      (1L, "the the the the"), (2L, "qzx wvu ponm"), (3L, "the the qzx the"))
+      .toDF("doc_id", "text")
+    val toks = rows.select(col("doc_id"),
+      explode(filter(split(col("text"), " ", -1), t => length(t) > 0)).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val scored = toks.join(counts, "token").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(avg(log(col("cnt").cast("double") / col("n_total"))).as("lp"))
+      .as[(Long, Double)].collect().toMap
+    // corpus: the×7, qzx×2, wvu×1, ponm×1 (11 tokens)
+    assert(math.abs(scored(1L) - math.log(7.0 / 11)) < 1e-12)
+    assert(scored(1L) > scored(3L) && scored(3L) > scored(2L))
+  }
 }
