@@ -239,17 +239,27 @@ object TextOps {
     * ~2n/(w+1). Portable hash (md5 hex → BIGINT) keeps it
     * oracle-checkable; output bounded to doc_id < 20 like t06. */
   /** Winnowing body over any (doc_id, text) frame — public so the spec
-    * can verify the guarantee on synthetic shared substrings. */
+    * can verify the guarantee on synthetic shared substrings.
+    *
+    * Shape note: positions explode FIRST (a cheap integer `sequence`
+    * generator), and the k-gram hash is computed per exploded row in a
+    * plain projection. Hashing inside a higher-order `transform` lambda
+    * before the explode is ~10× slower: lambda bodies evaluate on the
+    * interpreted path, and the optimizer's inferred generator constraints
+    * (`size(arr) > 0`, `isnotnull(arr)`) re-evaluate the whole hash array
+    * again in a non-codegen Filter — the same class of trap as computing a
+    * derived array inside a `transform` (see the minhash history). */
   def winnowFingerprints(df: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     df.filter(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"),
-        (length(col("text")) - (k - 1)).as("ng"),
-        transform(sequence(lit(1), length(col("text")) - (k - 1)),
-          p => conv(substring(md5(col("text").substr(p, lit(k))), 1, 15), 16, 10)
-            .cast("long")).as("hs"))
-      .select(col("doc_id"), col("ng"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - (k - 1)).as("ng"))
+      .select(col("doc_id"), col("ng"), col("text"),
+        explode(sequence(lit(1), col("ng"))).as("p")) // 1-based gram start
+      .select(col("doc_id"), col("ng"), (col("p") - 1).as("pos"),
+        conv(substring(md5(col("text").substr(col("p"), lit(k))), 1, 15), 16, 10)
+          .cast("long").as("h"))
       .withColumn("fp", min(col("h")).over(win))
       .filter(col("pos") <= col("ng") - w) // 0-based starts: 0 .. ng-w
       .select(col("doc_id"), col("fp"))
