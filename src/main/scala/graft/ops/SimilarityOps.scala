@@ -258,11 +258,25 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** v09: transitive embedding near-dup clusters — the same
+    * connected-components collapse d14 applies to text pairs, over the
+    * exact cosine pairs of v06 (embedding-space chains a > b > c where
+    * a~c is below threshold still merge into one cluster). Reuses
+    * [[DedupOps.connectedComponents]]: one join + one agg per round,
+    * labels hash-partitioned by node. Oracle: DuckDB recursive transitive
+    * closure over v06's own (oracled) pair definition. */
+  private def v09(s: SparkSession, d: String): DataFrame =
+    DedupOps.connectedComponents(
+      v06(s, d).select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("node").as("vec_id"), col("label").as("component"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
     "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,
-    "v07_knn_ivf_trained" -> v07 _, "v08_quantize_int8" -> v08 _)
+    "v07_knn_ivf_trained" -> v07 _, "v08_quantize_int8" -> v08 _,
+    "v09_embed_components" -> v09 _)
 
   /** v01's exact-cosine oracle via DuckDB list functions; v02/v03 depend on
     * the engine hash family (rows-only). v04's norm is a per-row sequential
@@ -309,5 +323,18 @@ object SimilarityOps {
       """SELECT label, count(1) AS n,
         | round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
         |   x -> x * x)))), 4) AS avg_norm
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "v09_embed_components" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 300 AND b.vec_id < 300
+        |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS vec_id, least(a, min(b)) AS component
+        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin)
 }
