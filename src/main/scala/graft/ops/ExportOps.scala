@@ -27,10 +27,25 @@ object ExportOps {
     docs.withColumn("split",
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
 
-  /** Writes the partitioned export; returns the output path. */
-  def trainingExport(s: SparkSession, d: String, outDir: String): String = {
-    withSplit(Tables(s, d, "documents"))
-      .write.mode(SaveMode.Overwrite)
+  /** Writes the partitioned export; returns the output path.
+    *
+    * `filesPerDir > 0` turns on small-files control — the 100 TB failure
+    * mode of `partitionBy` is every one of N write tasks emitting a file
+    * into every (split, lang) directory (N×dirs tiny files). Routing rows
+    * by (split, lang, hash(doc_id) % filesPerDir) BEFORE the write
+    * concentrates each directory's rows into at most `filesPerDir` tasks,
+    * bounding its file count while keeping `filesPerDir`-way write
+    * parallelism per directory. Off by default: at test SF the extra
+    * shuffle dominates, and the gate's e01 summary is layout-independent. */
+  def trainingExport(s: SparkSession, d: String, outDir: String,
+                     filesPerDir: Int = 0): String = {
+    val assigned = withSplit(Tables(s, d, "documents"))
+    val routed =
+      if (filesPerDir > 0)
+        assigned.repartition(col("split"), col("lang"),
+          pmod(xxhash64(col("doc_id")), lit(filesPerDir)))
+      else assigned
+    routed.write.mode(SaveMode.Overwrite)
       .partitionBy("split", "lang")
       .parquet(outDir)
     outDir

@@ -36,6 +36,24 @@ class ExportOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("filesPerDir bounds parquet file count in every partition directory") {
+    val bounded = ExportOps.trainingExport(spark, d, tmp("graft_export_bounded"),
+      filesPerDir = 2)
+    val dirs = for {
+      sp <- new java.io.File(bounded).listFiles().toSeq if sp.isDirectory
+      lg <- sp.listFiles().toSeq if lg.isDirectory
+    } yield lg
+    assert(dirs.nonEmpty)
+    dirs.foreach { dir =>
+      val files = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files >= 1 && files <= 2,
+        s"${dir.getPath}: $files files, expected 1..2")
+    }
+    // routing must not change the data
+    assert(spark.read.parquet(bounded).count() ===
+      spark.read.parquet(out).count())
+  }
+
   test("WHERE split='val' prunes the scan to the val partitions") {
     val valOnly = spark.read.parquet(out).filter(col("split") === "val")
     val p = valOnly.queryExecution.explainString(FormattedMode)
