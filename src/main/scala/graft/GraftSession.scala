@@ -15,6 +15,19 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** `InferFiltersFromGenerate` is excluded engine-wide: it wraps every
+    * `Generate` in inferred `size(child) > 0 AND isnotnull(child)`
+    * filters that RE-EVALUATE the generator's child expression — and this
+    * engine's generate children are derived arrays (tokenizations,
+    * shingle/gram hashes), so each row's array gets computed three times,
+    * two of them on the interpreted non-codegen Filter path. Measured
+    * 1.25-2x per tokenization query (d13 2x). The rule only pays off when
+    * the child is a bare source column whose null-filter can push to the
+    * scan, which no query here has; results are identical either way
+    * (Generate itself skips null/empty inputs). */
+  val ExcludedOptimizerRules: String =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
               shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
       : SparkSession.Builder =
@@ -25,6 +38,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ui.explainMode", "formatted")
+      .config("spark.sql.optimizer.excludedRules", ExcludedOptimizerRules)
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {
