@@ -188,4 +188,33 @@ class EventStreamsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("speed_ms") - 27.7778) < 1e-9)
     } finally q.stop()
   }
+
+  test("streaming CoT XML sink emits byte-identical events to the batch conversion") {
+    // cotXml is pure per-row expressions, so it composes directly onto the
+    // stream; this pins the S8 streaming submit path end-to-end (stream →
+    // CoT event XML → FeatureSink) against the batch conversion's bytes.
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp, Double, Double, String, Double, Double, String)]
+    val cols = Seq("id", "start_ts", "latitude", "longitude", "callsign",
+      "speed_ms", "course", "vin")
+    val flatStream = in.toDS().toDF(cols: _*)
+    val sink = new EventStreams.MemorySink
+    val dir = java.nio.file.Files.createTempDirectory("graft-cot-ckpt").toString
+    val q = EventStreams.start(
+      EventStreams.featureWriter(GeotabPipeline.cotXml(flatStream), sink), dir)
+    val data = Seq(
+      ("geotab-d1", ts("2026-01-01 11:30:00"), 39.7, -104.9, "Truck <One> & \"Co\"", 27.7778, 90.0, "V1"),
+      ("geotab-d2", ts("2026-01-01 11:45:00"), 40.0, -105.3, "Plain", 0.0, 359.9, "V2"))
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = sink.batches.flatten
+        .map(r => r.getAs[String]("id") -> r.getAs[String]("cot_xml")).toMap
+      val batch = GeotabPipeline.cotXml(data.toDF(cols: _*))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(streamed === batch, "stream and batch CoT XML must be byte-identical")
+      assert(streamed("geotab-d1").contains("callsign=\"Truck &lt;One&gt; &amp; &quot;Co&quot;\""))
+      assert(streamed("geotab-d1").contains("stale=\"2026-01-01T12:30:00Z\""))
+    } finally q.stop()
+  }
 }
