@@ -44,24 +44,39 @@ object SimilarityOps {
   /** LSH-bucketed ANN: bucket corpus and queries by 16-bit hyperplane
     * signature bands (4 bands of 4 bits — a near neighbour agrees on at
     * least one band with high probability), rank candidates by exact cosine.
-    * Rows-only check; the spec test measures recall against v01. */
+    * Rows-only check; the spec test measures recall against v01.
+    *
+    * Candidates form through a band-exploded EQUI-join (same topology as
+    * [[v03]]): each side emits one (band_idx, band) row per band, the join
+    * hashes on that pair, and candidate (query, neighbour) ids dedupe
+    * before the cosine kernel. An OR-of-band-equalities predicate would
+    * plan a nested-loop over the corpus — fine for 16 queries, a
+    * scale-killer the moment the query side grows; the equi-join keeps the
+    * plan a hash join for any query-set size. */
   private def v02(s: SparkSession, d: String): DataFrame = {
     val corpus = emb(s, d)
       .withColumn("sig", VectorFunctions.hyperplaneSignature(col("embedding")))
-    val bands = (0 until 4).map(b =>
-      shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL)).as(s"band$b"))
-    val corpusB = corpus.select(col("vec_id") +: col("embedding") +: bands: _*)
-    val queriesB = corpusB.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("band0").as("qb0"), col("band1").as("qb1"),
-        col("band2").as("qb2"), col("band3").as("qb3"))
-    val candidates = corpusB.join(broadcast(queriesB),
-      col("vec_id") =!= col("q_id") && (
-        (col("band0") === col("qb0")) || (col("band1") === col("qb1")) ||
-        (col("band2") === col("qb2")) || (col("band3") === col("qb3"))))
-      .select(col("q_id"), col("vec_id").as("n_id"),
+    val banded = corpus.select(col("vec_id"), posexplode(
+      array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+    val queryBands = banded.filter(col("vec_id") < NumQueries)
+      .select(col("band_idx"), col("band"), col("vec_id").as("q_id"))
+    // candidate ids dedupe BEFORE the verify join: a pair agreeing on two
+    // bands must score (and rank) once, not twice
+    val candIds = banded.join(broadcast(queryBands), Seq("band_idx", "band"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val vecs = emb(s, d)
+    val qv = vecs.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val nv = vecs.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val candidates = candIds
+      .join(broadcast(qv.filter(col("q_id") < NumQueries)), "q_id")
+      .join(nv, "n_id") // corpus-sized side: shuffle equi-join, never broadcast
+      .select(col("q_id"), col("n_id"),
         graft.functions.VectorExpressions.cosineSim(
-          s, col("q_vec"), col("embedding")).as("cos"))
+          s, col("q_vec"), col("n_vec")).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     candidates.withColumn("rank", row_number().over(w))

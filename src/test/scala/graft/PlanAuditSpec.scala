@@ -49,6 +49,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("v02: LSH kNN candidates form via band equi-joins, no nested loop") {
+    // the OR-of-band-equalities formulation planned a BroadcastNestedLoopJoin
+    // over the whole corpus — correct at 16 queries, quadratic the moment the
+    // query side grows. The band-exploded equi-join must keep every join a
+    // hash/sort-merge join.
+    val p = plan("v02_knn_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"v02 degenerated to a nested-loop over the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("v03: corpus verify joins never hint-broadcast the embedding table") {
     // with size-based auto-broadcast off, any remaining BroadcastHashJoin
     // would have to come from a broadcast() hint — the scale-killer this
