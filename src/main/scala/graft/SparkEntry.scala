@@ -31,7 +31,9 @@ object SparkEntry {
         "g01_geotab_flagship" -> ((s, d) => geotab.GeotabSynth.flagship(s, d)),
         "g02_geotab_connector" -> ((s, d) => geotab.GeotabSynth.connectorFlagship(s, d)),
         "g03_haversine" -> ((s, d) => geotab.GeotabSynth.haversineQuery(s, d)),
-        "g04_cot_xml" -> ((s, d) => geotab.GeotabSynth.cotQuery(s, d)))
+        "g04_cot_xml" -> ((s, d) => geotab.GeotabSynth.cotQuery(s, d)),
+        "g05_stream_flagship" -> ((s, d) => geotab.GeotabSynth.streamFlagship(s, d)),
+        "g06_stream_cot" -> ((s, d) => geotab.GeotabSynth.streamCot(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
@@ -44,5 +46,9 @@ object SparkEntry {
         // same oracle: g02 is the same pipeline fed through the connector
         "g02_geotab_connector" -> geotab.GeotabSynth.flagshipOracleSql,
         "g03_haversine" -> geotab.GeotabSynth.haversineOracleSql,
-        "g04_cot_xml" -> geotab.GeotabSynth.cotOracleSql)
+        "g04_cot_xml" -> geotab.GeotabSynth.cotOracleSql,
+        // stream/batch duality gated: the streaming runs must hash-match the
+        // BATCH oracles for the same snapshot
+        "g05_stream_flagship" -> geotab.GeotabSynth.flagshipOracleSql,
+        "g06_stream_cot" -> geotab.GeotabSynth.cotOracleSql)
 }

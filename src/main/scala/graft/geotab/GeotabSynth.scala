@@ -103,6 +103,22 @@ object GeotabSynth {
     * fleet per call (the reference's shape, task.ts:145-218); everything
     * downstream of the reads is the same distributed plan as g01. */
   def connectorFlagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val clientName = "g02-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    registerFixtureClient(spark, sfDir, clientName)
+    val infoDf = normalizeInfo(connectorRead(spark, clientName, "deviceInfo"))
+    GeotabPipeline.featuresFlat(
+        connectorDevices(spark, clientName), infoDf,
+        connectorDrivers(spark, clientName), flagshipConfig(spark, sfDir))
+      .orderBy("id")
+  }
+
+  /** Build and register the fixture-backed API client whose payloads are
+    * generated from the same parquet-derived entities as [[flagship]]. The
+    * driver-side collects here construct the **test double's API payloads**,
+    * not pipeline input — the real API returns one bounded fleet per call
+    * (task.ts:145-218). */
+  def registerFixtureClient(spark: SparkSession, sfDir: String,
+                            clientName: String): Unit = {
     import graft.sources.geotab.{GeotabClients, InMemoryGeotabClient}
     val users = drivers(spark, sfDir).collect().toSeq.map { r =>
       Map[String, Any](
@@ -133,28 +149,100 @@ object GeotabSynth {
         .otherwise(col("driverId")).as("driver"),
       array(struct(col("groups").as("id"))).as("groups"))).as("j"))
       .collect().toSeq.map(_.getString(0))
-    val clientName = "g02-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     GeotabClients.register(clientName, new InMemoryGeotabClient(users, devs, infoJson))
-    def rd(entity: String) = spark.read.format("geotab")
+  }
+
+  private def connectorRead(spark: SparkSession, clientName: String,
+                            entity: String): DataFrame =
+    spark.read.format("geotab")
       .option("entity", entity).option("client", clientName)
       .option("database", "fleetdb").option("user", "svc").option("password", "pw")
       .load()
-    val deviceDf = rd("device").drop("group")
-    val driverDf = rd("user").filter(col("isDriver") === true).drop("isDriver")
-    val infoDf = rd("deviceInfo")
-      .withColumn("n", GeotabSchemas.normalizeDriver(col("driver")))
+
+  /** Device registry through the connector (group column only exists for
+    * pushdown; the pipeline doesn't read it). */
+  def connectorDevices(spark: SparkSession, clientName: String): DataFrame =
+    connectorRead(spark, clientName, "device").drop("group")
+
+  /** Drivers through the connector — the isDriver predicate pushes into the
+    * API search payload (task.ts:175-177). */
+  def connectorDrivers(spark: SparkSession, clientName: String): DataFrame =
+    connectorRead(spark, clientName, "user")
+      .filter(col("isDriver") === true).drop("isDriver")
+
+  /** Raw DeviceStatusInfo rows → the pipeline's input contract: nested
+    * device id flattened, ISO dateTime parsed (NTZ to match the
+    * parquet-sourced flagship's start_ts type exactly), union-typed driver
+    * discriminated, first group id extracted. Stateless projection — works
+    * identically on a batch read and a micro-batch stream. */
+  def normalizeInfo(raw: DataFrame): DataFrame =
+    raw.withColumn("n", GeotabSchemas.normalizeDriver(col("driver")))
       .select(col("device.id").as("device_id"),
-        // NTZ to match the parquet-sourced flagship's start_ts type exactly
         to_timestamp(col("dateTime")).cast("timestamp_ntz").as("dateTime"),
         col("latitude"), col("longitude"), col("speed"), col("bearing"),
         col("n.driverId").as("driverId"),
         col("n.driverIsObject").as("driverIsObject"),
         col("groups").getItem(0).getField("id").as("groups"))
+
+  private def flagshipConfig(spark: SparkSession, sfDir: String): GeotabPipeline.Config = {
     val maxDate = Tables(spark, sfDir, "orders")
       .agg(max(col("o_orderdate"))).head().get(0)
-    GeotabPipeline.featuresFlat(deviceDf, infoDf, driverDf,
-        GeotabPipeline.Config(
-          prefix = "C", now = lit(maxDate), freshness = "INTERVAL 365 DAYS"))
+    GeotabPipeline.Config(
+      prefix = "C", now = lit(maxDate), freshness = "INTERVAL 365 DAYS")
+  }
+
+  /** The flagship's feature stream: DeviceStatusInfo arrives through the
+    * connector's MicroBatchStream (the reference's scheduled-run cadence,
+    * task.ts:106-107, under engine-managed triggers); the device and driver
+    * dimensions join stream-static. Identical transform code to [[flagship]]
+    * — the batch/stream duality SURVEY §1.4 promises. */
+  def connectorFlatStream(spark: SparkSession, sfDir: String,
+                          clientName: String): DataFrame = {
+    registerFixtureClient(spark, sfDir, clientName)
+    val infoStream = normalizeInfo(
+      spark.readStream.format("geotab")
+        .option("entity", "deviceInfo").option("client", clientName)
+        .option("database", "fleetdb").option("user", "svc").option("password", "pw")
+        .load())
+    GeotabPipeline.featuresFlat(
+      connectorDevices(spark, clientName), infoStream,
+      connectorDrivers(spark, clientName), flagshipConfig(spark, sfDir))
+  }
+
+  /** g05: the flagship under Structured Streaming, end-to-end — micro-batch
+    * source → stream-static joins → freshness/prefix filters → parquet sink,
+    * drained with Trigger.AvailableNow (one scheduled run), then read back
+    * from the sink's files. Hash-matches the *batch* flagship oracle, so the
+    * stream/batch equivalence is inside the correctness gate, not argued.
+    * The sink directory is the query's output table — exactly how a
+    * production deployment lands each run's features in storage. */
+  def streamFlagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val clientName = "g05-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val flat = connectorFlatStream(spark, sfDir, clientName)
+    val out = java.nio.file.Files.createTempDirectory("graft-g05-").toString
+    val q = flat.writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/data").orderBy("id")
+  }
+
+  /** g06: the S8 submit path under streaming — per micro-batch, features
+    * convert to CoT event XML and go through the pluggable FeatureSink seam
+    * ([[graft.streaming.EventStreams.cotWriter]], the reference's per-run
+    * `this.submit(...)`, task.ts:294). The gate reads the sink's JSON files
+    * back and hash-matches the batch CoT oracle byte-for-byte. */
+  def streamCot(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val clientName = "g06-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val flat = connectorFlatStream(spark, sfDir, clientName)
+    val out = java.nio.file.Files.createTempDirectory("graft-g06-").toString
+    val w = EventStreams.cotWriter(flat, new EventStreams.FileSink(s"$out/data"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = EventStreams.start(w, s"$out/ckpt")
+    q.awaitTermination()
+    spark.read.schema("id STRING, cot_xml STRING").json(s"$out/data/batch_*")
       .orderBy("id")
   }
 

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Deterministic salt from the row's whole content (stable across runs —
-    * no rand(), which would break retries/speculation). */
-  private def saltCol(df: DataFrame, n: Int): Column =
+    * no rand(), which would break retries/speculation). Package-visible so
+    * the skew spec can pin the salt distribution itself. */
+  private[ops] def saltCol(df: DataFrame, n: Int): Column =
     pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(n))
 
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,

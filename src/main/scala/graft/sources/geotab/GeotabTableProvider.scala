@@ -206,11 +206,26 @@ class GeotabMicroBatchStream(schema: StructType, entity: String,
                              groupShards: Seq[String],
                              contradiction: Boolean,
                              props: Map[String, String])
-    extends streaming.MicroBatchStream {
+    extends streaming.MicroBatchStream
+    with streaming.SupportsTriggerAvailableNow {
   private def client = GeotabClients(props.getOrElse("client", "default"))
 
+  /** Trigger.AvailableNow contract: pin the snapshot version at trigger
+    * time, drain up to it, stop — one "scheduled run" of the reference
+    * (task.ts:106-107) per trigger, with data arriving mid-drain left for
+    * the next run. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(client.dataVersion)
+
   override def initialOffset(): streaming.Offset = GeotabOffset(0L)
-  override def latestOffset(): streaming.Offset = GeotabOffset(client.dataVersion)
+  override def latestOffset(): streaming.Offset =
+    GeotabOffset(availableNowCap.getOrElse(client.dataVersion))
+  // admission-control variant (SupportsTriggerAvailableNow extends it); the
+  // API snapshot is atomic, so no rate limit applies — same answer
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset =
+    latestOffset()
   override def deserializeOffset(json: String): streaming.Offset =
     GeotabOffset(json.toLong)
   override def commit(end: streaming.Offset): Unit = ()

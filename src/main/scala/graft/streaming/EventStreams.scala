@@ -115,6 +115,15 @@ object EventStreams {
       .outputMode("append")
       .foreachBatch((b: Dataset[Row], id: Long) => sink.submit(b, id))
 
+  /** The reference's scheduled CoT emit (task.ts:294 submit + node-cot
+    * conversion) as a streaming path: each micro-batch of flat features is
+    * converted to CoT event XML (a stateless, codegen'd projection —
+    * byte-identical to the batch `GeotabPipeline.cotXml`) and submitted
+    * through the pluggable sink. */
+  def cotWriter(flatFeatures: DataFrame, sink: FeatureSink,
+                staleAfter: String = "INTERVAL 1 HOUR"): DataStreamWriter[Row] =
+    featureWriter(graft.geotab.GeotabPipeline.cotXml(flatFeatures, staleAfter), sink)
+
   def start(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =
     w.option("checkpointLocation", checkpoint).start()
 }

@@ -21,6 +21,51 @@ class ScaleToolsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedJoin spreads a hot key across saltFactor shuffle partitions") {
+    // the scale claim, tested not argued: one key carries 40% of the fact
+    // rows (the shape that stalls an unsalted shuffle join on a single
+    // straggler task); after salting, that key's rows must occupy many
+    // shuffle partitions with no partition holding a straggler share.
+    val saltFactor = 8
+    val hot = 42L
+    val skewed = (1 to 10000) // cold keys 100..196, disjoint from hot=42
+      .map(i => (if (i % 5 < 2) hot else 100L + i % 97, i))
+      .toDF("k", "v")
+    val small = ((0L to 96L).map(_ + 100) :+ hot)
+      .map(k => (k, s"dim$k")).toDF("k", "name")
+
+    // 1) the salt itself: every hot-key row lands in one of saltFactor
+    //    buckets, all buckets populated, roughly balanced
+    val saltCounts = skewed.filter($"k" === hot)
+      .withColumn("__salt", Skew.saltCol(skewed, saltFactor))
+      .groupBy($"__salt").count().as[(Long, Long)].collect().toMap
+    assert(saltCounts.keySet === (0L until saltFactor.toLong).toSet,
+      s"every salt bucket must be populated: $saltCounts")
+    assert(saltCounts.values.max < 2L * saltCounts.values.min,
+      s"salt buckets badly unbalanced: $saltCounts")
+
+    // 2) the physical plan: with AQE coalescing out of the way, the join's
+    //    output partitions ARE the (k, __salt) shuffle partitions — count
+    //    how many of them hold the hot key's rows
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = Skew.saltedJoin(skewed, small, "k", saltFactor)
+      val hotPerPartition = joined.filter($"k" === hot).rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+        .collect().filter(_._2 > 0)
+      val totalHot = hotPerPartition.map(_._2).sum
+      assert(totalHot === 4000, s"hot-key rows lost: $totalHot")
+      assert(hotPerPartition.length > 1,
+        s"hot key stayed on one shuffle partition: ${hotPerPartition.toSeq}")
+      // 8 salts into 8 test shuffle partitions: collisions allowed, but the
+      // worst partition must carry nowhere near the unsalted 100% share
+      val maxShare = hotPerPartition.map(_._2).max.toDouble / totalHot
+      assert(maxShare <= 0.5,
+        s"straggler partition still holds ${maxShare * 100}% of the hot key: " +
+          s"${hotPerPartition.toSeq}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("saltedCount matches groupBy count") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
     val plain = e.groupBy($"event_type").count()
