@@ -22,7 +22,12 @@ object GeotabSchemas {
   val deviceInfo: StructType = StructType(Seq(
     StructField("bearing", DoubleType),
     StructField("currentStateDuration", StringType),
-    StructField("exceptionEvents", ArrayType(StringType)),
+    // Type.Array(Type.Unknown()) (task.ts:15): elements are arbitrary JSON,
+    // so the whole array is carried VERBATIM as its raw JSON text (Spark's
+    // JSON parser preserves raw text for StringType fields holding
+    // structured values) — never read by the pipeline, but not dropped:
+    // downstream consumers can get_json_object/from_json into it.
+    StructField("exceptionEvents", StringType),
     StructField("isDeviceCommunicating", BooleanType),
     StructField("isDriving", BooleanType),
     StructField("latitude", DoubleType),

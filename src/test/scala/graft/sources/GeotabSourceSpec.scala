@@ -38,6 +38,30 @@ class GeotabSourceSpec extends SparkSpec {
       .option("database", "fleetdb").option("user", "svc").option("password", "pw")
       .load()
 
+  test("unknown-typed exceptionEvents pass through verbatim as raw JSON (task.ts:15)") {
+    // Type.Array(Type.Unknown()): heterogeneous elements — objects, numbers,
+    // strings — must survive ingest byte-level, not be dropped or nulled
+    val raw = """[{"rule":{"id":"RuleSpeeding"},"distance":1.5},42,"plain"]"""
+    val c = new InMemoryGeotabClient(Seq.empty, Seq.empty, Seq(
+      s"""{"bearing":1.0,"latitude":0.0,"longitude":0.0,"speed":0.0,
+         |"dateTime":"2026-01-01T11:30:00Z","device":{"id":"dE"},
+         |"driver":"UnknownDriverId","isDriving":true,
+         |"exceptionEvents":$raw,
+         |"isDeviceCommunicating":true,"isHistoricLastDriver":false,
+         |"groups":[{"id":"g1"}]}""".stripMargin.replaceAll("\n", "")))
+    GeotabClients.register("tEx", c)
+    GeotabSessionCache.clear()
+    val row = read("tEx", "deviceInfo")
+      .select(col("device.id"), col("exceptionEvents")).head()
+    assert(row.getString(0) === "dE")
+    assert(row.getString(1) === raw,
+      s"exceptionEvents must round-trip verbatim, got ${row.getString(1)}")
+    // and the unknown content stays queryable downstream
+    val dist = read("tEx", "deviceInfo")
+      .select(get_json_object(col("exceptionEvents"), "$[0].distance")).head().getString(0)
+    assert(dist === "1.5")
+  }
+
   test("isDriver predicate is pushed into the API search payload (task.ts:175-177)") {
     val c = freshClient()
     GeotabClients.register("t1", c)
