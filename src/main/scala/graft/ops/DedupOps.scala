@@ -401,7 +401,47 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** URL-level dedup — the first pass of every web-scale crawl pipeline:
+    * canonicalize each document's URL (lowercase scheme+host, strip the
+    * default port, tracking params, fragment, and trailing slash), then
+    * keep the lowest doc_id per canonical URL. One hash-partitioned
+    * groupBy on the canonical string — no shuffle beyond it, and the
+    * canonicalization chain is pure regexp projections (codegen'd).
+    * The documents fixture has no URL column, so one is synthesized
+    * deterministically (messy case/port/query/fragment variants) from
+    * doc_id + source — the same fixture-synthesis pattern as GeotabSynth. */
+  private def d15(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, "https").otherwise("HTTPS"), lit("://"),
+      when(id % 3 === 0, "WWW.").otherwise("www."), col("source"), lit(".Example.COM"),
+      when(id % 5 === 0, ":443").otherwise(""),
+      lit("/articles/"), (id % 50).cast("string"),
+      when(id % 4 === 0, "/").otherwise(""),
+      when(id % 3 === 0, "?utm_source=feed&utm_medium=rss")
+        .when(id % 3 === 1, concat(lit("?id="), (id % 5).cast("string")))
+        .otherwise(""),
+      when(id % 7 === 0, concat(lit("#sec"), (id % 9).cast("string"))).otherwise(""))
+    // canonicalization chain — identical regex steps on both engines:
+    // fragment, case of scheme://host, default port, utm_* params,
+    // "/?" collapse, trailing slash
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([^/]*//[^/]*)", 1)),
+      regexp_replace(noFrag, "^[^/]*//[^/]*", ""))
+    val noPort = regexp_replace(lowered, ":443/", "/")
+    val noUtm = regexp_replace(regexp_replace(noPort, "utm_[^&]*&?", ""), "[?&]$", "")
+    val canon = regexp_replace(regexp_replace(noUtm, "/\\?", "?"), "/$", "")
+    docs(s, d)
+      .select(id, canon.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).cast("long").as("n_dupes"))
+      .orderBy("canonical_url")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_url_dedup" -> d15 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
     "d13_contamination" -> d13 _, "d14_neardup_components" -> d14 _,
@@ -464,6 +504,34 @@ object DedupOps {
       |              JOIN hv hb ON hb.doc_id = cpairs.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d15_url_dedup" ->
+      raw"""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) ||
+        |      source || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |    '/articles/' || (doc_id % 50) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss'
+        |          WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 5) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#sec' || (doc_id % 9) ELSE '' END) AS url
+        |  FROM documents
+        |), nf AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$$', '') AS u FROM u
+        |), c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(
+        |        lower(regexp_extract(u, '^([^/]*//[^/]*)', 1)) ||
+        |          regexp_replace(u, '^[^/]*//[^/]*', ''),
+        |        ':443/', '/'),
+        |      'utm_[^&]*&?', '', 'g'), '[?&]$$', ''), '/\?', '?'), '/$$', '')
+        |      AS canonical_url
+        |  FROM nf
+        |)
+        |SELECT canonical_url, min(doc_id) AS keep_doc_id, count(1) AS n_dupes
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "d09_minhash_md5" ->
       (SigsCte + "\nSELECT * FROM sigs ORDER BY doc_id"),
     "d10_jaccard_blocked" ->

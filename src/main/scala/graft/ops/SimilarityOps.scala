@@ -286,17 +286,105 @@ object SimilarityOps {
       .select(col("node").as("vec_id"), col("label").as("component"))
       .orderBy("vec_id")
 
+  private val MmrK = 8
+  private val MmrLambda = 0.7
+  private val MmrQueryId = 0L
+
+  /** v10: maximal-marginal-relevance selection (Carbonell & Goldstein 1998)
+    * — the diversity-aware top-k every retrieval-augmented data pipeline
+    * runs after similarity search: greedily pick the candidate maximizing
+    * `λ·sim(query) − (1−λ)·max sim(already picked)`.
+    *
+    * MMR is inherently sequential (each pick changes the next score), so
+    * the loop runs k bounded driver rounds — the same shape as k-means
+    * (v07) and connected components (d14). Each round is one distributed
+    * scan of the cached candidate pool scoring against the ≤k selected
+    * vectors (carried as literal arrays — no join, no shuffle); only the
+    * single argmax row is collected. At 100 TB the pool is a pre-filtered
+    * top-N from the ANN index (v02/v05), not the raw corpus — the standard
+    * rerank topology; the per-round plan stays a scan + TakeOrdered(1).
+    *
+    * Oracle: the same greedy unrolled as a k-step CTE chain over DuckDB's
+    * list_cosine_similarity (exact-parity kernel proven by v01). */
+  private def v10(s: SparkSession, d: String): DataFrame = {
+    val rel = emb(s, d).filter(col("vec_id") =!= MmrQueryId)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.cosineSim(s,
+          typedlit(emb(s, d).filter(col("vec_id") === MmrQueryId)
+            .select(col("embedding")).head().getSeq[Float](0).toArray),
+          col("embedding")).as("rel"))
+      .cache()
+    try {
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      while (picked.length < MmrK) {
+        val scored =
+          if (picked.isEmpty) rel.withColumn("score", col("rel"))
+          else {
+            val maxSim = picked.map { case (_, v, _) =>
+              graft.functions.VectorExpressions.cosineSim(s, typedlit(v), col("embedding"))
+            }.reduce((a, b) => greatest(a, b))
+            rel.filter(!col("vec_id").isInCollection(picked.map(_._1)))
+              .withColumn("score",
+                lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * maxSim)
+          }
+        val top = scored.orderBy(col("score").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id"), col("embedding"), col("score")).head()
+        picked += ((top.getLong(0), top.getSeq[Float](1).toArray, top.getDouble(2)))
+      }
+      s.createDataFrame(picked.toSeq.zipWithIndex.map { case ((id, _, score), i) =>
+        (i + 1L, id, score)
+      }).toDF("rank", "vec_id", "score")
+        // Spark round(), not driver-side rint: HALF_UP matches DuckDB's
+        // round() (the parity v01 already proves)
+        .select(col("rank"), col("vec_id"), round(col("score"), 4).as("score"))
+    } finally { rel.unpersist(); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v10_mmr_select" -> v10 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
     "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,
     "v07_knn_ivf_trained" -> v07 _, "v08_quantize_int8" -> v08 _,
     "v09_embed_components" -> v09 _)
 
+  /** v10's oracle: the greedy MMR loop unrolled as a [[MmrK]]-step CTE
+    * chain (step i picks its argmax from the candidates not yet selected by
+    * steps 1..i-1, scored against their union). Program-generated — the
+    * same code shape as the engine's driver loop, so the two can't drift. */
+  private def mmrOracleSql: String = {
+    // every CTE MATERIALIZED: step k references steps 1..k-1 twice each, so
+    // an inlining planner would otherwise re-evaluate the chain
+    // exponentially (each re-evaluation scanning `c` with a correlated max)
+    val head =
+      s"""WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = $MmrQueryId),
+         |c AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |        list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |                               (SELECT qv FROM q)) AS rel
+         |      FROM embeddings WHERE vec_id <> $MmrQueryId),
+         |s1 AS MATERIALIZED (SELECT vec_id, v, rel AS score FROM c
+         |       ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    val steps = (2 to MmrK).map { k =>
+      val prev = (1 until k).map(i => s"SELECT vec_id, v FROM s$i").mkString(" UNION ALL ")
+      s"""s$k AS MATERIALIZED (SELECT c.vec_id, c.v,
+         |  $MmrLambda*c.rel - ${1.0 - MmrLambda}*(SELECT max(list_cosine_similarity(c.v, p.v))
+         |                   FROM ($prev) p) AS score
+         |  FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM ($prev) p)
+         |  ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    val union = (1 to MmrK)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, vec_id, score FROM s$i")
+      .mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT rank, vec_id, round(score, 4) AS score FROM ($union) ORDER BY rank"
+  }
+
   /** v01's exact-cosine oracle via DuckDB list functions; v02/v03 depend on
     * the engine hash family (rows-only). v04's norm is a per-row sequential
     * fold — stable, oracle-able. */
   val oracle: Map[String, String] = Map(
+    "v10_mmr_select" -> mmrOracleSql,
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
          |           FROM embeddings WHERE vec_id < $NumQueries),

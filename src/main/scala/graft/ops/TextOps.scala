@@ -270,6 +270,39 @@ object TextOps {
     winnowFingerprints(docs(s, d).filter(col("doc_id") < 20))
       .orderBy("doc_id", "fp")
 
+  /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models",
+    * table A1): word count bounds, mean word length in [3,10], symbol-to-word
+    * ratio (# and ellipsis) <= 0.1, >80% of words contain an alphabetic
+    * character, and at least 2 distinct required English stopwords. Every
+    * metric is an integer-derived quotient — exact in both engines. Pure
+    * per-row expressions: one corpus scan, no shuffle, whole-stage codegen. */
+  private def t14(s: SparkSession, d: String): DataFrame = {
+    val requiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val base = docs(s, d).select(col("doc_id"), col("text"),
+      filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
+    val m = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("double").as("word_chars"),
+      regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("double").as("n_symbols"),
+      size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("double").as("alpha_words"),
+      size(array_intersect(
+        array_distinct(transform(col("toks"), t => lower(t))),
+        array(requiredStops.map(lit): _*))).cast("long").as("n_required_stopwords"))
+    val n = col("n_words").cast("double")
+    m.select(col("doc_id"), col("n_words"),
+        when(n === 0.0, 0.0).otherwise(col("word_chars") / n).as("mean_word_len"),
+        when(n === 0.0, 0.0).otherwise(col("n_symbols") / n).as("symbol_word_ratio"),
+        when(n === 0.0, 0.0).otherwise(col("alpha_words") / n).as("alpha_word_ratio"),
+        col("n_required_stopwords"))
+      .withColumn("passes_gopher",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("alpha_word_ratio") > 0.8 &&
+          col("n_required_stopwords") >= 2L)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_tfidf" -> t06 _, "t07_text_quality" -> t07 _,
     "t08_pack_sequences" -> t08 _, "t09_heavy_hitters" -> t09 _,
@@ -277,7 +310,7 @@ object TextOps {
     "t03_repetition" -> t03 _, "t04_text_profile" -> t04 _,
     "t05_token_frequency" -> t05 _, "t10_pii_redact" -> t10 _,
     "t11_bigram_counts" -> t11 _, "t12_unigram_logprob" -> t12 _,
-    "t13_winnow_fingerprints" -> t13 _)
+    "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _)
 
   val oracle: Map[String, String] = Map(
     "t06_tfidf" ->
@@ -431,5 +464,36 @@ object TextOps {
         |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |      FROM g)
         |SELECT DISTINCT doc_id, fp FROM w WHERE p <= ng - 3
-        |ORDER BY doc_id, fp""".stripMargin)
+        |ORDER BY doc_id, fp""".stripMargin,
+    "t14_gopher_quality" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS word_chars,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) AS n_symbols,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+        |    CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_required_stopwords
+        |  FROM base
+        |), r AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |         ELSE word_chars / CAST(n_words AS DOUBLE) END AS mean_word_len,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |         ELSE n_symbols / CAST(n_words AS DOUBLE) END AS symbol_word_ratio,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |         ELSE alpha_words / CAST(n_words AS DOUBLE) END AS alpha_word_ratio,
+        |    n_required_stopwords
+        |  FROM m
+        |)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+        |  alpha_word_ratio, n_required_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_word_ratio <= 0.1 AND alpha_word_ratio > 0.8
+        |    AND n_required_stopwords >= 2 AS passes_gopher
+        |FROM r ORDER BY doc_id""".stripMargin)
 }
