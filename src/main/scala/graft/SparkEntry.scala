@@ -33,7 +33,8 @@ object SparkEntry {
         "g03_haversine" -> ((s, d) => geotab.GeotabSynth.haversineQuery(s, d)),
         "g04_cot_xml" -> ((s, d) => geotab.GeotabSynth.cotQuery(s, d)),
         "g05_stream_flagship" -> ((s, d) => geotab.GeotabSynth.streamFlagship(s, d)),
-        "g06_stream_cot" -> ((s, d) => geotab.GeotabSynth.streamCot(s, d)))
+        "g06_stream_cot" -> ((s, d) => geotab.GeotabSynth.streamCot(s, d)),
+        "g07_trip_segments" -> ((s, d) => geotab.GeotabSynth.tripQuery(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
@@ -50,5 +51,6 @@ object SparkEntry {
         // stream/batch duality gated: the streaming runs must hash-match the
         // BATCH oracles for the same snapshot
         "g05_stream_flagship" -> geotab.GeotabSynth.flagshipOracleSql,
-        "g06_stream_cot" -> geotab.GeotabSynth.cotOracleSql)
+        "g06_stream_cot" -> geotab.GeotabSynth.cotOracleSql,
+        "g07_trip_segments" -> geotab.GeotabSynth.tripOracleSql)
 }

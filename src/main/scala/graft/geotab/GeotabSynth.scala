@@ -287,6 +287,47 @@ object GeotabSynth {
   def cotQuery(spark: SparkSession, sfDir: String): DataFrame =
     GeotabPipeline.cotXml(flagship(spark, sfDir)).orderBy("id")
 
+  /** g07: trip segmentation over a synthesized telemetry history — the
+    * per-device analytic the reference's one-snapshot runs imply but can't
+    * compute (SURVEY §1.4). Each order is one status ping (event second =
+    * the globally-unique orderkey; speed cycles through 0/10/20/30/40 so
+    * every 5th ping is a stop that closes a trip). Declarative
+    * gaps-and-islands form ([[graft.streaming.TripSegmentation
+    * .tripsRelational]]); the custom flatMapGroupsWithState operator is
+    * spec-pinned to produce identical trips on the same pings. */
+  def tripQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pings = Tables(spark, sfDir, "orders").select(
+      concat(lit("dev-"), col("o_custkey")).as("device_id"),
+      col("o_orderkey").cast("long").as("t"),
+      ((col("o_orderkey") % 5) * 10).cast("double").as("speed"))
+    graft.streaming.TripSegmentation.tripsRelational(pings)
+      .orderBy("device_id", "trip_start_s")
+  }
+
+  /** DuckDB twin of [[tripQuery]]: same islands construction. */
+  val tripOracleSql: String =
+    """WITH pings AS (
+      |  SELECT 'dev-' || o_custkey AS device_id,
+      |         CAST(o_orderkey AS BIGINT) AS t,
+      |         CAST((o_orderkey % 5) * 10 AS DOUBLE) AS speed
+      |  FROM orders
+      |), f AS (
+      |  SELECT device_id, t, speed,
+      |    CASE WHEN speed < 1.0 THEN 1 ELSE 0 END AS is_stop,
+      |    SUM(CASE WHEN speed < 1.0 THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY device_id ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp,
+      |    SUM(CASE WHEN speed < 1.0 THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY device_id) AS n_stops
+      |  FROM pings
+      |)
+      |SELECT device_id,
+      |  min(t) AS trip_start_s, max(t) AS trip_end_s,
+      |  CAST(count(1) AS BIGINT) AS n_pings, max(speed) AS max_speed
+      |FROM f WHERE is_stop = 0 AND grp < n_stops
+      |GROUP BY device_id, grp
+      |ORDER BY device_id, trip_start_s""".stripMargin
+
   /** Shared oracle CTE prefix: the synthesized entities + joined pipeline
     * (devices ⋈ latest-info, guarded driver left join, freshness filter). */
   private val oracleCtePrefix: String =

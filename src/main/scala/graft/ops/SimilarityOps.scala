@@ -340,7 +340,35 @@ object SimilarityOps {
     } finally { rel.unpersist(); () }
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): collapse each
+    * embedding-space near-dup component to ONE representative (its lowest
+    * id) and keep everything untouched by any pair. Generic over the pair
+    * source: the gated instance runs over [[v06]]'s exact (oracled) pairs;
+    * at 100 TB the SAME code takes [[v03]]'s LSH-blocked pairs — the pair
+    * generation is the only part that changes with scale. Survivor
+    * selection is two hash-partitioned passes over the component labels
+    * (min-label propagation already makes label = min member id, so the
+    * representative test is node == label) plus one anti-join — no
+    * broadcast of anything corpus-sized. */
+  def semanticDedup(universe: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = DedupOps.connectedComponents(pairs) // (node, label=min id)
+    val members = comps.select(col("node").as("vec_id"))
+    val untouched = universe.select(col("vec_id"))
+      .join(members, Seq("vec_id"), "left_anti")
+      .withColumn("reason", lit("unique"))
+    val representatives = comps.filter(col("node") === col("label"))
+      .select(col("node").as("vec_id"), lit("representative").as("reason"))
+    untouched.unionByName(representatives)
+  }
+
+  private def v11(s: SparkSession, d: String): DataFrame =
+    semanticDedup(
+      emb(s, d).filter(col("vec_id") < 300).select(col("vec_id")),
+      v06(s, d).select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_semantic_dedup" -> v11 _,
     "v10_mmr_select" -> v10 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
@@ -427,6 +455,26 @@ object SimilarityOps {
         | round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
         |   x -> x * x)))), 4) AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "v11_semantic_dedup" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 300 AND b.vec_id < 300
+        |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comps AS (SELECT a AS node, least(a, min(b)) AS label
+        |          FROM reach GROUP BY a)
+        |SELECT e.vec_id,
+        |  CASE WHEN c.node IS NULL THEN 'unique'
+        |       ELSE 'representative' END AS reason
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 300) e
+        |LEFT JOIN comps c ON e.vec_id = c.node
+        |WHERE c.node IS NULL OR c.node = c.label
+        |ORDER BY vec_id""".stripMargin,
     "v09_embed_components" ->
       """WITH RECURSIVE p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -70,6 +70,33 @@ object TripSegmentation {
     out.iterator
   }
 
+  /** Declarative (oracle-checkable) twin of [[segment]] for batch
+    * execution: gaps-and-islands over a device-partitioned window. A trip
+    * is a maximal run of driving pings (speed >= stopSpeed) closed by a
+    * later stop ping; the trailing open run is NOT emitted — exactly the
+    * batch behavior of [[trips]], where end-of-data state is discarded.
+    * Two window functions + one hash aggregation, all partitioned by
+    * device — the same key the stateful operator shards on, so both forms
+    * scale identically. Input columns: device_id, t (unique-per-device
+    * BIGINT event seconds), speed. */
+  def tripsRelational(pings: org.apache.spark.sql.DataFrame,
+                      stopSpeed: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val isStop = when(col("speed") < stopSpeed, 1L).otherwise(0L)
+    val byDev = Window.partitionBy(col("device_id"))
+    val f = pings.select(col("device_id"), col("t"), col("speed"),
+      isStop.as("is_stop"),
+      sum(isStop).over(byDev.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("grp"),
+      sum(isStop).over(byDev).as("n_stops"))
+    f.filter(col("is_stop") === 0 && col("grp") < col("n_stops"))
+      .groupBy(col("device_id"), col("grp"))
+      .agg(min(col("t")).as("trip_start_s"), max(col("t")).as("trip_end_s"),
+        count(lit(1)).as("n_pings"), max(col("speed")).as("max_speed"))
+      .drop("grp")
+  }
+
   /** Streaming (or batch) entry point. The watermark bounds both late data
     * and state lifetime: an open trip whose device stays silent for
     * idleTimeoutMs of event time is emitted and evicted. */

@@ -105,6 +105,65 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t14: Gopher rules are a single scan — no shuffle, no join") {
+    val p = plan("t14_gopher_quality")
+    assert(!p.contains("Join"), s"t14 grew a join:\n$p")
+    // FormattedMode prints each node twice (tree + detail) — count detail
+    // entries. The only allowed Exchange is the output sort's range
+    // partitioning; per-row metrics must never hash-shuffle.
+    assert(raw"\(\d+\) Exchange".r.findAllIn(p).size <= 1,
+      s"t14 shuffles beyond the output sort:\n$p")
+    assert(!p.linesIterator.exists(_.contains("Arguments: hashpartitioning")),
+      s"per-row metrics must not hash-shuffle:\n$p")
+  }
+
+  test("d15: URL dedup is one hash aggregation over a projected scan") {
+    val p = plan("d15_url_dedup")
+    assert(!p.contains("Join"), s"d15 grew a join:\n$p")
+    // partial + final agg around exactly one hash shuffle on canonical_url,
+    // plus the output sort's range exchange (node counts via detail entries)
+    assert(raw"\(\d+\) HashAggregate".r.findAllIn(p).size >= 2,
+      s"no map-side combine:\n$p")
+    assert(raw"\(\d+\) Exchange".r.findAllIn(p).size <= 2, s"extra shuffles:\n$p")
+    assert(p.linesIterator.count(_.contains("Arguments: hashpartitioning")) <= 1,
+      s"more than one hash shuffle:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"d15 reads the document text it never uses: $readSchema")
+  }
+
+  test("v10: each MMR round is a scan + TakeOrdered(1), no join, no shuffle") {
+    // audit the round plan directly (the registered query runs the whole
+    // loop; its output is a tiny local relation)
+    import org.apache.spark.sql.functions._
+    val vecs = Tables(spark, d, "embeddings")
+    val q = vecs.filter(col("vec_id") === 0L).select(col("embedding")).head()
+      .getSeq[Float](0).toArray
+    val sel = vecs.filter(col("vec_id") === 1L).select(col("embedding")).head()
+      .getSeq[Float](0).toArray
+    val round = vecs.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.cosineSim(spark, typedlit(q), col("embedding")).as("rel"),
+        graft.functions.VectorExpressions.cosineSim(spark, typedlit(sel), col("embedding")).as("sim_sel"))
+      .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("sim_sel"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+    val p = round.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"), s"MMR round globally sorts:\n$p")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"MMR round joins/shuffles — picked vectors must ride as literals:\n$p")
+  }
+
+  test("g07: trip segmentation reuses one device partitioning end-to-end") {
+    val p = plan("g07_trip_segments")
+    // both windows and the island aggregation cluster by device_id: one
+    // hash exchange total (plus the output sort's range exchange)
+    assert(p.linesIterator.count(_.contains("Arguments: hashpartitioning")) <= 1,
+      s"g07 re-shuffles between window and aggregation:\n$p")
+    assert(raw"\(\d+\) Exchange".r.findAllIn(p).size <= 2, s"extra shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
   test("t11: bigram top-100 is TakeOrderedAndProject over partial aggregation") {
     val p = plan("t11_bigram_counts")
     assert(p.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$p")

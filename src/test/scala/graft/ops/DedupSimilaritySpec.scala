@@ -19,6 +19,28 @@ class DedupSimilaritySpec extends SparkSpec {
     (4L, "another unrelated document mentioning parquet files and shuffles everywhere")
   ).toDF("doc_id", "text")
 
+  test("semantic dedup keeps exactly one representative per component") {
+    // hand-built component structure: {1,2,3} chained, {5,6} paired,
+    // {4,7} untouched
+    val universe = (1L to 7L).toDF("vec_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = SimilarityOps.semanticDedup(universe, pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "representative", 5L -> "representative",
+      4L -> "unique", 7L -> "unique"))
+    // and on the gated instance: no near-dup pair survives intact
+    val d = "/root/testdata/sf0.001"
+    val survivors = graft.SparkEntry.queries("v11_semantic_dedup")(spark, d)
+      .select("vec_id").as[Long].collect().toSet
+    val pairRows = graft.SparkEntry.queries("v06_neardup_exact")(spark, d)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairRows.nonEmpty)
+    pairRows.foreach { case (a, b) =>
+      assert(!(survivors(a) && survivors(b)),
+        s"near-dup pair ($a,$b) survived semantic dedup intact")
+    }
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
     val sigs = DedupOps.minhashSignatures(spark, docs)
     val pairs = DedupOps.lshCandidates(sigs)

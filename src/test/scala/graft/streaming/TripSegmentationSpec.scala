@@ -86,4 +86,27 @@ class TripSegmentationSpec extends SparkSpec {
     assert(trips.length === 2)
     assert(trips(0).nPings === 2 && trips(1).nPings === 1)
   }
+
+  test("stateful operator and relational twin segment sf0.001 telemetry identically") {
+    import org.apache.spark.sql.functions._
+    // the g07 synthesis: one ping per order, event second = orderkey
+    val pings = graft.Tables(spark, "/root/testdata/sf0.001", "orders").select(
+      concat(lit("dev-"), col("o_custkey")).as("device_id"),
+      col("o_orderkey").cast("long").as("t"),
+      ((col("o_orderkey") % 5) * 10).cast("double").as("speed"))
+    val relational = TripSegmentation.tripsRelational(pings)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val stateful = TripSegmentation.trips(spark,
+        pings.select(col("device_id").as("deviceId"),
+          timestamp_seconds(col("t")).as("ts"), col("speed")).as[StatusPing])
+      .collect()
+      .map(t => (t.deviceId, t.startMs / 1000, t.endMs / 1000, t.nPings.toLong, t.maxSpeed))
+      .toSet
+    assert(relational.nonEmpty, "fixture must produce closed trips")
+    assert(stateful === relational,
+      s"stateful/relational divergence: only-stateful=${(stateful -- relational).take(3)} " +
+        s"only-relational=${(relational -- stateful).take(3)}")
+  }
 }
