@@ -21,6 +21,7 @@ object SparkEntry {
       geotab.GeotabSynth.flagship(spark, "/root/testdata/sf0.001"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.AuditOps.queries ++
     ops.Relational.queries ++
       ops.DedupOps.queries ++
       ops.TextOps.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
         "g07_trip_segments" -> ((s, d) => geotab.GeotabSynth.tripQuery(s, d)))
 
   def oracleSql: Map[String, String] =
+    ops.AuditOps.oracle ++
     ops.Relational.oracle ++
       ops.DedupOps.oracle ++
       ops.TextOps.oracle ++

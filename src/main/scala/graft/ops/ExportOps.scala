@@ -105,8 +105,56 @@ object ExportOps {
     local.orderBy("split", "lang")
   }
 
+  /** e02: vector-index persistence — build per-label centroids
+    * distributedly, WRITE the index to parquet, RELOAD it, and serve
+    * nearest-centroid routing for the query set from the reloaded copy.
+    * This is the build→persist→serve cycle every ANN deployment runs (the
+    * index outlives the job that built it); gating it pins that the
+    * persisted artifact is bit-faithful, not just the in-memory plan.
+    *
+    * Centroid means use exact decimal sums ([[StableAgg.scaledSum]]) so the
+    * per-dimension average is independent of partition/addition order —
+    * the property that makes the index reproducible across cluster sizes
+    * (and lets DuckDB agree bit-for-bit). Build: explode dims → one hash
+    * aggregation per (label, dim) → reassemble arrays sorted by dim. Serve:
+    * the tiny reloaded index broadcasts; the corpus is never re-scanned. */
+  private def e02(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_index_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    val emb = Tables(s, d, "embeddings")
+    val dims = emb.select(col("label"),
+        posexplode(graft.functions.VectorFunctions.toDouble(col("embedding"))))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg((StableAgg.scaledSum(col("x"), 12) / count(lit(1))).as("c"))
+    cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        e => e.getField("c")).as("centroid"))
+      .write.mode(SaveMode.Overwrite).parquet(out.getAbsolutePath)
+    val index = s.read.parquet(out.getAbsolutePath)
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("label").asc)
+    val served = queries.crossJoin(broadcast(index))
+      .select(col("q_id"), col("label"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("centroid")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("label"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id")
+    // materialize the 16-row routing table, then drop the scratch index
+    import scala.jdk.CollectionConverters._
+    val rows = served.collect().toList.asJava
+    val local = s.createDataFrame(rows, served.schema)
+    deleteRecursively(out)
+    local.orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e01_training_export" -> e01 _)
+    "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _)
 
   val oracle: Map[String, String] = Map(
     "e01_training_export" ->
@@ -116,5 +164,28 @@ object ExportOps {
         |FROM (SELECT lang, n_chars,
         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS b
         |      FROM documents) x
-        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "e02_centroid_index" ->
+      """WITH dims AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(1) AS c
+        |  FROM dims GROUP BY label, dim
+        |), centroids AS (
+        |  SELECT label, array_agg(c ORDER BY dim) AS centroid
+        |  FROM cent GROUP BY label
+        |), q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 16
+        |), scored AS (
+        |  SELECT q_id, label, list_cosine_similarity(qv, centroid) AS cos
+        |  FROM q CROSS JOIN centroids
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, label ASC) AS rn FROM scored)
+        |SELECT q_id, label, round(cos, 4) AS cos
+        |FROM ranked WHERE rn = 1 ORDER BY q_id""".stripMargin)
 }
