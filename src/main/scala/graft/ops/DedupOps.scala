@@ -401,6 +401,51 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental (continuous-ingestion) dedup: a NEW batch of documents is
+    * screened against the EXISTING corpus instead of re-deduping the world
+    * — the shape every ingestion pipeline runs per arrival. The batch =
+    * the docs with doc_id % 5 == 4 plus synthesized exact-copy arrivals
+    * (id+100000, text of every 50th existing doc), so all three outcomes
+    * occur. Screens, in precedence order:
+    *  1. exact: md5(text) equi-join against the existing corpus's content
+    *     hashes (at scale: the persisted content-hash index);
+    *  2. near: md5-MinHash banded pairs ([[md5VerifiedPairs]]) restricted
+    *     to pairs straddling the batch boundary — in production the
+    *     existing side's signatures come from the persisted index, so only
+    *     new-batch bands probe; here the shared cache plays that role.
+    * Everything is equi-joins on hashes/bands — the new batch never cross
+    * joins the corpus. */
+  private def d16(s: SparkSession, d: String): DataFrame = {
+    val isNew = col("doc_id") % 5 === 4
+    val all = docs(s, d)
+    val copies = all.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val incoming = all.filter(isNew).select(col("doc_id"), col("text"))
+      .unionByName(copies)
+    val existingHashes = all.filter(!isNew)
+      .select(md5(col("text")).as("th")).distinct()
+    val exactDups = incoming.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(existingHashes, Seq("th"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_exact", lit(true))
+    val straddling = md5VerifiedPairs(s, d)
+      .filter(col("jaccard") >= 0.7 &&
+        ((col("doc_a") % 5 === 4) =!= (col("doc_b") % 5 === 4)))
+    val nearDups = straddling
+      .select(when(col("doc_a") % 5 === 4, col("doc_a")).otherwise(col("doc_b"))
+        .as("doc_id"))
+      .distinct()
+      .withColumn("is_near", lit(true))
+    incoming.select(col("doc_id"))
+      .join(exactDups, Seq("doc_id"), "left")
+      .join(nearDups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("kept").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** URL-level dedup — the first pass of every web-scale crawl pipeline:
     * canonicalize each document's URL (lowercase scheme+host, strip the
     * default port, tracking params, fragment, and trailing slash), then
@@ -441,7 +486,7 @@ object DedupOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d15_url_dedup" -> d15 _,
+    "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
     "d13_contamination" -> d13 _, "d14_neardup_components" -> d14 _,
@@ -504,6 +549,29 @@ object DedupOps {
       |              JOIN hv hb ON hb.doc_id = cpairs.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d16_incremental_dedup" ->
+      (BandedPairsCte + ",\n" +
+        """incoming AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+          |existing_hashes AS (
+          |  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 5 <> 4),
+          |exact_dups AS (
+          |  SELECT DISTINCT i.doc_id FROM incoming i
+          |  JOIN existing_hashes e ON md5(i.text) = e.th),
+          |near_dups AS (
+          |  SELECT DISTINCT CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS doc_id
+          |  FROM verified
+          |  WHERE jaccard >= 0.7 AND ((doc_a % 5 = 4) <> (doc_b % 5 = 4)))
+          |SELECT i.doc_id,
+          |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+          |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+          |       ELSE 'kept' END AS status
+          |FROM incoming i
+          |LEFT JOIN exact_dups ex ON i.doc_id = ex.doc_id
+          |LEFT JOIN near_dups nr ON i.doc_id = nr.doc_id
+          |ORDER BY i.doc_id""".stripMargin),
     "d15_url_dedup" ->
       raw"""WITH u AS (
         |  SELECT doc_id,

@@ -153,18 +153,55 @@ object ExportOps {
     local.orderBy("q_id")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _)
+  /** e03: the streaming export gated against e01's OWN oracle — documents
+    * arrive as a file stream, land through [[streamingTrainingExport]]
+    * (same split expression, same partitioned layout, exactly-once via the
+    * checkpoint), and the read-back summary must hash-match the batch
+    * export's DuckDB twin. Stream/batch duality for the pipeline's
+    * terminal stage, gated like g05 does it for the ingest stage. */
+  private def e03(s: SparkSession, d: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_sexport_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    deleteRecursively(out)
+    new java.io.File(out, "in").mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      out.toPath.resolve("in/documents.parquet"))
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(s"$out/in")
+    val q = streamingTrainingExport(stream, s"$out/data", s"$out/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val summary = s.read.parquet(s"$out/data")
+      .groupBy(col("split").cast("string").as("split"),
+        col("lang").cast("string").as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "lang")
+    import scala.jdk.CollectionConverters._
+    val rows = summary.collect().toList.asJava
+    val local = s.createDataFrame(rows, summary.schema)
+    deleteRecursively(out)
+    local.orderBy("split", "lang")
+  }
 
-  val oracle: Map[String, String] = Map(
-    "e01_training_export" ->
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
+    "e03_stream_export" -> e03 _)
+
+  /** e03 shares e01's oracle verbatim: the streaming landing must produce
+    * the identical summary the batch export does. */
+  private val exportOracleSql =
       """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
         |       ELSE 'test' END AS split,
         |  lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM (SELECT lang, n_chars,
         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS b
         |      FROM documents) x
-        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "e03_stream_export" -> exportOracleSql,
+    "e01_training_export" -> exportOracleSql,
     "e02_centroid_index" ->
       """WITH dims AS (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
