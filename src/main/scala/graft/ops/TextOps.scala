@@ -303,7 +303,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher's repetition filters (Rae et al. 2021, table A1, the half t14
+    * doesn't cover): duplicate 2-/3-gram fractions and the fraction of
+    * characters in the most frequent 2-gram. Pure per-row array
+    * expressions — no explode, no shuffle; at 100 TB this is per-row
+    * compute riding the corpus scan. The gram arrays materialize as
+    * columns BEFORE the nested lambdas so the mode computation reads an
+    * attribute, not a re-evaluated derived array (the t13/minhash
+    * lambda-capture trap). Tie on the 2-gram mode breaks to the
+    * lexicographically-last gram (struct max over (cnt, gram) — identical
+    * ordering in both engines). */
+  private def t15(s: SparkSession, d: String): DataFrame = {
+    val n = size(col("toks"))
+    def dupFrac(g: org.apache.spark.sql.Column) =
+      when(size(g) === 0, 0.0).otherwise(
+        (size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
+    docs(s, d)
+      .select(col("doc_id"), col("text"),
+        filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
+      .withColumn("g2", zip_with(slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(n - 1, lit(0))), (a, b) => concat(a, lit(" "), b)))
+      .withColumn("g3", zip_with(slice(col("g2"), lit(1), greatest(n - 2, lit(0))),
+        slice(col("toks"), lit(3), greatest(n - 2, lit(0))), (a, b) => concat(a, lit(" "), b)))
+      .withColumn("top2", array_max(transform(array_distinct(col("g2")),
+        g => struct(size(filter(col("g2"), x => x === g)).as("cnt"), g.as("g")))))
+      .select(col("doc_id"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        dupFrac(col("g2")).as("dup_2gram_frac"),
+        dupFrac(col("g3")).as("dup_3gram_frac"),
+        coalesce(col("top2.g"), lit("")).as("top_2gram"),
+        when(col("top2").isNull, 0.0).otherwise(
+          (col("top2.cnt") * length(col("top2.g"))).cast("double") /
+            length(col("text")).cast("double")).as("top_2gram_char_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_repetition_gopher" -> t15 _,
     "t06_tfidf" -> t06 _, "t07_text_quality" -> t07 _,
     "t08_pack_sequences" -> t08 _, "t09_heavy_hitters" -> t09 _,
     "t01_token_stats" -> t01 _, "t02_lang_profile" -> t02 _,
@@ -313,6 +349,37 @@ object TextOps {
     "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _)
 
   val oracle: Map[String, String] = Map(
+    "t15_repetition_gopher" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, text,
+        |    list_transform(range(1, greatest(len(toks), 1)),
+        |      i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+        |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+        |  FROM base
+        |), topg AS (
+        |  SELECT doc_id, text, g2, g3,
+        |    list_max(list_transform(list_distinct(g2),
+        |      g -> {'cnt': len(list_filter(g2, x -> x = g)), 'g': g})) AS top2
+        |  FROM grams
+        |)
+        |SELECT doc_id,
+        |  CAST(len(g2) AS BIGINT) AS n_2grams,
+        |  CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) /
+        |    CAST(len(g2) AS DOUBLE) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+        |    CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) /
+        |    CAST(len(g3) AS DOUBLE) END AS dup_3gram_frac,
+        |  coalesce(top2.g, '') AS top_2gram,
+        |  CASE WHEN top2 IS NULL THEN 0.0 ELSE
+        |    CAST(top2.cnt * length(top2.g) AS DOUBLE) /
+        |    CAST(length(text) AS DOUBLE) END AS top_2gram_char_frac
+        |FROM topg ORDER BY doc_id""".stripMargin,
     "t06_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
