@@ -36,8 +36,15 @@ object Bench {
     // ~7.4s (q22) vs ~1.0s/0.7s warm — entirely first-touch codegen/JIT,
     // not plan work (the r2 "d03 regression" was Map-iteration-order moving
     // d03 to the front of its kernel family, not added work).
+    // Round-6 additions, same first-touch rationale (cold vs warm at sf0.1):
+    // d15 7.2→0.5s (the regexp canonicalization chain is the only codegen'd
+    // multi-step regex pipeline), v03 7.9→2.1s (banded self-join + cosine
+    // kernel at pair scale; also covers v02), g05 12.3→2.9s (Structured
+    // Streaming machinery — micro-batch planner, streaming-specific analyzer
+    // rules, state/commit-log classes — loads on no batch query).
     Seq("q01_pricing_summary", "q12_window_rank", "d09_minhash_md5",
-      "d03_minhash_candidates", "q22_json_extract", "v01_knn_brute").foreach { name =>
+      "d03_minhash_candidates", "q22_json_extract", "v01_knn_brute",
+      "d15_url_dedup", "v03_embed_neardup", "g05_stream_flagship").foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => }
     }

@@ -485,7 +485,91 @@ object DedupOps {
       .orderBy("canonical_url")
   }
 
+  /** Chunk-level dedup screening over any (doc_id, text) frame — public so
+    * the spec can verify on synthetic corpora. CCNet (Wenzek et al. 2020)
+    * dedups at paragraph granularity; documents here carry no paragraph
+    * breaks, so the unit is a fixed window of `chunkTokens` tokens (the
+    * trailing partial chunk included). Shape: explode a chunk INDEX per doc
+    * (cheap integer `sequence`), hash each chunk in a plain projection
+    * (codegen'd, never inside a lambda — the t13/minhash trap), then two
+    * key-partitioned shuffles: chunk-hash → distinct-doc count, and doc_id
+    * → the per-doc duplicated-chunk fraction. Grouping is on the 128-bit
+    * md5, not the chunk text, so at 100 TB the shuffle carries 32-byte
+    * keys instead of kilobyte paragraphs. */
+  def chunkDedup(df: DataFrame, chunkTokens: Int = 16): DataFrame = {
+    val k = chunkTokens
+    val chunks = cached(df
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1),
+          ceil(size(col("toks")) / lit(k.toDouble)).cast("int"))).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), (col("i") - 1) * k + 1, lit(k)), " "))
+          .as("ch")))
+    val counts = chunks.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(counts, "ch")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+      .withColumn("flagged", col("dup_chunk_frac") > 0.3)
+  }
+
+  /** d17: duplicated-chunk fraction per document (the CCNet paragraph-dedup
+    * signal) over the corpus. */
+  private def d17(s: SparkSession, d: String): DataFrame =
+    chunkDedup(docs(s, d)).orderBy("doc_id")
+
+  /** Bloom-screened incremental exact dedup over any incoming/existing
+    * split — public for the spec. The existing corpus's content hashes
+    * fold into a Bloom filter (distributed partial sketches, only the
+    * ~KB-MB bitset reaches the driver — `DataFrameStatFunctions
+    * .bloomFilter` merges per-partition), which then pre-filters the
+    * incoming batch BEFORE the verify join: definite non-members (the vast
+    * majority of a fresh crawl) never shuffle. Bloom filters have no false
+    * negatives, so every true duplicate survives the probe; false
+    * positives are eliminated by the exact equi-join behind it — the final
+    * output is deterministic and oracle-checkable despite the sketch.
+    * This is the same topology Spark's own `InjectRuntimeFilter` uses for
+    * runtime row-group pruning, applied at the ingestion boundary.
+    * Both frames must carry (doc_id, th = content hash). */
+  def bloomScreen(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    val s = incoming.sparkSession
+    val ex = cached(existing.select(col("th")).distinct())
+    val bf = ex.stat.bloomFilter("th", math.max(ex.count(), 1L), 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val probe = udf((h: String) => h != null && bfB.value.mightContainString(h))
+    val dups = incoming.filter(probe(col("th")))
+      .join(ex, Seq("th"), "left_semi")
+      .select(col("doc_id"))
+      .withColumn("is_dup", lit(true))
+    incoming.select(col("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_dup"), "exact_dup").otherwise("kept").as("status"))
+  }
+
+  /** d18: the Bloom screen on the d16-style ingestion split (batch = ids
+    * % 5 == 4 plus synthesized exact-copy arrivals at id+200000). */
+  private def d18(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val isNew = col("doc_id") % 5 === 4
+    val copies = all.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val incoming = all.filter(isNew).select(col("doc_id"), col("text"))
+      .unionByName(copies)
+      .select(col("doc_id"), md5(col("text")).as("th"))
+    val existing = all.filter(!isNew)
+      .select(col("doc_id"), md5(col("text")).as("th"))
+    bloomScreen(incoming, existing).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
@@ -549,6 +633,45 @@ object DedupOps {
       |              JOIN hv hb ON hb.doc_id = cpairs.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d17_chunk_dedup" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(1, CAST(ceil(len(toks) / 16.0) AS INT) + 1)) AS i
+        |  FROM base WHERE len(toks) > 0),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, (i-1)*16 + 1, i*16), ' ')) AS ch
+        |  FROM idx),
+        |cnts AS (SELECT ch, count(DISTINCT doc_id) AS n_docs
+        |         FROM chunks GROUP BY ch)
+        |SELECT c.doc_id, CAST(count(1) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(1)
+        |    AS dup_chunk_frac,
+        |  (CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(1))
+        |    > 0.3 AS flagged
+        |FROM chunks c JOIN cnts USING (ch)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "d18_bloom_screen" ->
+      """WITH incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 40 = 0),
+        |existing AS (
+        |  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 5 <> 4),
+        |dups AS (
+        |  SELECT DISTINCT i.doc_id FROM incoming i
+        |  JOIN existing e ON md5(i.text) = e.th)
+        |SELECT i.doc_id,
+        |  CASE WHEN dp.doc_id IS NOT NULL THEN 'exact_dup' ELSE 'kept' END
+        |    AS status
+        |FROM incoming i LEFT JOIN dups dp ON i.doc_id = dp.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
     "d16_incremental_dedup" ->
       (BandedPairsCte + ",\n" +
         """incoming AS (

@@ -213,8 +213,17 @@ object TextOps {
     * JOINED on token, never collected or broadcast; only the 1-row token
     * total broadcasts. round(,4) absorbs ln() last-ulp and
     * summation-order differences vs the oracle. */
-  private def t12(s: SparkSession, d: String): DataFrame = {
-    val toks = docs(s, d).select(col("doc_id"),
+  private def t12(s: SparkSession, d: String): DataFrame =
+    unigramScores(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("avg_logprob"))
+      .orderBy("doc_id")
+
+  /** Shared body of t12/t16: per-document (lang, n_tokens, avg_logprob).
+    * `lang` rides through the groupBy for free — doc_id determines it, so
+    * adding it to the grouping key changes neither partitioning nor
+    * cardinality. */
+  private def unigramScores(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"), col("lang"),
       explode(filter(split(col("text"), " ", -1),
         t => length(t) > 0)).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -222,11 +231,58 @@ object TextOps {
     toks
       .join(counts, "token")
       .crossJoin(broadcast(total))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("cnt").cast("double") / col("n_total"))), 4)
           .as("avg_logprob"))
+  }
+
+  /** t16: CCNet-style quality bucketing (Wenzek et al. 2020) — rank each
+    * language's documents by the t12 unigram LM score and cut into
+    * head/middle/tail terciles; training pipelines keep "head" (or sample
+    * buckets at different rates). One window function partitioned by lang
+    * on top of the t12 aggregation — the ntile adds a single per-lang sort,
+    * no extra corpus shuffle beyond t12's own. The rank orders by the
+    * ROUNDED score with doc_id as the total-order tie-break, so the
+    * bucketing is bit-identical across engines and cluster layouts. */
+  private def t16(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id").asc)
+    unigramScores(s, d)
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
+  }
+
+  /** Per-source token budget for t17 — sized so every scale factor keeps
+    * some and drops some documents per source. */
+  val DomainMixBudget = 500L
+
+  /** t17: token-budget domain mixing — the sampling step that assembles a
+    * training mix from per-source token budgets (cf. The Pile / DoReMi
+    * domain weights): within each source, documents are taken in a
+    * deterministic pseudo-random order (md5 of doc_id — stable under
+    * re-runs and repartitioning, like q55's stratified sample) until the
+    * source's token budget fills; the document that crosses the boundary is
+    * kept, everything after is dropped. One running-sum window per source —
+    * a single hash shuffle on `source`; at 100 TB each source's scan
+    * streams through its partition in md5 order with no driver state. */
+  private def t17(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), "\\s+", -1), t => length(t) > 0))
+          .cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < DomainMixBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "doc_id")
   }
 
   /** t13: winnowing fingerprints (Schleimer et al., SIGMOD'03) — the
@@ -340,6 +396,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t15_repetition_gopher" -> t15 _,
+    "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
     "t06_tfidf" -> t06 _, "t07_text_quality" -> t07 _,
     "t08_pack_sequences" -> t08 _, "t09_heavy_hitters" -> t09 _,
     "t01_token_stats" -> t01 _, "t02_lang_profile" -> t02 _,
@@ -349,6 +406,40 @@ object TextOps {
     "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _)
 
   val oracle: Map[String, String] = Map(
+    "t16_quality_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |counts AS (SELECT token, count(1) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counts),
+        |scores AS (
+        |  SELECT t.doc_id, d.lang,
+        |    round(avg(ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS avg_logprob
+        |  FROM toks t JOIN counts USING (token) CROSS JOIN tot
+        |  JOIN documents d ON d.doc_id = t.doc_id
+        |  GROUP BY t.doc_id, d.lang)
+        |SELECT doc_id, lang, avg_logprob,
+        |  CASE ntile(3) OVER (PARTITION BY lang
+        |                      ORDER BY avg_logprob DESC, doc_id ASC)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scores ORDER BY doc_id""".stripMargin,
+    "t17_domain_mix" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM base)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens - n_tokens < 500
+        |ORDER BY source, doc_id""".stripMargin,
     "t15_repetition_gopher" ->
       raw"""WITH base AS (
         |  SELECT doc_id, text,
