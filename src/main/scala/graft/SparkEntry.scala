@@ -22,6 +22,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.AuditOps.queries ++
+    ops.SessionGates.queries ++
     ops.Relational.queries ++
       ops.DedupOps.queries ++
       ops.TextOps.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
+    ops.SessionGates.oracle ++
     ops.Relational.oracle ++
       ops.DedupOps.oracle ++
       ops.TextOps.oracle ++

@@ -568,8 +568,81 @@ object DedupOps {
     bloomScreen(incoming, existing).orderBy("doc_id")
   }
 
+  /** d19: per-domain document cap — the crawl-pipeline guard against any
+    * single host dominating the corpus (CommonCrawl-style "max pages per
+    * domain"). Documents rank within their domain in deterministic md5
+    * order (the same stable pseudo-random priority q55/t17 use — a crawl
+    * frontier ordered by hash, reproducible across re-runs and cluster
+    * layouts) and only the first `DomainCap` survive. One row_number
+    * window per domain = a single hash shuffle on the domain key; skewed
+    * mega-domains are exactly the rows the cap discards, so the window
+    * never materializes more than it keeps plus what it drops — no
+    * cross-row state beyond the per-partition sort. */
+  val DomainCap = 10
+  private def d19(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("ord"), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"),
+        concat(lit("www."), col("source"), lit(".example.com")).as("domain"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= DomainCap)
+      .select(col("doc_id"), col("domain"), col("rank").cast("long").as("rank"))
+      .orderBy("domain", "rank")
+  }
+
+  /** d20: the d18 ingestion screen under Structured Streaming — arrivals
+    * come in as a file stream, the existing corpus's content-hash index is
+    * the STATIC side of a stream-static left join (the production shape:
+    * the index is a maintained table, each micro-batch probes it), and the
+    * landed statuses must hash-match d18's batch oracle. Stream/batch
+    * duality for the ingestion-dedup stage, gated like e03 gates the
+    * export stage. No watermark needed: the join is stateless per
+    * micro-batch (static side re-planned per batch, nothing buffered). */
+  private def d20(s: SparkSession, d: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_sdedup_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    ExportOps.deleteRecursively(out)
+    new java.io.File(out, "in").mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      out.toPath.resolve("in/documents.parquet"))
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(s"$out/in")
+    val isNew = col("doc_id") % 5 === 4
+    val copies = stream.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val incoming = stream.filter(isNew).select(col("doc_id"), col("text"))
+      .unionByName(copies)
+      .select(col("doc_id"), md5(col("text")).as("th"))
+    val existing = docs(s, d).filter(!isNew)
+      .select(md5(col("text")).as("th")).distinct()
+      .withColumn("is_dup", lit(true))
+    val screened = incoming.join(existing, Seq("th"), "left")
+      .select(col("doc_id"),
+        when(col("is_dup"), "exact_dup").otherwise("kept").as("status"))
+    val q = screened.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = s.read.parquet(s"$out/data")
+    import scala.jdk.CollectionConverters._
+    val rows = landed.orderBy("doc_id").collect().toList.asJava
+    val local = s.createDataFrame(rows, landed.schema)
+    ExportOps.deleteRecursively(out)
+    local.orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
+    "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
@@ -632,6 +705,24 @@ object DedupOps {
       |  FROM cpairs JOIN hv ha ON ha.doc_id = cpairs.doc_a
       |              JOIN hv hb ON hb.doc_id = cpairs.doc_b)""".stripMargin
 
+  /** Shared by d18 (batch Bloom screen) and d20 (streaming gate): both must
+    * produce the identical screened statuses for the same arrival batch. */
+  private val IngestScreenOracleSql =
+    """WITH incoming AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 40 = 0),
+      |existing AS (
+      |  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 5 <> 4),
+      |dups AS (
+      |  SELECT DISTINCT i.doc_id FROM incoming i
+      |  JOIN existing e ON md5(i.text) = e.th)
+      |SELECT i.doc_id,
+      |  CASE WHEN dp.doc_id IS NOT NULL THEN 'exact_dup' ELSE 'kept' END
+      |    AS status
+      |FROM incoming i LEFT JOIN dups dp ON i.doc_id = dp.doc_id
+      |ORDER BY i.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d17_chunk_dedup" ->
       raw"""WITH base AS (
@@ -657,21 +748,18 @@ object DedupOps {
         |    > 0.3 AS flagged
         |FROM chunks c JOIN cnts USING (ch)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
-    "d18_bloom_screen" ->
-      """WITH incoming AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
-        |  UNION ALL
-        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 40 = 0),
-        |existing AS (
-        |  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 5 <> 4),
-        |dups AS (
-        |  SELECT DISTINCT i.doc_id FROM incoming i
-        |  JOIN existing e ON md5(i.text) = e.th)
-        |SELECT i.doc_id,
-        |  CASE WHEN dp.doc_id IS NOT NULL THEN 'exact_dup' ELSE 'kept' END
-        |    AS status
-        |FROM incoming i LEFT JOIN dups dp ON i.doc_id = dp.doc_id
-        |ORDER BY i.doc_id""".stripMargin,
+    "d18_bloom_screen" -> IngestScreenOracleSql,
+    "d20_stream_ingest_dedup" -> IngestScreenOracleSql,
+    "d19_domain_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |    'www.' || source || '.example.com' AS domain,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, domain, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY domain, rank""".stripMargin,
     "d16_incremental_dedup" ->
       (BandedPairsCte + ",\n" +
         """incoming AS (

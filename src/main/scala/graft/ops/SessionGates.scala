@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Oracle gates for the native `session_window` operator, batch and
+  * streaming (SURVEY.md §2.5 time windows; the reference's scheduled
+  * micro-batch + 1h late-data policy maps to watermarked streaming,
+  * SURVEY §1.4).
+  *
+  * q32 verifies gap-sessionization as a lag+cumsum COMPOSITION; these two
+  * gate the native operator itself: q57 runs it as a batch aggregation,
+  * q58 runs the same plan under `readStream` in APPEND mode — real
+  * watermark semantics, where a session only emits once the watermark
+  * passes its end — and both must hash-match the same DuckDB oracle.
+  *
+  * Timestamps truncate to milliseconds BEFORE the session grouping: the
+  * fixture carries sub-millisecond components, and a gap within 1 ms of
+  * the 5-minute boundary would otherwise merge in Spark (µs precision)
+  * and split in the oracle (ms precision). Truncation makes the gap
+  * comparison identical in both engines. Session merge is strict
+  * (touching windows split): the oracle breaks on `diff >= gap`, matching
+  * `MergingSessionsIterator`'s `start < end` merge test.
+  */
+object SessionGates {
+
+  private val GapMs = 300000L
+
+  private def msEvents(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .select(col("user_id"),
+        timestamp_millis(unix_millis(col("ts"))).as("tsm"))
+
+  private def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("tsm"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"))
+
+  /** q57: native session_window as a batch aggregation. One hash shuffle
+    * on user_id, sessions merged per-partition — no window function, no
+    * self-join; at 100 TB this is the cheapest sessionization shape Spark
+    * has. */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    sessionAgg(msEvents(s, d)).orderBy("user_id", "session_start_ms")
+
+  /** q58: the same aggregation under Structured Streaming, APPEND mode —
+    * sessions emit only when the 10-minute watermark passes their end.
+    * A single sentinel event 2 hours past the corpus max (user_id -1,
+    * filtered from the result; its own session never closes) advances the
+    * watermark past every real session so the gate observes the complete
+    * emission path: batch 1 consumes all files, the trailing no-data
+    * micro-batch fires on the watermark advance and flushes every closed
+    * session to the parquet sink. This is the production flush pattern for
+    * bounded replays of unbounded pipelines — no `complete` mode, no
+    * state-peeking. */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_sessions_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    ExportOps.deleteRecursively(out)
+    new java.io.File(out, "in").mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      out.toPath.resolve("in/events.parquet"))
+    // raw nanos view of the same file (what readStream's schema sees)
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+    raw.filter(lit(false)) // schema-only template for the sentinel row
+      .unionByName(raw.limit(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxNanos + 7200L * 1000000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props")))
+      .write.mode("overwrite").parquet(s"$out/in_sentinel")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/in_sentinel"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.copy(p,
+        out.toPath.resolve("in/sentinel.parquet")))
+    val stream = s.readStream.schema(raw.schema).parquet(s"$out/in")
+      .select(col("user_id"),
+        timestamp_millis(expr("ts div 1000000")).as("tsm"))
+      .withWatermark("tsm", "10 minutes")
+    val q = sessionAgg(stream).writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
+    import scala.jdk.CollectionConverters._
+    val rows = landed.orderBy("user_id", "session_start_ms")
+      .collect().toList.asJava
+    val local = s.createDataFrame(rows, landed.schema)
+    ExportOps.deleteRecursively(out)
+    local.orderBy("user_id", "session_start_ms")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_session_window" -> q57 _, "q58_stream_sessions" -> q58 _)
+
+  /** Both gates share one oracle: ms-truncated event times, strict-gap
+    * sessions (break on diff >= 5 min), end = last event + gap. */
+  private val SessionOracleSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN lag(ts_ms, 1) OVER w IS NULL
+      |                   OR ts_ms - lag(ts_ms, 1) OVER w >= 300000
+      |            THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+      |), sess AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts_ms) AS session_start_ms,
+      |  max(ts_ms) + 300000 AS session_end_ms,
+      |  count(1) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q57_session_window" -> SessionOracleSql,
+    "q58_stream_sessions" -> SessionOracleSql)
+}

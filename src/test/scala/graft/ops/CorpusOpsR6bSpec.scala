@@ -82,6 +82,38 @@ class CorpusOpsR6bSpec extends SparkSpec {
     }
   }
 
+  test("d19: per-domain cap keeps exactly the top-capped md5-order prefix") {
+    val docs = Tables(spark, d, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+      rs.sortBy(r => (r._3, r._1)).take(DedupOps.DomainCap).zipWithIndex.map {
+        case ((id, _, _), i) =>
+          (id, s"www.$src.example.com", (i + 1).toLong)
+      }
+    }.toSet
+    val got = graft.SparkEntry.queries("d19_domain_cap")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    got.groupBy(_._2).foreach { case (dom, rs) =>
+      assert(rs.size <= DedupOps.DomainCap, s"$dom over cap")
+      assert(rs.map(_._3).toSeq.sorted === (1 to rs.size).map(_.toLong),
+        s"$dom ranks not contiguous from 1")
+    }
+  }
+
+  test("d20: streaming ingestion screen equals the d18 batch screen") {
+    val batch = graft.SparkEntry.queries("d18_bloom_screen")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = graft.SparkEntry.queries("d20_stream_ingest_dedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch,
+      "stream-static screen must land the identical statuses")
+    assert(streamed.exists(_._2 == "exact_dup") &&
+      streamed.exists(_._2 == "kept"))
+  }
+
   test("t17: kept set replays the greedy per-source budget exactly") {
     val docs = Tables(spark, d, "documents")
       .select(col("doc_id"), col("source"),
