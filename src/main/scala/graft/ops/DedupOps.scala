@@ -640,7 +640,72 @@ object DedupOps {
     local.orderBy("doc_id")
   }
 
+  /** c01: the curation pipeline end-to-end — the composition an LLM data
+    * pipeline actually ships: every document gets the FIRST failing stage
+    * in fixed precedence as its status:
+    *   1. exact_dup — not the min-id keeper of its identical text (d01's
+    *      rule; a no-op on fixtures without byte dups, and the oracle
+    *      proves it no-ops identically);
+    *   2. near_dup — the dropped (higher-id) side of a verified
+    *      md5-MinHash pair at jaccard >= 0.7 (d12's rule, riding the same
+    *      shared shingle cache as d10/d12/d14/d16);
+    *   3. quality_fail — Gopher word-count [50, 100k] / mean-word-length
+    *      [3, 10] bounds (t14's rules; the stopword clause is omitted —
+    *      the synthetic vocabulary carries only one required stopword, so
+    *      it would reject the whole corpus rather than discriminate);
+    *   4. repetition_fail — duplicate 2-/3-gram fractions (t15's
+    *      metrics) over thresholds set at the fixture's p90 tail
+    *      (0.06 / 0.01; Gopher's 0.2 production cut drops nothing on
+    *      synthetic text);
+    *   5. kept.
+    * Everything is per-row expressions plus doc_id equi-joins of the
+    * stage verdicts — the near-dup stage is the only corpus-shuffling
+    * step, and it is banded, never all-pairs. */
+  private def c01(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val keepers = base.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+    val exact = base.join(keepers, Seq("text"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+    val near = md5VerifiedPairs(s, d).filter(col("jaccard") >= 0.7)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    val n = size(col("toks"))
+    val metrics = base
+      .select(col("doc_id"), col("text"),
+        filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
+      .withColumn("g2", zip_with(slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+      .withColumn("g3", zip_with(slice(col("g2"), lit(1), greatest(n - 2, lit(0))),
+        slice(col("toks"), lit(3), greatest(n - 2, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+      .select(col("doc_id"), n.as("n_words"),
+        when(n === 0, 0.0).otherwise(
+          length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+            n.cast("double")).as("mwl"),
+        when(size(col("g2")) === 0, 0.0).otherwise(
+          (size(col("g2")) - size(array_distinct(col("g2")))).cast("double") /
+            size(col("g2")).cast("double")).as("d2"),
+        when(size(col("g3")) === 0, 0.0).otherwise(
+          (size(col("g3")) - size(array_distinct(col("g3")))).cast("double") /
+            size(col("g3")).cast("double")).as("d3"))
+    base.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(metrics, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .when(!(col("n_words").between(50, 100000) &&
+            col("mwl").between(3.0, 10.0)), "quality_fail")
+          .when(col("d2") > 0.06 || col("d3") > 0.01, "repetition_fail")
+          .otherwise("kept").as("status"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_curation_pipeline" -> c01 _,
     "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
@@ -724,6 +789,53 @@ object DedupOps {
       |ORDER BY i.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c01_curation_pipeline" ->
+      (BandedPairsCte + raw""",
+        |keepers AS (
+        |  SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text),
+        |exact_d AS (
+        |  SELECT d.doc_id FROM documents d
+        |  JOIN keepers k ON d.text = k.text WHERE d.doc_id <> k.keep_id),
+        |near_d AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.7),
+        |toksq AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)
+        |      AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |        / len(toks) END AS mwl
+        |  FROM toksq),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks), 1)),
+        |      i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+        |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+        |  FROM toksq),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |      CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS d2,
+        |    CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+        |      CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS d3
+        |  FROM g)
+        |SELECT d.doc_id,
+        |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |       WHEN NOT (q.n BETWEEN 50 AND 100000
+        |                 AND q.mwl BETWEEN 3.0 AND 10.0) THEN 'quality_fail'
+        |       WHEN r.d2 > 0.06 OR r.d3 > 0.01 THEN 'repetition_fail'
+        |       ELSE 'kept' END AS status
+        |FROM documents d
+        |LEFT JOIN exact_d e ON d.doc_id = e.doc_id
+        |LEFT JOIN near_d nd ON d.doc_id = nd.doc_id
+        |JOIN q ON q.doc_id = d.doc_id
+        |JOIN r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     "d17_chunk_dedup" ->
       raw"""WITH base AS (
         |  SELECT doc_id,
