@@ -525,6 +525,32 @@ object Relational {
     * reproducible-sampling primitive at scale: no RNG state, no row-order
     * dependence, stable under re-runs and repartitioning, and joinable —
     * re-running selects the same rows on any cluster layout. */
+  /** q59: incremental aggregate maintenance — the materialized-view update
+    * path: the standing aggregate over EXISTING data merges with the
+    * partial aggregate of a DELTA batch (sum-of-sums / sum-of-counts,
+    * averages re-derived from the merged sums), and the merge must equal
+    * the oracle's full recompute. This is the algebraic-aggregate property
+    * Spark's own partial aggregation exploits per-stage, lifted to
+    * pipeline level: at 100 TB the nightly job re-aggregates yesterday's
+    * agg table plus today's delta — it never re-scans the raw history.
+    * Decimal sums keep the merge bit-identical to the recompute in any
+    * partition/addition order. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    def partial(df: DataFrame) = df.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(30,2)")).as("s_qty"),
+        count(lit(1)).as("n"))
+    val li = t(s, d, "lineitem")
+    partial(li.filter(col("l_orderkey") % 10 =!= 0))       // standing agg
+      .unionByName(partial(li.filter(col("l_orderkey") % 10 === 0))) // delta
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("s_qty")).as("sq"), sum(col("n")).as("nn"))
+      .select(col("l_returnflag"),
+        col("sq").cast("double").as("sum_qty"),
+        (col("sq").cast("double") / col("nn")).as("avg_qty"),
+        col("nn").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   private def q55(s: SparkSession, d: String): DataFrame = {
     val bucket = Hashing.md5Bucket100(col("doc_id"), salt = "s")
     t(s, d, "documents")
@@ -660,6 +686,7 @@ object Relational {
     "q50_regression" -> q50 _, "q51_split_assign" -> q51 _,
     "q52_resample" -> q52 _, "q53_range_frame" -> q53 _,
     "q54_skew_salted_join" -> q54 _, "q55_stratified_sample" -> q55 _,
+    "q59_incremental_agg" -> q59 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -795,6 +822,14 @@ object Relational {
         |SELECT e.event_id, e.user_id, e.event_type, dim.user_events
         |FROM events e JOIN dim USING (user_id)
         |ORDER BY e.event_id""".stripMargin,
+    "q59_incremental_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(1)
+        |    AS avg_qty,
+        |  count(1) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q55_stratified_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 10

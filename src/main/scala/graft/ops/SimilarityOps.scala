@@ -121,6 +121,34 @@ object SimilarityOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** v12: hard-negative mining — for each anchor vector, the most similar
+    * corpus vectors carrying a DIFFERENT label: exactly the negatives a
+    * contrastive/embedding trainer wants next to each positive pair
+    * (high-similarity, wrong class). Brute-force scoring against the
+    * 8-anchor broadcast is the correctness baseline, same topology as
+    * v01; at 100 TB the anchors route through the v05/v07 IVF cells and
+    * only those cells score, with the label filter pushed into the cell
+    * scan. */
+  private def v12(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+    val anchors = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val sims = corpus.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neg_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neg_id"), col("neg_label"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Centroid per label: vector aggregation with zip_with folds — the
     * building block for IVF-style coarse quantization. */
   private def v04(s: SparkSession, d: String): DataFrame =
@@ -370,6 +398,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v11_semantic_dedup" -> v11 _,
     "v10_mmr_select" -> v10 _,
+    "v12_hard_negatives" -> v12 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
     "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,
@@ -413,6 +442,20 @@ object SimilarityOps {
     * fold — stable, oracle-able. */
   val oracle: Map[String, String] = Map(
     "v10_mmr_select" -> mmrOracleSql,
+    "v12_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+        |           FROM embeddings WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT q_id, e.vec_id AS neg_id, e.label AS neg_label,
+        |    list_cosine_similarity(CAST(q_vec AS DOUBLE[]),
+        |                           CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, neg_id ASC) AS rank FROM sims)
+        |SELECT q_id, rank, neg_id, neg_label, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
          |           FROM embeddings WHERE vec_id < $NumQueries),
