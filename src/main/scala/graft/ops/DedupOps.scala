@@ -661,7 +661,11 @@ object DedupOps {
     * Everything is per-row expressions plus doc_id equi-joins of the
     * stage verdicts — the near-dup stage is the only corpus-shuffling
     * step, and it is banded, never all-pairs. */
-  private def c01(s: SparkSession, d: String): DataFrame = {
+  private def c01(s: SparkSession, d: String): DataFrame =
+    curationStatuses(s, d).orderBy("doc_id")
+
+  /** Shared by c01 (the status table) and c02 (the full training flow). */
+  private def curationStatuses(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
     val keepers = base.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
     val exact = base.join(keepers, Seq("text"))
@@ -701,11 +705,40 @@ object DedupOps {
             col("mwl").between(3.0, 10.0)), "quality_fail")
           .when(col("d2") > 0.06 || col("d3") > 0.01, "repetition_fail")
           .otherwise("kept").as("status"))
-      .orderBy("doc_id")
+  }
+
+  /** c02: the whole training-data flow, raw corpus → shipped accounting:
+    * c01's curation keep-set → per-language sequence packing into 2048-
+    * token bins (t08's rule) → deterministic md5-bucket train/val/test
+    * assignment (q51's rule) → the per-(split, lang) export accounting a
+    * data order would be checked against. Each stage is the already-gated
+    * operator it reuses; the composition itself is what this gates — at
+    * 100 TB this summary is the manifest the training job trusts. */
+  private def c02(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = curationStatuses(s, d)
+      .filter(col("status") === "kept").select("doc_id")
+    val base = docs(s, d).join(kept, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        size(filter(split(col("text"), "\\s+", -1), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucket = Hashing.md5Bucket100(col("doc_id"))
+    base
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048L))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("bin")).as("n_bins"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("split", "lang")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c01_curation_pipeline" -> c01 _,
+    "c01_curation_pipeline" -> c01 _, "c02_training_flow" -> c02 _,
     "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
@@ -788,9 +821,10 @@ object DedupOps {
       |FROM incoming i LEFT JOIN dups dp ON i.doc_id = dp.doc_id
       |ORDER BY i.doc_id""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "c01_curation_pipeline" ->
-      (BandedPairsCte + raw""",
+  /** The curation-status computation as a CTE chain, shared by the c01 and
+    * c02 oracles (mirrors [[curationStatuses]] stage by stage). */
+  private lazy val CurationStatusCte =
+    BandedPairsCte + raw""",
         |keepers AS (
         |  SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text),
         |exact_d AS (
@@ -822,20 +856,52 @@ object DedupOps {
         |      CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS d2,
         |    CASE WHEN len(g3) = 0 THEN 0.0 ELSE
         |      CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS d3
-        |  FROM g)
-        |SELECT d.doc_id,
-        |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
-        |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
-        |       WHEN NOT (q.n BETWEEN 50 AND 100000
-        |                 AND q.mwl BETWEEN 3.0 AND 10.0) THEN 'quality_fail'
-        |       WHEN r.d2 > 0.06 OR r.d3 > 0.01 THEN 'repetition_fail'
-        |       ELSE 'kept' END AS status
-        |FROM documents d
-        |LEFT JOIN exact_d e ON d.doc_id = e.doc_id
-        |LEFT JOIN near_d nd ON d.doc_id = nd.doc_id
-        |JOIN q ON q.doc_id = d.doc_id
-        |JOIN r ON r.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin),
+        |  FROM g),
+        |statuses AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+        |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |         WHEN NOT (q.n BETWEEN 50 AND 100000
+        |                   AND q.mwl BETWEEN 3.0 AND 10.0) THEN 'quality_fail'
+        |         WHEN r.d2 > 0.06 OR r.d3 > 0.01 THEN 'repetition_fail'
+        |         ELSE 'kept' END AS status
+        |  FROM documents d
+        |  LEFT JOIN exact_d e ON d.doc_id = e.doc_id
+        |  LEFT JOIN near_d nd ON d.doc_id = nd.doc_id
+        |  JOIN q ON q.doc_id = d.doc_id
+        |  JOIN r ON r.doc_id = d.doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "c01_curation_pipeline" ->
+      (CurationStatusCte +
+        "\nSELECT doc_id, status FROM statuses ORDER BY doc_id"),
+    "c02_training_flow" ->
+      (CurationStatusCte + raw""",
+        |keptd AS (SELECT doc_id FROM statuses WHERE status = 'kept'),
+        |kbase AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+        |      t -> length(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents d JOIN keptd k ON d.doc_id = k.doc_id),
+        |packed AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_tokens) // 2048 AS BIGINT) AS bin
+        |  FROM kbase),
+        |sp AS (
+        |  SELECT *,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |               % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |               % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM packed)
+        |SELECT split, lang, count(1) AS n_docs,
+        |  CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM sp GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin),
     "d17_chunk_dedup" ->
       raw"""WITH base AS (
         |  SELECT doc_id,
