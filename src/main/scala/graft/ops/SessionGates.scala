@@ -88,14 +88,26 @@ object SessionGates {
       .select(col("user_id"),
         timestamp_millis(expr("ts div 1000000")).as("tsm"))
       .withWatermark("tsm", "10 minutes")
-    val q = sessionAgg(stream).writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // The streaming aggregation's state partition count is pinned by the
+    // checkpoint at first start; every partition costs a state store
+    // instance PER MICRO-BATCH (this query runs two: data + watermark
+    // flush). 8 stores cover the fixture's user cardinality; at real
+    // scale this knob is sized to state volume, not set to the batch
+    // shuffle default. The conf is held for the query's whole (serial)
+    // lifetime — micro-batch plans compile asynchronously after start()
+    // — and restored before anything else runs.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = sessionAgg(stream).writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
     import scala.jdk.CollectionConverters._
     val rows = landed.orderBy("user_id", "session_start_ms")
