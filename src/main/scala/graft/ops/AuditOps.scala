@@ -49,10 +49,110 @@ object AuditOps {
       .orderBy("check_name")
   }
 
+  /** q60: snapshot drift audit — the metric-comparison layer on top of
+    * q56's constraints (Deequ "anomaly detection on metrics"): the standing
+    * snapshot (l_orderkey % 10 != 0) versus the newly-arrived delta batch
+    * (% 10 == 0), compared on volume, mean, distinct cardinality, and the
+    * categorical distribution's total-variation distance. A batch that
+    * drifts past threshold is quarantined before it pollutes training data.
+    *
+    * Cross-engine exactness: averages derive from decimal sums; the TVD is
+    * computed with the integer-numerator trick — sum |n_old·N_new −
+    * n_new·N_old| over flags, divided once by N_old·N_new — so no
+    * double-addition-order can differ between engines. Shape: one
+    * conditional-aggregation scan for the scalar metrics plus one grouped
+    * scan for the TVD; both map-side combined, nothing collects. */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val li = Tables(s, d, "lineitem")
+    val isNew = col("l_orderkey") % 10 === 0
+    val one = li.agg(
+      count_if(!isNew).as("n_old"), count_if(isNew).as("n_new"),
+      sum(when(!isNew, col("l_quantity").cast("decimal(30,2)"))).as("sq_old"),
+      sum(when(isNew, col("l_quantity").cast("decimal(30,2)"))).as("sq_new"),
+      countDistinct(when(!isNew, col("l_partkey"))).as("dp_old"),
+      countDistinct(when(isNew, col("l_partkey"))).as("dp_new"))
+    val scalars = one.select(
+      struct(lit("row_count").as("metric"),
+        col("n_old").cast("double").as("old_value"),
+        col("n_new").cast("double").as("new_value"),
+        (col("n_new").cast("double") / col("n_old")).as("drift"),
+        (col("n_new").cast("double") / col("n_old") > 0.05).as("passed")).as("r1"),
+      struct(lit("avg_quantity").as("metric"),
+        (col("sq_old").cast("double") / col("n_old")).as("old_value"),
+        (col("sq_new").cast("double") / col("n_new")).as("new_value"),
+        abs(col("sq_new").cast("double") / col("n_new") -
+          col("sq_old").cast("double") / col("n_old")).as("drift"),
+        (abs(col("sq_new").cast("double") / col("n_new") -
+          col("sq_old").cast("double") / col("n_old")) <= 2.0).as("passed")).as("r2"),
+      struct(lit("distinct_partkeys").as("metric"),
+        col("dp_old").cast("double").as("old_value"),
+        col("dp_new").cast("double").as("new_value"),
+        (col("dp_new").cast("double") / col("dp_old")).as("drift"),
+        (col("dp_new") > 0L).as("passed")).as("r3"))
+      .select(explode(array(col("r1"), col("r2"), col("r3"))).as("r"))
+      .select(col("r.*"))
+    val flagCounts = li.groupBy(col("l_returnflag"))
+      .agg(count_if(!isNew).as("f_old"), count_if(isNew).as("f_new"))
+    val tvd = flagCounts.crossJoin(broadcast(one.select("n_old", "n_new")))
+      .agg(sum(abs(col("f_old") * col("n_new") - col("f_new") * col("n_old")))
+          .as("num"),
+        first(col("n_old")).as("no"), first(col("n_new")).as("nn"))
+      .select(lit("returnflag_tvd").as("metric"),
+        lit(0.0).as("old_value"), lit(0.0).as("new_value"),
+        (col("num").cast("double") /
+          (col("no").cast("double") * col("nn"))).as("drift"),
+        (col("num").cast("double") /
+          (col("no").cast("double") * col("nn")) <= 0.05).as("passed"))
+    scalars.unionByName(tvd).orderBy("metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q56_quality_audit" -> q56 _)
+    "q56_quality_audit" -> q56 _, "q60_snapshot_drift" -> q60 _)
 
   val oracle: Map[String, String] = Map(
+    "q60_snapshot_drift" ->
+      """WITH one AS (
+        |  SELECT CAST(count_if(l_orderkey % 10 <> 0) AS BIGINT) AS n_old,
+        |         CAST(count_if(l_orderkey % 10 = 0) AS BIGINT) AS n_new,
+        |         sum(CASE WHEN l_orderkey % 10 <> 0
+        |             THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS sq_old,
+        |         sum(CASE WHEN l_orderkey % 10 = 0
+        |             THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS sq_new,
+        |         CAST(count(DISTINCT CASE WHEN l_orderkey % 10 <> 0
+        |             THEN l_partkey END) AS BIGINT) AS dp_old,
+        |         CAST(count(DISTINCT CASE WHEN l_orderkey % 10 = 0
+        |             THEN l_partkey END) AS BIGINT) AS dp_new
+        |  FROM lineitem),
+        |fc AS (
+        |  SELECT l_returnflag,
+        |         CAST(count_if(l_orderkey % 10 <> 0) AS BIGINT) AS f_old,
+        |         CAST(count_if(l_orderkey % 10 = 0) AS BIGINT) AS f_new
+        |  FROM lineitem GROUP BY l_returnflag),
+        |t AS (
+        |  SELECT CAST(sum(abs(f_old * n_new - f_new * n_old)) AS BIGINT) AS num,
+        |         max(n_old) AS no, max(n_new) AS nn
+        |  FROM fc CROSS JOIN one)
+        |SELECT * FROM (
+        |  SELECT 'row_count' AS metric, CAST(n_old AS DOUBLE) AS old_value,
+        |         CAST(n_new AS DOUBLE) AS new_value,
+        |         CAST(n_new AS DOUBLE) / n_old AS drift,
+        |         CAST(n_new AS DOUBLE) / n_old > 0.05 AS passed FROM one
+        |  UNION ALL
+        |  SELECT 'avg_quantity', CAST(sq_old AS DOUBLE) / n_old,
+        |         CAST(sq_new AS DOUBLE) / n_new,
+        |         abs(CAST(sq_new AS DOUBLE) / n_new
+        |             - CAST(sq_old AS DOUBLE) / n_old),
+        |         abs(CAST(sq_new AS DOUBLE) / n_new
+        |             - CAST(sq_old AS DOUBLE) / n_old) <= 2.0 FROM one
+        |  UNION ALL
+        |  SELECT 'distinct_partkeys', CAST(dp_old AS DOUBLE),
+        |         CAST(dp_new AS DOUBLE),
+        |         CAST(dp_new AS DOUBLE) / dp_old, dp_new > 0 FROM one
+        |  UNION ALL
+        |  SELECT 'returnflag_tvd', 0.0, 0.0,
+        |         CAST(num AS DOUBLE) / (CAST(no AS DOUBLE) * nn),
+        |         CAST(num AS DOUBLE) / (CAST(no AS DOUBLE) * nn) <= 0.05 FROM t
+        |) ORDER BY metric""".stripMargin,
     "q56_quality_audit" ->
       """SELECT * FROM (
         |  SELECT 'orders_nonempty' AS check_name, CAST(count(1) AS BIGINT) AS metric,
