@@ -36,7 +36,8 @@ object SparkEntry {
         "g04_cot_xml" -> ((s, d) => geotab.GeotabSynth.cotQuery(s, d)),
         "g05_stream_flagship" -> ((s, d) => geotab.GeotabSynth.streamFlagship(s, d)),
         "g06_stream_cot" -> ((s, d) => geotab.GeotabSynth.streamCot(s, d)),
-        "g07_trip_segments" -> ((s, d) => geotab.GeotabSynth.tripQuery(s, d)))
+        "g07_trip_segments" -> ((s, d) => geotab.GeotabSynth.tripQuery(s, d)),
+        "g08_stream_trips" -> ((s, d) => geotab.GeotabSynth.streamTrips(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -56,5 +57,7 @@ object SparkEntry {
         // BATCH oracles for the same snapshot
         "g05_stream_flagship" -> geotab.GeotabSynth.flagshipOracleSql,
         "g06_stream_cot" -> geotab.GeotabSynth.cotOracleSql,
-        "g07_trip_segments" -> geotab.GeotabSynth.tripOracleSql)
+        "g07_trip_segments" -> geotab.GeotabSynth.tripOracleSql,
+        // the stateful streaming operator must land the SAME closed trips
+        "g08_stream_trips" -> geotab.GeotabSynth.tripOracleSql)
 }

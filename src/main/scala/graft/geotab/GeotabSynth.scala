@@ -304,6 +304,65 @@ object GeotabSynth {
       .orderBy("device_id", "trip_start_s")
   }
 
+  /** g08: the custom stateful trip operator
+    * ([[graft.streaming.TripSegmentation.trips]],
+    * `flatMapGroupsWithState`) under REAL multi-batch streaming: the same
+    * pings as g07 arrive as three time-ordered files processed one per
+    * micro-batch (`maxFilesPerTrigger 1`), so per-device trip state must
+    * survive micro-batch boundaries; the landed trips hash-match the SAME
+    * relational oracle as g07. The idle timeout is set beyond the data
+    * horizon: the relational twin drops the trailing open run, so no
+    * timeout may flush it here either — what is gated is exactly the
+    * closed-trip stream. */
+  def streamTrips(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.TripSegmentation
+    val out = java.nio.file.Files.createTempDirectory("graft-g08-").toString
+    val pings = Tables(spark, sfDir, "orders").select(
+      concat(lit("dev-"), col("o_custkey")).as("deviceId"),
+      col("o_orderkey").cast("long").as("tsec"),
+      ((col("o_orderkey") % 5) * 10).cast("double").as("speed"))
+    val maxT = pings.agg(max(col("tsec"))).head().getLong(0)
+    val cuts = Seq(
+      col("tsec") <= maxT / 3,
+      col("tsec") > maxT / 3 && col("tsec") <= 2 * maxT / 3,
+      col("tsec") > 2 * maxT / 3)
+    new java.io.File(s"$out/in").mkdirs()
+    val now = System.currentTimeMillis()
+    cuts.zipWithIndex.foreach { case (cond, i) =>
+      val slice = s"$out/slice$i"
+      pings.filter(cond).coalesce(1).write.parquet(slice)
+      val part = new java.io.File(slice).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$out/in/f$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      // the file source picks up oldest-modified first: pin arrival order
+      dst.setLastModified(now - (3 - i) * 60000L)
+    }
+    val stream = spark.readStream
+      .schema("deviceId STRING, tsec BIGINT, speed DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+      .select(col("deviceId"), timestamp_seconds(col("tsec")).as("ts"),
+        col("speed"))
+      .as[TripSegmentation.StatusPing]
+    val trips = TripSegmentation.trips(spark, stream,
+      stopSpeed = 1.0, watermarkDelay = "10 minutes",
+      idleTimeoutMs = Long.MaxValue / 4)
+    val q = trips.toDF().writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/data")
+      .select(col("deviceId").as("device_id"),
+        (col("startMs") / 1000L).cast("long").as("trip_start_s"),
+        (col("endMs") / 1000L).cast("long").as("trip_end_s"),
+        col("nPings").cast("long").as("n_pings"),
+        col("maxSpeed").as("max_speed"))
+      .orderBy("device_id", "trip_start_s")
+  }
+
   /** DuckDB twin of [[tripQuery]]: same islands construction. */
   val tripOracleSql: String =
     """WITH pings AS (

@@ -80,10 +80,13 @@ object SessionGates {
         lit(0.0).as("value"),
         lit("{}").as("props")))
       .write.mode("overwrite").parquet(s"$out/in_sentinel")
-    java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/in_sentinel"))
+    val sentinelFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$out/in_sentinel"))
+    try sentinelFiles
       .filter(p => p.toString.endsWith(".parquet"))
       .forEach(p => java.nio.file.Files.copy(p,
         out.toPath.resolve("in/sentinel.parquet")))
+    finally sentinelFiles.close()
     val stream = s.readStream.schema(raw.schema).parquet(s"$out/in")
       .select(col("user_id"),
         timestamp_millis(expr("ts div 1000000")).as("tsm"))
