@@ -551,6 +551,40 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q61: funnel analysis — the staged-conversion query every event
+    * pipeline runs (view → click within 24 h → purchase within 24 h, each
+    * stage's timestamp the FIRST qualifying occurrence strictly after the
+    * previous stage): three chained conditional-min windows over ONE
+    * user_id partitioning (a single hash shuffle; each later stage reads
+    * the earlier stage's per-user constant as a plain column), then one
+    * per-user aggregate. No self-joins, no per-user subqueries — the
+    * shape that survives a billion users. */
+  private val FunnelWindowMs = 86400000L // 24 h conversion window per stage
+
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ms"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("ms") > col("tv") &&
+          col("ms") <= col("tv") + FunnelWindowMs, col("ms"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ms") > col("tc") &&
+          col("ms") <= col("tc") + FunnelWindowMs, col("ms"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("tv")).as("t_view_ms"), max(col("tc")).as("t_click_ms"),
+        max(col("tp")).as("t_purchase_ms"))
+      .withColumn("funnel_stage",
+        when(col("t_purchase_ms").isNotNull, 3L)
+          .when(col("t_click_ms").isNotNull, 2L)
+          .when(col("t_view_ms").isNotNull, 1L)
+          .otherwise(0L))
+      .orderBy("user_id")
+  }
+
   private def q55(s: SparkSession, d: String): DataFrame = {
     val bucket = Hashing.md5Bucket100(col("doc_id"), salt = "s")
     t(s, d, "documents")
@@ -686,7 +720,7 @@ object Relational {
     "q50_regression" -> q50 _, "q51_split_assign" -> q51 _,
     "q52_resample" -> q52 _, "q53_range_frame" -> q53 _,
     "q54_skew_salted_join" -> q54 _, "q55_stratified_sample" -> q55 _,
-    "q59_incremental_agg" -> q59 _,
+    "q59_incremental_agg" -> q59 _, "q61_funnel" -> q61 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -822,6 +856,31 @@ object Relational {
         |SELECT e.event_id, e.user_id, e.event_type, dim.user_events
         |FROM events e JOIN dim USING (user_id)
         |ORDER BY e.event_id""".stripMargin,
+    "q61_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        |), w1 AS (
+        |  SELECT user_id, event_type, ms,
+        |    min(CASE WHEN event_type = 'view' THEN ms END)
+        |      OVER (PARTITION BY user_id) AS tv
+        |  FROM e
+        |), w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ms > tv
+        |                      AND ms <= tv + 86400000 THEN ms END)
+        |      OVER (PARTITION BY user_id) AS tc
+        |  FROM w1
+        |), w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ms > tc
+        |                      AND ms <= tc + 86400000 THEN ms END)
+        |      OVER (PARTITION BY user_id) AS tp
+        |  FROM w2)
+        |SELECT user_id, max(tv) AS t_view_ms, max(tc) AS t_click_ms,
+        |  max(tp) AS t_purchase_ms,
+        |  CAST(CASE WHEN max(tp) IS NOT NULL THEN 3
+        |       WHEN max(tc) IS NOT NULL THEN 2
+        |       WHEN max(tv) IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS funnel_stage
+        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q59_incremental_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
