@@ -57,8 +57,9 @@ object AuditOps {
     * drifts past threshold is quarantined before it pollutes training data.
     *
     * Cross-engine exactness: averages derive from decimal sums; the TVD is
-    * computed with the integer-numerator trick — sum |n_old·N_new −
-    * n_new·N_old| over flags, divided once by N_old·N_new — so no
+    * computed with an exact-numerator trick — sum |n_old·N_new −
+    * n_new·N_old| over flags in DECIMAL(38,0) (the products overflow Long
+    * past ~3e9 rows a side), divided once by N_old·N_new — so no
     * double-addition-order can differ between engines. Shape: one
     * conditional-aggregation scan for the scalar metrics plus one grouped
     * scan for the TVD; both map-side combined, nothing collects. */
@@ -93,8 +94,12 @@ object AuditOps {
       .select(col("r.*"))
     val flagCounts = li.groupBy(col("l_returnflag"))
       .agg(count_if(!isNew).as("f_old"), count_if(isNew).as("f_new"))
+    // the cross products are bounded by n_old*n_new, which overflows Long
+    // past ~3e9 rows a side — decimal keeps the numerator exact (and both
+    // engines agree bit-for-bit) at any corpus size
     val tvd = flagCounts.crossJoin(broadcast(one.select("n_old", "n_new")))
-      .agg(sum(abs(col("f_old") * col("n_new") - col("f_new") * col("n_old")))
+      .agg(sum(abs(col("f_old").cast("decimal(38,0)") * col("n_new") -
+            col("f_new").cast("decimal(38,0)") * col("n_old")))
           .as("num"),
         first(col("n_old")).as("no"), first(col("n_new")).as("nn"))
       .select(lit("returnflag_tvd").as("metric"),
@@ -129,7 +134,8 @@ object AuditOps {
         |         CAST(count_if(l_orderkey % 10 = 0) AS BIGINT) AS f_new
         |  FROM lineitem GROUP BY l_returnflag),
         |t AS (
-        |  SELECT CAST(sum(abs(f_old * n_new - f_new * n_old)) AS BIGINT) AS num,
+        |  SELECT sum(abs(CAST(f_old AS DECIMAL(38,0)) * n_new
+        |              - CAST(f_new AS DECIMAL(38,0)) * n_old)) AS num,
         |         max(n_old) AS no, max(n_new) AS nn
         |  FROM fc CROSS JOIN one)
         |SELECT * FROM (

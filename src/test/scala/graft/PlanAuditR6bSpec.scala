@@ -9,20 +9,30 @@ class PlanAuditR6bSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, d).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
-  test("d18: bloom probe filters the incoming side before the verify join") {
-    val p = plan("d18_bloom_screen")
-    // the probe is a driver-broadcast sketch applied in a Filter; the
-    // verify is a left-semi hash join on the 32-byte hash — never a
-    // cartesian, never a corpus broadcast of the incoming batch
-    assert(p.toLowerCase.contains("udf"), s"bloom probe filter lost:\n$p")
-    assert(p.contains("LeftSemi"), s"verify join no longer left-semi:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
-    // the probe must sit below the semi join (plan prints children after
-    // parents: the first LeftSemi line precedes its input's Filter detail)
-    val probeIdx = p.toLowerCase.indexOf("udf")
-    val joinIdx = p.indexOf("LeftSemi")
-    assert(joinIdx >= 0 && probeIdx > joinIdx,
-      s"probe not on the join's input side:\n$p")
+  test("d18: bloom probe filters the incoming side below the verify join") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    // structural check on the plan TREE (string positions in FormattedMode
+    // are layout, not structure): the left-semi verify join must exist,
+    // and a Filter whose condition invokes the probe UDF must live in its
+    // STREAMED (left) subtree — the bloom pre-filter runs before any
+    // shuffle/join work on the incoming batch
+    val plan = SparkEntry.queries("d18_bloom_screen")(spark, d)
+      .queryExecution.sparkPlan
+    def hasProbeFilter(p: SparkPlan): Boolean =
+      p.exists {
+        case f: FilterExec =>
+          f.condition.exists(_.isInstanceOf[ScalaUDF])
+        case _ => false
+      }
+    val semis = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.nonEmpty, s"verify join no longer left-semi:\n$plan")
+    assert(semis.exists(j => hasProbeFilter(j.left)),
+      s"bloom probe filter not below the semi join's streamed side:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
   }
 
   test("t17: domain mix shuffles once on source (plus the output sort)") {

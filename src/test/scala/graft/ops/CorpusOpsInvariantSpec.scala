@@ -55,12 +55,22 @@ class CorpusOpsInvariantSpec extends SparkSpec {
     }
   }
 
-  test("t17 domain mix and d19 domain cap are repartition-stable") {
+  test("t17 domain mix and d19 domain cap are scan-layout-stable") {
+    // perturb the INPUT partitioning for real: a tiny maxPartitionBytes
+    // splits the parquet scan into many more input partitions, so any
+    // layout sensitivity in the running-sum / rank windows (e.g. a lost
+    // tie-break) changes the result. The md5 priority order must make the
+    // output byte-identical regardless.
     val d = "/root/testdata/sf0.001"
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
     for (name <- Seq("t17_domain_mix", "d19_domain_cap")) {
       val ref = graft.SparkEntry.queries(name)(spark, d).collect().toSeq
-      val got = graft.SparkEntry.queries(name)(spark, d).collect().toSeq
-      assert(got === ref, s"$name not deterministic across runs")
+      try {
+        spark.conf.set(key, "16384")
+        val got = graft.SparkEntry.queries(name)(spark, d).collect().toSeq
+        assert(got === ref, s"$name drifted under a different scan layout")
+      } finally spark.conf.set(key, prev)
     }
   }
 }
