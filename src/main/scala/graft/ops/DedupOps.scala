@@ -568,6 +568,40 @@ object DedupOps {
     bloomScreen(incoming, existing).orderBy("doc_id")
   }
 
+  /** d21: sliding duplicated-n-gram fraction (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for each
+    * document, the fraction of its sliding 8-token n-grams that occur in
+    * at least one OTHER document — the memorization-risk signal that
+    * motivates substring-level dedup, at the granularity the paper's
+    * suffix-array pass targets (d17's fixed chunks are the coarser CCNet
+    * unit). Same scale topology as d17: integer-sequence explode, gram
+    * md5 in a codegen'd projection (32-byte shuffle keys), gram-hash →
+    * distinct-doc count, doc_id re-aggregation — two key-partitioned
+    * shuffles, never an all-pairs stage. Documents shorter than n tokens
+    * have no n-grams and are excluded (the paper's pass skips them too). */
+  def dupNgramFraction(df: DataFrame, n: Int = 8): DataFrame = {
+    val grams = cached(df
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("i"), lit(n)), " ")).as("gh")))
+    val counts = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    grams.join(counts, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_ngram_frac",
+        col("n_shared").cast("double") / col("n_grams").cast("double"))
+      .withColumn("memorization_risk", col("dup_ngram_frac") > 0.5)
+  }
+
+  private def d21(s: SparkSession, d: String): DataFrame =
+    dupNgramFraction(docs(s, d)).orderBy("doc_id")
+
   /** d19: per-domain document cap — the crawl-pipeline guard against any
     * single host dominating the corpus (CommonCrawl-style "max pages per
     * domain"). Documents rank within their domain in deterministic md5
@@ -741,6 +775,7 @@ object DedupOps {
     "c01_curation_pipeline" -> c01 _, "c02_training_flow" -> c02 _,
     "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
+    "d21_dup_ngram_frac" -> d21 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
@@ -902,6 +937,29 @@ object DedupOps {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM sp GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin),
+    "d21_dup_ngram_frac" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |  FROM base WHERE len(toks) >= 8),
+        |grams AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gh
+        |  FROM idx),
+        |cnts AS (SELECT gh, count(DISTINCT doc_id) AS n_docs
+        |         FROM grams GROUP BY gh)
+        |SELECT g.doc_id, CAST(count(1) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(1)
+        |    AS dup_ngram_frac,
+        |  (CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(1))
+        |    > 0.5 AS memorization_risk
+        |FROM grams g JOIN cnts USING (gh)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "d17_chunk_dedup" ->
       raw"""WITH base AS (
         |  SELECT doc_id,
