@@ -360,14 +360,10 @@ object GeotabSynth {
         (col("endMs") / 1000L).cast("long").as("trip_end_s"),
         col("nPings").cast("long").as("n_pings"),
         col("maxSpeed").as("max_speed"))
-      .orderBy("device_id", "trip_start_s")
     // localize, then drop the scratch dir (slices + input + ckpt + sink) —
-    // same lifecycle as the d20/q58 gates
-    import scala.jdk.CollectionConverters._
-    val rows = landed.collect().toList.asJava
-    val local = spark.createDataFrame(rows, landed.schema)
-    graft.ops.ExportOps.deleteRecursively(new java.io.File(out))
-    local.orderBy("device_id", "trip_start_s")
+    // same lifecycle as the d20/q58/e* gates
+    graft.ops.ExportOps.localizeAndDrop(landed, new java.io.File(out),
+      "device_id", "trip_start_s")
   }
 
   /** DuckDB twin of [[tripQuery]]: same islands construction. */

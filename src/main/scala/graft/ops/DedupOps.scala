@@ -667,11 +667,7 @@ object DedupOps {
       .start()
     try q.processAllAvailable() finally q.stop()
     val landed = s.read.parquet(s"$out/data")
-    import scala.jdk.CollectionConverters._
-    val rows = landed.orderBy("doc_id").collect().toList.asJava
-    val local = s.createDataFrame(rows, landed.schema)
-    ExportOps.deleteRecursively(out)
-    local.orderBy("doc_id")
+    ExportOps.localizeAndDrop(landed, out, "doc_id")
   }
 
   /** c01: the curation pipeline end-to-end — the composition an LLM data

@@ -74,6 +74,20 @@ object ExportOps {
     f.delete()
   }
 
+  /** Shared tail of every streaming/export gate: materialize the (bounded)
+    * result into a driver-local DataFrame, delete the scratch directory it
+    * was read from, and return the localized frame with a deterministic
+    * order. One sort, applied to the local relation — the pre-collect sort
+    * the call sites used to carry was redundant with it. */
+  def localizeAndDrop(df: DataFrame, scratch: java.io.File,
+                      sortCols: String*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = df.collect().toList.asJava
+    val local = df.sparkSession.createDataFrame(rows, df.schema)
+    deleteRecursively(scratch)
+    if (sortCols.nonEmpty) local.orderBy(sortCols.map(col): _*) else local
+  }
+
   /** e01: export + read-back partition summary. Gates the full
     * write→read cycle (assignment, partition layout, partition-column
     * recovery) against a DuckDB twin computing the same assignment
@@ -94,15 +108,10 @@ object ExportOps {
       .groupBy(col("split").cast("string").as("split"),
         col("lang").cast("string").as("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy("split", "lang")
     // materialize the (tiny: splits × langs) summary, then delete the
     // scratch export so repeated gate/bench runs don't accumulate parquet
     // under java.io.tmpdir without bound
-    import scala.jdk.CollectionConverters._
-    val rows = summary.collect().toList.asJava
-    val local = s.createDataFrame(rows, summary.schema)
-    deleteRecursively(out)
-    local.orderBy("split", "lang")
+    localizeAndDrop(summary, out, "split", "lang")
   }
 
   /** e02: vector-index persistence — build per-label centroids
@@ -146,11 +155,7 @@ object ExportOps {
       .select(col("q_id"), col("label"), round(col("cos"), 4).as("cos"))
       .orderBy("q_id")
     // materialize the 16-row routing table, then drop the scratch index
-    import scala.jdk.CollectionConverters._
-    val rows = served.collect().toList.asJava
-    val local = s.createDataFrame(rows, served.schema)
-    deleteRecursively(out)
-    local.orderBy("q_id")
+    localizeAndDrop(served, out, "q_id")
   }
 
   /** e03: the streaming export gated against e01's OWN oracle — documents
@@ -176,12 +181,7 @@ object ExportOps {
       .groupBy(col("split").cast("string").as("split"),
         col("lang").cast("string").as("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy("split", "lang")
-    import scala.jdk.CollectionConverters._
-    val rows = summary.collect().toList.asJava
-    val local = s.createDataFrame(rows, summary.schema)
-    deleteRecursively(out)
-    local.orderBy("split", "lang")
+    localizeAndDrop(summary, out, "split", "lang")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -112,12 +112,7 @@ object SessionGates {
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
-    import scala.jdk.CollectionConverters._
-    val rows = landed.orderBy("user_id", "session_start_ms")
-      .collect().toList.asJava
-    val local = s.createDataFrame(rows, landed.schema)
-    ExportOps.deleteRecursively(out)
-    local.orderBy("user_id", "session_start_ms")
+    ExportOps.localizeAndDrop(landed, out, "user_id", "session_start_ms")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -55,21 +55,25 @@ class CorpusOpsInvariantSpec extends SparkSpec {
     }
   }
 
-  test("t17 domain mix and d19 domain cap are scan-layout-stable") {
-    // perturb the INPUT partitioning for real: a tiny maxPartitionBytes
-    // splits the parquet scan into many more input partitions, so any
-    // layout sensitivity in the running-sum / rank windows (e.g. a lost
-    // tie-break) changes the result. The md5 priority order must make the
-    // output byte-identical regardless.
+  test("t17 domain mix and d19 domain cap are shuffle-layout-stable") {
+    // perturb the layout the window operators actually see: the shuffle
+    // partition count changes which rows co-reside when the per-source /
+    // per-domain windows sort and scan, so a lost tie-break or any other
+    // layout sensitivity changes the result. (maxPartitionBytes is NOT a
+    // usable perturbation here — the fixture parquet is a single row
+    // group, so scan splits never redistribute rows.) The md5 priority
+    // order must make the output byte-identical regardless.
     val d = "/root/testdata/sf0.001"
-    val key = "spark.sql.files.maxPartitionBytes"
+    val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     for (name <- Seq("t17_domain_mix", "d19_domain_cap")) {
       val ref = graft.SparkEntry.queries(name)(spark, d).collect().toSeq
       try {
-        spark.conf.set(key, "16384")
-        val got = graft.SparkEntry.queries(name)(spark, d).collect().toSeq
-        assert(got === ref, s"$name drifted under a different scan layout")
+        for (parts <- Seq("1", "5", "61")) {
+          spark.conf.set(key, parts)
+          val got = graft.SparkEntry.queries(name)(spark, d).collect().toSeq
+          assert(got === ref, s"$name drifted at $parts shuffle partitions")
+        }
       } finally spark.conf.set(key, prev)
     }
   }
