@@ -30,7 +30,28 @@ object GraftFunctions {
     (FunctionIdentifier("graft_haversine_km"),
       new ExpressionInfo(GeoFunctions.getClass.getName, "graft_haversine_km"),
       (exprs: Seq[Expression]) =>
-        haversineKmExpr(exprs(0), exprs(1), exprs(2), exprs(3)))
+        haversineKmExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
+    // The runtime-filter pair Spark's own InjectRuntimeFilter uses, exposed
+    // as engine functions: graft_bloom_agg(xxhash64(k) [, nItems [, nBits]])
+    // folds keys into one binary Bloom sketch (distributed partial
+    // aggregation — only the bitset merges); graft_might_contain(bf,
+    // xxhash64(k)) is the codegen'd probe. Unlike a Scala-UDF probe, both
+    // stay inside whole-stage codegen. The analyzer wraps the returned
+    // AggregateFunction in an AggregateExpression like any builtin agg.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[aggregate.BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v) => new aggregate.BloomFilterAggregate(v)
+        case Seq(v, n) => new aggregate.BloomFilterAggregate(v, n)
+        case Seq(v, n, b) => new aggregate.BloomFilterAggregate(v, n, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_bloom_agg takes 1-3 args, got ${exprs.length}")
+      }),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1)))
   )
 
   /** Catalyst-tree form of [[GeoFunctions.haversineKm]] for the SQL

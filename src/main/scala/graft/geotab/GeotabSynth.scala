@@ -219,13 +219,18 @@ object GeotabSynth {
   def streamFlagship(spark: SparkSession, sfDir: String): DataFrame = {
     val clientName = "g05-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val flat = connectorFlatStream(spark, sfDir, clientName)
-    val out = java.nio.file.Files.createTempDirectory("graft-g05-").toString
-    val q = flat.writeStream.format("parquet")
-      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(s"$out/data").orderBy("id")
+    val out = java.nio.file.Files.createTempDirectory("graft-g05-").toFile
+    graft.ops.ExportOps.withScratchCleanup(out) {
+      val q = flat.writeStream.format("parquet")
+        .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // localize the bounded fleet snapshot, then drop the scratch dir —
+      // repeated gate/bench runs must not accumulate tempdirs
+      graft.ops.ExportOps.localizeAndDrop(
+        spark.read.parquet(s"$out/data"), out, "id")
+    }
   }
 
   /** g06: the S8 submit path under streaming — per micro-batch, features
@@ -237,13 +242,16 @@ object GeotabSynth {
     import graft.streaming.EventStreams
     val clientName = "g06-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val flat = connectorFlatStream(spark, sfDir, clientName)
-    val out = java.nio.file.Files.createTempDirectory("graft-g06-").toString
-    val w = EventStreams.cotWriter(flat, new EventStreams.FileSink(s"$out/data"))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    val q = EventStreams.start(w, s"$out/ckpt")
-    q.awaitTermination()
-    spark.read.schema("id STRING, cot_xml STRING").json(s"$out/data/batch_*")
-      .orderBy("id")
+    val out = java.nio.file.Files.createTempDirectory("graft-g06-").toFile
+    graft.ops.ExportOps.withScratchCleanup(out) {
+      val w = EventStreams.cotWriter(flat, new EventStreams.FileSink(s"$out/data"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = EventStreams.start(w, s"$out/ckpt")
+      q.awaitTermination()
+      graft.ops.ExportOps.localizeAndDrop(
+        spark.read.schema("id STRING, cot_xml STRING").json(s"$out/data/batch_*"),
+        out, "id")
+    }
   }
 
   /** g03: haversine distance from every device's current position to the
@@ -317,7 +325,9 @@ object GeotabSynth {
   def streamTrips(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.streaming.TripSegmentation
-    val out = java.nio.file.Files.createTempDirectory("graft-g08-").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-g08-").toFile
+    val out = outDir.toString
+    graft.ops.ExportOps.withScratchCleanup(outDir) {
     val pings = Tables(spark, sfDir, "orders").select(
       concat(lit("dev-"), col("o_custkey")).as("deviceId"),
       col("o_orderkey").cast("long").as("tsec"),
@@ -362,8 +372,9 @@ object GeotabSynth {
         col("maxSpeed").as("max_speed"))
     // localize, then drop the scratch dir (slices + input + ckpt + sink) —
     // same lifecycle as the d20/q58/e* gates
-    graft.ops.ExportOps.localizeAndDrop(landed, new java.io.File(out),
+    graft.ops.ExportOps.localizeAndDrop(landed, outDir,
       "device_id", "trip_start_s")
+    }
   }
 
   /** DuckDB twin of [[tripQuery]]: same islands construction. */

@@ -526,24 +526,46 @@ object DedupOps {
 
   /** Bloom-screened incremental exact dedup over any incoming/existing
     * split — public for the spec. The existing corpus's content hashes
-    * fold into a Bloom filter (distributed partial sketches, only the
-    * ~KB-MB bitset reaches the driver — `DataFrameStatFunctions
-    * .bloomFilter` merges per-partition), which then pre-filters the
+    * fold into a Bloom filter built entirely IN-PLAN: a one-row binary
+    * `BloomFilterAggregate` (the aggregate Spark's own `InjectRuntimeFilter`
+    * emits — distributed partial sketches, only bitsets merge), broadcast
+    * into the incoming side, probed by the codegen'd
+    * `BloomFilterMightContain` expression. The probe pre-filters the
     * incoming batch BEFORE the verify join: definite non-members (the vast
-    * majority of a fresh crawl) never shuffle. Bloom filters have no false
-    * negatives, so every true duplicate survives the probe; false
-    * positives are eliminated by the exact equi-join behind it — the final
-    * output is deterministic and oracle-checkable despite the sketch.
-    * This is the same topology Spark's own `InjectRuntimeFilter` uses for
-    * runtime row-group pruning, applied at the ingestion boundary.
-    * Both frames must carry (doc_id, th = content hash). */
+    * majority of a fresh crawl) never shuffle, and unlike the previous
+    * Scala-UDF probe the screen stays inside whole-stage codegen. Bloom
+    * filters have no false negatives, so every true duplicate survives the
+    * probe; false positives are eliminated by the exact equi-join behind
+    * it — the final output is deterministic and oracle-checkable despite
+    * the sketch. Keys enter the filter as xxhash64 longs on both sides
+    * (the same move InjectRuntimeFilter makes), so the 128-bit content
+    * hash never feeds the sketch directly.
+    *
+    * Both frames must carry (doc_id, th = content hash). `incoming` must
+    * be unique per doc_id: the final status join is keyed on doc_id, so
+    * duplicate doc_id rows would fan out and could take their label from
+    * the wrong copy — aggregate arrivals to one row per doc_id first.
+    * Sizing: the aggregate's (nItems, nBits) come from the existing-side
+    * count at 1% fpp; Spark caps them at
+    * `spark.sql.optimizer.runtime.bloomFilter.max{NumItems,NumBits}`
+    * (4M / 64M-bit defaults) — raise those confs for a 100 TB index, or
+    * the fpp degrades gracefully (never incorrectly). */
   def bloomScreen(incoming: DataFrame, existing: DataFrame): DataFrame = {
     val s = incoming.sparkSession
+    graft.functions.GraftFunctions.registerAll(s)
     val ex = cached(existing.select(col("th")).distinct())
-    val bf = ex.stat.bloomFilter("th", math.max(ex.count(), 1L), 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val probe = udf((h: String) => h != null && bfB.value.mightContainString(h))
-    val dups = incoming.filter(probe(col("th")))
+    val n = math.max(ex.count(), 1L)
+    // optimal bit count for fpp=0.01 (the standard -n·ln p / ln²2 formula)
+    val nBits = math.max(64L,
+      math.ceil(-n * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
+    // one-row binary aggregate, attached as a SCALAR SUBQUERY — the shape
+    // might_contain requires (it rejects a join attribute), and the same
+    // plan InjectRuntimeFilter emits: the subquery runs once, its bitset
+    // ships to every probe task as a constant
+    val bf = ex.agg(call_function("graft_bloom_agg",
+      xxhash64(col("th")), lit(n), lit(nBits)).as("bf"))
+    val dups = incoming
+      .filter(call_function("graft_might_contain", bf.scalar(), xxhash64(col("th"))))
       .join(ex, Seq("th"), "left_semi")
       .select(col("doc_id"))
       .withColumn("is_dup", lit(true))
@@ -640,6 +662,7 @@ object DedupOps {
       "graft_sdedup_" + d.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + ProcessHandle.current().pid())
     ExportOps.deleteRecursively(out)
+    ExportOps.withScratchCleanup(out) {
     new java.io.File(out, "in").mkdirs()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/documents.parquet"),
@@ -668,6 +691,7 @@ object DedupOps {
     try q.processAllAvailable() finally q.stop()
     val landed = s.read.parquet(s"$out/data")
     ExportOps.localizeAndDrop(landed, out, "doc_id")
+    }
   }
 
   /** c01: the curation pipeline end-to-end — the composition an LLM data

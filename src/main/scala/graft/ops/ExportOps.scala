@@ -74,11 +74,32 @@ object ExportOps {
     f.delete()
   }
 
-  /** Shared tail of every streaming/export gate: materialize the (bounded)
-    * result into a driver-local DataFrame, delete the scratch directory it
-    * was read from, and return the localized frame with a deterministic
+  /** Runs a gate body, deleting its scratch directory if the body throws.
+    * The success path's [[localizeAndDrop]] already deletes the dir; without
+    * this, a failed streaming query or read-back leaks the PID-suffixed
+    * scratch (input copy + checkpoint + sink), which a later run in a NEW
+    * process can never reclaim. Cleanup failures are swallowed so the
+    * original error always propagates. */
+  def withScratchCleanup[T](scratch: java.io.File)(body: => T): T =
+    try body
+    catch {
+      case t: Throwable =>
+        try deleteRecursively(scratch) catch { case _: Throwable => () }
+        throw t
+    }
+
+  /** Shared tail of every streaming/export gate: materialize the result
+    * into a driver-local DataFrame, delete the scratch directory it was
+    * read from, and return the localized frame with a deterministic
     * order. One sort, applied to the local relation — the pre-collect sort
-    * the call sites used to carry was redundant with it. */
+    * the call sites used to carry was redundant with it.
+    *
+    * Caller-side size contract: this collects `df` to the driver, so it is
+    * only for gate results that stay small relative to driver memory — the
+    * e01/e02 summaries are ≤16 rows, the streaming-gate landings (d20/d22
+    * arrival batches, g08 trips, q58 sessions) are fixture-batch-sized.
+    * A caller whose result grows with the corpus (not with the batch/
+    * summary) must write to durable storage instead of localizing. */
   def localizeAndDrop(df: DataFrame, scratch: java.io.File,
                       sortCols: String*): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -98,6 +119,7 @@ object ExportOps {
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_export_" + d.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + ProcessHandle.current().pid())
+    withScratchCleanup(out) {
     trainingExport(s, d, out.getAbsolutePath)
     // Partition-column values come back through directory-name inference:
     // cast both to string so a numeric-looking lang can never be inferred
@@ -112,6 +134,7 @@ object ExportOps {
     // scratch export so repeated gate/bench runs don't accumulate parquet
     // under java.io.tmpdir without bound
     localizeAndDrop(summary, out, "split", "lang")
+    }
   }
 
   /** e02: vector-index persistence — build per-label centroids
@@ -132,6 +155,7 @@ object ExportOps {
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_index_" + d.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + ProcessHandle.current().pid())
+    withScratchCleanup(out) {
     val emb = Tables(s, d, "embeddings")
     val dims = emb.select(col("label"),
         posexplode(graft.functions.VectorFunctions.toDouble(col("embedding"))))
@@ -156,6 +180,7 @@ object ExportOps {
       .orderBy("q_id")
     // materialize the 16-row routing table, then drop the scratch index
     localizeAndDrop(served, out, "q_id")
+    }
   }
 
   /** e03: the streaming export gated against e01's OWN oracle — documents
@@ -169,6 +194,7 @@ object ExportOps {
       "graft_sexport_" + d.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + ProcessHandle.current().pid())
     deleteRecursively(out)
+    withScratchCleanup(out) {
     new java.io.File(out, "in").mkdirs()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/documents.parquet"),
@@ -182,6 +208,7 @@ object ExportOps {
         col("lang").cast("string").as("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     localizeAndDrop(summary, out, "split", "lang")
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -59,11 +59,17 @@ object SessionGates {
     * bounded replays of unbounded pipelines — no `complete` mode, no
     * state-peeking. */
   private def q58(s: SparkSession, d: String): DataFrame = {
+    // nanosAsLong must cover the raw read below AND the streaming query's
+    // whole lifetime (micro-batch plans compile asynchronously after
+    // start()); restored in the same finally as shuffle.partitions so a
+    // later non-Tables read of nano timestamps sees the caller's setting.
+    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_sessions_" + d.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + ProcessHandle.current().pid())
     ExportOps.deleteRecursively(out)
+    try ExportOps.withScratchCleanup(out) {
     new java.io.File(out, "in").mkdirs()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/events.parquet"),
@@ -71,6 +77,8 @@ object SessionGates {
     // raw nanos view of the same file (what readStream's schema sees)
     val raw = s.read.parquet(s"$d/events.parquet")
     val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+    // coalesce(1): the copy below lands the sentinel as ONE target file;
+    // multiple non-empty part files would collide on the fixed name
     raw.filter(lit(false)) // schema-only template for the sentinel row
       .unionByName(raw.limit(1).select(
         lit(-1L).as("event_id"),
@@ -79,6 +87,7 @@ object SessionGates {
         lit("sentinel").as("event_type"),
         lit(0.0).as("value"),
         lit("{}").as("props")))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$out/in_sentinel")
     val sentinelFiles = java.nio.file.Files.list(
       java.nio.file.Paths.get(s"$out/in_sentinel"))
@@ -97,8 +106,7 @@ object SessionGates {
     // flush). 8 stores cover the fixture's user cardinality; at real
     // scale this knob is sized to state volume, not set to the batch
     // shuffle default. The conf is held for the query's whole (serial)
-    // lifetime — micro-batch plans compile asynchronously after start()
-    // — and restored before anything else runs.
+    // lifetime and restored before anything else runs.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -113,6 +121,10 @@ object SessionGates {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
     ExportOps.localizeAndDrop(landed, out, "user_id", "session_start_ms")
+    } finally prevNanos match {
+      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

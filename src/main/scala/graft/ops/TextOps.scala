@@ -359,40 +359,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Gopher's repetition filters (Rae et al. 2021, table A1, the half t14
-    * doesn't cover): duplicate 2-/3-gram fractions and the fraction of
-    * characters in the most frequent 2-gram. Pure per-row array
-    * expressions — no explode, no shuffle; at 100 TB this is per-row
-    * compute riding the corpus scan. The gram arrays materialize as
-    * columns BEFORE the nested lambdas so the mode computation reads an
-    * attribute, not a re-evaluated derived array (the t13/minhash
-    * lambda-capture trap). Tie on the 2-gram mode breaks to the
-    * lexicographically-last gram (struct max over (cnt, gram) — identical
-    * ordering in both engines). */
-  private def t15(s: SparkSession, d: String): DataFrame = {
+  /** The per-document (doc_id, text, toks, g2, g3) frame t15's two legs
+    * share: whitespace tokens plus materialized 2-/3-gram arrays (as
+    * columns BEFORE any lambda reads them — the t13/minhash
+    * lambda-capture trap). */
+  private def gramBase(df: DataFrame): DataFrame = {
     val n = size(col("toks"))
-    def dupFrac(g: org.apache.spark.sql.Column) =
-      when(size(g) === 0, 0.0).otherwise(
-        (size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
-    docs(s, d)
+    df
       .select(col("doc_id"), col("text"),
         filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
       .withColumn("g2", zip_with(slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
         slice(col("toks"), lit(2), greatest(n - 1, lit(0))), (a, b) => concat(a, lit(" "), b)))
       .withColumn("g3", zip_with(slice(col("g2"), lit(1), greatest(n - 2, lit(0))),
         slice(col("toks"), lit(3), greatest(n - 2, lit(0))), (a, b) => concat(a, lit(" "), b)))
-      .withColumn("top2", array_max(transform(array_distinct(col("g2")),
-        g => struct(size(filter(col("g2"), x => x === g)).as("cnt"), g.as("g")))))
+  }
+
+  /** Gopher's repetition filters (Rae et al. 2021, table A1, the half t14
+    * doesn't cover): duplicate 2-/3-gram fractions and the fraction of
+    * characters in the most frequent 2-gram.
+    *
+    * The dup fractions are per-row array expressions riding the corpus
+    * scan. The 2-gram MODE is NOT computed per-row: the compositional form
+    * (for each distinct gram, scan the whole gram array) is O(n²) per
+    * document — ~10¹⁰ comparisons for one 100k-token doc. Instead it is
+    * the keyed form: explode grams → count per (doc_id, gram) → struct-max
+    * per doc — linear work plus one hash shuffle keyed on (doc_id, gram),
+    * which at 100 TB distributes a pathological document across the
+    * cluster instead of spinning one task on it. Tie on the mode breaks to
+    * the lexicographically-last gram (struct max over (cnt, gram) —
+    * identical ordering in both engines). Docs with no 2-grams produce no
+    * exploded rows and come back as ("", 0.0) through the left join. The
+    * two legs re-scan the pruned (doc_id, text) columns rather than cache
+    * a corpus-sized frame.
+    *
+    * Public over any (doc_id, text) frame so the spec can pin the bounded-
+    * time property on a pathological (≥10k-token) document. */
+  def repetitionGopher(df: DataFrame): DataFrame = {
+    def dupFrac(g: org.apache.spark.sql.Column) =
+      when(size(g) === 0, 0.0).otherwise(
+        (size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
+    val metrics = gramBase(df)
       .select(col("doc_id"),
+        length(col("text")).as("n_chars_txt"),
         size(col("g2")).cast("long").as("n_2grams"),
         dupFrac(col("g2")).as("dup_2gram_frac"),
-        dupFrac(col("g3")).as("dup_3gram_frac"),
+        dupFrac(col("g3")).as("dup_3gram_frac"))
+    val top2 = gramBase(df)
+      .select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).cast("int").as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("cnt"), col("g"))).as("top2"))
+    metrics.join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_2grams"),
+        col("dup_2gram_frac"), col("dup_3gram_frac"),
         coalesce(col("top2.g"), lit("")).as("top_2gram"),
         when(col("top2").isNull, 0.0).otherwise(
           (col("top2.cnt") * length(col("top2.g"))).cast("double") /
-            length(col("text")).cast("double")).as("top_2gram_char_frac"))
-      .orderBy("doc_id")
+            col("n_chars_txt").cast("double")).as("top_2gram_char_frac"))
   }
+
+  private def t15(s: SparkSession, d: String): DataFrame =
+    repetitionGopher(docs(s, d)).orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t15_repetition_gopher" -> t15 _,

@@ -64,6 +64,23 @@ class CorpusOpsR6bSpec extends SparkSpec {
     assert(got.size === 60)
   }
 
+  test("d18: the bloom probe is the codegen'd expression pair, not a UDF") {
+    import spark.implicits._
+    val existing = (1 to 50).map(i => (i.toLong, s"text-$i")).toDF("doc_id", "raw")
+      .select(col("doc_id"), md5(col("raw")).as("th"))
+    val incoming = (101 to 120).map(i => (i.toLong, s"new-$i")).toDF("doc_id", "raw")
+      .select(col("doc_id"), md5(col("raw")).as("th"))
+    val screened = DedupOps.bloomScreen(incoming, existing)
+    val analyzed = screened.queryExecution.analyzed.toString()
+    assert(analyzed.contains("might_contain"),
+      s"probe must be BloomFilterMightContain:\n${analyzed.take(1500)}")
+    assert(analyzed.contains("bloom_filter_agg"),
+      s"filter must build via BloomFilterAggregate:\n${analyzed.take(1500)}")
+    val physical = screened.queryExecution.executedPlan.toString()
+    assert(!physical.contains("UDF") && !analyzed.contains("UDF"),
+      "the screen must stay inside whole-stage codegen — no Scala UDF node")
+  }
+
   test("t16: terciles are balanced per lang and ordered head >= tail") {
     val rows = graft.SparkEntry.queries("t16_quality_buckets")(spark, d)
       .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))

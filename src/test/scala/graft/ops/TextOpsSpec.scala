@@ -84,4 +84,43 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(scored(1L) - math.log(7.0 / 11)) < 1e-12)
     assert(scored(1L) > scored(3L) && scored(3L) > scored(2L))
   }
+
+  test("gopher repetition mode is linear: a 20k-token doc completes, values exact") {
+    // the compositional per-row form was O(n²) per document (distinct
+    // grams × full-array scans) — ~4·10⁸ comparisons for this doc; the
+    // keyed explode→count→struct-max form must handle it in bounded time
+    val n = 20000
+    // tokens: x0 x1 ... x9 repeating, with one run of "y y" injected so
+    // the top 2-gram is unambiguous: "y y" appears 3 times in a row of 4 ys
+    val toks = (0 until n).map(i => s"x${i % 10}") ++ Seq("y", "y", "y", "y")
+    val doc = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val row = TextOps.repetitionGopher(doc).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, s"20k-token doc took ${secs}s — quadratic regression?")
+    assert(row.getAs[Long]("n_2grams") === (n + 4 - 1).toLong)
+    // every x-gram repeats (only 10 distinct x-pairs exist) and the
+    // injected ys add 3 more grams ("y y"×3) + 1 bridge ("x9 y"... unique)
+    assert(row.getAs[String]("top_2gram").startsWith("x") ||
+      row.getAs[String]("top_2gram") === "y y")
+    // the mode count must match an independent driver-side count
+    val g2 = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val (bestGram, bestCnt) = g2.groupBy(identity).view.mapValues(_.size)
+      .toSeq.maxBy { case (g, c) => (c, g) } // same (cnt, gram) tie-break
+    assert(row.getAs[String]("top_2gram") === bestGram)
+    val expFrac = bestCnt.toDouble * bestGram.length / toks.mkString(" ").length
+    assert(math.abs(row.getAs[Double]("top_2gram_char_frac") - expFrac) < 1e-12)
+  }
+
+  test("gopher repetition handles docs with zero and one token") {
+    val rows = Seq((1L, ""), (2L, "solo"), (3L, "a b a b")).toDF("doc_id", "text")
+    val got = TextOps.repetitionGopher(rows).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_2grams") === 0L)
+    assert(got(0).getAs[String]("top_2gram") === "")
+    assert(got(0).getAs[Double]("top_2gram_char_frac") === 0.0)
+    assert(got(1).getAs[Long]("n_2grams") === 0L)
+    // grams of "a b a b": [a b, b a, a b] → "a b"×2, "b a"×1 → mode "a b"
+    assert(got(2).getAs[String]("top_2gram") === "a b")
+    assert(got(2).getAs[Double]("dup_2gram_frac") === 1.0 / 3.0)
+  }
 }
