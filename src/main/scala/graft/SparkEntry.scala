@@ -37,7 +37,8 @@ object SparkEntry {
         "g05_stream_flagship" -> ((s, d) => geotab.GeotabSynth.streamFlagship(s, d)),
         "g06_stream_cot" -> ((s, d) => geotab.GeotabSynth.streamCot(s, d)),
         "g07_trip_segments" -> ((s, d) => geotab.GeotabSynth.tripQuery(s, d)),
-        "g08_stream_trips" -> ((s, d) => geotab.GeotabSynth.streamTrips(s, d)))
+        "g08_stream_trips" -> ((s, d) => geotab.GeotabSynth.streamTrips(s, d)),
+        "g09_stream_http_submit" -> ((s, d) => geotab.GeotabSynth.streamHttpSubmit(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -59,5 +60,8 @@ object SparkEntry {
         "g06_stream_cot" -> geotab.GeotabSynth.cotOracleSql,
         "g07_trip_segments" -> geotab.GeotabSynth.tripOracleSql,
         // the stateful streaming operator must land the SAME closed trips
-        "g08_stream_trips" -> geotab.GeotabSynth.tripOracleSql)
+        "g08_stream_trips" -> geotab.GeotabSynth.tripOracleSql,
+        // the HTTP submit loop must deliver payloads that decode back to
+        // the exact batch flagship — the reference's output boundary gated
+        "g09_stream_http_submit" -> geotab.GeotabSynth.flagshipOracleSql)
 }

@@ -254,6 +254,91 @@ object GeotabSynth {
     }
   }
 
+  /** g09: the reference's ACTUAL output boundary under streaming — the
+    * whole `readStream → featuresFlat → FeatureCollection assembly → HTTP
+    * POST` loop (task.ts:233-294: one FeatureCollection submitted per
+    * scheduled run to the CloudTAK layer endpoint, task.ts:294 via the ETL
+    * base's `this.submit`). A local stub HTTP server stands in for CloudTAK
+    * (the same fixture treatment the source gets from InMemoryGeotabClient);
+    * the payloads it RECEIVES are parsed back to flat feature columns and
+    * must hash-match the batch flagship oracle — so serialization, bucket
+    * assembly, retry, and delivery are all inside the correctness gate, not
+    * just spec-tested. The stub 503s the first request, so the gate result
+    * additionally rides the sink's transient-retry path every run (a 4xx
+    * fail-fast twin lives in HttpFeatureSinkSpec).
+    *
+    * Scale shape: POSTs run in `foreachPartition` on executors (bounded
+    * payloads, nBuckets=4 here); the driver-side parse of received bodies
+    * is the TEST HARNESS reading its stub server's inbox, not a pipeline
+    * stage — production payloads terminate at the receiver. */
+  def streamHttpSubmit(spark: SparkSession, sfDir: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.nio.charset.StandardCharsets
+    import graft.streaming.{EventStreams, FeatureCollectionHttpSink}
+    val clientName = "g09-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val flat = connectorFlatStream(spark, sfDir, clientName)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/submit", (x: HttpExchange) => {
+      val n = requests.incrementAndGet()
+      val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val status = if (n == 1) 503 else 200 // first request always retries
+      if (status == 200) received.add(body)
+      x.sendResponseHeaders(status, -1)
+      x.close()
+    })
+    server.start()
+    val out = java.nio.file.Files.createTempDirectory("graft-g09-").toFile
+    try graft.ops.ExportOps.withScratchCleanup(out) {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/submit"
+      val sink = new FeatureCollectionHttpSink(url, nBuckets = 4, backoffMs = 1)
+      val q = EventStreams.start(
+        EventStreams.featureWriter(flat, sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        s"$out/ckpt")
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val payloads = received.iterator().asScala.toSeq.toDF("payload")
+      val fcSchema =
+        """type STRING, features ARRAY<STRUCT<
+          |  id STRING, type STRING,
+          |  properties STRUCT<callsign STRING, course DOUBLE, start STRING,
+          |    speed DOUBLE,
+          |    metadata STRUCT<vin STRING, name STRING, licenseState STRING,
+          |      licensePlate STRING, groups STRING, driverUsername STRING,
+          |      firstName STRING, lastName STRING, driverPhone STRING,
+          |      designation STRING, comment STRING>>,
+          |  geometry STRUCT<type STRING, coordinates ARRAY<DOUBLE>>>>""".stripMargin
+      val landed = payloads
+        .select(explode(from_json(col("payload"), fcSchema, Map.empty[String, String])
+          .getField("features")).as("f"))
+        .select(
+          col("f.id").as("id"),
+          col("f.properties.callsign").as("callsign"),
+          col("f.properties.course").as("course"),
+          to_timestamp_ntz(col("f.properties.start"),
+            lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).as("start_ts"),
+          col("f.properties.speed").as("speed_ms"),
+          col("f.geometry.coordinates").getItem(0).as("longitude"),
+          col("f.geometry.coordinates").getItem(1).as("latitude"),
+          col("f.properties.metadata.vin").as("vin"),
+          col("f.properties.metadata.licenseState").as("license_state"),
+          col("f.properties.metadata.licensePlate").as("license_plate"),
+          col("f.properties.metadata.name").as("vehicle_name"),
+          col("f.properties.metadata.groups").as("groups"),
+          col("f.properties.metadata.driverUsername").as("driver_username"),
+          col("f.properties.metadata.firstName").as("driver_first_name"),
+          col("f.properties.metadata.lastName").as("driver_last_name"),
+          col("f.properties.metadata.driverPhone").as("driver_phone"),
+          col("f.properties.metadata.designation").as("driver_designation"),
+          col("f.properties.metadata.comment").as("driver_comment"))
+      graft.ops.ExportOps.localizeAndDrop(landed, out, "id")
+    } finally server.stop(0)
+  }
+
   /** g03: haversine distance from every device's current position to the
     * fleet operations center (the reference operator's home coordinates) —
     * the geo query SURVEY.md §2.7 lists as optional, over the same
