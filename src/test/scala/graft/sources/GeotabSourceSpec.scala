@@ -265,6 +265,41 @@ class GeotabSourceSpec extends SparkSpec {
     assert(GeotabSessionCache.logins.get() === 2, "no re-login after expiry")
   }
 
+  test("persisted session survives a process restart: zero re-logins (task.ts:127-143)") {
+    // the reference caches credentials in CloudTAK's ephemeral store, which
+    // outlives Lambda invocations — a new process reuses the old session.
+    // Simulated restart = clearMemory() (in-memory cache gone, disk + the
+    // server's session table survive).
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-")
+    val c = freshClient()
+    GeotabClients.register("t4p", c)
+    GeotabSessionCache.clear()
+    GeotabSessionCache.persistTo(dir)
+    try {
+      read("t4p", "user").collect()
+      assert(GeotabSessionCache.logins.get() === 1)
+      GeotabSessionCache.clearMemory() // "restart"
+      read("t4p", "device").collect()
+      assert(GeotabSessionCache.logins.get() === 1,
+        "restarted process must reuse the persisted session, not re-login")
+      // disk session validated-on-use: server-side expiry still re-logins
+      c.expireAllSessions()
+      GeotabSessionCache.clearMemory()
+      read("t4p", "user").collect()
+      assert(GeotabSessionCache.logins.get() === 2,
+        "stale persisted session must re-login like a stale cached one")
+      // and the re-login refreshed the disk copy: another restart reuses it
+      GeotabSessionCache.clearMemory()
+      read("t4p", "device").collect()
+      assert(GeotabSessionCache.logins.get() === 2,
+        "refreshed session must be re-persisted after re-login")
+    } finally {
+      GeotabSessionCache.disablePersistence()
+      GeotabSessionCache.clear()
+      graft.ops.ExportOps.deleteRecursively(dir.toFile)
+    }
+  }
+
   test("FAILFAST deserialize: malformed API row fails the scan (task.ts:161-163)") {
     val bad = new InMemoryGeotabClient(Seq.empty, Seq.empty,
       initialDeviceInfo = Seq("""{"latitude": "not-a-number", "device": 42}"""))
