@@ -225,14 +225,31 @@ object DedupOps {
   /** doc_id + 28-bit md5 base hash per distinct shingle: one md5 per
     * shingle total — the 8 signature slots derive from it by affine mixing
     * instead of 8 separate md5 passes, and downstream joins carry compact
-    * long arrays, never the shingle strings. */
-  private def withShingleHashes(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    * long arrays, never the shingle strings. Public over any (doc_id,
+    * text) frame so index builders (d22) and arrival batches share the
+    * exact kernel. */
+  def shingleHashFrame(df: DataFrame): DataFrame =
+    df
       .select(col("doc_id"),
         array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
       .select(col("doc_id"),
         transform(col("sh"), x =>
           conv(substring(md5(x), 1, 7), 16, 10).cast("long")).as("hv"))
+
+  private def withShingleHashes(s: SparkSession, d: String): DataFrame =
+    shingleHashFrame(docs(s, d))
+
+  /** LSH band table over a (doc_id, hv) frame: 4 bands × 2 affine-mixed
+    * signature slots packed into one long per band — the banding
+    * [[md5VerifiedPairs]] self-joins on, exposed so a persisted index's
+    * band table (d22) is built by the identical expression. */
+  def bandFrame(hvDf: DataFrame): DataFrame = {
+    val sigCol = (i: Int) => array_min(transform(col("hv"), affine(i)))
+    hvDf.select(col("doc_id"), posexplode(
+      array((0 until 4).map(b =>
+        sigCol(2 * b) * lit(1L << 29) + sigCol(2 * b + 1)): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+  }
 
   /** MD5-family MinHash: slot i = min over the shingle set of an affine mix
     * of the md5 base hash. md5 is engine-portable, so unlike the xxhash64
@@ -254,11 +271,7 @@ object DedupOps {
     * shuffle and compare. */
   private def md5VerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val base = cached(withShingleHashes(s, d)) // banding + both verify sides
-    val sigCol = (i: Int) => array_min(transform(col("hv"), affine(i)))
-    val banded = base.select(col("doc_id"), posexplode(
-      array((0 until 4).map(b =>
-        sigCol(2 * b) * lit(1L << 29) + sigCol(2 * b + 1)): _*)))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+    val banded = bandFrame(base)
     val pairs = banded.select(col("band_idx"), col("band"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band_idx"), col("band"), col("doc_id").as("doc_b")),
         Seq("band_idx", "band"))
@@ -624,6 +637,73 @@ object DedupOps {
   private def d21(s: SparkSession, d: String): DataFrame =
     dupNgramFraction(docs(s, d)).orderBy("doc_id")
 
+  /** d22: incremental dedup against a PERSISTED signature/band index — the
+    * production form of d16. d16 recomputes the existing corpus's MinHash
+    * per arrival; a real ingestion pipeline maintains the index as a table
+    * (the way e02 persists its centroid index) and each arrival batch only
+    * computes ITS OWN signatures. Build: (doc_id, hv = shingle hashes,
+    * th = content md5) + the (doc_id, band_idx, band) LSH table for the
+    * existing corpus, written to parquet. Serve — reading ONLY the
+    * reloaded artifact: exact screen = arrival content-hash semi-join
+    * against the index's th column; near screen = arrival bands equi-join
+    * the index's band table (candidates only ever form inside a band
+    * bucket, and only across the arrival/index boundary — the straddling
+    * restriction d16 applies by filter falls out of the join shape), then
+    * the exact-Jaccard verify joins hv from the arrival side and the
+    * index side. Same split, same statuses: hash-matches d16's oracle.
+    * At 100 TB the index is the durable table this parquet stands in for,
+    * the arrival batch is the only newly-hashed data, and every join keys
+    * on hashes/bands — the corpus is never rescanned, never cross-joined. */
+  private def d22(s: SparkSession, d: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_sigidx_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    ExportOps.deleteRecursively(out)
+    ExportOps.withScratchCleanup(out) {
+      val isNew = col("doc_id") % 5 === 4
+      val all = docs(s, d)
+      // ---- build + persist the index for the existing corpus ----
+      val existing = all.filter(!isNew)
+      shingleHashFrame(existing)
+        .join(existing.select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
+        .write.parquet(s"$out/sigs")
+      bandFrame(shingleHashFrame(existing)).write.parquet(s"$out/bands")
+      // ---- reload; everything below reads only the persisted artifact ----
+      val sigs = s.read.parquet(s"$out/sigs")
+      val bands = s.read.parquet(s"$out/bands")
+      // the d16 arrival batch: every 5th doc + synthesized exact copies
+      val copies = all.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val incoming = all.filter(isNew).select(col("doc_id"), col("text"))
+        .unionByName(copies)
+      val exact = incoming.select(col("doc_id"), md5(col("text")).as("th"))
+        .join(sigs.select(col("th")).distinct(), Seq("th"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("is_exact", lit(true))
+      val inHv = cached(shingleHashFrame(incoming))
+      val cand = bandFrame(inHv)
+        .select(col("band_idx"), col("band"), col("doc_id").as("new_id"))
+        .join(bands.select(col("band_idx"), col("band"), col("doc_id").as("old_id")),
+          Seq("band_idx", "band"))
+        .select("new_id", "old_id").distinct()
+      val near = cand
+        .join(inHv.select(col("doc_id").as("new_id"), col("hv").as("hv_new")), "new_id")
+        .join(sigs.select(col("doc_id").as("old_id"), col("hv").as("hv_old")), "old_id")
+        .filter(size(array_intersect(col("hv_new"), col("hv_old"))).cast("double") /
+          size(array_union(col("hv_new"), col("hv_old"))).cast("double") >= 0.7)
+        .select(col("new_id").as("doc_id")).distinct()
+        .withColumn("is_near", lit(true))
+      val res = incoming.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), "exact_dup")
+            .when(col("is_near"), "near_dup")
+            .otherwise("kept").as("status"))
+      ExportOps.localizeAndDrop(res, out, "doc_id")
+    }
+  }
+
   /** d19: per-domain document cap — the crawl-pipeline guard against any
     * single host dominating the corpus (CommonCrawl-style "max pages per
     * domain"). Documents rank within their domain in deterministic md5
@@ -795,7 +875,7 @@ object DedupOps {
     "c01_curation_pipeline" -> c01 _, "c02_training_flow" -> c02 _,
     "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
-    "d21_dup_ngram_frac" -> d21 _,
+    "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
@@ -857,6 +937,33 @@ object DedupOps {
       |    CAST(len(list_distinct(ha.hv || hb.hv)) AS DOUBLE) AS jaccard
       |  FROM cpairs JOIN hv ha ON ha.doc_id = cpairs.doc_a
       |              JOIN hv hb ON hb.doc_id = cpairs.doc_b)""".stripMargin
+
+  /** Shared by d16 (recompute-per-arrival) and d22 (persisted-index serve):
+    * the same arrival batch must screen to the same statuses whichever way
+    * the existing corpus's signatures are obtained. */
+  private lazy val IncrementalDedupOracleSql =
+    BandedPairsCte + ",\n" +
+      """incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+        |existing_hashes AS (
+        |  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 5 <> 4),
+        |exact_dups AS (
+        |  SELECT DISTINCT i.doc_id FROM incoming i
+        |  JOIN existing_hashes e ON md5(i.text) = e.th),
+        |near_dups AS (
+        |  SELECT DISTINCT CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS doc_id
+        |  FROM verified
+        |  WHERE jaccard >= 0.7 AND ((doc_a % 5 = 4) <> (doc_b % 5 = 4)))
+        |SELECT i.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'kept' END AS status
+        |FROM incoming i
+        |LEFT JOIN exact_dups ex ON i.doc_id = ex.doc_id
+        |LEFT JOIN near_dups nr ON i.doc_id = nr.doc_id
+        |ORDER BY i.doc_id""".stripMargin
 
   /** Shared by d18 (batch Bloom screen) and d20 (streaming gate): both must
     * produce the identical screened statuses for the same arrival batch. */
@@ -1016,29 +1123,10 @@ object DedupOps {
         |SELECT doc_id, domain, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 10
         |ORDER BY domain, rank""".stripMargin,
-    "d16_incremental_dedup" ->
-      (BandedPairsCte + ",\n" +
-        """incoming AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
-          |  UNION ALL
-          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
-          |existing_hashes AS (
-          |  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 5 <> 4),
-          |exact_dups AS (
-          |  SELECT DISTINCT i.doc_id FROM incoming i
-          |  JOIN existing_hashes e ON md5(i.text) = e.th),
-          |near_dups AS (
-          |  SELECT DISTINCT CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS doc_id
-          |  FROM verified
-          |  WHERE jaccard >= 0.7 AND ((doc_a % 5 = 4) <> (doc_b % 5 = 4)))
-          |SELECT i.doc_id,
-          |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
-          |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
-          |       ELSE 'kept' END AS status
-          |FROM incoming i
-          |LEFT JOIN exact_dups ex ON i.doc_id = ex.doc_id
-          |LEFT JOIN near_dups nr ON i.doc_id = nr.doc_id
-          |ORDER BY i.doc_id""".stripMargin),
+    "d16_incremental_dedup" -> IncrementalDedupOracleSql,
+    // d22 serves the identical screen from the persisted index — the
+    // reload must not change a single status
+    "d22_index_dedup" -> IncrementalDedupOracleSql,
     "d15_url_dedup" ->
       raw"""WITH u AS (
         |  SELECT doc_id,
