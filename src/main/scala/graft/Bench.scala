@@ -52,13 +52,28 @@ object Bench {
     // a near-zero time that makes the bench look faster than it is.
     // sorted: Map iteration order shifts whenever a query is added, which
     // silently moves residual first-touch costs onto different queries and
-    // breaks round-over-round comparability
+    // breaks round-over-round comparability.
+    // SPARK_GRAFT_BENCH_REPS=N (default 1) runs each query N times and
+    // reports the per-query MEDIAN: on this co-tenant host single-pass
+    // totals swing ±40% on identical code (see BASELINE.md), so
+    // round-over-round deltas need medians to mean anything. Reps run
+    // back-to-back per query (not interleaved) so each rep sees the same
+    // cache/JIT state; a rep that fails marks the query failed.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val r =
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable => Left("err:" + e.getClass.getSimpleName) }
+        }
+        val r = times.collectFirst { case Left(m) => Left(m) }
+          .getOrElse(Right(median(times.collect { case Right(t) => t })))
         name -> r
       }
     val qs = results.map {
