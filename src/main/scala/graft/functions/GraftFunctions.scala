@@ -51,8 +51,29 @@ object GraftFunctions {
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[BloomFilterMightContain].getName, "graft_might_contain"),
-      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1)))
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))),
+    // Portable text/dedup kernels, registered by BRIDGING the Column
+    // definitions (classic ExpressionUtils wraps incoming Expressions as
+    // Columns, builds the same tree the DataFrame surface builds, unwraps)
+    // — one definition serves both surfaces, so they cannot drift.
+    (FunctionIdentifier("graft_md5_minhash"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "graft_md5_minhash"),
+      columnBridge1(TextFunctions.md5MinhashSig(_))),
+    (FunctionIdentifier("graft_gopher_quality"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "graft_gopher_quality"),
+      columnBridge1(TextFunctions.gopherQuality)),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "graft_winnow"),
+      columnBridge1(TextFunctions.winnowArray(_)))
   )
+
+  /** Lifts a unary Column function into a FunctionRegistry builder. */
+  private def columnBridge1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Builder =
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"expected 1 argument, got ${exprs.length}")
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        f(org.apache.spark.sql.GraftColumnBridge.column(exprs.head)))
+    }
 
   /** Catalyst-tree form of [[GeoFunctions.haversineKm]] for the SQL
     * registry — identical term order and constants, so the SQL surface and

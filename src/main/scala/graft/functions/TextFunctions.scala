@@ -86,6 +86,87 @@ object TextFunctions {
       punctScore * 0.25 + distinctRatio * 0.25).as("quality")
   }
 
+  /** MinHash mixing prime (just under 2^29) and per-slot affine mix: slot i
+    * maps h -> (h·(2i+3) + 97i+31) mod P. The base hash is the top 28 bits
+    * of md5(shingle), so the product stays far below 2^63 — no wraparound
+    * for ANSI mode to reject, and the identical arithmetic runs in any
+    * engine (the whole point of the md5 family: DuckDB-oracle-checkable,
+    * unlike xxhash64). Canonical definition — [[graft.ops.DedupOps]]
+    * builds its signatures and persisted index (d22) from these. */
+  val MinHashP = 536870909L
+
+  def minhashAffine(i: Int)(h: Column): Column =
+    (h * lit((2 * i + 3).toLong) + lit((97 * i + 31).toLong)) % MinHashP
+
+  /** 28-bit md5 base hash per distinct 3-word shingle (compact long array;
+    * downstream joins never carry shingle strings). */
+  def md5ShingleHashes(text: Column): Column =
+    transform(array_distinct(shingles(text)),
+      x => conv(substring(md5(x), 1, 7), 16, 10).cast("long"))
+
+  /** The 8-slot md5-MinHash signature as one array<long> — the SQL-surface
+    * form of the d09 signature. Each slot references the shingle-hash
+    * array afresh (8 evaluations per row); the DataFrame pipeline
+    * ([[graft.ops.DedupOps.shingleHashFrame]]) materializes it once and is
+    * the shape to use at scale — this scalar form exists so the SQL
+    * surface can compute the identical signature inline. */
+  def md5MinhashSig(text: Column, slots: Int = 8): Column =
+    array((0 until slots).map(i =>
+      array_min(transform(md5ShingleHashes(text), h => minhashAffine(i)(h)))): _*)
+
+  /** Gopher quality metrics (Rae et al. 2021, table A1) as one struct:
+    * word count, mean word length, symbol-to-word ratio, alphabetic-word
+    * ratio, required-stopword hits, and the composite pass verdict — the
+    * same integer-derived quotients the t14 gate computes (which
+    * materializes the token array once; this scalar form re-tokenizes per
+    * metric and is the SQL-surface convenience). */
+  val GopherRequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherQuality(text: Column): Column = {
+    val toks = filter(split(text, "\\s+", -1), t => length(t) > 0)
+    val nW = size(toks).cast("long")
+    val n = nW.cast("double")
+    val mwl = when(n === 0.0, 0.0)
+      .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / n)
+    val swr = when(n === 0.0, 0.0)
+      .otherwise(regexp_count(text, lit("#|\\.\\.\\.")).cast("double") / n)
+    val awr = when(n === 0.0, 0.0)
+      .otherwise(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n)
+    val stops = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      array(GopherRequiredStopwords.map(lit): _*))).cast("long")
+    struct(
+      nW.as("n_words"), mwl.as("mean_word_len"),
+      swr.as("symbol_word_ratio"), awr.as("alpha_word_ratio"),
+      stops.as("n_required_stopwords"),
+      (nW.between(50L, 100000L) && mwl.between(3.0, 10.0) &&
+        swr <= 0.1 && awr > 0.8 && stops >= 2L).as("passes_gopher"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) as a per-row
+    * array: hash every k-char gram, slide a w-window over the hash
+    * sequence, keep each window's minimum; distinct minima, sorted. The
+    * sliding minimum builds by folding w-1 shifted `zip_with(…, least)`
+    * passes over the hash array — each pass references the array as a
+    * transform CHILD (evaluated once per row), never inside a lambda body,
+    * so the work is O(n·w), not the O(n²) lambda-capture trap. Documents
+    * shorter than k+w-1 chars have no full window and return an empty
+    * array. Same hash, same windows as the distributed operator
+    * ([[graft.ops.TextOps.winnowFingerprints]], the shape for corpus-scale
+    * runs — its one shuffle distributes a pathological document's grams
+    * where this per-row form keeps them on one row). */
+  def winnowArray(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val ng = length(text) - (k - 1) // number of k-grams
+    val hs = transform(sequence(lit(1), ng), p =>
+      conv(substring(md5(text.substr(p, lit(k))), 1, 15), 16, 10).cast("long"))
+    val mins = (2 to w).foldLeft(hs)((acc, o) =>
+      zip_with(acc, slice(hs, lit(o), ng), (a, b) => least(a, b)))
+    when(length(text) >= k + w - 1,
+      array_sort(array_distinct(slice(mins, lit(1), ng - (w - 1)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Character-class profile based language-ID heuristic. Scores each
     * candidate language by stopword hits and script ranges (CJK for zh),
     * returns the argmax label. Deterministic tie-break by language code.

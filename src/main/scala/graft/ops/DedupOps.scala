@@ -213,14 +213,12 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** MinHash mixing prime (just under 2^29) and the per-slot affine
-    * coefficients: slot i hashes h -> (h * (2i+3) + 97i+31) mod P. The base
-    * hash h is the top 28 bits of md5(shingle), so h * A_i stays far below
-    * 2^63 — no wraparound for ANSI mode to reject, and the identical
-    * arithmetic runs in any engine. */
-  private val MinHashP = 536870909L
+  /** Canonical md5-MinHash constants/mix live in [[TextFunctions]] (also
+    * the SQL surface, `graft_md5_minhash`); these aliases keep the dedup
+    * operators reading naturally. */
+  private val MinHashP = TextFunctions.MinHashP
   private def affine(i: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-    h => (h * lit((2 * i + 3).toLong) + lit((97 * i + 31).toLong)) % MinHashP
+    TextFunctions.minhashAffine(i)
 
   /** doc_id + 28-bit md5 base hash per distinct shingle: one md5 per
     * shingle total — the 8 signature slots derive from it by affine mixing
@@ -229,12 +227,7 @@ object DedupOps {
     * text) frame so index builders (d22) and arrival batches share the
     * exact kernel. */
   def shingleHashFrame(df: DataFrame): DataFrame =
-    df
-      .select(col("doc_id"),
-        array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
-      .select(col("doc_id"),
-        transform(col("sh"), x =>
-          conv(substring(md5(x), 1, 7), 16, 10).cast("long")).as("hv"))
+    df.select(col("doc_id"), TextFunctions.md5ShingleHashes(col("text")).as("hv"))
 
   private def withShingleHashes(s: SparkSession, d: String): DataFrame =
     shingleHashFrame(docs(s, d))

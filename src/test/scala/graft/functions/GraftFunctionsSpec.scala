@@ -45,8 +45,95 @@ class GraftFunctionsSpec extends SparkSpec {
 
   test("GraftExtensions exposes the same function set") {
     assert(GraftFunctions.descriptions.map(_._1.funcName).sorted ===
-      Seq("graft_cosine_sim", "graft_haversine_km", "graft_minhash64",
-        "graft_simhash64"))
+      Seq("graft_bloom_agg", "graft_cosine_sim", "graft_gopher_quality",
+        "graft_haversine_km", "graft_md5_minhash", "graft_might_contain",
+        "graft_minhash64", "graft_simhash64", "graft_winnow"))
     new graft.GraftExtensions() // constructible for spark.sql.extensions
+  }
+
+  private def docsView(name: String): Unit = {
+    val rows = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog and then " * 12).trim),
+      (2L, ("the quick brown fox jumps over the lazy dog and then " * 12).trim
+        + " with a different tail to make it a near duplicate of one"),
+      (3L, "to be or not to be that is the question with # symbols ... and 12345"),
+      (4L, "short"),
+      (5L, "")).toDF("doc_id", "text")
+    rows.createOrReplaceTempView(name)
+  }
+
+  test("graft_md5_minhash SQL path equals the DataFrame signature path") {
+    GraftFunctions.registerAll(spark)
+    docsView("mh_docs")
+    val sql = spark.sql(
+      "SELECT doc_id, graft_md5_minhash(text) AS sig FROM mh_docs ORDER BY doc_id")
+      .as[(Long, Seq[Long])].collect()
+    val dfPath = graft.ops.DedupOps
+      .shingleHashFrame(spark.table("mh_docs"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.array((0 until 8).map(i =>
+          org.apache.spark.sql.functions.array_min(
+            org.apache.spark.sql.functions.transform(
+              org.apache.spark.sql.functions.col("hv"),
+              h => TextFunctions.minhashAffine(i)(h)))): _*).as("sig"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(sql.toSeq === dfPath.toSeq)
+    assert(sql.forall(_._2.length === 8))
+  }
+
+  test("graft_gopher_quality SQL path equals the t14 metric expressions") {
+    GraftFunctions.registerAll(spark)
+    docsView("gq_docs")
+    val sql = spark.sql(
+      """SELECT doc_id, g.n_words, g.mean_word_len, g.symbol_word_ratio,
+        |       g.alpha_word_ratio, g.n_required_stopwords, g.passes_gopher
+        |FROM (SELECT doc_id, graft_gopher_quality(text) AS g FROM gq_docs)
+        |ORDER BY doc_id""".stripMargin).collect()
+    val dfPath = spark.table("gq_docs")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        TextFunctions.gopherQuality(org.apache.spark.sql.functions.col("text")).as("g"))
+      .select("doc_id", "g.n_words", "g.mean_word_len", "g.symbol_word_ratio",
+        "g.alpha_word_ratio", "g.n_required_stopwords", "g.passes_gopher")
+      .orderBy("doc_id").collect()
+    assert(sql.toSeq === dfPath.toSeq)
+    // spot-check semantics: doc 1 repeats "the ... the" 12x -> word count
+    // 120 in [50, 100k], all-alpha, no symbols, >= 2 required stopwords
+    val d1 = sql.find(_.getLong(0) == 1L).get
+    assert(d1.getAs[Boolean]("passes_gopher"))
+    val d5 = sql.find(_.getLong(0) == 5L).get
+    assert(d5.getLong(1) === 0L && !d5.getAs[Boolean]("passes_gopher"))
+  }
+
+  test("graft_winnow SQL path equals the distributed winnowing operator") {
+    GraftFunctions.registerAll(spark)
+    docsView("wn_docs")
+    val sql = spark.sql(
+      """SELECT doc_id, fp FROM
+        |  (SELECT doc_id, explode(graft_winnow(text)) AS fp FROM wn_docs)
+        |ORDER BY doc_id, fp""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    val dfPath = graft.ops.TextOps
+      .winnowFingerprints(spark.table("wn_docs"))
+      .orderBy("doc_id", "fp").as[(Long, Long)].collect().toSeq
+    assert(sql === dfPath)
+    assert(sql.nonEmpty, "fixture docs must produce fingerprints")
+    // sub-(k+w-1) docs produce no fingerprints on either path
+    assert(!sql.exists(_._1 == 4L) || spark.sql(
+      "SELECT size(graft_winnow(text)) FROM wn_docs WHERE doc_id = 4")
+      .as[Int].head() === 0)
+  }
+
+  test("graft_bloom_agg + graft_might_contain compose in plain SQL") {
+    GraftFunctions.registerAll(spark)
+    spark.range(0, 100).createOrReplaceTempView("bloom_keys")
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM (SELECT id FROM range(0, 200)) probe
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING)), 100L, 2000L)
+        |   FROM bloom_keys),
+        |  xxhash64(CAST(probe.id AS STRING)))""".stripMargin)
+      .as[Long].head()
+    // no false negatives: all 100 members hit; fpp may add a few extras
+    assert(hits >= 100L && hits <= 120L, s"got $hits")
   }
 }
