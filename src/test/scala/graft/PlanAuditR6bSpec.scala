@@ -11,10 +11,11 @@ class PlanAuditR6bSpec extends SparkSpec {
 
   test("d18: bloom probe filters the incoming side below the verify join") {
     import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalaUDF}
     // structural check on the plan TREE (string positions in FormattedMode
     // are layout, not structure): the left-semi verify join must exist,
-    // and a Filter whose condition invokes the probe UDF must live in its
+    // and a Filter whose condition invokes the codegen'd
+    // BloomFilterMightContain probe (r7: was a ScalaUDF) must live in its
     // STREAMED (left) subtree — the bloom pre-filter runs before any
     // shuffle/join work on the incoming batch
     val plan = SparkEntry.queries("d18_bloom_screen")(spark, d)
@@ -22,9 +23,13 @@ class PlanAuditR6bSpec extends SparkSpec {
     def hasProbeFilter(p: SparkPlan): Boolean =
       p.exists {
         case f: FilterExec =>
-          f.condition.exists(_.isInstanceOf[ScalaUDF])
+          f.condition.exists(_.isInstanceOf[BloomFilterMightContain])
         case _ => false
       }
+    assert(!plan.exists {
+      case f: FilterExec => f.condition.exists(_.isInstanceOf[ScalaUDF])
+      case _ => false
+    }, s"the probe must not be an interpreted UDF:\n$plan")
     val semis = plan.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec
           if j.joinType.sql == "LEFT SEMI" => j
