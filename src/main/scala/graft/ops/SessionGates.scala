@@ -127,8 +127,74 @@ object SessionGates {
     }
   }
 
+  /** q62: stream-stream INTERVAL JOIN under real multi-batch streaming —
+    * the one streaming operator family the other gates don't cover. Each
+    * purchase picks up the same user's clicks from the preceding 30
+    * minutes ([[graft.streaming.EventStreams.purchasesWithClicks]]: both
+    * sides watermarked, the join condition bounds event time on both
+    * ends, so buffered state is evicted as the watermark advances — the
+    * only way stream-stream join state stays bounded at scale). The
+    * events file is split at its mean timestamp into TWO time-ordered
+    * files processed one per micro-batch (`maxFilesPerTrigger 1`), so
+    * cross-boundary matches must come from buffered click state, not from
+    * a single-batch degenerate join. Timestamps truncate to ms before the
+    * join (the q57/q58 move) so the interval compare is engine-identical;
+    * the landed pairs hash-match a DuckDB self-join oracle. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ssjoin_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    ExportOps.deleteRecursively(out)
+    try ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val raw = s.read.parquet(s"$d/events.parquet")
+      // any split point yields the same join result; the mean just makes
+      // both micro-batches non-trivial
+      val mid = raw.agg(avg(col("ts"))).head().getDouble(0).toLong
+      val now = System.currentTimeMillis()
+      Seq(col("ts") <= mid, col("ts") > mid).zipWithIndex.foreach {
+        case (cond, i) =>
+          val slice = s"$out/slice$i"
+          raw.filter(cond).coalesce(1).write.parquet(slice)
+          val part = new java.io.File(slice).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$out/in/f$i.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(now - (2 - i) * 60000L) // arrival order
+      }
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_millis(expr("ts div 1000000")).as("ts"))
+      val joined = graft.streaming.EventStreams.purchasesWithClicks(stream)
+      // 8 state stores per side per micro-batch — same sizing note as q58
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val landed = s.read.parquet(s"$out/data")
+        .select(col("purchase_id"), col("uid"),
+          unix_millis(col("purchase_ts")).as("purchase_ms"),
+          col("click_id"), unix_millis(col("click_ts")).as("click_ms"))
+      ExportOps.localizeAndDrop(landed, out, "purchase_id", "click_id")
+    } finally prevNanos match {
+      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q57_session_window" -> q57 _, "q58_stream_sessions" -> q58 _)
+    "q57_session_window" -> q57 _, "q58_stream_sessions" -> q58 _,
+    "q62_stream_interval_join" -> q62 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -152,5 +218,20 @@ object SessionGates {
 
   val oracle: Map[String, String] = Map(
     "q57_session_window" -> SessionOracleSql,
-    "q58_stream_sessions" -> SessionOracleSql)
+    "q58_stream_sessions" -> SessionOracleSql,
+    // ms-truncated self-join: every purchase × same-user clicks in the
+    // preceding 30 minutes (inclusive both ends, like the streaming join)
+    "q62_stream_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id AS uid,
+        |       p.ts_ms AS purchase_ms,
+        |       c.event_id AS click_id, c.ts_ms AS click_ms
+        |FROM e p JOIN e c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts_ms >= p.ts_ms - 1800000 AND c.ts_ms <= p.ts_ms
+        |ORDER BY purchase_id, click_id""".stripMargin)
 }
