@@ -278,27 +278,83 @@ object SimilarityOps {
     * because the gate's compare can't sort array columns. */
   private def v08(s: SparkSession, d: String): DataFrame = quantizeInt8(emb(s, d))
 
-  /** Int8 quantization body over any (vec_id, embedding) frame — public so
-    * the spec can feed a corpus with a constant dimension. A dimension with
+  /** Per-dimension int8 codes over any (vec_id, embedding) frame — the
+    * quantizer v08 summarizes and v13 retrieves with. A dimension with
     * mx == mn would otherwise divide 0/0 → NaN with engine-divergent cast
     * semantics; such dimensions carry no information, so code 0. */
-  def quantizeInt8(vecs: DataFrame): DataFrame = {
+  def int8Codes(vecs: DataFrame): DataFrame = {
     val dims = vecs
       .select(col("vec_id"), posexplode(VectorFunctions.toDouble(col("embedding"))))
       .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
     val stats = dims.groupBy(col("dim"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     dims.join(broadcast(stats), "dim")
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("dim"),
         when(col("mx") === col("mn"), lit(0.0))
           .otherwise(
             least(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256), lit(255.0)))
           .cast("long").as("code"))
+  }
+
+  /** Int8 quantization summary (public so the spec can feed a corpus with
+    * a constant dimension). */
+  def quantizeInt8(vecs: DataFrame): DataFrame =
+    int8Codes(vecs)
       .groupBy(col("vec_id"))
       .agg(sum(col("code")).as("code_sum"),
         min(col("code")).as("code_min"),
         max(col("code")).as("code_max"))
       .orderBy("vec_id")
+
+  /** v13: reciprocal-rank fusion of two retrievers (Cormack et al. 2009,
+    * the standard hybrid-retrieval combiner): each query's corpus ranking
+    * under exact cosine (retriever A) fuses with its ranking under L1
+    * distance over the int8-quantized codes (retriever B — the cheap
+    * coarse retriever a production system runs first) by
+    * score = Σ 1/(60 + rank_i); top-5 by fused score. Fusion consumes
+    * ONLY integer ranks, so the combination is engine-exact by
+    * construction. Shape: retriever A is v01's broadcast-queries corpus
+    * scan; retriever B joins the exploded code tables on dim with the
+    * query codes broadcast, then one (q, n) hash aggregation; ranks and
+    * the fusion are per-query window functions — nothing quadratic in the
+    * corpus beyond the intended |Q|·|corpus| scoring. */
+  private def v13(s: SparkSession, d: String): DataFrame = {
+    val nq = 8
+    val corpus = emb(s, d)
+    val queries = corpus.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val cosRanks = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("embedding")).as("cos"))
+      .withColumn("rank_cos", row_number().over(wCos))
+      .select("q_id", "n_id", "rank_cos")
+    val codes = int8Codes(corpus)
+    val qCodes = codes.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("dim"), col("code").as("q_code"))
+    val wL1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("l1").asc, col("n_id").asc)
+    val l1Ranks = codes.join(broadcast(qCodes), "dim")
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(abs(col("code") - col("q_code"))).as("l1"))
+      .withColumnRenamed("vec_id", "n_id")
+      .withColumn("rank_l1", row_number().over(wL1))
+      .select("q_id", "n_id", "rank_l1")
+    val wRrf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("n_id").asc)
+    cosRanks.join(l1Ranks, Seq("q_id", "n_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60.0) + col("rank_cos")) +
+          lit(1.0) / (lit(60.0) + col("rank_l1")))
+      .withColumn("rank", row_number().over(wRrf))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        col("rank_cos"), col("rank_l1"), round(col("rrf"), 6).as("rrf"))
+      .orderBy("q_id", "rank")
   }
 
   /** v09: transitive embedding near-dup clusters — the same
@@ -398,7 +454,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v11_semantic_dedup" -> v11 _,
     "v10_mmr_select" -> v10 _,
-    "v12_hard_negatives" -> v12 _,
+    "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
     "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,
@@ -456,6 +512,46 @@ object SimilarityOps {
         |    ORDER BY cos DESC, neg_id ASC) AS rank FROM sims)
         |SELECT q_id, rank, neg_id, neg_label, round(cos, 4) AS cos
         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // rank arithmetic only — 1.0 CAST to DOUBLE (DuckDB parses bare float
+    // literals as DECIMAL, which would change the fused scores)
+    "v13_rrf_fusion" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |         generate_subscripts(embedding, 1) - 1 AS dim
+         |  FROM embeddings),
+         |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+         |codes AS (
+         |  SELECT vec_id, dim,
+         |    CASE WHEN mx = mn THEN 0
+         |         ELSE CAST(least(floor((x - mn) / (mx - mn) * 256),
+         |                         CAST(255.0 AS DOUBLE)) AS BIGINT) END AS code
+         |  FROM dims JOIN stats USING (dim)),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |      FROM embeddings WHERE vec_id < 8),
+         |cosims AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    list_cosine_similarity(CAST(q_vec AS DOUBLE[]),
+         |                           CAST(e.embedding AS DOUBLE[])) AS cos
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |cr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY cos DESC, n_id) AS rank_cos FROM cosims),
+         |l1d AS (
+         |  SELECT qc.vec_id AS q_id, c.vec_id AS n_id,
+         |    CAST(sum(abs(c.code - qc.code)) AS BIGINT) AS l1
+         |  FROM codes c JOIN codes qc ON c.dim = qc.dim
+         |  WHERE qc.vec_id < 8 AND c.vec_id <> qc.vec_id
+         |  GROUP BY qc.vec_id, c.vec_id),
+         |lr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY l1 ASC, n_id) AS rank_l1 FROM l1d),
+         |fused AS (
+         |  SELECT q_id, n_id, rank_cos, rank_l1,
+         |    CAST(1.0 AS DOUBLE) / (60 + rank_cos)
+         |      + CAST(1.0 AS DOUBLE) / (60 + rank_l1) AS rrf
+         |  FROM cr JOIN lr USING (q_id, n_id)),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY rrf DESC, n_id) AS rank FROM fused)
+         |SELECT q_id, rank, n_id, rank_cos, rank_l1, round(rrf, 6) AS rrf
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
          |           FROM embeddings WHERE vec_id < $NumQueries),

@@ -285,6 +285,44 @@ object TextOps {
       .orderBy("source", "doc_id")
   }
 
+  /** t18: temperature-based domain resampling (the multilingual-corpus /
+    * DoReMi mixture move): domain d's share of the output budget is
+    * proportional to (n_d/N)^α with temperature α = 0.5 — flattening the
+    * natural distribution so mega-domains stop dominating while small
+    * domains up-sample (t17 fills fixed per-domain token budgets; this
+    * derives the budgets from the distribution itself). Budget B = N/2
+    * documents; per-domain keep rate r_d = min(1, B·p_d/n_d) with
+    * p_d = √(n_d/N) / Σ√(n_e/N). Inclusion is the deterministic md5-bucket
+    * rule (q55's reproducible-sampling move, at 1/10000 resolution), so
+    * re-runs and repartitionings keep the identical documents. The
+    * normalizer Σ√ sums as exact 12-decimal decimals ([[StableAgg]]) —
+    * order-independent, so every rate is bit-identical in any engine and
+    * any partitioning. Shape: one count aggregation, two broadcast joins
+    * of a |domains|-row table, one per-row filter — the corpus itself
+    * never shuffles. */
+  private def t18(s: SparkSession, d: String): DataFrame = {
+    val stats = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_d"))
+    val tot = stats.agg(sum(col("n_d")).as("n_total"))
+    val withW = stats.crossJoin(broadcast(tot))
+      .withColumn("w",
+        sqrt(col("n_d").cast("double") / col("n_total").cast("double")))
+    val z = withW.agg(StableAgg.scaledSum(col("w"), 12).as("z"))
+    val rates = withW.crossJoin(broadcast(z))
+      .withColumn("rate", least(lit(1.0),
+        (floor(col("n_total") / 2).cast("double") * (col("w") / col("z"))) /
+          col("n_d").cast("double")))
+      .select(col("source"), col("rate"))
+    val frac = (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 10000).cast("double") / 10000.0
+    docs(s, d).select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(frac < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+        round(max(col("rate")), 6).as("rate"))
+      .orderBy("source")
+  }
+
   /** t13: winnowing fingerprints (Schleimer et al., SIGMOD'03) — the
     * copy-detection fingerprinting guarantee-bearing alternative to plain
     * shingle sampling: hash every k-gram (k=8 chars), slide a w=4 window
@@ -423,7 +461,7 @@ object TextOps {
     repetitionGopher(docs(s, d)).orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t15_repetition_gopher" -> t15 _,
+    "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
     "t06_tfidf" -> t06 _, "t07_text_quality" -> t07 _,
     "t08_pack_sequences" -> t08 _, "t09_heavy_hitters" -> t09 _,
@@ -468,6 +506,32 @@ object TextOps {
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens - n_tokens < 500
         |ORDER BY source, doc_id""".stripMargin,
+    // float literals CAST to DOUBLE: DuckDB parses bare 1.0 as DECIMAL,
+    // which would change the arithmetic the rates are derived with
+    "t18_temperature_resample" ->
+      """WITH stats AS (
+        |  SELECT source, count(1) AS n_d FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n_total FROM stats),
+        |w AS (
+        |  SELECT source, n_d, n_total,
+        |    sqrt(CAST(n_d AS DOUBLE) / CAST(n_total AS DOUBLE)) AS w
+        |  FROM stats CROSS JOIN tot),
+        |z AS (
+        |  SELECT CAST(sum(CAST(w AS DECIMAL(30,12))) AS DOUBLE) AS z FROM w),
+        |rates AS (
+        |  SELECT source,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      (CAST(n_total // 2 AS DOUBLE) * (w / z)) / CAST(n_d AS DOUBLE))
+        |      AS rate
+        |  FROM w CROSS JOIN z)
+        |SELECT d.source, count(1) AS n_docs,
+        |  CAST(sum(CASE WHEN
+        |      CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |           % 10000 AS DOUBLE) / CAST(10000.0 AS DOUBLE) < r.rate
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(max(r.rate), 6) AS rate
+        |FROM documents d JOIN rates r USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "t15_repetition_gopher" ->
       raw"""WITH base AS (
         |  SELECT doc_id, text,
