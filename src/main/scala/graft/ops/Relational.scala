@@ -551,6 +551,54 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q63: incremental DISTINCT-cardinality maintenance via persisted HLL
+    * sketches — q59's never-re-scan-history property extended to the
+    * non-algebraic `countDistinct`: per-event-type DataSketches HLL
+    * sketches of the user set over the STANDING history are persisted
+    * (binary column in parquet), reloaded, and unioned with the DELTA
+    * batch's sketches (`hll_union_agg` — sketch union is commutative, so
+    * the merge is partition-order-independent); the estimate reads from
+    * the merged sketch. At 100 TB this is how daily distinct-user counts
+    * actually run: history is a few-KB sketch table, only the delta scans.
+    * Rows-only like q31 (the estimate is engine-specific — DataSketches);
+    * its exact oracled twin is q64, and the spec pins merge transparency
+    * (persist→reload→union == one-shot sketch over everything, exact
+    * equality) plus ε-accuracy against the exact counts. */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hll_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    ExportOps.deleteRecursively(out)
+    ExportOps.withScratchCleanup(out) {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val isDelta = col("event_id") % 4 === 0
+      ev.filter(!isDelta)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.parquet(s"$out/sketches")
+      val standing = s.read.parquet(s"$out/sketches")
+      val delta = ev.filter(isDelta)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = standing.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("est_users"))
+      ExportOps.localizeAndDrop(merged, out, "event_type")
+    }
+  }
+
+  /** q64: the exact twin of q63 — per-type distinct users by full
+    * recompute, DuckDB-oracled (the same twin relationship q08 has to
+    * q31). */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
   /** q61: funnel analysis — the staged-conversion query every event
     * pipeline runs (view → click within 24 h → purchase within 24 h, each
     * stage's timestamp the FIRST qualifying occurrence strictly after the
@@ -721,6 +769,7 @@ object Relational {
     "q52_resample" -> q52 _, "q53_range_frame" -> q53 _,
     "q54_skew_salted_join" -> q54 _, "q55_stratified_sample" -> q55 _,
     "q59_incremental_agg" -> q59 _, "q61_funnel" -> q61 _,
+    "q63_sketch_users" -> q63 _, "q64_exact_users" -> q64 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -889,6 +938,11 @@ object Relational {
         |  count(1) AS n_rows
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // q63 is rows-only (engine-specific DataSketches estimate); q64 is its
+    // exact twin
+    "q64_exact_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q55_stratified_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 10

@@ -124,4 +124,28 @@ class ScaleToolsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
+
+  test("q63 sketch maintenance: persisted merge equals one-shot, within 5% of exact") {
+    val d = "/root/testdata/sf0.001"
+    // merge transparency: the persist -> reload -> union path must give
+    // EXACTLY the estimate a one-shot sketch over all events gives — the
+    // property that makes incremental maintenance safe to ship
+    val merged = graft.SparkEntry.queries("q63_sketch_users")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = Tables(spark, d, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === oneShot,
+      s"persisted merge diverged from the one-shot sketch:\n$merged\nvs $oneShot")
+    // ε-accuracy against the exact twin (q64): HLL at default lgK is well
+    // under 5% on these cardinalities
+    val exact = graft.SparkEntry.queries("q64_exact_users")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === exact.keySet)
+    merged.foreach { case (k, est) =>
+      val e = exact(k).toDouble
+      assert(math.abs(est.toDouble - e) / e < 0.05, s"$k: est $est vs exact $e")
+    }
+  }
 }
