@@ -211,9 +211,52 @@ object ExportOps {
     }
   }
 
+  /** Compacts a parquet directory into ~`targetBytes`-sized files (the
+    * OPTIMIZE/maintenance job every streaming or small-batch landing zone
+    * needs: a million 100 KB files kill both the file listing and the
+    * scan's task-scheduling overhead at 100 TB). Partition count derives
+    * from the actual on-disk bytes; `coalesce` (not repartition) folds
+    * input splits together WITHOUT a shuffle — compaction moves every
+    * byte once, network-free. Returns the compacted directory. */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L << 20): String = {
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(inDir))
+    }
+    val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(inDir).coalesce(target)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    outDir
+  }
+
+  /** e04: the compaction job gated for content invariance — a fragmented
+    * landing (64 tiny files, the streaming sink's natural output) compacts
+    * to size-targeted files, and the per-language summary of the COMPACTED
+    * copy must hash-match the oracle computed from the original table:
+    * compaction may change layout, never content. The file-count bound is
+    * spec-pinned ([[graft.ops.ExportOpsSpec]]). */
+  private def e04(s: SparkSession, d: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_compact_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    deleteRecursively(out)
+    withScratchCleanup(out) {
+      Tables(s, d, "documents").repartition(64)
+        .write.parquet(s"$out/frag")
+      compact(s, s"$out/frag", s"$out/compacted")
+      val summary = s.read.parquet(s"$out/compacted")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      localizeAndDrop(summary, out, "lang")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
-    "e03_stream_export" -> e03 _)
+    "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -229,6 +272,12 @@ object ExportOps {
   val oracle: Map[String, String] = Map(
     "e03_stream_export" -> exportOracleSql,
     "e01_training_export" -> exportOracleSql,
+    // content invariance: the summary of the fragmented-then-compacted
+    // copy must equal the summary of the original table
+    "e04_compaction" ->
+      """SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "e02_centroid_index" ->
       """WITH dims AS (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,

@@ -192,9 +192,65 @@ object SessionGates {
     }
   }
 
+  /** q65: stateful streaming dedup under at-least-once redelivery — the
+    * ingest-side screen every streaming pipeline runs before anything
+    * downstream. The whole events table arrives TWICE (two identical
+    * files, one per micro-batch: a full redelivery, the worst case), and
+    * `dropDuplicatesWithinWatermark(event_id)` must land exactly the
+    * distinct events: batch-2 rows are either matched against batch-1
+    * dedup state (ts within the watermark horizon) or dropped as late
+    * (ts behind it) — both paths suppress the duplicate, which is why
+    * watermark-bounded state is SUFFICIENT for redelivery dedup, and the
+    * only state shape that survives 100 TB/day (ids older than the
+    * horizon are evicted instead of accumulating forever). Hash-matches
+    * the batch DISTINCT oracle. */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_sdd_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    ExportOps.deleteRecursively(out)
+    try ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val now = System.currentTimeMillis()
+      Seq(0, 1).foreach { i => // identical copies = full redelivery
+        val dst = new java.io.File(s"$out/in/f$i.parquet")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"), dst.toPath)
+        dst.setLastModified(now - (2 - i) * 60000L)
+      }
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_millis(expr("ts div 1000000")).as("tsm"))
+        .withWatermark("tsm", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = stream.writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val landed = s.read.parquet(s"$out/data")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("tsm")).as("ts_ms"))
+      ExportOps.localizeAndDrop(landed, out, "event_id")
+    } finally prevNanos match {
+      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_session_window" -> q57 _, "q58_stream_sessions" -> q58 _,
-    "q62_stream_interval_join" -> q62 _)
+    "q62_stream_interval_join" -> q62 _, "q65_stream_dedup" -> q65 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -233,5 +289,9 @@ object SessionGates {
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts_ms >= p.ts_ms - 1800000 AND c.ts_ms <= p.ts_ms
-        |ORDER BY purchase_id, click_id""".stripMargin)
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // the redelivered stream must land exactly the distinct events
+    "q65_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin)
 }

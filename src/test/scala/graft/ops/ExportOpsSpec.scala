@@ -132,4 +132,28 @@ class ExportOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(exported.exceptAll(q51).isEmpty && q51.exceptAll(exported).isEmpty,
       "exported split assignment diverges from q51")
   }
+
+  test("compaction folds a fragmented landing into size-targeted files, content intact") {
+    val d = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-spec-").toFile
+    try {
+      graft.Tables(spark, d, "documents").repartition(64)
+        .write.parquet(s"$out/frag")
+      def parquetFiles(p: String) = new java.io.File(p).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val nFrag = parquetFiles(s"$out/frag")
+      assert(nFrag >= 32, s"fragmented landing expected many files, got $nFrag")
+      ExportOps.compact(spark, s"$out/frag", s"$out/compacted",
+        targetBytes = 4L << 20)
+      val nCompact = parquetFiles(s"$out/compacted")
+      // sf0.001 documents ≪ 4 MB -> one output file; and never more than
+      // the size-derived target
+      assert(nCompact === 1, s"expected 1 compacted file, got $nCompact")
+      // content invariance row-by-row, not just aggregate
+      val before = spark.read.parquet(s"$out/frag")
+      val after = spark.read.parquet(s"$out/compacted")
+      assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+        "compaction changed content")
+    } finally ExportOps.deleteRecursively(out)
+  }
 }
