@@ -254,9 +254,43 @@ object ExportOps {
     }
   }
 
+  /** e05: schema-evolution ingest — the lake reality that batches landed
+    * last month lack columns added this month. Batch 1 lands the original
+    * document schema; batch 2 lands WITH a new `quality` column; a
+    * `mergeSchema` read reconciles the union (old rows surface NULL for
+    * the new column — never a failure, never silent truncation), gated by
+    * a per-language summary the oracle recomputes from the source table
+    * with the same batch rule. At scale this is why additive evolution is
+    * safe: readers pay one footer-merge pass, no rewrite of history. */
+  private def e05(s: SparkSession, d: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_evolve_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    deleteRecursively(out)
+    withScratchCleanup(out) {
+      val docsT = Tables(s, d, "documents")
+      val old = docsT.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val evolved = docsT.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          // deterministic integer-derived "quality" for the new column
+          ((col("doc_id") % 100).cast("double") / 100.0).as("quality"))
+      old.write.parquet(s"$out/data/batch=1")
+      evolved.write.parquet(s"$out/data/batch=2")
+      val merged = s.read.option("mergeSchema", "true").parquet(s"$out/data")
+      val summary = merged.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_scored"),
+          StableAgg.scaledSum(coalesce(col("quality"), lit(0.0)), 2)
+            .as("sum_quality"))
+      localizeAndDrop(summary, out, "lang")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
-    "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _)
+    "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _,
+    "e05_schema_evolution" -> e05 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -277,6 +311,16 @@ object ExportOps {
     "e04_compaction" ->
       """SELECT lang, count(1) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // old-batch rows (even doc_id) carry no quality column and must read
+    // back as NULL through the merged schema
+    "e05_schema_evolution" ->
+      """SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_scored,
+        |  CAST(sum(CAST(CASE WHEN doc_id % 2 <> 0
+        |       THEN CAST(doc_id % 100 AS DOUBLE) / 100.0 ELSE 0.0 END
+        |       AS DECIMAL(30,2))) AS DOUBLE) AS sum_quality
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "e02_centroid_index" ->
       """WITH dims AS (

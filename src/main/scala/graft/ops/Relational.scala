@@ -599,6 +599,41 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
+  /** q66: CDC upsert/delete merge — the MERGE INTO every snapshot-
+    * maintenance pipeline runs: a standing snapshot plus a change batch of
+    * inserts / updates / deletes (synthesized deterministically from the
+    * customer table: every 7th key updated, every 11th deleted — deletes
+    * BEAT updates on the overlap via the change sequence, matching CDC
+    * log order — and a disjoint insert set) collapses to the new
+    * snapshot. Shape: union snapshot (seq 0) with the delta, ONE
+    * latest-per-key window (single hash shuffle on the key), drop
+    * tombstones — no joins at all, which is why this scales: at 100 TB
+    * the merge cost is one shuffle of snapshot+delta, not an
+    * O(snapshot × delta) reconciliation. */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val snapshot = c.select(col("c_custkey").as("k"), col("c_name").as("name"),
+      col("c_acctbal").as("bal"), lit(0L).as("seq"), lit("S").as("op"))
+    val updates = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        (col("c_acctbal") + 100).as("bal"), lit(1L).as("seq"), lit("U").as("op"))
+    val deletes = c.filter(col("c_custkey") % 11 === 0)
+      .select(col("c_custkey").as("k"), lit(null).cast("string").as("name"),
+        lit(null).cast(c.schema("c_acctbal").dataType).as("bal"),
+        lit(2L).as("seq"), lit("D").as("op"))
+    val inserts = c.filter(col("c_custkey") % 13 === 0)
+      .select((col("c_custkey") + 200000L).as("k"),
+        concat(lit("new-"), col("c_name")).as("name"),
+        col("c_acctbal").as("bal"), lit(1L).as("seq"), lit("I").as("op"))
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    snapshot.unionByName(updates).unionByName(deletes).unionByName(inserts)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k"), col("name"), col("bal"))
+      .orderBy("k")
+  }
+
   /** q61: funnel analysis — the staged-conversion query every event
     * pipeline runs (view → click within 24 h → purchase within 24 h, each
     * stage's timestamp the FIRST qualifying occurrence strictly after the
@@ -770,6 +805,7 @@ object Relational {
     "q54_skew_salted_join" -> q54 _, "q55_stratified_sample" -> q55 _,
     "q59_incremental_agg" -> q59 _, "q61_funnel" -> q61 _,
     "q63_sketch_users" -> q63 _, "q64_exact_users" -> q64 _,
+    "q66_upsert_merge" -> q66 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -943,6 +979,25 @@ object Relational {
     "q64_exact_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q66_upsert_merge" ->
+      """WITH changes AS (
+        |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+        |         CAST(0 AS BIGINT) AS seq, 'S' AS op FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 100, 1, 'U'
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, NULL, 2, 'D'
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, 'new-' || c_name, c_acctbal, 1, 'I'
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM changes)
+        |SELECT k, name, bal FROM latest
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin,
     "q55_stratified_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 10
