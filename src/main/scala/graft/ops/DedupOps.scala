@@ -630,6 +630,49 @@ object DedupOps {
   private def d21(s: SparkSession, d: String): DataFrame =
     dupNgramFraction(docs(s, d)).orderBy("doc_id")
 
+  /** d23: edit-distance fuzzy dedup over short strings (titles/names) —
+    * the dedup family the hash signatures don't cover: MinHash/SimHash
+    * need token sets, but "Tle Quick Fox" vs "The Quick Fox" differs by
+    * one CHARACTER, invisible to shingles yet edit distance 1. Titles are
+    * synthesized deterministically (every 10th doc carries a one-char
+    * tail corruption of its base title). Blocking: candidate pairs form
+    * only inside a (6-char prefix, length bucket) block — one equi-join
+    * key; the leading chars are the DISCRIMINATIVE part of the title
+    * (source + item number), so blocks stay small instead of the corpus
+    * collapsing into one bucket, and the pair space is per-block
+    * quadratic, never corpus-quadratic. Standard documented tradeoff:
+    * edits inside the first 6 chars escape this pass (production systems
+    * add a second pass blocked on suffix or sorted neighborhood).
+    * `levenshtein` is integer Wagner-Fischer — engine-exact, fully
+    * oracled. */
+  private def d23(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val base = concat(col("source"), lit("-"), (id % 50).cast("string"),
+      lit(" report"))
+    // deterministic tail edits, past the blocking prefix: every 20th doc
+    // drops its last char, every other 10th appends a stray one
+    val title = when(id % 20 === 7,
+        expr("substring(title_base, 1, length(title_base) - 1)"))
+      .when(id % 10 === 7, concat(col("title_base"), lit("x")))
+      .otherwise(col("title_base"))
+    val titled = docs(s, d)
+      .select(id, base.as("title_base"))
+      .select(id, title.as("title"))
+      .select(id, col("title"),
+        substring(col("title"), 1, 6).as("pfx"),
+        expr("length(title) DIV 4").as("lenb")) // integer div, like the oracle's //
+    val a = titled.select(col("pfx"), col("lenb"), col("doc_id").as("id_a"),
+      col("title").as("title_a"))
+    val b = titled.select(col("pfx"), col("lenb"), col("doc_id").as("id_b"),
+      col("title").as("title_b"))
+    a.join(b, Seq("pfx", "lenb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("title_a"), col("title_b")))
+      .filter(col("dist").between(1, 2)) // 0 = exact dups, d01's job
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** d22: incremental dedup against a PERSISTED signature/band index — the
     * production form of d16. d16 recomputes the existing corpus's MinHash
     * per arrival; a real ingestion pipeline maintains the index as a table
@@ -879,6 +922,7 @@ object DedupOps {
     "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
     "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
+    "d23_fuzzy_dedup" -> d23 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
@@ -1130,6 +1174,25 @@ object DedupOps {
     // d22 serves the identical screen from the persisted index — the
     // reload must not change a single status
     "d22_index_dedup" -> IncrementalDedupOracleSql,
+    "d23_fuzzy_dedup" ->
+      """WITH titled AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 7 THEN substring(tb, 1, length(tb) - 1)
+        |         WHEN doc_id % 10 = 7 THEN tb || 'x'
+        |         ELSE tb END AS title
+        |  FROM (SELECT doc_id,
+        |          source || '-' || (doc_id % 50) || ' report' AS tb
+        |        FROM documents) x),
+        |blocked AS (
+        |  SELECT doc_id, title, substring(title, 1, 6) AS pfx,
+        |         length(title) // 4 AS lenb
+        |  FROM titled)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM blocked a JOIN blocked b
+        |  ON a.pfx = b.pfx AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) BETWEEN 1 AND 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "d15_url_dedup" ->
       raw"""WITH u AS (
         |  SELECT doc_id,
