@@ -59,6 +59,10 @@ object DedupOps {
     liveCaches.clear()
   }
 
+  /** Registry access for sibling operator objects (TextOps's LM model
+    * tables): same capped lifecycle, same release point. */
+  private[ops] def cachedShared(df: DataFrame): DataFrame = cached(df)
+
   /** Exact dedup: canonical keeper (min doc_id) per identical text. */
   private def d01(s: SparkSession, d: String): DataFrame =
     docs(s, d)

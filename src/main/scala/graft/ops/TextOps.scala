@@ -237,6 +237,48 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** t19: interpolated bigram LM scoring — the next LM-filter rung above
+    * t12's unigram score (CCNet ships a 5-gram KenLM; the interpolation
+    * structure is identical, the order differs): each document's mean
+    * ln(λ·C(prev,cur)/C(prev) + (1-λ)·C(cur)/N) with λ = 0.7, i.e. bigram
+    * probability backed off to the unigram. Repetitive or
+    * natural-phrasing documents score high; token-salad scores low even
+    * when individual tokens are common — what the unigram model cannot
+    * see. Shape: the bigram and unigram count tables are corpus-derived
+    * MODELS joined back by shuffle equi-join on the token keys — never
+    * collected, never broadcast (t12's scale rule); one doc_id
+    * re-aggregation. Docs with <2 tokens have no bigrams and drop (the
+    * LM is undefined there). Rounded like t12 so cross-engine float
+    * summation order cannot flip the hash. */
+  private def t19(s: SparkSession, d: String): DataFrame = {
+    val toksArr = docs(s, d).select(col("doc_id"),
+      filter(split(col("text"), " ", -1), t => length(t) > 0).as("toks"))
+    val n = size(col("toks"))
+    val bigrams = DedupOps.cachedShared(toksArr.filter(n >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur")))
+    val uni = DedupOps.cachedShared(
+      docs(s, d).select(explode(
+          filter(split(col("text"), " ", -1), t => length(t) > 0)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
+    val total = uni.agg(sum(col("cnt")).as("n_total"))
+    val bi = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbi"))
+    bigrams
+      .join(bi, Seq("prev", "cur"))
+      .join(uni.select(col("token").as("prev"), col("cnt").as("cprev")), "prev")
+      .join(uni.select(col("token").as("cur"), col("cnt").as("ccur")), "cur")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          lit(0.7) * col("cbi").cast("double") / col("cprev").cast("double") +
+            lit(0.3) * col("ccur").cast("double") / col("n_total"))), 4)
+          .as("avg_logprob2"))
+      .orderBy("doc_id")
+  }
+
   /** t16: CCNet-style quality bucketing (Wenzek et al. 2020) — rank each
     * language's documents by the t12 unigram LM score and cut into
     * head/middle/tail terciles; training pipelines keep "head" (or sample
@@ -462,6 +504,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
+    "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
     "t06_tfidf" -> t06 _, "t07_text_quality" -> t07 _,
     "t08_pack_sequences" -> t08 _, "t09_heavy_hitters" -> t09 _,
@@ -506,6 +549,32 @@ object TextOps {
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens - n_tokens < 500
         |ORDER BY source, doc_id""".stripMargin,
+    // same tokenization as t12 (space split, drop empties); λ literals
+    // CAST to DOUBLE — DuckDB parses bare 0.7 as DECIMAL
+    "t19_bigram_logprob" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t AS token, count(1) AS cnt FROM (
+        |    SELECT unnest(toks) AS t FROM base) u GROUP BY t),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM base WHERE len(toks) >= 2) x),
+        |bi AS (SELECT prev, cur, count(1) AS cbi FROM bg GROUP BY prev, cur)
+        |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(
+        |    CAST(0.7 AS DOUBLE) * cbi / cprev
+        |      + CAST(0.3 AS DOUBLE) * ccur / n_total)), 4) AS avg_logprob2
+        |FROM bg
+        |JOIN bi USING (prev, cur)
+        |JOIN (SELECT token AS prev, cnt AS cprev FROM uni) up USING (prev)
+        |JOIN (SELECT token AS cur, cnt AS ccur FROM uni) uc USING (cur)
+        |CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // float literals CAST to DOUBLE: DuckDB parses bare 1.0 as DECIMAL,
     // which would change the arithmetic the rates are derived with
     "t18_temperature_resample" ->
