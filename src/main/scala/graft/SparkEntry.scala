@@ -38,7 +38,8 @@ object SparkEntry {
         "g06_stream_cot" -> ((s, d) => geotab.GeotabSynth.streamCot(s, d)),
         "g07_trip_segments" -> ((s, d) => geotab.GeotabSynth.tripQuery(s, d)),
         "g08_stream_trips" -> ((s, d) => geotab.GeotabSynth.streamTrips(s, d)),
-        "g09_stream_http_submit" -> ((s, d) => geotab.GeotabSynth.streamHttpSubmit(s, d)))
+        "g09_stream_http_submit" -> ((s, d) => geotab.GeotabSynth.streamHttpSubmit(s, d)),
+        "g10_stream_two_runs" -> ((s, d) => geotab.GeotabSynth.streamTwoRuns(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -63,5 +64,8 @@ object SparkEntry {
         "g08_stream_trips" -> geotab.GeotabSynth.tripOracleSql,
         // the HTTP submit loop must deliver payloads that decode back to
         // the exact batch flagship — the reference's output boundary gated
-        "g09_stream_http_submit" -> geotab.GeotabSynth.flagshipOracleSql)
+        "g09_stream_http_submit" -> geotab.GeotabSynth.flagshipOracleSql,
+        // two scheduled runs with the fleet moving in between must land
+        // the union of both runs' flagship outputs
+        "g10_stream_two_runs" -> geotab.GeotabSynth.twoRunsOracleSql)
 }

@@ -118,7 +118,7 @@ object GeotabSynth {
     * not pipeline input — the real API returns one bounded fleet per call
     * (task.ts:145-218). */
   def registerFixtureClient(spark: SparkSession, sfDir: String,
-                            clientName: String): Unit = {
+                            clientName: String): graft.sources.geotab.InMemoryGeotabClient = {
     import graft.sources.geotab.{GeotabClients, InMemoryGeotabClient}
     val users = drivers(spark, sfDir).collect().toSeq.map { r =>
       Map[String, Any](
@@ -138,9 +138,19 @@ object GeotabSynth {
         "licensePlate" -> r.getAs[String]("licensePlate"),
         "name" -> r.getAs[String]("name"))
     }
-    // raw DeviceStatusInfo payloads: ISO dateTime, nested device id, the
-    // union-typed driver (string variant | object variant), groups array
-    val infoJson = info(spark, sfDir).select(to_json(struct(
+    val client = new InMemoryGeotabClient(users, devs,
+      infoPayloads(info(spark, sfDir)))
+    GeotabClients.register(clientName, client)
+    client
+  }
+
+  /** Raw DeviceStatusInfo API payloads from an info frame: ISO dateTime,
+    * nested device id, the union-typed driver (string variant | object
+    * variant), groups array. Factored out so multi-run gates (g10) can
+    * synthesize a SECOND snapshot and swap it into the fixture client
+    * mid-stream. */
+  def infoPayloads(infoDf: DataFrame): Seq[String] =
+    infoDf.select(to_json(struct(
       col("bearing"), col("latitude"), col("longitude"), col("speed"),
       date_format(col("dateTime"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("dateTime"),
       struct(col("device_id").as("id")).as("device"),
@@ -149,8 +159,6 @@ object GeotabSynth {
         .otherwise(col("driverId")).as("driver"),
       array(struct(col("groups").as("id"))).as("groups"))).as("j"))
       .collect().toSeq.map(_.getString(0))
-    GeotabClients.register(clientName, new InMemoryGeotabClient(users, devs, infoJson))
-  }
 
   private def connectorRead(spark: SparkSession, clientName: String,
                             entity: String): DataFrame =
@@ -339,6 +347,44 @@ object GeotabSynth {
     } finally server.stop(0)
   }
 
+  /** g10: TWO scheduled runs through the connector — the reference's
+    * actual operating mode (a Lambda on a schedule, task.ts:106-107,
+    * CHANGELOG "parallel requests" era: every invocation pulls the
+    * CURRENT fleet snapshot). All other streaming gates drain one
+    * snapshot; here the fixture client's telemetry CHANGES between
+    * micro-batches (every device +7 km/h — a moving fleet), the
+    * connector's version-based offsets fire a second micro-batch for the
+    * new snapshot, and the sink must land BOTH runs' features. The oracle
+    * is the union of the two flagship computations — so snapshot
+    * versioning, offset advancement, and per-run recomputation of the
+    * stream-static joins are all inside the correctness gate. */
+  def streamTwoRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    val clientName = "g10-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val client = registerFixtureClient(spark, sfDir, clientName)
+    val infoStream = normalizeInfo(
+      spark.readStream.format("geotab")
+        .option("entity", "deviceInfo").option("client", clientName)
+        .option("database", "fleetdb").option("user", "svc").option("password", "pw")
+        .load())
+    val flat = GeotabPipeline.featuresFlat(
+      connectorDevices(spark, clientName), infoStream,
+      connectorDrivers(spark, clientName), flagshipConfig(spark, sfDir))
+    val out = java.nio.file.Files.createTempDirectory("graft-g10-").toFile
+    graft.ops.ExportOps.withScratchCleanup(out) {
+      val q = flat.writeStream.format("parquet")
+        .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+        .start() // default trigger: fires whenever the snapshot version advances
+      try {
+        q.processAllAvailable() // run 1: the base snapshot
+        client.setDeviceInfo(infoPayloads(
+          info(spark, sfDir).withColumn("speed", col("speed") + 7)))
+        q.processAllAvailable() // run 2: the moved fleet
+      } finally q.stop()
+      graft.ops.ExportOps.localizeAndDrop(
+        spark.read.parquet(s"$out/data"), out, "id", "speed_ms")
+    }
+  }
+
   /** g03: haversine distance from every device's current position to the
     * fleet operations center (the reference operator's home coordinates) —
     * the geo query SURVEY.md §2.7 lists as optional, over the same
@@ -487,8 +533,18 @@ object GeotabSynth {
       |ORDER BY device_id, trip_start_s""".stripMargin
 
   /** Shared oracle CTE prefix: the synthesized entities + joined pipeline
-    * (devices ⋈ latest-info, guarded driver left join, freshness filter). */
-  private val oracleCtePrefix: String =
+    * (devices ⋈ latest-info, guarded driver left join, freshness filter).
+    * `speedSql` parameterizes the info CTE's speed expression so the
+    * two-scheduled-runs gate (g10) can oracle a SECOND snapshot whose
+    * telemetry changed between runs. */
+  private def oracleCteFor(speedSql: String): String =
+    oracleCtePrefixRaw.replace(
+      "CAST(o_orderkey % 200 AS DOUBLE) AS speed",
+      s"$speedSql AS speed")
+
+  private val oracleCtePrefix: String = oracleCtePrefixRaw
+
+  private lazy val oracleCtePrefixRaw: String =
     """WITH devices AS (
       |  SELECT 'dev-' || c_custkey AS id,
       |         'VIN' || c_custkey AS vin,
@@ -533,7 +589,20 @@ object GeotabSynth {
       |)""".stripMargin
 
   /** DuckDB oracle mirroring [[flagship]] exactly. */
-  val flagshipOracleSql: String = oracleCtePrefix +
+  val flagshipOracleSql: String =
+    oracleCtePrefix + flagshipSelectSql + "\nORDER BY id"
+
+  /** g10: both scheduled runs' landings — run 1 at the base speed, run 2
+    * after the fleet's telemetry changed (speed + 7 km/h). */
+  val twoRunsOracleSql: String =
+    s"""SELECT * FROM (
+       |${oracleCtePrefix + flagshipSelectSql}
+       |) UNION ALL SELECT * FROM (
+       |${oracleCteFor("CAST(o_orderkey % 200 + 7 AS DOUBLE)") + flagshipSelectSql}
+       |)
+       |ORDER BY id, speed_ms""".stripMargin
+
+  private lazy val flagshipSelectSql: String =
     """
       |SELECT 'geotab-' || device_id AS id,
       |       CASE WHEN name_raw IS NOT NULL AND name_raw <> '' THEN name_raw
@@ -556,8 +625,7 @@ object GeotabSynth {
       |       d_designation AS driver_designation, d_comment AS driver_comment
       |FROM joined
       |WHERE (CASE WHEN name_raw IS NULL OR name_raw = ''
-      |            THEN 'No Name' ELSE name_raw END) LIKE 'C%'
-      |ORDER BY id""".stripMargin
+      |            THEN 'No Name' ELSE name_raw END) LIKE 'C%'""".stripMargin
 
   /** DuckDB twin of [[cotQuery]]: identical CTEs, identical %.4f renders,
     * identical escape chain. */
