@@ -610,11 +610,28 @@ object Relational {
     * tombstones — no joins at all, which is why this scales: at 100 TB
     * the merge cost is one shuffle of snapshot+delta, not an
     * O(snapshot × delta) reconciliation. */
+  /** The merge kernel behind q66, public for the CDC-property specs: the
+    * snapshot enters at seq 0, change rows carry (k, payload..., seq, op);
+    * latest-per-key wins (one window = one hash shuffle on the key),
+    * tombstones ('D') drop. Duplicate redelivery of the same change row
+    * ties on seq with IDENTICAL payloads, so the arbitrary tie pick
+    * cannot change the result — merge is idempotent under CDC-log
+    * replay. */
+  def upsertMerge(snapshot: DataFrame, changes: DataFrame,
+                  payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    snapshot.withColumn("seq", lit(0L)).withColumn("op", lit("S"))
+      .unionByName(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k") +: payloadCols.map(col): _*)
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val snapshot = c.select(col("c_custkey").as("k"), col("c_name").as("name"),
-      col("c_acctbal").as("bal"), lit(0L).as("seq"), lit("S").as("op"))
+      col("c_acctbal").as("bal"))
     val updates = c.filter(col("c_custkey") % 7 === 0)
       .select(col("c_custkey").as("k"), col("c_name").as("name"),
         (col("c_acctbal") + 100).as("bal"), lit(1L).as("seq"), lit("U").as("op"))
@@ -626,11 +643,9 @@ object Relational {
       .select((col("c_custkey") + 200000L).as("k"),
         concat(lit("new-"), col("c_name")).as("name"),
         col("c_acctbal").as("bal"), lit(1L).as("seq"), lit("I").as("op"))
-    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
-    snapshot.unionByName(updates).unionByName(deletes).unionByName(inserts)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "D")
-      .select(col("k"), col("name"), col("bal"))
+    upsertMerge(snapshot,
+        updates.unionByName(deletes).unionByName(inserts),
+        Seq("name", "bal"))
       .orderBy("k")
   }
 
