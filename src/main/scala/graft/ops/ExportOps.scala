@@ -220,12 +220,12 @@ object ExportOps {
     * byte once, network-free. Returns the compacted directory. */
   def compact(s: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L << 20): String = {
-    val bytes = {
-      def walk(f: java.io.File): Long =
-        if (f.isFile) f.length()
-        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      walk(new java.io.File(inDir))
-    }
+    // size the input through the Hadoop FileSystem API, not java.io —
+    // compaction's natural home is an HDFS/S3 landing zone, and the
+    // content-summary call is one namenode round-trip, not a listing walk
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
     val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     s.read.parquet(inDir).coalesce(target)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
