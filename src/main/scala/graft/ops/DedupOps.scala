@@ -677,6 +677,32 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** d24: split-leakage audit — near-duplicate pairs that STRADDLE the
+    * train/val/test assignment (q51's md5-bucket rule, the same shared
+    * [[Hashing]] definition the export writes). d13 screens against an
+    * external benchmark; this audits the pipeline's OWN split: a verified
+    * near-dup pair with one side in train and the other in val/test is
+    * eval contamination that inflates every metric downstream. Rides the
+    * shared shingle cache (same banded verified pairs as d10/d12/c01);
+    * the split columns join in by doc_id — two broadcast-sized joins of
+    * the pair list, no new corpus shuffle. Empty result = clean split;
+    * any row is an actionable (pair, splits, jaccard) finding. */
+  private def d24(s: SparkSession, d: String): DataFrame = {
+    val bucket = Hashing.md5Bucket100(col("doc_id"))
+    val splits = docs(s, d).select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+    md5VerifiedPairs(s, d).filter(col("jaccard") >= 0.7)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** d22: incremental dedup against a PERSISTED signature/band index — the
     * production form of d16. d16 recomputes the existing corpus's MinHash
     * per arrival; a real ingestion pipeline maintains the index as a table
@@ -926,7 +952,7 @@ object DedupOps {
     "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
     "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
-    "d23_fuzzy_dedup" -> d23 _,
+    "d23_fuzzy_dedup" -> d23 _, "d24_split_leakage" -> d24 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
@@ -1178,6 +1204,23 @@ object DedupOps {
     // d22 serves the identical screen from the persisted index — the
     // reload must not change a single status
     "d22_index_dedup" -> IncrementalDedupOracleSql,
+    "d24_split_leakage" ->
+      (BandedPairsCte + ",\n" +
+        """splits AS (
+          |  SELECT doc_id,
+          |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+          |              % 100 < 80 THEN 'train'
+          |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+          |              % 100 < 90 THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM documents)
+          |SELECT v.doc_a, v.doc_b, sa.split AS split_a, sb.split AS split_b,
+          |       v.jaccard
+          |FROM verified v
+          |JOIN splits sa ON sa.doc_id = v.doc_a
+          |JOIN splits sb ON sb.doc_id = v.doc_b
+          |WHERE v.jaccard >= 0.7 AND sa.split <> sb.split
+          |ORDER BY v.doc_a, v.doc_b""".stripMargin),
     "d23_fuzzy_dedup" ->
       """WITH titled AS (
         |  SELECT doc_id,
