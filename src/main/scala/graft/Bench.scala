@@ -59,7 +59,11 @@ object Bench {
     // round-over-round deltas need medians to mean anything. Reps run
     // back-to-back per query (not interleaved) so each rep sees the same
     // cache/JIT state; a rep that fails marks the query failed.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // tolerant parse: a malformed value must not crash the bench after the
+    // warm-up cost is already paid — fall back to single-pass
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(1).max(1)
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.length % 2 == 1) s(s.length / 2)

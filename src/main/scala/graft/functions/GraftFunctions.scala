@@ -51,7 +51,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[BloomFilterMightContain].getName, "graft_might_contain"),
-      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_might_contain takes 2 args (filter, value), got ${exprs.length}")
+        BloomFilterMightContain(exprs(0), exprs(1))
+      }),
     // Portable text/dedup kernels, registered by BRIDGING the Column
     // definitions (classic ExpressionUtils wraps incoming Expressions as
     // Columns, builds the same tree the DataFrame surface builds, unwraps)

@@ -285,7 +285,12 @@ object GeotabSynth {
     import graft.streaming.{EventStreams, FeatureCollectionHttpSink}
     val clientName = "g09-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val flat = connectorFlatStream(spark, sfDir, clientName)
-    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // keyed by the X-Graft-Batch idempotency header: the sink documents
+    // at-least-once delivery under task retry, so a receiver MUST dedup on
+    // the header — recording raw bodies would make the gate flake if a
+    // POSTed partition's task ever retried
+    val received =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
     val requests = new java.util.concurrent.atomic.AtomicInteger(0)
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -293,7 +298,8 @@ object GeotabSynth {
       val n = requests.incrementAndGet()
       val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val status = if (n == 1) 503 else 200 // first request always retries
-      if (status == 200) received.add(body)
+      if (status == 200)
+        received.put(x.getRequestHeaders.getFirst("X-Graft-Batch"), body)
       x.sendResponseHeaders(status, -1)
       x.close()
     })
@@ -309,7 +315,7 @@ object GeotabSynth {
       q.awaitTermination()
       import scala.jdk.CollectionConverters._
       import spark.implicits._
-      val payloads = received.iterator().asScala.toSeq.toDF("payload")
+      val payloads = received.values().iterator().asScala.toSeq.toDF("payload")
       val fcSchema =
         """type STRING, features ARRAY<STRUCT<
           |  id STRING, type STRING,
@@ -359,16 +365,13 @@ object GeotabSynth {
     * versioning, offset advancement, and per-run recomputation of the
     * stream-static joins are all inside the correctness gate. */
   def streamTwoRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.geotab.{GeotabClients, InMemoryGeotabClient}
     val clientName = "g10-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val client = registerFixtureClient(spark, sfDir, clientName)
-    val infoStream = normalizeInfo(
-      spark.readStream.format("geotab")
-        .option("entity", "deviceInfo").option("client", clientName)
-        .option("database", "fleetdb").option("user", "svc").option("password", "pw")
-        .load())
-    val flat = GeotabPipeline.featuresFlat(
-      connectorDevices(spark, clientName), infoStream,
-      connectorDrivers(spark, clientName), flagshipConfig(spark, sfDir))
+    // the SAME wiring g05/g06/g09 use — a divergence here would silently
+    // gate a different pipeline; the registered fixture client comes back
+    // out of the registry for the mid-stream snapshot swap
+    val flat = connectorFlatStream(spark, sfDir, clientName)
+    val client = GeotabClients(clientName).asInstanceOf[InMemoryGeotabClient]
     val out = java.nio.file.Files.createTempDirectory("graft-g10-").toFile
     graft.ops.ExportOps.withScratchCleanup(out) {
       val q = flat.writeStream.format("parquet")
@@ -537,10 +540,14 @@ object GeotabSynth {
     * `speedSql` parameterizes the info CTE's speed expression so the
     * two-scheduled-runs gate (g10) can oracle a SECOND snapshot whose
     * telemetry changed between runs. */
-  private def oracleCteFor(speedSql: String): String =
-    oracleCtePrefixRaw.replace(
-      "CAST(o_orderkey % 200 AS DOUBLE) AS speed",
-      s"$speedSql AS speed")
+  private def oracleCteFor(speedSql: String): String = {
+    val target = "CAST(o_orderkey % 200 AS DOUBLE) AS speed"
+    // a silent no-match would union two identical base-speed runs and
+    // point the g10 mismatch at the connector instead of this template
+    require(oracleCtePrefixRaw.contains(target),
+      "oracle prefix was reworded — update oracleCteFor's target")
+    oracleCtePrefixRaw.replace(target, s"$speedSql AS speed")
+  }
 
   private val oracleCtePrefix: String = oracleCtePrefixRaw
 

@@ -721,10 +721,7 @@ object DedupOps {
     * the arrival batch is the only newly-hashed data, and every join keys
     * on hashes/bands — the corpus is never rescanned, never cross-joined. */
   private def d22(s: SparkSession, d: String): DataFrame = {
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_sigidx_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
-    ExportOps.deleteRecursively(out)
+    val out = ExportOps.scratchDir("graft_sigidx", d)
     ExportOps.withScratchCleanup(out) {
       val isNew = col("doc_id") % 5 === 4
       val all = docs(s, d)
@@ -814,10 +811,7 @@ object DedupOps {
     * export stage. No watermark needed: the join is stateless per
     * micro-batch (static side re-planned per batch, nothing buffered). */
   private def d20(s: SparkSession, d: String): DataFrame = {
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_sdedup_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
-    ExportOps.deleteRecursively(out)
+    val out = ExportOps.scratchDir("graft_sdedup", d)
     ExportOps.withScratchCleanup(out) {
     new java.io.File(out, "in").mkdirs()
     java.nio.file.Files.copy(

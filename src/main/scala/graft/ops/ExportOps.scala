@@ -74,6 +74,33 @@ object ExportOps {
     f.delete()
   }
 
+  /** Sets a session conf for the duration of `body`, restoring the
+    * previous value (or unsetting) afterwards — the save/set/restore
+    * pattern every streaming gate needs for `nanosAsLong` /
+    * `shuffle.partitions`, centralized so a restore cannot be forgotten
+    * (q58 leaked exactly this conf before round 7). */
+  def withConf[T](s: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** PID-suffixed gate scratch dir under java.io.tmpdir: named so
+    * concurrent gate/bench JVMs at the same SF cannot collide, cleared of
+    * any same-pid leftovers before use. One definition for every gate's
+    * `graft_X_<sf>_<pid>` convention. */
+  def scratchDir(prefix: String, d: String): java.io.File = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + "_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid())
+    deleteRecursively(f)
+    f
+  }
+
   /** Runs a gate body, deleting its scratch directory if the body throws.
     * The success path's [[localizeAndDrop]] already deletes the dir; without
     * this, a failed streaming query or read-back leaks the PID-suffixed
@@ -114,11 +141,7 @@ object ExportOps {
     * recovery) against a DuckDB twin computing the same assignment
     * directly from the documents table. */
   private def e01(s: SparkSession, d: String): DataFrame = {
-    // per-process suffix: concurrent gate/bench JVMs at the same SF must
-    // not overwrite each other's export mid-read
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_export_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
+    val out = scratchDir("graft_export", d)
     withScratchCleanup(out) {
     trainingExport(s, d, out.getAbsolutePath)
     // Partition-column values come back through directory-name inference:
@@ -152,9 +175,7 @@ object ExportOps {
     * the tiny reloaded index broadcasts; the corpus is never re-scanned. */
   private def e02(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_index_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
+    val out = scratchDir("graft_index", d)
     withScratchCleanup(out) {
     val emb = Tables(s, d, "embeddings")
     val dims = emb.select(col("label"),
@@ -190,10 +211,7 @@ object ExportOps {
     * export's DuckDB twin. Stream/batch duality for the pipeline's
     * terminal stage, gated like g05 does it for the ingest stage. */
   private def e03(s: SparkSession, d: String): DataFrame = {
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_sexport_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
-    deleteRecursively(out)
+    val out = scratchDir("graft_sexport", d)
     withScratchCleanup(out) {
     new java.io.File(out, "in").mkdirs()
     java.nio.file.Files.copy(
@@ -239,10 +257,7 @@ object ExportOps {
     * compaction may change layout, never content. The file-count bound is
     * spec-pinned ([[graft.ops.ExportOpsSpec]]). */
   private def e04(s: SparkSession, d: String): DataFrame = {
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_compact_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
-    deleteRecursively(out)
+    val out = scratchDir("graft_compact", d)
     withScratchCleanup(out) {
       Tables(s, d, "documents").repartition(64)
         .write.parquet(s"$out/frag")
@@ -263,10 +278,7 @@ object ExportOps {
     * with the same batch rule. At scale this is why additive evolution is
     * safe: readers pay one footer-merge pass, no rewrite of history. */
   private def e05(s: SparkSession, d: String): DataFrame = {
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_evolve_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
-    deleteRecursively(out)
+    val out = scratchDir("graft_evolve", d)
     withScratchCleanup(out) {
       val docsT = Tables(s, d, "documents")
       val old = docsT.filter(col("doc_id") % 2 === 0)

@@ -565,10 +565,7 @@ object Relational {
     * (persist→reload→union == one-shot sketch over everything, exact
     * equality) plus ε-accuracy against the exact counts. */
   private def q63(s: SparkSession, d: String): DataFrame = {
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_hll_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
-    ExportOps.deleteRecursively(out)
+    val out = ExportOps.scratchDir("graft_hll", d)
     ExportOps.withScratchCleanup(out) {
       val ev = t(s, d, "events")
         .select(col("event_id"), col("event_type"), col("user_id"))

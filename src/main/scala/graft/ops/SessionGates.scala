@@ -61,15 +61,10 @@ object SessionGates {
   private def q58(s: SparkSession, d: String): DataFrame = {
     // nanosAsLong must cover the raw read below AND the streaming query's
     // whole lifetime (micro-batch plans compile asynchronously after
-    // start()); restored in the same finally as shuffle.partitions so a
-    // later non-Tables read of nano timestamps sees the caller's setting.
-    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_sessions_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
-    ExportOps.deleteRecursively(out)
-    try ExportOps.withScratchCleanup(out) {
+    // start()); withConf restores it before anything else runs.
+    val out = ExportOps.scratchDir("graft_sessions", d)
+    ExportOps.withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+    ExportOps.withScratchCleanup(out) {
     new java.io.File(out, "in").mkdirs()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/events.parquet"),
@@ -107,9 +102,7 @@ object SessionGates {
     // scale this knob is sized to state volume, not set to the batch
     // shuffle default. The conf is held for the query's whole (serial)
     // lifetime and restored before anything else runs.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+    ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
       val q = sessionAgg(stream).writeStream
         .format("parquet")
         .option("path", s"$out/data")
@@ -118,12 +111,10 @@ object SessionGates {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
     ExportOps.localizeAndDrop(landed, out, "user_id", "session_start_ms")
-    } finally prevNanos match {
-      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
     }
   }
 
@@ -141,13 +132,9 @@ object SessionGates {
     * join (the q57/q58 move) so the interval compare is engine-identical;
     * the landed pairs hash-match a DuckDB self-join oracle. */
   private def q62(s: SparkSession, d: String): DataFrame = {
-    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ssjoin_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
-    ExportOps.deleteRecursively(out)
-    try ExportOps.withScratchCleanup(out) {
+    val out = ExportOps.scratchDir("graft_ssjoin", d)
+    ExportOps.withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+    ExportOps.withScratchCleanup(out) {
       new java.io.File(out, "in").mkdirs()
       val raw = s.read.parquet(s"$d/events.parquet")
       // any split point yields the same join result; the mean just makes
@@ -170,9 +157,7 @@ object SessionGates {
           timestamp_millis(expr("ts div 1000000")).as("ts"))
       val joined = graft.streaming.EventStreams.purchasesWithClicks(stream)
       // 8 state stores per side per micro-batch — same sizing note as q58
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
         val q = joined.writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -180,15 +165,13 @@ object SessionGates {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       val landed = s.read.parquet(s"$out/data")
         .select(col("purchase_id"), col("uid"),
           unix_millis(col("purchase_ts")).as("purchase_ms"),
           col("click_id"), unix_millis(col("click_ts")).as("click_ms"))
       ExportOps.localizeAndDrop(landed, out, "purchase_id", "click_id")
-    } finally prevNanos match {
-      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
     }
   }
 
@@ -205,13 +188,9 @@ object SessionGates {
     * horizon are evicted instead of accumulating forever). Hash-matches
     * the batch DISTINCT oracle. */
   private def q65(s: SparkSession, d: String): DataFrame = {
-    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_sdd_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
-    ExportOps.deleteRecursively(out)
-    try ExportOps.withScratchCleanup(out) {
+    val out = ExportOps.scratchDir("graft_sdd", d)
+    ExportOps.withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+    ExportOps.withScratchCleanup(out) {
       new java.io.File(out, "in").mkdirs()
       val now = System.currentTimeMillis()
       Seq(0, 1).foreach { i => // identical copies = full redelivery
@@ -227,9 +206,7 @@ object SessionGates {
           timestamp_millis(expr("ts div 1000000")).as("tsm"))
         .withWatermark("tsm", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
         val q = stream.writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -237,14 +214,12 @@ object SessionGates {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       val landed = s.read.parquet(s"$out/data")
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_millis(col("tsm")).as("ts_ms"))
       ExportOps.localizeAndDrop(landed, out, "event_id")
-    } finally prevNanos match {
-      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
     }
   }
 

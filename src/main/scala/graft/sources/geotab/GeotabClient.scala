@@ -98,7 +98,10 @@ object GeotabSessionCache {
           sid <- Option(p.getProperty("sessionId"))
           user <- Option(p.getProperty("userName"))
         } yield GeotabCredentials(db, sid, user)
-      } catch { case _: java.io.IOException => None } // unreadable = miss
+        // unreadable OR corrupted = miss (Properties.load throws
+        // IllegalArgumentException on a malformed \uXXXX escape — a torn
+        // file must degrade to a re-login, never a permanent crash)
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
   private def saveToDisk(key: (String, String, String),
