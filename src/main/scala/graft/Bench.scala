@@ -71,10 +71,15 @@ object Bench {
     }
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
+        // short-circuit remaining reps once one fails: the query is marked
+        // failed either way, and a deterministically-failing query must not
+        // pay N full failure latencies per bench run
+        val times = (1 to reps).iterator.map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable => Left("err:" + e.getClass.getSimpleName) }
+        }.span(_.isRight) match {
+          case (ok, rest) => ok.toSeq ++ rest.take(1).toSeq
         }
         val r = times.collectFirst { case Left(m) => Left(m) }
           .getOrElse(Right(median(times.collect { case Right(t) => t })))

@@ -297,9 +297,16 @@ object GeotabSynth {
     server.createContext("/submit", (x: HttpExchange) => {
       val n = requests.incrementAndGet()
       val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      val status = if (n == 1) 503 else 200 // first request always retries
-      if (status == 200)
-        received.put(x.getRequestHeaders.getFirst("X-Graft-Batch"), body)
+      val batchKey = x.getRequestHeaders.getFirst("X-Graft-Batch")
+      // a missing idempotency header is a sink regression: answer 400 (the
+      // sink's 4xx fail-fast path) so the gate fails with a readable error
+      // instead of an NPE swallowed inside the handler thread surfacing as
+      // opaque retry exhaustion
+      val status =
+        if (batchKey == null) 400
+        else if (n == 1) 503 // first request always retries
+        else 200
+      if (status == 200) received.put(batchKey, body)
       x.sendResponseHeaders(status, -1)
       x.close()
     })

@@ -127,17 +127,25 @@ class ScaleToolsSpec extends SparkSpec {
 
   test("q63 sketch maintenance: persisted merge equals one-shot, within 5% of exact") {
     val d = "/root/testdata/sf0.001"
-    // merge transparency: the persist -> reload -> union path must give
-    // EXACTLY the estimate a one-shot sketch over all events gives — the
-    // property that makes incremental maintenance safe to ship
+    // merge transparency: the persist -> reload -> union path must track the
+    // one-shot sketch over all events. NOT exact equality: DataSketches HLL
+    // only coincides exactly while sketches stay in coupon/list mode — once
+    // a sketch promotes to HLL-array mode, a directly-built sketch reads the
+    // HIP estimator while a unioned one reads the composite estimator, so
+    // the two can legitimately differ by a small relative margin. A tight 1%
+    // band pins merge transparency without baking in the mode coincidence.
     val merged = graft.SparkEntry.queries("q63_sketch_users")(spark, d)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val oneShot = Tables(spark, d, "events")
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(merged === oneShot,
-      s"persisted merge diverged from the one-shot sketch:\n$merged\nvs $oneShot")
+    assert(merged.keySet === oneShot.keySet)
+    merged.foreach { case (k, est) =>
+      val o = oneShot(k).toDouble
+      assert(math.abs(est.toDouble - o) / o < 0.01,
+        s"persisted merge diverged from the one-shot sketch on $k: $est vs $o")
+    }
     // ε-accuracy against the exact twin (q64): HLL at default lgK is well
     // under 5% on these cardinalities
     val exact = graft.SparkEntry.queries("q64_exact_users")(spark, d)
