@@ -175,6 +175,84 @@ object SessionGates {
     }
   }
 
+  /** q67: the LEFT-OUTER twin of q62 — "every purchase, with its clicks OR
+    * a null-click row if none arrived in the window". The outer rows have
+    * different state-eviction semantics from the inner join: a purchase's
+    * null-click row may only emit once the watermark passes its event time
+    * (the point where a matching click can no longer arrive), so the gate
+    * feeds a THIRD micro-batch of watermark-advancing sentinel events
+    * (user_id -1, 90/120 min past the corpus max — one purchase to move
+    * the purchase-side watermark node, one later click to move the click
+    * side; the global watermark is the min of both, so both must move).
+    * The sentinels are filtered from the landed result; the remainder must
+    * hash-match a DuckDB LEFT JOIN oracle. `sentinel = false` exists for
+    * the spec that pins outer rows EMIT ONLY on watermark advance: without
+    * the third batch, purchases near the stream end must be missing their
+    * null rows. */
+  private[ops] def streamOuterJoinGate(s: SparkSession, d: String,
+                                       sentinel: Boolean): DataFrame = {
+    val out = ExportOps.scratchDir(
+      if (sentinel) "graft_ssoj" else "graft_ssoj_ns", d)
+    ExportOps.withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val mid = raw.agg(avg(col("ts"))).head().getDouble(0).toLong
+      val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+      val now = System.currentTimeMillis()
+      def sentinelRow(id: Long, tsNanos: Long, eventType: String) =
+        raw.limit(1).select(
+          lit(id).as("event_id"), lit(tsNanos).as("ts"),
+          lit(-1L).as("user_id"), lit(eventType).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val slices: Seq[DataFrame] =
+        Seq(raw.filter(col("ts") <= mid), raw.filter(col("ts") > mid)) ++
+          (if (sentinel)
+            // purchase first, click 30 min later: the click arrives AFTER
+            // the sentinel purchase so the two never pair — every uid -1
+            // row in the sink would be a real semantics bug, not fixture
+            // noise
+            Seq(sentinelRow(-1L, maxNanos + 5400L * 1000000000L, "purchase")
+              .unionByName(
+                sentinelRow(-2L, maxNanos + 7200L * 1000000000L, "click")))
+          else Seq.empty)
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val slice = s"$out/slice$i"
+        df.coalesce(1).write.parquet(slice)
+        val part = new java.io.File(slice).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$out/in/f$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(now - (slices.size - i) * 60000L) // arrival order
+      }
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_millis(expr("ts div 1000000")).as("ts"))
+      val joined = graft.streaming.EventStreams
+        .purchasesWithClicks(stream, joinType = "left_outer")
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val landed = s.read.parquet(s"$out/data")
+        .filter(col("uid") >= 0) // drop the watermark sentinels
+        .select(col("purchase_id"), col("uid"),
+          unix_millis(col("purchase_ts")).as("purchase_ms"),
+          col("click_id"), unix_millis(col("click_ts")).as("click_ms"))
+      ExportOps.localizeAndDrop(landed, out, "purchase_id", "click_id")
+    }
+    }
+  }
+
+  private def q67(s: SparkSession, d: String): DataFrame =
+    streamOuterJoinGate(s, d, sentinel = true)
+
   /** q65: stateful streaming dedup under at-least-once redelivery — the
     * ingest-side screen every streaming pipeline runs before anything
     * downstream. The whole events table arrives TWICE (two identical
@@ -225,7 +303,8 @@ object SessionGates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_session_window" -> q57 _, "q58_stream_sessions" -> q58 _,
-    "q62_stream_interval_join" -> q62 _, "q65_stream_dedup" -> q65 _)
+    "q62_stream_interval_join" -> q62 _, "q65_stream_dedup" -> q65 _,
+    "q67_stream_outer_join" -> q67 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -268,5 +347,20 @@ object SessionGates {
     // the redelivered stream must land exactly the distinct events
     "q65_stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    // q62's LEFT JOIN twin: purchases with no click in the preceding 30
+    // minutes keep a null-click row
+    "q67_stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id AS uid,
+        |       p.ts_ms AS purchase_ms,
+        |       c.event_id AS click_id, c.ts_ms AS click_ms
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts_ms >= p.ts_ms - 1800000 AND c.ts_ms <= p.ts_ms
+        |ORDER BY purchase_id, click_id""".stripMargin)
 }

@@ -65,9 +65,18 @@ object EventStreams {
     * the join condition bounds event time on both ends, so each side's
     * join state is evicted once the other side's watermark passes the
     * interval — the only way stream-stream join state stays bounded at
-    * scale. The batch as-of twin is q33 (one ordered window, no state). */
+    * scale. The batch as-of twin is q33 (one ordered window, no state).
+    *
+    * `joinType` "left_outer" is the attribution shape production asks for
+    * at least as often as the inner form ("purchases with NO qualifying
+    * click"): a purchase that found no click emits exactly one null-click
+    * row, and it emits only when the watermark passes the purchase's event
+    * time — the point where a matching click can no longer arrive. Same
+    * state bounds as the inner join; the outer rows ride the eviction
+    * pass. */
   def purchasesWithClicks(events: DataFrame, horizon: String = "30 minutes",
-                          watermark: String = "10 minutes"): DataFrame = {
+                          watermark: String = "10 minutes",
+                          joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -79,7 +88,7 @@ object EventStreams {
     purchases.join(clicks,
       col("p_user") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon") &&
-        col("click_ts") <= col("purchase_ts"))
+        col("click_ts") <= col("purchase_ts"), joinType)
       .select(col("purchase_id"), col("p_user").as("uid"),
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
