@@ -720,6 +720,62 @@ object DedupOps {
     * At 100 TB the index is the durable table this parquet stands in for,
     * the arrival batch is the only newly-hashed data, and every join keys
     * on hashes/bands — the corpus is never rescanned, never cross-joined. */
+  /** Serve phase of the persisted-index dedup (d22/d25/e06): screen
+    * `incoming` (doc_id, text), whose shingle hashes are `inHv` (doc_id,
+    * hv), against ONLY the persisted artifact at `idxDir` (sigs/ = doc_id,
+    * hv, th; bands/ = doc_id, band_idx, band). Exact screen = arrival
+    * content-hash semi-join against the index's th column; near screen =
+    * arrival bands equi-join the index's band table (candidates only form
+    * inside a band bucket, and only across the arrival/index boundary —
+    * the straddling restriction d16 applies by filter falls out of the
+    * join shape), then the exact-Jaccard verify joins hv from the arrival
+    * side and the index side. The arrival batch is the only newly-hashed
+    * data; the corpus behind the index is never rescanned. */
+  private[ops] def screenAgainstIndex(s: SparkSession, incoming: DataFrame,
+                                      inHv: DataFrame, idxDir: String): DataFrame = {
+    val sigs = s.read.parquet(s"$idxDir/sigs")
+    val bands = s.read.parquet(s"$idxDir/bands")
+    val exact = incoming.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(sigs.select(col("th")).distinct(), Seq("th"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_exact", lit(true))
+    val cand = bandFrame(inHv)
+      .select(col("band_idx"), col("band"), col("doc_id").as("new_id"))
+      .join(bands.select(col("band_idx"), col("band"), col("doc_id").as("old_id")),
+        Seq("band_idx", "band"))
+      .select("new_id", "old_id").distinct()
+    val near = cand
+      .join(inHv.select(col("doc_id").as("new_id"), col("hv").as("hv_new")), "new_id")
+      .join(sigs.select(col("doc_id").as("old_id"), col("hv").as("hv_old")), "old_id")
+      .filter(size(array_intersect(col("hv_new"), col("hv_old"))).cast("double") /
+        size(array_union(col("hv_new"), col("hv_old"))).cast("double") >= 0.7)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    incoming.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("kept").as("status"))
+  }
+
+  /** Maintenance phase of the persisted index: APPEND the `kept` arrivals'
+    * signatures and bands into the artifact — the steady-state loop of an
+    * ingestion pipeline (screen batch → merge the keepers → the next batch
+    * screens against the updated index). Appends are new parquet part
+    * files; nothing existing is rewritten, so at 100 TB the merge cost is
+    * the kept batch, not the index. */
+  private[ops] def appendToIndex(s: SparkSession, arrivals: DataFrame,
+                                 arrHv: DataFrame, kept: DataFrame,
+                                 idxDir: String): Unit = {
+    val keptHv = arrHv.join(kept.select("doc_id"), "doc_id")
+    keptHv
+      .join(arrivals.select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
+      .write.mode("append").parquet(s"$idxDir/sigs")
+    bandFrame(keptHv).write.mode("append").parquet(s"$idxDir/bands")
+  }
+
   private def d22(s: SparkSession, d: String): DataFrame = {
     val out = ExportOps.scratchDir("graft_sigidx", d)
     ExportOps.withScratchCleanup(out) {
@@ -737,9 +793,6 @@ object DedupOps {
           .select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
         .write.parquet(s"$out/sigs")
       bandFrame(existingHv).write.parquet(s"$out/bands")
-      // ---- reload; everything below reads only the persisted artifact ----
-      val sigs = s.read.parquet(s"$out/sigs")
-      val bands = s.read.parquet(s"$out/bands")
       // the d16 arrival batch: every 5th doc + synthesized exact copies
       // (copies share their source's text, so their hashes come straight
       // from the cache too — only genuinely new text would hash fresh)
@@ -747,33 +800,68 @@ object DedupOps {
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       val incoming = all.filter(isNew).select(col("doc_id"), col("text"))
         .unionByName(copies)
-      val exact = incoming.select(col("doc_id"), md5(col("text")).as("th"))
-        .join(sigs.select(col("th")).distinct(), Seq("th"), "left_semi")
-        .select(col("doc_id")).distinct()
-        .withColumn("is_exact", lit(true))
       val inHv = base.filter(isNew).select(col("doc_id"), col("hv"))
         .unionByName(base.filter(col("doc_id") % 50 === 0)
           .select((col("doc_id") + 100000L).as("doc_id"), col("hv")))
-      val cand = bandFrame(inHv)
-        .select(col("band_idx"), col("band"), col("doc_id").as("new_id"))
-        .join(bands.select(col("band_idx"), col("band"), col("doc_id").as("old_id")),
-          Seq("band_idx", "band"))
-        .select("new_id", "old_id").distinct()
-      val near = cand
-        .join(inHv.select(col("doc_id").as("new_id"), col("hv").as("hv_new")), "new_id")
-        .join(sigs.select(col("doc_id").as("old_id"), col("hv").as("hv_old")), "old_id")
-        .filter(size(array_intersect(col("hv_new"), col("hv_old"))).cast("double") /
-          size(array_union(col("hv_new"), col("hv_old"))).cast("double") >= 0.7)
-        .select(col("new_id").as("doc_id")).distinct()
-        .withColumn("is_near", lit(true))
-      val res = incoming.select(col("doc_id"))
-        .join(exact, Seq("doc_id"), "left")
-        .join(near, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("is_exact"), "exact_dup")
-            .when(col("is_near"), "near_dup")
-            .otherwise("kept").as("status"))
+      // ---- serve: reads only the persisted artifact ----
+      val res = screenAgainstIndex(s, incoming, inHv, out.getAbsolutePath)
       ExportOps.localizeAndDrop(res, out, "doc_id")
+    }
+  }
+
+  /** d25: the persisted index under APPEND maintenance — the steady-state
+    * an ingestion pipeline actually runs, closing the one-cycle limit of
+    * d22: batch 1 screens against the built index, the KEPT arrivals'
+    * signatures/bands merge INTO the artifact ([[appendToIndex]] — new
+    * part files, nothing rewritten), and batch 2 screens against the
+    * UPDATED index. Batch 2 contains exact copies of batch-1 documents
+    * (id+300000 of every doc_id % 40 == 4), so its screen provably
+    * consults the merged signatures: those copies come back `exact_dup`
+    * iff their batch-1 source was kept and merged — a from-scratch DuckDB
+    * oracle recomputing both screens agrees on every status, and the spec
+    * pins that the screen reads only the artifact (doctoring the persisted
+    * files changes the verdicts). Each batch hashes only itself; the
+    * corpus is scanned once at build, never again. */
+  private def d25(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_sigidx2", d)
+    ExportOps.withScratchCleanup(out) {
+      val all = docs(s, d)
+      val base = cached(withShingleHashes(s, d))
+      val inB1 = col("doc_id") % 5 === 4
+      val inB2 = col("doc_id") % 5 === 3
+      // ---- build: index over the standing corpus (neither batch) ----
+      val corpus0Hv = base.filter(!inB1 && !inB2)
+      corpus0Hv
+        .join(all.filter(!inB1 && !inB2)
+          .select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
+        .write.parquet(s"$out/sigs")
+      bandFrame(corpus0Hv).write.parquet(s"$out/bands")
+      // ---- batch 1: the d16/d22 arrival shape ----
+      val b1 = all.filter(inB1).select(col("doc_id"), col("text"))
+        .unionByName(all.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val b1Hv = base.filter(inB1).select(col("doc_id"), col("hv"))
+        .unionByName(base.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("hv")))
+      // localize BEFORE the append: s1's lazy plan lists the index dir at
+      // execution time and would otherwise see the post-merge files
+      val s1 = ExportOps.localize(
+        screenAgainstIndex(s, b1, b1Hv, out.getAbsolutePath))
+      // ---- merge: keepers join the index ----
+      appendToIndex(s, b1, b1Hv, s1.filter(col("status") === "kept"),
+        out.getAbsolutePath)
+      // ---- batch 2: fresh docs + exact copies of batch-1 docs ----
+      val b2 = all.filter(inB2).select(col("doc_id"), col("text"))
+        .unionByName(all.filter(col("doc_id") % 40 === 4)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+      val b2Hv = base.filter(inB2).select(col("doc_id"), col("hv"))
+        .unionByName(base.filter(col("doc_id") % 40 === 4)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("hv")))
+      val s2 = screenAgainstIndex(s, b2, b2Hv, out.getAbsolutePath)
+      val res = s1.withColumn("batch", lit(1L))
+        .unionByName(s2.withColumn("batch", lit(2L)))
+        .select("batch", "doc_id", "status")
+      ExportOps.localizeAndDrop(res, out, "batch", "doc_id")
     }
   }
 
@@ -947,6 +1035,7 @@ object DedupOps {
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
     "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
     "d23_fuzzy_dedup" -> d23 _, "d24_split_leakage" -> d24 _,
+    "d25_index_append" -> d25 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
@@ -1198,6 +1287,66 @@ object DedupOps {
     // d22 serves the identical screen from the persisted index — the
     // reload must not change a single status
     "d22_index_dedup" -> IncrementalDedupOracleSql,
+    // d25: both screens recomputed from scratch. Texts are unique in the
+    // fixture and a copy arrival shares its base's text/hv, so the oracle
+    // reasons at BASE-doc granularity: exact ⟺ the base's md5 is in the
+    // index generation's content-hash set; near ⟺ a verified >= 0.7 pair
+    // links the base to an index member. Index generation 2 = standing
+    // corpus ∪ bases of batch-1 keepers (the merge).
+    "d25_index_append" ->
+      (BandedPairsCte + ",\n" +
+        """vp AS (
+          |  SELECT doc_a AS x, doc_b AS y FROM verified WHERE jaccard >= 0.7
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM verified WHERE jaccard >= 0.7),
+          |corpus0 AS (
+          |  SELECT doc_id FROM documents WHERE doc_id % 5 NOT IN (3, 4)),
+          |b1 AS (
+          |  SELECT doc_id AS arr_id, doc_id AS base_id FROM documents
+          |  WHERE doc_id % 5 = 4
+          |  UNION ALL
+          |  SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 50 = 0),
+          |md5_0 AS (
+          |  SELECT DISTINCT md5(d.text) AS th
+          |  FROM documents d JOIN corpus0 c ON c.doc_id = d.doc_id),
+          |near_0 AS (
+          |  SELECT DISTINCT vp.x FROM vp JOIN corpus0 c ON vp.y = c.doc_id),
+          |s1 AS (
+          |  SELECT b1.arr_id, b1.base_id,
+          |    CASE WHEN m.th IS NOT NULL THEN 'exact_dup'
+          |         WHEN n.x IS NOT NULL THEN 'near_dup'
+          |         ELSE 'kept' END AS status
+          |  FROM b1
+          |  JOIN documents db ON db.doc_id = b1.base_id
+          |  LEFT JOIN md5_0 m ON m.th = md5(db.text)
+          |  LEFT JOIN near_0 n ON n.x = b1.base_id),
+          |idx2 AS (
+          |  SELECT doc_id FROM corpus0
+          |  UNION
+          |  SELECT base_id FROM s1 WHERE status = 'kept'),
+          |b2 AS (
+          |  SELECT doc_id AS arr_id, doc_id AS base_id FROM documents
+          |  WHERE doc_id % 5 = 3
+          |  UNION ALL
+          |  SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id % 40 = 4),
+          |md5_2 AS (
+          |  SELECT DISTINCT md5(d.text) AS th
+          |  FROM documents d JOIN idx2 i ON i.doc_id = d.doc_id),
+          |near_2 AS (
+          |  SELECT DISTINCT vp.x FROM vp JOIN idx2 i ON vp.y = i.doc_id),
+          |s2 AS (
+          |  SELECT b2.arr_id, b2.base_id,
+          |    CASE WHEN m.th IS NOT NULL THEN 'exact_dup'
+          |         WHEN n.x IS NOT NULL THEN 'near_dup'
+          |         ELSE 'kept' END AS status
+          |  FROM b2
+          |  JOIN documents db ON db.doc_id = b2.base_id
+          |  LEFT JOIN md5_2 m ON m.th = md5(db.text)
+          |  LEFT JOIN near_2 n ON n.x = b2.base_id)
+          |SELECT CAST(1 AS BIGINT) AS batch, arr_id AS doc_id, status FROM s1
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), arr_id, status FROM s2
+          |ORDER BY batch, doc_id""".stripMargin),
     "d24_split_leakage" ->
       (BandedPairsCte + ",\n" +
         """splits AS (

@@ -129,11 +129,20 @@ object ExportOps {
     * summary) must write to durable storage instead of localizing. */
   def localizeAndDrop(df: DataFrame, scratch: java.io.File,
                       sortCols: String*): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val rows = df.collect().toList.asJava
-    val local = df.sparkSession.createDataFrame(rows, df.schema)
+    val local = localize(df)
     deleteRecursively(scratch)
     if (sortCols.nonEmpty) local.orderBy(sortCols.map(col): _*) else local
+  }
+
+  /** Pins `df`'s CURRENT contents as a driver-local frame (same size
+    * contract as [[localizeAndDrop]]). Gates that mutate an artifact they
+    * also read (d25's index append) need this mid-flight: a lazy plan
+    * re-lists the artifact directory at execution time, so a result
+    * evaluated after the mutation would silently see the post-mutation
+    * files. */
+  def localize(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toList.asJava, df.schema)
   }
 
   /** e01: export + read-back partition summary. Gates the full

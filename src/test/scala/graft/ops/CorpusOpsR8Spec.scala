@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-8 corpus-op property specs: the persisted-index maintenance loop
+  * (d25) and its serve-phase contract. */
+class CorpusOpsR8Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeIndex(docsDf: org.apache.spark.sql.DataFrame,
+                         dir: String): Unit = {
+    val hv = DedupOps.shingleHashFrame(docsDf)
+    hv.join(docsDf.select($"doc_id", md5($"text").as("th")), "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    DedupOps.bandFrame(hv).write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
+  test("screenAgainstIndex consults ONLY the persisted artifact") {
+    // the verdict's pin: the serve phase must read the parquet index, not
+    // recompute corpus signatures — so doctoring the artifact (removing a
+    // member) must flip the arrival's status, with sources untouched
+    val out = ExportOps.scratchDir("graft_idxpin", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val a = "the quick brown fox jumps over the lazy dog near the river bank"
+      val b = "completely different words about distributed query engines and shuffles"
+      val corpus = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      writeIndex(corpus, out.getAbsolutePath)
+      val arrival = Seq((100L, a)).toDF("doc_id", "text")
+      val arrHv = DedupOps.shingleHashFrame(arrival)
+      def status() = DedupOps.screenAgainstIndex(
+        spark, arrival, arrHv, out.getAbsolutePath)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(status() === Map(100L -> "exact_dup"))
+      // doctor the artifact: drop doc 1 (the copy's source) from the index
+      writeIndex(corpus.filter($"doc_id" === 2L), out.getAbsolutePath)
+      assert(status() === Map(100L -> "kept"),
+        "screen verdict must track the artifact, not the source corpus")
+      ExportOps.deleteRecursively(out)
+    }
+  }
+
+  test("appendToIndex makes keepers visible to the next screen") {
+    val out = ExportOps.scratchDir("graft_idxapp", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val a = "the quick brown fox jumps over the lazy dog near the river bank"
+      val c = "novel arrival text with entirely fresh vocabulary tokens here today"
+      writeIndex(Seq((1L, a)).toDF("doc_id", "text"), out.getAbsolutePath)
+      val b1 = Seq((10L, c)).toDF("doc_id", "text")
+      val b1Hv = DedupOps.shingleHashFrame(b1)
+      val s1 = ExportOps.localize(
+        DedupOps.screenAgainstIndex(spark, b1, b1Hv, out.getAbsolutePath))
+      assert(s1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        === Map(10L -> "kept"))
+      DedupOps.appendToIndex(spark, b1, b1Hv,
+        s1.filter($"status" === "kept"), out.getAbsolutePath)
+      // a copy of the batch-1 keeper now screens as exact_dup — only the
+      // merged signatures can say so
+      val b2 = Seq((20L, c)).toDF("doc_id", "text")
+      val s2 = DedupOps.screenAgainstIndex(spark, b2,
+        DedupOps.shingleHashFrame(b2), out.getAbsolutePath)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s2 === Map(20L -> "exact_dup"))
+      ExportOps.deleteRecursively(out)
+    }
+  }
+
+  test("d25: batch-2 copies of kept batch-1 docs screen exact_dup via the merge") {
+    val d = "/root/testdata/sf0.001"
+    val res = graft.SparkEntry.queries("d25_index_append")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val b1Status = res.collect { case ((1L, id), st) => id -> st }
+    val copies2 = res.collect { case ((2L, id), st) if id >= 300000L => id -> st }
+    assert(copies2.nonEmpty, "fixture must synthesize batch-2 copies")
+    // every batch-2 copy's verdict is determined by its batch-1 source:
+    // kept source → exact_dup (the merge served it); near_dup source →
+    // near_dup (the source never entered the index, but its corpus
+    // neighbor still collides)
+    copies2.foreach { case (id, st) =>
+      val srcStatus = b1Status(id - 300000L)
+      val expected = if (srcStatus == "kept") "exact_dup" else srcStatus
+      assert(st === expected,
+        s"copy $id: batch-1 source was $srcStatus, screen said $st")
+    }
+    // and the merge-proof case actually occurs
+    assert(copies2.exists { case (id, st) =>
+      b1Status(id - 300000L) == "kept" && st == "exact_dup" })
+  }
+}
