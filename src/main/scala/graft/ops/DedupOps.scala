@@ -644,11 +644,14 @@ object DedupOps {
     * key; the leading chars are the DISCRIMINATIVE part of the title
     * (source + item number), so blocks stay small instead of the corpus
     * collapsing into one bucket, and the pair space is per-block
-    * quadratic, never corpus-quadratic. Standard documented tradeoff:
-    * edits inside the first 6 chars escape this pass (production systems
-    * add a second pass blocked on suffix or sorted neighborhood).
-    * `levenshtein` is integer Wagner-Fischer — engine-exact, fully
-    * oracled. */
+    * quadratic, never corpus-quadratic. Two documented single-pass
+    * escapes, both closed by d26's multi-pass blocking: (1) edits inside
+    * the first 6 chars land in different prefix blocks; (2) the `length
+    * DIV 4` bucket is exact, so a ±1-char edit whose base length sits on
+    * a bucket boundary (L % 4 == 0 for the char-drop case) crosses
+    * buckets and is undetectable by construction — d26 probes adjacent
+    * length buckets. `levenshtein` is integer Wagner-Fischer —
+    * engine-exact, fully oracled. */
   private def d23(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val base = concat(col("source"), lit("-"), (id % 50).cast("string"),
@@ -674,6 +677,71 @@ object DedupOps {
       .withColumn("dist", levenshtein(col("title_a"), col("title_b")))
       .filter(col("dist").between(1, 2)) // 0 = exact dups, d01's job
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d26: multi-pass fuzzy dedup — the production form of d23, closing
+    * both of its documented recall escapes. Titles here carry edits at
+    * BOTH ends (head: dropped/prepended first char; tail: d23's dropped/
+    * appended last char), and candidate pairs come from the UNION of two
+    * blocking passes over the same titled frame: a prefix block (first 6
+    * chars — catches tail edits) and a suffix block (last 6 chars —
+    * catches the head edits that provably escape the prefix pass). Both
+    * passes probe the length bucket AND its ±1 neighbors (one side
+    * explodes its bucket into {b-1, b, b+1} probe keys, keeping the join
+    * strictly equi on (block, probe)), so a ±1-char edit straddling a
+    * `length DIV 4` boundary can't escape either. Candidates dedupe as
+    * long id pairs before the single `levenshtein` verify — per-block
+    * quadratic, two key shuffles, never corpus-quadratic; the 3× explode
+    * multiplies one side's block keys, not the corpus rows carried into
+    * the verify. */
+  /** The d26 kernel over any (doc_id, title) frame, public for the recall
+    * specs: candidate pairs from the union of the requested blocking
+    * passes ("pfx" = first 6 chars, "sfx" = last 6), each probing the
+    * `length DIV 4` bucket AND its ±1 neighbors (one side explodes its
+    * bucket into three probe keys, keeping the join strictly equi on
+    * (block, probe)), then one exact `levenshtein` verify. */
+  def fuzzyPairs(titledIn: DataFrame,
+                 passes: Seq[String] = Seq("pfx", "sfx")): DataFrame = {
+    val titled = cached(titledIn.select(col("doc_id"), col("title"),
+      substring(col("title"), 1, 6).as("pfx"),
+      expr("substring(title, greatest(length(title) - 5, 1), 6)").as("sfx"),
+      expr("length(title) DIV 4").as("lenb")))
+    def pass(key: String) = {
+      val a = titled
+        .select(col(key).as("k"), col("doc_id").as("id_a"), explode(array(
+          col("lenb") - 1, col("lenb"), col("lenb") + 1)).as("probe"))
+      val b = titled.select(col(key).as("k"), col("lenb").as("probe"),
+        col("doc_id").as("id_b"))
+      a.join(b, Seq("k", "probe"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    passes.map(pass).reduce(_ unionByName _).distinct()
+      .join(titled.select(col("doc_id").as("id_a"), col("title").as("title_a")),
+        "id_a")
+      .join(titled.select(col("doc_id").as("id_b"), col("title").as("title_b")),
+        "id_b")
+      .withColumn("dist", levenshtein(col("title_a"), col("title_b")))
+      .filter(col("dist").between(1, 2))
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  private def d26(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val base = concat(col("source"), lit("-"), (id % 50).cast("string"),
+      lit(" item "), (id % 23).cast("string"))
+    // deterministic corruptions at both ends; the head edits are the ones
+    // d23's prefix-only blocking provably misses
+    val title = when(id % 20 === 7,
+        expr("substring(title_base, 1, length(title_base) - 1)"))
+      .when(id % 10 === 7, concat(col("title_base"), lit("x")))
+      .when(id % 20 === 3, expr("substring(title_base, 2)"))
+      .when(id % 20 === 13, concat(lit("q"), col("title_base")))
+      .otherwise(col("title_base"))
+    fuzzyPairs(docs(s, d)
+      .select(id, base.as("title_base"))
+      .select(id, title.as("title")))
       .orderBy("id_a", "id_b")
   }
 
@@ -1035,7 +1103,7 @@ object DedupOps {
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
     "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
     "d23_fuzzy_dedup" -> d23 _, "d24_split_leakage" -> d24 _,
-    "d25_index_append" -> d25 _,
+    "d25_index_append" -> d25 _, "d26_fuzzy_multipass" -> d26 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
@@ -1364,6 +1432,41 @@ object DedupOps {
           |JOIN splits sb ON sb.doc_id = v.doc_b
           |WHERE v.jaccard >= 0.7 AND sa.split <> sb.split
           |ORDER BY v.doc_a, v.doc_b""".stripMargin),
+    "d26_fuzzy_multipass" ->
+      """WITH titled AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 7 THEN substring(tb, 1, length(tb) - 1)
+        |         WHEN doc_id % 10 = 7 THEN tb || 'x'
+        |         WHEN doc_id % 20 = 3 THEN substring(tb, 2)
+        |         WHEN doc_id % 20 = 13 THEN 'q' || tb
+        |         ELSE tb END AS title
+        |  FROM (SELECT doc_id,
+        |          source || '-' || (doc_id % 50) || ' item ' || (doc_id % 23)
+        |            AS tb
+        |        FROM documents) x),
+        |blocked AS (
+        |  SELECT doc_id, title,
+        |    substring(title, 1, 6) AS pfx,
+        |    substring(title, greatest(length(title) - 5, 1), 6) AS sfx,
+        |    length(title) // 4 AS lenb
+        |  FROM titled),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM blocked a JOIN blocked b
+        |    ON a.pfx = b.pfx AND b.lenb BETWEEN a.lenb - 1 AND a.lenb + 1
+        |   AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM blocked a JOIN blocked b
+        |    ON a.sfx = b.sfx AND b.lenb BETWEEN a.lenb - 1 AND a.lenb + 1
+        |   AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(levenshtein(ta.title, tb.title) AS BIGINT) AS dist
+        |FROM cand c
+        |JOIN blocked ta ON ta.doc_id = c.id_a
+        |JOIN blocked tb ON tb.doc_id = c.id_b
+        |WHERE levenshtein(ta.title, tb.title) BETWEEN 1 AND 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "d23_fuzzy_dedup" ->
       """WITH titled AS (
         |  SELECT doc_id,

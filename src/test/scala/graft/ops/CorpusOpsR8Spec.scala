@@ -65,6 +65,44 @@ class CorpusOpsR8Spec extends SparkSpec {
     }
   }
 
+  test("d26 multipass recall: head edits escape the prefix pass, suffix pass catches them") {
+    // head-of-string corruptions (the documented d23 escape): the first-6
+    // block keys differ, so a prefix-only pass PROVABLY cannot pair them
+    val titled = Seq(
+      (1L, "alpha-1 item 400"),
+      (2L, "lpha-1 item 400"), // first char dropped — prefix block differs
+      (3L, "qalpha-1 item 400"), // char prepended — prefix block differs
+      (4L, "beta-2 item 77"),
+      (5L, "beta-2 item 77x") // tail edit — prefix pass territory
+    ).toDF("doc_id", "title")
+    def pairs(passes: Seq[String]) =
+      DedupOps.fuzzyPairs(titled, passes)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefixOnly = pairs(Seq("pfx"))
+    val multipass = pairs(Seq("pfx", "sfx"))
+    assert(!prefixOnly.contains((1L, 2L)) && !prefixOnly.contains((1L, 3L)),
+      s"prefix blocking must miss head edits by construction: $prefixOnly")
+    assert(prefixOnly.contains((4L, 5L)))
+    assert(multipass.contains((1L, 2L)) && multipass.contains((1L, 3L)),
+      s"suffix pass must recover the head-edited pairs: $multipass")
+    assert(prefixOnly.subsetOf(multipass))
+  }
+
+  test("d26 length-boundary recall: ±1 bucket probing catches boundary-straddling edits") {
+    // base length 16 (16 % 4 == 0): dropping one char moves lenb 4 -> 3,
+    // the exact-bucket escape the round-7 advice flagged on d23
+    val titled = Seq(
+      (1L, "alpha-1 item 400"), // length 16, lenb 4
+      (2L, "alpha-1 item 40") //  length 15, lenb 3 — adjacent bucket
+    ).toDF("doc_id", "title")
+    val got = DedupOps.fuzzyPairs(titled, Seq("pfx"))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)),
+      s"adjacent-length-bucket pair must survive blocking: $got")
+  }
+
   test("d25: batch-2 copies of kept batch-1 docs screen exact_dup via the merge") {
     val d = "/root/testdata/sf0.001"
     val res = graft.SparkEntry.queries("d25_index_append")(spark, d)
