@@ -64,6 +64,11 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(1).max(1)
+    // Plan fingerprints alongside wall-time: shuffle bytes + rows read per
+    // query (noise-free on this co-tenant host, unlike seconds — see
+    // BenchMetrics). Registered after warm-up so warm-up jobs don't count.
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.length % 2 == 1) s(s.length / 2)
@@ -76,8 +81,10 @@ object Bench {
         // pay N full failure latencies per bench run
         val times = (1 to reps).iterator.map { _ =>
           val t0 = System.nanoTime()
+          metrics.start(name)
           try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable => Left("err:" + e.getClass.getSimpleName) }
+          finally metrics.finish()
         }.span(_.isRight) match {
           case (ok, rest) => ok.toSeq ++ rest.take(1).toSeq
         }
@@ -92,7 +99,11 @@ object Bench {
     graft.ops.DedupOps.unpersistCaches() // post-timing cache lifecycle
     val errors = results.count(_._2.isLeft)
     val total = results.collect { case (_, Right(t)) => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
+    val shuffles = results.map { case (k, _) =>
+      "\"" + k + "\":" + metrics.shuffleBytes(k) }.mkString("{", ",", "}")
+    val rows = results.map { case (k, _) =>
+      "\"" + k + "\":" + metrics.rowsRead(k) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"shuffle_bytes":$shuffles,"rows":$rows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
