@@ -944,19 +944,29 @@ object DedupOps {
     * never materializes more than it keeps plus what it drops — no
     * cross-row state beyond the per-partition sort. */
   val DomainCap = 10
-  private def d19(s: SparkSession, d: String): DataFrame = {
+
+  /** The d19 kernel over any (doc_id, domain, ord) frame, public for the
+    * skew stress spec: row_number within domain, keep the first `cap`.
+    * The `filter(row_number <= cap)` shape is what Spark's
+    * InferWindowGroupLimit rewrites into a WindowGroupLimit — each map
+    * task keeps only its local top-`cap` per domain BEFORE the shuffle,
+    * so a mega-domain ships ~cap rows per upstream partition instead of
+    * its full row count; StressSpec pins that plan node. */
+  def domainCap(df: DataFrame, cap: Int = DomainCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("domain"))
       .orderBy(col("ord"), col("doc_id"))
-    docs(s, d)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+      .select(col("doc_id"), col("domain"), col("rank").cast("long").as("rank"))
+  }
+
+  private def d19(s: SparkSession, d: String): DataFrame =
+    domainCap(docs(s, d)
       .select(col("doc_id"),
         concat(lit("www."), col("source"), lit(".example.com")).as("domain"),
-        md5(col("doc_id").cast("string")).as("ord"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= DomainCap)
-      .select(col("doc_id"), col("domain"), col("rank").cast("long").as("rank"))
+        md5(col("doc_id").cast("string")).as("ord")))
       .orderBy("domain", "rank")
-  }
 
   /** d20: the d18 ingestion screen under Structured Streaming — arrivals
     * come in as a file stream, the existing corpus's content-hash index is

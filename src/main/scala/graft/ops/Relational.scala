@@ -656,11 +656,19 @@ object Relational {
     * shape that survives a billion users. */
   private val FunnelWindowMs = 86400000L // 24 h conversion window per stage
 
-  private def q61(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-    t(s, d, "events")
+  private def q61(s: SparkSession, d: String): DataFrame =
+    funnelStages(t(s, d, "events")
       .select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ms"))
+        unix_millis(col("ts")).as("ms")))
+      .orderBy("user_id")
+
+  /** The q61 kernel over any (user_id, event_type, ms) frame, public for
+    * the hot-user stress spec: the whole funnel is one user_id hash
+    * shuffle; a hot user's events land in a single window partition whose
+    * work is the per-partition sort — linear-ish, never a self-join. */
+  def funnelStages(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
       .withColumn("tv",
         min(when(col("event_type") === "view", col("ms"))).over(w))
       .withColumn("tc",
@@ -677,7 +685,6 @@ object Relational {
           .when(col("t_click_ms").isNotNull, 2L)
           .when(col("t_view_ms").isNotNull, 1L)
           .otherwise(0L))
-      .orderBy("user_id")
   }
 
   private def q55(s: SparkSession, d: String): DataFrame = {
