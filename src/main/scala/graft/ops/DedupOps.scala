@@ -844,35 +844,74 @@ object DedupOps {
     bandFrame(keptHv).write.mode("append").parquet(s"$idxDir/bands")
   }
 
+  /** Build + persist the d22 corpus index (sigs/ + bands/) under `dir`.
+    * The BUILD rides the same corpus-wide shingle cache every other
+    * md5-family query shares (one tokenize+md5 pass per corpus, total);
+    * bands derive from the cached hv, not a second pass. `fragments` > 0
+    * lands each side as that many tiny part files — the steady-state
+    * shape of an append-maintained landing zone, which e06's compaction
+    * gate starts from. */
+  private[ops] def buildCorpusIndex(s: SparkSession, d: String, dir: String,
+                                    fragments: Int = 0): Unit = {
+    val isNew = col("doc_id") % 5 === 4
+    val base = cached(withShingleHashes(s, d))
+    val existingHv = base.filter(!isNew)
+    val sigs = existingHv
+      .join(docs(s, d).filter(!isNew)
+        .select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
+    def land(df: DataFrame, p: String): Unit =
+      (if (fragments > 0) df.repartition(fragments) else df).write.parquet(p)
+    land(sigs, s"$dir/sigs")
+    land(bandFrame(existingHv), s"$dir/bands")
+  }
+
+  /** The d16/d22 arrival batch: every 5th doc + synthesized exact copies
+    * (copies share their source's text, so their hashes come straight
+    * from the shingle cache too — only genuinely new text would hash
+    * fresh). Returns (incoming(doc_id, text), inHv(doc_id, hv)). */
+  private def d22Arrival(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val isNew = col("doc_id") % 5 === 4
+    val all = docs(s, d)
+    val base = cached(withShingleHashes(s, d))
+    val incoming = all.filter(isNew).select(col("doc_id"), col("text"))
+      .unionByName(all.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val inHv = base.filter(isNew).select(col("doc_id"), col("hv"))
+      .unionByName(base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("hv")))
+    (incoming, inHv)
+  }
+
   private def d22(s: SparkSession, d: String): DataFrame = {
     val out = ExportOps.scratchDir("graft_sigidx", d)
     ExportOps.withScratchCleanup(out) {
-      val isNew = col("doc_id") % 5 === 4
-      val all = docs(s, d)
-      // ---- build + persist the index for the existing corpus ----
-      // The BUILD rides the same corpus-wide shingle cache every other
-      // md5-family query shares (one tokenize+md5 pass per corpus, total);
-      // bands derive from the cached hv, not a second pass. The SERVE
-      // phase below still reads only the persisted parquet.
-      val base = cached(withShingleHashes(s, d))
-      val existingHv = base.filter(!isNew)
-      existingHv
-        .join(all.filter(!isNew)
-          .select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
-        .write.parquet(s"$out/sigs")
-      bandFrame(existingHv).write.parquet(s"$out/bands")
-      // the d16 arrival batch: every 5th doc + synthesized exact copies
-      // (copies share their source's text, so their hashes come straight
-      // from the cache too — only genuinely new text would hash fresh)
-      val copies = all.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-      val incoming = all.filter(isNew).select(col("doc_id"), col("text"))
-        .unionByName(copies)
-      val inHv = base.filter(isNew).select(col("doc_id"), col("hv"))
-        .unionByName(base.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("hv")))
+      buildCorpusIndex(s, d, out.getAbsolutePath)
+      val (incoming, inHv) = d22Arrival(s, d)
       // ---- serve: reads only the persisted artifact ----
       val res = screenAgainstIndex(s, incoming, inHv, out.getAbsolutePath)
+      ExportOps.localizeAndDrop(res, out, "doc_id")
+    }
+  }
+
+  /** e06: the compaction maintenance job run on the artifact that matters
+    * — d22's persisted signature/band index, landed FRAGMENTED (64 part
+    * files per side, the shape append maintenance like d25's leaves
+    * behind), compacted by [[ExportOps.compact]] (coalesce-only: every
+    * byte moves once, no shuffle), then SERVED from: the screen of d22's
+    * arrival batch against the COMPACTED index must hash-match d22's own
+    * from-scratch DuckDB oracle. That proves the maintenance job
+    * content-invariant on the index table itself, not a toy — the
+    * screen's joins key on th/band columns and are blind to file layout,
+    * so only a compaction that corrupted or dropped rows could change a
+    * status. Compacted file counts are spec-pinned (CorpusOpsR8Spec). */
+  private def e06(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_sigcmp", d)
+    ExportOps.withScratchCleanup(out) {
+      buildCorpusIndex(s, d, s"$out/frag", fragments = 64)
+      ExportOps.compact(s, s"$out/frag/sigs", s"$out/idx/sigs")
+      ExportOps.compact(s, s"$out/frag/bands", s"$out/idx/bands")
+      val (incoming, inHv) = d22Arrival(s, d)
+      val res = screenAgainstIndex(s, incoming, inHv, s"$out/idx")
       ExportOps.localizeAndDrop(res, out, "doc_id")
     }
   }
@@ -1114,6 +1153,7 @@ object DedupOps {
     "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
     "d23_fuzzy_dedup" -> d23 _, "d24_split_leakage" -> d24 _,
     "d25_index_append" -> d25 _, "d26_fuzzy_multipass" -> d26 _,
+    "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
     "d11_simhash_md5" -> d11 _, "d12_dedup_corpus_md5" -> d12 _,
@@ -1365,6 +1405,9 @@ object DedupOps {
     // d22 serves the identical screen from the persisted index — the
     // reload must not change a single status
     "d22_index_dedup" -> IncrementalDedupOracleSql,
+    // e06 serves the identical screen from the COMPACTED index —
+    // compaction may change file layout, never a status
+    "e06_index_compaction" -> IncrementalDedupOracleSql,
     // d25: both screens recomputed from scratch. Texts are unique in the
     // fixture and a copy arrival shares its base's text/hv, so the oracle
     // reasons at BASE-doc granularity: exact ⟺ the base's md5 is in the
