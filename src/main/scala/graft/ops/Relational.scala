@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -624,6 +624,95 @@ object Relational {
       .select(col("k") +: payloadCols.map(col): _*)
   }
 
+  /** The partition-grain merge kernel behind q68, public for the pruning /
+    * byte-identity specs. `snapDir` holds the standing snapshot as parquet
+    * partitioned by `p`; `changes` carries (k, payload..., p, seq, op) with
+    * the partition value on every change row (tombstones included).
+    * Returns the affected partition values.
+    *
+    * Scale shape — the reason this exists next to q66: q66 re-shuffles the
+    * WHOLE snapshot per merge; at 100 TB with a delta touching 2 of 10 000
+    * date/region partitions that is 5 000× too much I/O. Here the delta's
+    * distinct partition values (partition METADATA — one value per changed
+    * partition, thousands at most, never corpus-sized — the one justified
+    * driver collect) prune the snapshot scan to the touched partitions
+    * (PartitionFilters in the plan, spec-pinned), the q66 kernel merges
+    * only those rows, and the commit is the staged-swap protocol every
+    * lake maintenance job uses: executors write the merged partitions to a
+    * staging dir, the driver swaps directories with metadata-only
+    * renames. Untouched partitions are never read, never rewritten —
+    * byte-identical after the merge (spec-pinned).
+    *
+    * Contract: the partition value is immutable under update (standard for
+    * date/region-partitioned CDC layouts) — a partition-moving update
+    * would need a tombstone in the old partition plus an insert in the
+    * new, both of which the change feed can express. */
+  def mergePartitioned(s: SparkSession, snapDir: String, changes: DataFrame,
+                       payloadCols: Seq[String]): Seq[Int] = {
+    val affected = changes.select(col("p")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val touched = s.read.parquet(snapDir)
+      .filter(col("p").isin(affected.map(Int.box): _*))
+    // p rides along as a payload column: every change row carries its own
+    // partition value, so latest-per-key keeps it without a join
+    val merged = upsertMerge(touched, changes, payloadCols :+ "p")
+    val snapPath = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = snapPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stagePath = new org.apache.hadoop.fs.Path(snapDir + ".stage")
+    merged.write.mode(SaveMode.Overwrite).partitionBy("p")
+      .parquet(stagePath.toString)
+    affected.foreach { pv =>
+      val dst = new org.apache.hadoop.fs.Path(snapPath, s"p=$pv")
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(stagePath, s"p=$pv"), dst)
+    }
+    fs.delete(stagePath, true)
+    affected
+  }
+
+  /** q68: q66's CDC merge at PARTITION grain — the snapshot lands as
+    * nation-partitioned parquet, a change batch touching only nations
+    * {3, 7} (updates every 3rd key, deletes every 11th — deletes beat
+    * updates on the overlap via the change sequence — inserts from every
+    * 13th) merges through [[mergePartitioned]], and the gate reads the
+    * WHOLE snapshot back: changed partitions must carry the merge, the
+    * other 23 must come through the swap untouched. Oracle recomputes the
+    * full post-merge snapshot from the customer table. */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_cdcpart", d)
+    ExportOps.withScratchCleanup(out) {
+      val snapDir = s"$out/snap"
+      val c = t(s, d, "customer")
+      c.select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_nationkey").as("p"))
+        .write.partitionBy("p").parquet(snapDir)
+      mergePartitioned(s, snapDir, q68Changes(s, d), Seq("name", "bal"))
+      val mergedSnap = s.read.parquet(snapDir)
+        .select(col("k"), col("name"), col("bal"), col("p").cast("int").as("p"))
+      ExportOps.localizeAndDrop(mergedSnap, out, "k")
+    }
+  }
+
+  /** q68's deterministic change batch, public for the specs: every change
+    * row carries its nation as the partition value `p`. */
+  def q68Changes(s: SparkSession, d: String): DataFrame = {
+    val cc = t(s, d, "customer").filter(col("c_nationkey").isin(3, 7))
+    val updates = cc.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        (col("c_acctbal") + 100).as("bal"), col("c_nationkey").as("p"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val deletes = cc.filter(col("c_custkey") % 11 === 0)
+      .select(col("c_custkey").as("k"), lit(null).cast("string").as("name"),
+        lit(null).cast("double").as("bal"), col("c_nationkey").as("p"),
+        lit(2L).as("seq"), lit("D").as("op"))
+    val inserts = cc.filter(col("c_custkey") % 13 === 0)
+      .select((col("c_custkey") + 200000L).as("k"),
+        concat(lit("new-"), col("c_name")).as("name"),
+        col("c_acctbal").as("bal"), col("c_nationkey").as("p"),
+        lit(1L).as("seq"), lit("I").as("op"))
+    updates.unionByName(deletes).unionByName(inserts)
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -824,7 +913,7 @@ object Relational {
     "q54_skew_salted_join" -> q54 _, "q55_stratified_sample" -> q55 _,
     "q59_incremental_agg" -> q59 _, "q61_funnel" -> q61 _,
     "q63_sketch_users" -> q63 _, "q64_exact_users" -> q64 _,
-    "q66_upsert_merge" -> q66 _,
+    "q66_upsert_merge" -> q66 _, "q68_partitioned_merge" -> q68 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -1015,6 +1104,32 @@ object Relational {
         |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
         |  FROM changes)
         |SELECT k, name, bal FROM latest
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin,
+    // the partition-grain merge must land the same logical snapshot the
+    // whole-table recompute produces — layout is the engine's business,
+    // content is the oracle's
+    "q68_partitioned_merge" ->
+      """WITH changes AS (
+        |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+        |         CAST(c_nationkey AS INT) AS p,
+        |         CAST(0 AS BIGINT) AS seq, 'S' AS op
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 100, CAST(c_nationkey AS INT),
+        |         1, 'U'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, NULL, CAST(c_nationkey AS INT), 2, 'D'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, 'new-' || c_name, c_acctbal,
+        |         CAST(c_nationkey AS INT), 1, 'I'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 13 = 0),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM changes)
+        |SELECT k, name, bal, p FROM latest
         |WHERE rn = 1 AND op <> 'D'
         |ORDER BY k""".stripMargin,
     "q55_stratified_sample" ->
