@@ -68,7 +68,26 @@ object GraftFunctions {
       columnBridge1(TextFunctions.gopherQuality)),
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(TextFunctions.getClass.getName, "graft_winnow"),
-      columnBridge1(TextFunctions.winnowArray(_)))
+      columnBridge1(TextFunctions.winnowArray(_))),
+    // The tokenizer seam on the SQL surface: graft_tokenize(text[, mode]).
+    // The mode selects the split policy at PLAN TIME (it must be a string
+    // literal, like a format string) — every mode lowers to one codegen'd
+    // split, so SQL and DataFrame tokenization cannot drift.
+    (FunctionIdentifier("graft_tokenize"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "graft_tokenize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"graft_tokenize takes 1-2 args (text[, mode]), got ${exprs.length}")
+        val mode = if (exprs.length < 2) "ws" else exprs(1) match {
+          case Literal(m, _: org.apache.spark.sql.types.StringType) if m != null =>
+            m.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_tokenize mode must be a string literal, got $other")
+        }
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          TextFunctions.tokenize(
+            org.apache.spark.sql.GraftColumnBridge.column(exprs.head), mode))
+      })
   )
 
   /** Lifts a unary Column function into a FunctionRegistry builder. */

@@ -11,9 +11,40 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization (splits on runs of whitespace, drops empties). */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+  /** The engine's single tokenizer seam: every text operator (t01–t19, the
+    * dedup shingle path, the Gopher/CCNet kernels) tokenizes through this
+    * one definition, so a corpus-wide tokenization policy change is one
+    * edit — not nineteen drifting `split` calls. Modes:
+    *
+    *  - `space-raw`: split on single spaces, KEEP empties — the
+    *    `string_split(text, ' ')` semantics the token-count oracles use
+    *    (consecutive spaces produce empty tokens that count);
+    *  - `space`: split on single spaces, drop empties — the unigram/bigram
+    *    LM tokenization (t12/t19);
+    *  - `ws` (default): split on ASCII-whitespace runs, drop empties — the
+    *    Gopher/CCNet word definition (t08/t14/t15/t17, the d17/d21
+    *    kernels);
+    *  - `unicode`: split on Unicode whitespace — `\s` plus the `\p{Z}`
+    *    separators (NBSP, ideographic space …), zero-width space and BOM —
+    *    the mode multilingual corpora need, where NBSP-joined French
+    *    numerals or U+3000-spaced CJK would otherwise fuse into one token.
+    *
+    * All modes are a single codegen'd `split` (+ a higher-order filter):
+    * per-row work, no shuffle, no UDF — the 100 TB cost is one scan
+    * regardless of mode. */
+  def tokenize(text: Column, mode: String = "ws"): Column = mode match {
+    case "space-raw" => split(text, " ", -1)
+    case "space" => filter(split(text, " ", -1), t => length(t) > 0)
+    case "ws" => filter(split(text, "\\s+", -1), t => length(t) > 0)
+    case "unicode" =>
+      filter(split(text, "[\\s\\p{Z}\\u200B\\uFEFF]+", -1), t => length(t) > 0)
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenize mode '$other' (space-raw|space|ws|unicode)")
+  }
+
+  /** Whitespace tokenization (splits on runs of whitespace, drops
+    * empties) — [[tokenize]]'s default mode. */
+  def tokens(text: Column): Column = tokenize(text)
 
   /** BPE-ish subword-boundary token count: splits on whitespace AND on
     * letter/digit/punctuation boundaries, approximating how a byte-pair
@@ -124,7 +155,7 @@ object TextFunctions {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   def gopherQuality(text: Column): Column = {
-    val toks = filter(split(text, "\\s+", -1), t => length(t) > 0)
+    val toks = tokenize(text)
     val nW = size(toks).cast("long")
     val n = nW.cast("double")
     val mwl = when(n === 0.0, 0.0)

@@ -510,7 +510,7 @@ object DedupOps {
     val k = chunkTokens
     val chunks = cached(df
       .select(col("doc_id"),
-        filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
+        TextFunctions.tokenize(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1),
@@ -614,7 +614,7 @@ object DedupOps {
   def dupNgramFraction(df: DataFrame, n: Int = 8): DataFrame = {
     val grams = cached(df
       .select(col("doc_id"),
-        filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
+        TextFunctions.tokenize(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
@@ -1086,7 +1086,7 @@ object DedupOps {
     val n = size(col("toks"))
     val metrics = base
       .select(col("doc_id"), col("text"),
-        filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
+        TextFunctions.tokenize(col("text")).as("toks"))
       .withColumn("g2", zip_with(slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
         slice(col("toks"), lit(2), greatest(n - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b)))
@@ -1129,7 +1129,7 @@ object DedupOps {
       .filter(col("status") === "kept").select("doc_id")
     val base = docs(s, d).join(kept, "doc_id")
       .select(col("doc_id"), col("lang"),
-        size(filter(split(col("text"), "\\s+", -1), t => length(t) > 0))
+        size(TextFunctions.tokenize(col("text")))
           .cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -21,7 +21,7 @@ object TextOps {
   private def t01(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"),
-        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+        size(tokenize(col("text"), "space-raw")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_calc"),
         col("n_chars"))
       .orderBy("doc_id")
@@ -39,7 +39,7 @@ object TextOps {
   /** Repetition profile: distinct-token ratio (integer-derived doubles —
     * exact in both engines). */
   private def t03(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ", -1)
+    val toks = tokenize(col("text"), "space-raw")
     docs(s, d)
       .select(col("doc_id"),
         size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
@@ -81,7 +81,7 @@ object TextOps {
   /** Token-frequency table (explode → count): the tf side of tf-idf. */
   private def t05(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .select(explode(tokenize(col("text"), "space-raw")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -94,7 +94,7 @@ object TextOps {
     * while the output is restricted to a bounded doc set for determinism). */
   private def t06(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+      .select(col("doc_id"), explode(tokenize(col("text"), "space-raw")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.filter(col("doc_id") < 20)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -137,7 +137,7 @@ object TextOps {
   private def t09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = docs(s, d)
-      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .select(explode(tokenize(col("text"), "space-raw")).as("token"))
       .filter(length(col("token")) > 0)
     val candidates = toks.as[String]
       .select(new graft.functions.MisraGriesAggregator(200).toColumn)
@@ -191,7 +191,7 @@ object TextOps {
     * pairs form per row with zip_with over two slices (no self-join),
     * then one hash aggregation; top-100 with a total order. */
   private def t11(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ", -1)
+    val toks = tokenize(col("text"), "space-raw")
     docs(s, d)
       .select(explode(zip_with(
         slice(toks, lit(1), size(toks) - 1),
@@ -224,8 +224,7 @@ object TextOps {
     * cardinality. */
   private def unigramScores(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d).select(col("doc_id"), col("lang"),
-      explode(filter(split(col("text"), " ", -1),
-        t => length(t) > 0)).as("token"))
+      explode(tokenize(col("text"), "space")).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     toks
@@ -252,7 +251,7 @@ object TextOps {
     * summation order cannot flip the hash. */
   private def t19(s: SparkSession, d: String): DataFrame = {
     val toksArr = docs(s, d).select(col("doc_id"),
-      filter(split(col("text"), " ", -1), t => length(t) > 0).as("toks"))
+      tokenize(col("text"), "space").as("toks"))
     val n = size(col("toks"))
     val bigrams = DedupOps.cachedShared(toksArr.filter(n >= 2)
       .select(col("doc_id"), explode(zip_with(
@@ -261,7 +260,7 @@ object TextOps {
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur")))
     val uni = DedupOps.cachedShared(
       docs(s, d).select(explode(
-          filter(split(col("text"), " ", -1), t => length(t) > 0)).as("token"))
+          tokenize(col("text"), "space")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
     val total = uni.agg(sum(col("cnt")).as("n_total"))
     val bi = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbi"))
@@ -318,7 +317,7 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs(s, d)
       .select(col("doc_id"), col("source"),
-        size(filter(split(col("text"), "\\s+", -1), t => length(t) > 0))
+        size(tokenize(col("text")))
           .cast("long").as("n_tokens"),
         md5(col("doc_id").cast("string")).as("ord"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
@@ -415,7 +414,7 @@ object TextOps {
   private def t14(s: SparkSession, d: String): DataFrame = {
     val requiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val base = docs(s, d).select(col("doc_id"), col("text"),
-      filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
+      tokenize(col("text")).as("toks"))
     val m = base.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_words"),
       length(regexp_replace(col("text"), "\\s", "")).cast("double").as("word_chars"),
@@ -447,7 +446,7 @@ object TextOps {
     val n = size(col("toks"))
     df
       .select(col("doc_id"), col("text"),
-        filter(split(col("text"), "\\s+", -1), t => length(t) > 0).as("toks"))
+        tokenize(col("text")).as("toks"))
       .withColumn("g2", zip_with(slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
         slice(col("toks"), lit(2), greatest(n - 1, lit(0))), (a, b) => concat(a, lit(" "), b)))
       .withColumn("g3", zip_with(slice(col("g2"), lit(1), greatest(n - 2, lit(0))),

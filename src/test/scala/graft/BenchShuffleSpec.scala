@@ -27,6 +27,12 @@ class BenchShuffleSpec extends SparkSpec {
   test("pinned queries: shuffle bytes within +20% of pin, rows read exact") {
     val metrics = new BenchMetrics
     spark.sparkContext.addSparkListener(metrics)
+    // the pins are a function of the shuffle partition count (segment
+    // overhead scales with map-tasks × partitions), so pin the conf too:
+    // the GraftSession front-door test legitimately retunes the shared
+    // session to host-sized partitions, and suite order must not leak
+    // that into these measurements
+    ops.ExportOps.withConf(spark, "spark.sql.shuffle.partitions", "8") {
     try {
       val measured = pins.keys.toSeq.sorted.map { name =>
         metrics.start(name)
@@ -46,5 +52,6 @@ class BenchShuffleSpec extends SparkSpec {
             s"(stale pin?): $gotShuffle")
       }
     } finally spark.sparkContext.removeSparkListener(metrics)
+    }
   }
 }

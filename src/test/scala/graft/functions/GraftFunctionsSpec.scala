@@ -36,18 +36,29 @@ class GraftFunctionsSpec extends SparkSpec {
   }
 
   test("GraftSession front door registers functions and tuned conf") {
-    val s = graft.GraftSession.getOrCreate() // returns the active session
-    assert(s.sql("SELECT size(graft_minhash64(array(7L))) AS n")
-      .as[Int].head() === 64)
-    val b = graft.GraftSession.builder()
-    assert(b.getClass.getSimpleName === "Builder") // constructible for cluster use
+    // getOrCreate on an existing session applies the front door's RUNTIME
+    // confs to it (Spark's documented Builder behavior) — restore the
+    // shared test session's tuning afterwards so suite order can't leak
+    // host-sized shuffle partitions into later measurements
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val s = graft.GraftSession.getOrCreate() // returns the active session
+      assert(s.sql("SELECT size(graft_minhash64(array(7L))) AS n")
+        .as[Int].head() === 64)
+      assert(s.conf.get("spark.sql.shuffle.partitions") ===
+        Runtime.getRuntime.availableProcessors().toString,
+        "front door should have retuned the runtime conf")
+      val b = graft.GraftSession.builder()
+      assert(b.getClass.getSimpleName === "Builder") // constructible for cluster use
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   test("GraftExtensions exposes the same function set") {
     assert(GraftFunctions.descriptions.map(_._1.funcName).sorted ===
       Seq("graft_bloom_agg", "graft_cosine_sim", "graft_gopher_quality",
         "graft_haversine_km", "graft_md5_minhash", "graft_might_contain",
-        "graft_minhash64", "graft_simhash64", "graft_winnow"))
+        "graft_minhash64", "graft_simhash64", "graft_tokenize",
+        "graft_winnow"))
     new graft.GraftExtensions() // constructible for spark.sql.extensions
   }
 
@@ -121,6 +132,44 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(!sql.exists(_._1 == 4L) || spark.sql(
       "SELECT size(graft_winnow(text)) FROM wn_docs WHERE doc_id = 4")
       .as[Int].head() === 0)
+  }
+
+  test("graft_tokenize: mode selection, SQL parity, unicode whitespace") {
+    GraftFunctions.registerAll(spark)
+    // NBSP-joined pair, double space, tab, ideographic space (U+3000)
+    val text = "a\u00A0b  c\td \u3000e"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    df.createOrReplaceTempView("tok_docs")
+    // default (ws): ASCII whitespace runs only — the NBSP and U+3000
+    // tokens stay fused, exactly like every existing t-series oracle
+    val sqlWs = spark.sql("SELECT graft_tokenize(text) AS t FROM tok_docs")
+      .as[Seq[String]].head()
+    val colWs = df.select(TextFunctions.tokenize(
+      org.apache.spark.sql.functions.col("text")).as("t")).as[Seq[String]].head()
+    assert(sqlWs === colWs)
+    assert(sqlWs === Seq("a\u00A0b", "c", "d", "\u3000e"))
+    // unicode: \p{Z} separators split too — the multilingual-corpus mode
+    val sqlUni = spark.sql(
+      "SELECT graft_tokenize(text, 'unicode') AS t FROM tok_docs")
+      .as[Seq[String]].head()
+    assert(sqlUni === Seq("a", "b", "c", "d", "e"))
+    assert(sqlUni === df.select(TextFunctions.tokenize(
+      org.apache.spark.sql.functions.col("text"), "unicode").as("t"))
+      .as[Seq[String]].head())
+    // space-raw keeps the empty token the double space produces (the
+    // string_split(' ') count semantics); space drops it; neither splits
+    // the tab
+    assert(df.select(org.apache.spark.sql.functions.size(
+      TextFunctions.tokenize(org.apache.spark.sql.functions.col("text"),
+        "space-raw"))).as[Int].head() === 4)
+    assert(spark.sql("SELECT size(graft_tokenize(text, 'space')) FROM tok_docs")
+      .as[Int].head() === 3)
+    // the mode is a plan-time policy: non-literal modes are rejected
+    intercept[Exception] {
+      spark.sql("SELECT graft_tokenize(text, text) FROM tok_docs").collect()
+    }
+    intercept[Exception] { TextFunctions.tokenize(
+      org.apache.spark.sql.functions.col("text"), "bogus") }
   }
 
   test("graft_bloom_agg + graft_might_contain compose in plain SQL") {
