@@ -156,4 +156,43 @@ class ExportOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         "compaction changed content")
     } finally ExportOps.deleteRecursively(out)
   }
+  test("e07: centroid append serves from index + arrival only, and appends losslessly") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a", Array(1.0f, 0.0f)), (2L, "a", Array(0.0f, 1.0f)),
+      (3L, "b", Array(0.5f, 0.5f))).toDF("vec_id", "label", "embedding")
+    val arrival = Seq(
+      (10L, "a", Array(1.0f, 0.0f)),
+      (11L, "c", Array(0.25f, 0.75f))).toDF("vec_id", "label", "embedding")
+    val dir = tmp("graft_centapp_spec") + "/idx"
+    ExportOps.buildCentroidIndex(spark, base, dir)
+    ExportOps.appendToCentroidIndex(spark, arrival, dir)
+    // lossless merge: statistics after append == from-scratch build over
+    // the union (exact decimal sums — bit-equal, not approximately)
+    val fresh = tmp("graft_centfresh_spec") + "/idx"
+    ExportOps.buildCentroidIndex(spark, base.unionByName(arrival), fresh)
+    def stats(p: String) = spark.read.parquet(p)
+      .orderBy("label", "dim")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getDecimal(2).toPlainString, r.getLong(3))).toSeq
+    assert(stats(dir) === stats(fresh))
+    // the new label c exists only via the append path
+    assert(stats(dir).exists(_._1 == "c"))
+    // serve consults ONLY the persisted artifact: doctor the index by
+    // removing label b; the served routing must stop knowing about b
+    val doctored = spark.read.parquet(dir).filter($"label" =!= "b")
+    val dir2 = tmp("graft_centdoc_spec") + "/idx"
+    doctored.write.parquet(dir2)
+    val q = Seq((100L, Array(1.0f, 1.0f))).toDF("q_id", "q_vec")
+    val full = ExportOps.serveCentroidRouting(spark, dir, q)
+      .select("label").as[String].collect().toSeq
+    val doct = ExportOps.serveCentroidRouting(spark, dir2, q)
+      .select("label").as[String].collect().toSeq
+    assert(full === Seq("b"), s"(1,1) routes to b's parallel centroid: $full")
+    assert(doct !== Seq("b"),
+      "doctored index must not resurrect label b from any source re-read")
+    // staging dir was swapped away
+    assert(!new java.io.File(dir + ".stage").exists())
+  }
+
 }
