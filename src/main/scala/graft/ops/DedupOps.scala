@@ -634,6 +634,71 @@ object DedupOps {
   private def d21(s: SparkSession, d: String): DataFrame =
     dupNgramFraction(docs(s, d)).orderBy("doc_id")
 
+  /** d27: cross-document duplicated-SPAN removal — the dedup ACTION d21's
+    * metric implies (Lee et al. 2022's ExactSubstr move at token grain):
+    * a token position is contaminated when any n-token window covering it
+    * also occurs in another document; contaminated runs merge into
+    * maximal spans, which are cut from the text. Per document: span
+    * count, tokens removed, and the cleaned text.
+    *
+    * Scale shape — every step is keyed, never quadratic: window hashes
+    * form in a codegen'd projection (32-byte md5 keys on the wire, never
+    * the token strings); duplicated hashes come from one gram-hash
+    * aggregation; covered positions explode ×n and dedup on (doc_id,
+    * pos); spans are gaps-and-islands — ONE doc-partitioned window; the
+    * cleaned text is rebuilt by the keyed form (position explode →
+    * anti-join the covered set → ordered reassembly) rather than a
+    * per-row `array_contains` filter, which would be O(n²) for a
+    * pathological document — the same trap t15's mode computation
+    * avoids, avoided the same way. A 100k-token document distributes
+    * across the cluster at every stage.
+    *
+    * Public over any (doc_id, text) frame so the spec can plant shared
+    * runs and verify spans/cleaning exactly. */
+  def dupSpanRemoval(df: DataFrame, n: Int = 8): DataFrame = {
+    val toksDf = df.select(col("doc_id"),
+      TextFunctions.tokenize(col("text"), "space").as("toks"))
+    val grams = cached(toksDf.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("toks"), col("i"), lit(n)), " ")).as("gh")))
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val covered = grams.join(dup, "gh")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = covered
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("n_dup_tokens"))
+    val kept = toksDf
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        e => e.getField("token")), " ").as("cleaned_text"))
+    toksDf.select(col("doc_id"))
+      .join(spans, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  private def d27(s: SparkSession, d: String): DataFrame =
+    dupSpanRemoval(docs(s, d)).orderBy("doc_id")
+
   /** d23: edit-distance fuzzy dedup over short strings (titles/names) —
     * the dedup family the hash signatures don't cover: MinHash/SimHash
     * need token sets, but "Tle Quick Fox" vs "The Quick Fox" differs by
@@ -1153,6 +1218,7 @@ object DedupOps {
     "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
     "d23_fuzzy_dedup" -> d23 _, "d24_split_leakage" -> d24 _,
     "d25_index_append" -> d25 _, "d26_fuzzy_multipass" -> d26 _,
+    "d27_dup_span_removal" -> d27 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -1365,6 +1431,50 @@ object DedupOps {
         |    > 0.5 AS memorization_risk
         |FROM grams g JOIN cnts USING (gh)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // d27: every window hash, covered position, island and rejoined string
+    // recomputed from scratch; space tokenization (drop empties) matches
+    // the engine's "space" mode
+    "d27_dup_span_removal" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gh
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |        FROM base WHERE len(toks) >= 8) x),
+        |dup AS (SELECT gh FROM g GROUP BY gh
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, i + unnest(range(0, 8)) AS pos
+        |    FROM g JOIN dup USING (gh)) c),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM cov),
+        |sp AS (
+        |  SELECT doc_id, isl, min(pos) AS s, max(pos) AS e
+        |  FROM isl GROUP BY doc_id, isl),
+        |spans AS (
+        |  SELECT doc_id, CAST(count(1) AS BIGINT) AS n_spans,
+        |         CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens
+        |  FROM sp GROUP BY doc_id),
+        |posn AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |         generate_subscripts(toks, 1) AS pos FROM base),
+        |kept AS (
+        |  SELECT p.doc_id,
+        |    string_agg(p.token, ' ' ORDER BY p.pos) AS cleaned_text
+        |  FROM posn p ANTI JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+        |  GROUP BY p.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |  coalesce(cleaned_text, '') AS cleaned_text
+        |FROM base b LEFT JOIN spans USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "d17_chunk_dedup" ->
       raw"""WITH base AS (
         |  SELECT doc_id,

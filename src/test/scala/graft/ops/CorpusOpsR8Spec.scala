@@ -131,6 +131,39 @@ class CorpusOpsR8Spec extends SparkSpec {
     }
   }
 
+  test("d27: planted shared runs become maximal spans; cleaning is exact") {
+    // doc 1 and doc 2 share a 10-token run (3 windows of 8 cover 10
+    // positions -> ONE maximal span per doc); doc 3 is clean
+    val shared = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared epsilon zeta eta theta iota kappa"),
+      (3L, "entirely unique words with no overlap whatsoever anywhere here")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dupSpanRemoval(df)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // doc 1: shared run sits at positions 3..12 -> one 10-token span
+    assert(got(0) === ((1L, 1L, 10L, "alpha beta gamma delta")))
+    // doc 2: run at positions 1..10
+    assert(got(1) === ((2L, 1L, 10L,
+      "epsilon zeta eta theta iota kappa")))
+    // doc 3: untouched — zero spans, text rejoined verbatim
+    assert(got(2) === ((3L, 0L, 0L,
+      "entirely unique words with no overlap whatsoever anywhere here")))
+  }
+
+  test("d27: a fully-duplicated document cleans to the empty string") {
+    val t = "a b c d e f g h i j"
+    val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val got = DedupOps.dupSpanRemoval(df)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.toSeq === Seq((1L, 1L, 10L, ""), (2L, 1L, 10L, "")))
+  }
+
   test("d25: batch-2 copies of kept batch-1 docs screen exact_dup via the merge") {
     val d = "/root/testdata/sf0.001"
     val res = graft.SparkEntry.queries("d25_index_append")(spark, d)
