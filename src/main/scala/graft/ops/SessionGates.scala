@@ -301,10 +301,64 @@ object SessionGates {
     }
   }
 
+  /** q69: streaming CDC apply — q68's partition-grain merge driven by an
+    * unbounded change feed, the production loop of a continuously-
+    * maintained snapshot (Debezium topic → lake table). The q68 change
+    * batch splits into two time-ordered files (updates first, then
+    * deletes + inserts) processed one per micro-batch; each batch applies
+    * [[Relational.mergePartitioned]] through `foreachBatch` — the
+    * documented pattern for sinks with semantics Spark lacks natively.
+    * The merge is IDEMPOTENT under batch redelivery (change rows carry
+    * absolute values and beat the landed snapshot's seq-0 rows on every
+    * replay — spec-pinned), so at-least-once `foreachBatch` delivery
+    * still yields exactly-once snapshot state, with no dedup bookkeeping.
+    * Sequential application (update then delete on the overlap keys)
+    * lands the same final snapshot as q68's single-shot log-ordered
+    * merge — the gate hash-matches q68's oracle verbatim. */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_scdc", d)
+    ExportOps.withScratchCleanup(out) {
+      val snapDir = s"$out/snap"
+      Tables(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_nationkey").as("p"))
+        .write.partitionBy("p").parquet(snapDir)
+      val changes = Relational.q68Changes(s, d)
+      new java.io.File(out, "in").mkdirs()
+      val now = System.currentTimeMillis()
+      Seq(changes.filter(col("op") === "U"),
+          changes.filter(col("op") =!= "U")).zipWithIndex.foreach {
+        case (df, i) =>
+          val slice = s"$out/slice$i"
+          df.coalesce(1).write.parquet(slice)
+          val part = new java.io.File(slice).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$out/in/f$i.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(now - (2 - i) * 60000L) // arrival order
+      }
+      val stream = s.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Relational.mergePartitioned(s, snapDir, batch, Seq("name", "bal"))
+          ()
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val mergedSnap = s.read.parquet(snapDir)
+        .select(col("k"), col("name"), col("bal"),
+          col("p").cast("int").as("p"))
+      ExportOps.localizeAndDrop(mergedSnap, out, "k")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_session_window" -> q57 _, "q58_stream_sessions" -> q58 _,
     "q62_stream_interval_join" -> q62 _, "q65_stream_dedup" -> q65 _,
-    "q67_stream_outer_join" -> q67 _)
+    "q67_stream_outer_join" -> q67 _, "q69_stream_cdc_apply" -> q69 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -327,6 +381,9 @@ object SessionGates {
       |ORDER BY user_id, session_start_ms""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the streamed two-batch apply must land exactly the snapshot q68's
+    // single-shot log-ordered merge computes
+    "q69_stream_cdc_apply" -> Relational.oracle("q68_partitioned_merge"),
     "q57_session_window" -> SessionOracleSql,
     "q58_stream_sessions" -> SessionOracleSql,
     // ms-truncated self-join: every purchase × same-user clicks in the

@@ -92,4 +92,27 @@ class CdcPartitionSpec extends SparkSpec {
       ExportOps.deleteRecursively(out)
     }
   }
+
+  test("q69: mergePartitioned is idempotent under change-batch redelivery") {
+    // the property the streaming gate's at-least-once foreachBatch leans
+    // on: replaying an already-applied batch cannot change the snapshot
+    // (change rows carry absolute values and beat the landed seq-0 rows)
+    val out = ExportOps.scratchDir("graft_cdcidem", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val snapDir = s"$out/snap"
+      spark.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_nationkey").as("p"))
+        .write.partitionBy("p").parquet(snapDir)
+      val changes = Relational.q68Changes(spark, d)
+      def snapshot() = spark.read.parquet(snapDir)
+        .select(col("k"), col("name"), col("bal"), col("p").cast("int").as("p"))
+        .collect().map(rowKey).toSet
+      Relational.mergePartitioned(spark, snapDir, changes, Seq("name", "bal"))
+      val once = snapshot()
+      Relational.mergePartitioned(spark, snapDir, changes, Seq("name", "bal"))
+      assert(snapshot() === once, "replaying the same batch must be a no-op")
+      ExportOps.deleteRecursively(out)
+    }
+  }
 }
