@@ -278,6 +278,96 @@ object SimilarityOps {
     * because the gate's compare can't sort array columns. */
   private def v08(s: SparkSession, d: String): DataFrame = quantizeInt8(emb(s, d))
 
+  /** v14: product quantization + asymmetric distance computation (Jégou
+    * et al. 2011) — the OTHER standard vector compression, orthogonal to
+    * v08's scalar quantizer: the 64-dim vector splits into 8 subspaces of
+    * 8 dims, each subspace gets its own seeded-k-means codebook of 16
+    * codes, and a vector stores only its 8 code ids (4 bytes vs 256 — the
+    * compression that lets a billion-vector index live in memory).
+    * Queries score candidates WITHOUT reconstruction: per query, one
+    * 8×16-entry table of exact subspace distances, and a candidate's
+    * L2² approximation is the sum of 8 table lookups (ADC).
+    *
+    * Shape: codebook training is m=8 bounded driver-side fits (m is an
+    * index constant, never data-sized — the v10 bounded-rounds argument);
+    * encoding explodes each vector into its 8 subvectors and argmins
+    * against the BROADCAST 128-row codebook (struct-min, code-asc
+    * tie-break); ADC joins the code table to the broadcast 2048-row
+    * query-distance table on (sub, code) and re-aggregates per (query,
+    * candidate) — keyed equi-joins and one hash agg, nothing beyond the
+    * intended |Q|·|corpus| scoring. At real scale the IVF router
+    * (v05/v07) prunes the candidate set FIRST and ADC scores only the
+    * probed cells — the composition every FAISS-style index ships.
+    * Rows-only like v07 (the codebook is engine-specific); the spec pins
+    * recall against the exact-L2 ranking and the ADC↔exact error bound. */
+  def pqAdcTopK(s: SparkSession, corpus: DataFrame,
+                m: Int = 8, k: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val dims = 64
+    val dsub = dims / m
+    val vecs = corpus.select(col("vec_id"),
+      VectorFunctions.toDouble(col("embedding")).as("v"))
+    val codebook = (0 until m).flatMap { j =>
+      val sub = vecs.select(col("vec_id"),
+        array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv"))
+      new KMeans().setK(k).setSeed(42L + j).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
+        .clusterCenters.zipWithIndex
+        .map { case (c, i) => (j, i, c.toArray.toSeq) }
+    }.toDF("sub", "code", "cent")
+    val subvecs = vecs.select(col("vec_id"),
+      explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e)
+    val codes = subvecs.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(l2sq(col("sv"), col("cent")).as("dist"), col("code")).as("sc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("sc")).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    val queries = subvecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qv"))
+    val qTables = queries.join(broadcast(codebook), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        l2sq(col("qv"), col("cent")).as("qdist"))
+    val adc = codes.join(broadcast(qTables), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adc"))
+    // shortlist by ADC, then exact-L2 rerank of the shortlist — the
+    // FAISS-style refine step: the compressed scan nominates 4K
+    // candidates from codes alone, and only those 4K·|Q| rows ever touch
+    // a full vector again (at a billion vectors this is the difference
+    // between re-reading the corpus and re-reading 0.002% of it)
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val shortlist = adc.withColumn("sr", row_number().over(wAdc))
+      .filter(col("sr") <= 4 * K)
+      .select(col("q_id"), col("vec_id"), col("adc"))
+    val qFull = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val reranked = shortlist
+      .join(vecs, "vec_id")
+      .join(broadcast(qFull), "q_id")
+      .select(col("q_id"), col("vec_id"), col("adc"),
+        l2sq(col("v"), col("qv")).as("dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("dist"), 4).as("dist"), round(col("adc"), 4).as("adc"))
+      .orderBy("q_id", "rank")
+  }
+
+  private def v14(s: SparkSession, d: String): DataFrame =
+    pqAdcTopK(s, emb(s, d))
+
   /** Per-dimension int8 codes over any (vec_id, embedding) frame — the
     * quantizer v08 summarizes and v13 retrieves with. A dimension with
     * mx == mn would otherwise divide 0/0 → NaN with engine-divergent cast
@@ -455,6 +545,7 @@ object SimilarityOps {
     "v11_semantic_dedup" -> v11 _,
     "v10_mmr_select" -> v10 _,
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
+    "v14_pq_adc" -> v14 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
     "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,

@@ -98,6 +98,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.3, s"IVF recall $ivfRecall collapsed")
   }
 
+  test("PQ-ADC: recall vs exact L2 ranking is reasonable; ADC tracks true distance") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"vec_id",
+        graft.functions.VectorFunctions.toDouble($"embedding").as("v"))
+    val queries = corpus.filter($"vec_id" < 16)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    // exact L2 top-5 — the metric PQ-ADC approximates (v01 ranks by
+    // cosine; comparing across metrics would measure the metric gap, not
+    // the quantizer)
+    val l2 = corpus.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        aggregate(zip_with($"v", $"qv", (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e).as("dist"))
+    val w = Window.partitionBy($"q_id").orderBy($"dist".asc, $"vec_id".asc)
+    val exact = l2.withColumn("r", row_number().over(w)).filter($"r" <= 5)
+    val exactSet = exact.select("q_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val pq = SparkEntryQueries("v14_pq_adc", d)
+    val pqSet = pq.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exactSet & pqSet).size.toDouble / exactSet.size
+    assert(recall >= 0.3, s"PQ-ADC recall $recall collapsed")
+    // ADC is an m-term lower-dimensional approximation of the true L2²;
+    // it must be positively correlated with the exact distances on the
+    // pairs it returned (sanity: lookups are wired to the right codes)
+    val joined = pq.select($"q_id", $"n_id".as("vec_id"), $"adc")
+      .join(l2, Seq("q_id", "vec_id"))
+      .select($"adc", $"dist").as[(Double, Double)].collect()
+    assert(joined.nonEmpty)
+    val (adcM, distM) = (joined.map(_._1).sum / joined.length,
+      joined.map(_._2).sum / joined.length)
+    val cov = joined.map { case (a, b) => (a - adcM) * (b - distM) }.sum
+    assert(cov > 0.0, "ADC scores must co-vary with true L2 distances")
+  }
+
   private def SparkEntryQueries(name: String, d: String) =
     graft.SparkEntry.queries(name)(spark, d)
 
