@@ -392,10 +392,82 @@ object ExportOps {
     }
   }
 
+  // ------------------------------------------------- e08: sorted export
+
+  /** Globally-sorted export via range partitioning — the curriculum /
+    * sorted-scan write path: documents ordered by a score across the WHOLE
+    * corpus, laid out so file order IS score order. `repartitionByRange`
+    * is the only global sort that scales: a sampled-boundary range
+    * exchange routes each row to its score band and every band sorts
+    * locally in parallel — versus `orderBy().coalesce(1)`, which funnels
+    * 100 TB through one task. Part-file numbering follows partition ids,
+    * so lexicographic file order is the global order, and each file's
+    * parquet min/max stats cover a disjoint score range — a consumer
+    * scanning one score band prunes every other file. The (score, doc_id)
+    * composite key makes the order total, so the layout is deterministic
+    * even though the sampled band BOUNDARIES are not. */
+  def sortedExport(s: SparkSession, d: String, outDir: String,
+                   numFiles: Int = 8): String = {
+    val scored = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        // non-whitespace char count: integer-derived, so the score (and
+        // the oracle's) is exact — no float ordering ambiguity
+        length(regexp_replace(col("text"), "\\s", ""))
+          .cast("long").as("score"))
+    scored.repartitionByRange(numFiles, col("score"), col("doc_id"))
+      .sortWithinPartitions(col("score"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    outDir
+  }
+
+  /** e08: the sorted export gated for content invariance — the read-back
+    * of the range-partitioned layout must carry exactly the source rows
+    * with their scores (sorting may change layout, never content). The
+    * ordering guarantees themselves (disjoint per-file ranges, in-file
+    * sortedness) are spec-pinned in [[graft.ops.ExportOpsSpec]] — the
+    * gate's hash compare is order-insensitive by design, so order is a
+    * spec property, not an oracle property. */
+  private def e08(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_rsort", d)
+    withScratchCleanup(out) {
+      sortedExport(s, d, out.getAbsolutePath)
+      val back = s.read.parquet(out.getAbsolutePath)
+        .select(col("doc_id"), col("lang"), col("score"))
+      localizeAndDrop(back, out, "doc_id")
+    }
+  }
+
+  // ------------------------------------------------- e09: JSONL round-trip
+
+  /** e09: JSONL interchange round-trip — the lingua franca of LLM corpus
+    * exchange. Documents export as line-delimited JSON and read back with
+    * an EXPLICIT schema; the gate hashes the round-tripped text (as md5,
+    * to keep the result compact) against the source table, proving the
+    * JSON encode/decode is byte-faithful through escapes and unicode.
+    * At 100 TB the explicit schema is the point: `spark.read.json`
+    * without one runs a full inference pass over every byte before the
+    * real scan — twice the I/O of the job itself. JSONL stays splittable
+    * (one record per line), so a 100 TB export still parallelizes reads
+    * without a manifest. */
+  private def e09(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_jsonl", d)
+    withScratchCleanup(out) {
+      val docsT = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      docsT.write.mode(SaveMode.Overwrite).json(s"$out/jsonl")
+      val back = s.read.schema(docsT.schema).json(s"$out/jsonl")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+      localizeAndDrop(back, out, "doc_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
     "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _,
-    "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _)
+    "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _,
+    "e08_sorted_export" -> e08 _, "e09_jsonl_roundtrip" -> e09 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -419,6 +491,17 @@ object ExportOps {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // old-batch rows (even doc_id) carry no quality column and must read
     // back as NULL through the merged schema
+    // content invariance of the range-sorted layout: every source row with
+    // its exact integer score, regardless of which band file it landed in
+    "e08_sorted_export" ->
+      raw"""SELECT doc_id, lang,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte-faithful JSON round-trip: the md5 of the decoded text must match
+    // the md5 of the source text for every row
+    "e09_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e05_schema_evolution" ->
       """SELECT lang, count(1) AS n_docs,
         |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -195,4 +195,33 @@ class ExportOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!new java.io.File(dir + ".stage").exists())
   }
 
+  test("e08: sorted export lays files out in disjoint, internally-sorted score ranges") {
+    import spark.implicits._
+    val dir = ExportOps.sortedExport(spark, d, tmp("graft_rsort_spec"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length >= 2,
+      s"range export should spread sf0.001 over >1 file, got ${files.length}")
+    // per-file (score, doc_id) sequences, read one file at a time so the
+    // in-file parquet row order is observable
+    val seqs = files.toSeq.map { f =>
+      spark.read.parquet(f).select($"score", $"doc_id")
+        .as[(Long, Long)].collect().toSeq
+    }
+    seqs.foreach { rows =>
+      assert(rows.nonEmpty, "range partitioner emitted an empty band file")
+      assert(rows === rows.sorted, "rows inside a band file must be sorted")
+    }
+    // lexicographic file order is the global order: band i's last key
+    // precedes band i+1's first key (ranges are disjoint, not just sorted)
+    seqs.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(implicitly[Ordering[(Long, Long)]].lt(a.last, b.head),
+          s"band ranges overlap: ${a.last} !< ${b.head}")
+      case _ => ()
+    }
+    // content invariance: the union of all bands is exactly the corpus
+    assert(seqs.map(_.size).sum === spark.read.parquet(s"$d/documents.parquet").count())
+  }
+
 }
