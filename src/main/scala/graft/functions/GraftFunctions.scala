@@ -63,6 +63,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_md5_minhash"),
       new ExpressionInfo(TextFunctions.getClass.getName, "graft_md5_minhash"),
       columnBridge1(TextFunctions.md5MinhashSig(_))),
+    // The shingle-hash set behind graft_md5_minhash, exposed so SQL can
+    // run the LSH verify step (exact Jaccard over the hashed sets) — the
+    // c03 pure-SQL pipeline needs both the signature AND the set.
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "graft_shingle_hashes"),
+      columnBridge1(TextFunctions.md5ShingleHashes)),
     (FunctionIdentifier("graft_gopher_quality"),
       new ExpressionInfo(TextFunctions.getClass.getName, "graft_gopher_quality"),
       columnBridge1(TextFunctions.gopherQuality)),

@@ -1211,8 +1211,92 @@ object DedupOps {
       .orderBy("split", "lang")
   }
 
+  /** c03: the c01 curation pipeline expressed ENTIRELY as one SQL
+    * statement through the engine's SQL front door — registered graft
+    * kernels (`graft_shingle_hashes`, `graft_md5_minhash`,
+    * `graft_tokenize`) plus Spark SQL builtins, no DataFrame code in the
+    * pipeline itself. Hash-matching c01's oracle proves the two surfaces
+    * cannot drift: a SQL-only user gets bit-identical curation decisions
+    * to the DataFrame user. The SQL re-evaluates the shingle set per
+    * reference (no `cached()` seam), so the DataFrame form stays the
+    * scale path; this gates the SURFACE, not a second engine. */
+  private def c03(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    docs(s, d).createOrReplaceTempView("documents")
+    s.sql(raw"""
+      |WITH hv AS (
+      |  SELECT doc_id, graft_shingle_hashes(text) AS hv FROM documents),
+      |sigs AS (
+      |  SELECT doc_id, graft_md5_minhash(text) AS sig FROM documents),
+      |banded AS (
+      |  SELECT doc_id, band_idx,
+      |    sig[2 * band_idx] * 536870912L + sig[2 * band_idx + 1] AS band
+      |  FROM sigs LATERAL VIEW explode(sequence(0, 3)) t AS band_idx),
+      |cpairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band = b.band
+      |  WHERE a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(size(array_intersect(ha.hv, hb.hv)) AS DOUBLE) /
+      |    CAST(size(array_union(ha.hv, hb.hv)) AS DOUBLE) AS jaccard
+      |  FROM cpairs JOIN hv ha ON ha.doc_id = cpairs.doc_a
+      |              JOIN hv hb ON hb.doc_id = cpairs.doc_b),
+      |keepers AS (
+      |  SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text),
+      |exact_d AS (
+      |  SELECT d.doc_id FROM documents d
+      |  JOIN keepers k ON d.text = k.text WHERE d.doc_id <> k.keep_id),
+      |near_d AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.7),
+      |toksq AS (
+      |  SELECT doc_id, text, graft_tokenize(text) AS toks FROM documents),
+      |q AS (
+      |  SELECT doc_id, size(toks) AS n,
+      |    CASE WHEN size(toks) = 0 THEN 0.0D ELSE
+      |      CAST(length(regexp_replace(text, '\\s', '')) AS DOUBLE)
+      |        / size(toks) END AS mwl
+      |  FROM toksq),
+      |g2q AS (
+      |  SELECT doc_id, toks,
+      |    zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+      |             slice(toks, 2, greatest(size(toks) - 1, 0)),
+      |             (a, b) -> concat(a, ' ', b)) AS g2
+      |  FROM toksq),
+      |gq AS (
+      |  SELECT doc_id, g2,
+      |    zip_with(slice(g2, 1, greatest(size(toks) - 2, 0)),
+      |             slice(toks, 3, greatest(size(toks) - 2, 0)),
+      |             (a, b) -> concat(a, ' ', b)) AS g3
+      |  FROM g2q),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN size(g2) = 0 THEN 0.0D ELSE
+      |      CAST(size(g2) - size(array_distinct(g2)) AS DOUBLE) / size(g2)
+      |      END AS d2,
+      |    CASE WHEN size(g3) = 0 THEN 0.0D ELSE
+      |      CAST(size(g3) - size(array_distinct(g3)) AS DOUBLE) / size(g3)
+      |      END AS d3
+      |  FROM gq)
+      |SELECT d.doc_id,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+      |       WHEN NOT (q.n BETWEEN 50 AND 100000
+      |                 AND q.mwl BETWEEN 3.0D AND 10.0D) THEN 'quality_fail'
+      |       WHEN r.d2 > 0.06D OR r.d3 > 0.01D THEN 'repetition_fail'
+      |       ELSE 'kept' END AS status
+      |FROM documents d
+      |LEFT JOIN exact_d e ON d.doc_id = e.doc_id
+      |LEFT JOIN near_d nd ON nd.doc_id = d.doc_id
+      |JOIN q ON q.doc_id = d.doc_id
+      |JOIN r ON r.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_curation_pipeline" -> c01 _, "c02_training_flow" -> c02 _,
+    "c03_sql_pipeline" -> c03 _,
     "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
     "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
@@ -1379,6 +1463,10 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "c01_curation_pipeline" ->
+      (CurationStatusCte +
+        "\nSELECT doc_id, status FROM statuses ORDER BY doc_id"),
+    // c03 is c01 through the SQL front door — same oracle by construction
+    "c03_sql_pipeline" ->
       (CurationStatusCte +
         "\nSELECT doc_id, status FROM statuses ORDER BY doc_id"),
     "c02_training_flow" ->

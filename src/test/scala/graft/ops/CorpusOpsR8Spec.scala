@@ -185,4 +185,16 @@ class CorpusOpsR8Spec extends SparkSpec {
     assert(copies2.exists { case (id, st) =>
       b1Status(id - 300000L) == "kept" && st == "exact_dup" })
   }
+
+  test("c03: the pure-SQL pipeline is row-identical to the DataFrame pipeline") {
+    val d = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, d)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val sql = rows("c03_sql_pipeline")
+    val df = rows("c01_curation_pipeline")
+    assert(sql === df, "SQL front door drifted from the DataFrame surface")
+    // the SQL path exercised every status family, not a degenerate corpus
+    assert(sql.map(_._2).distinct.size >= 3, sql.map(_._2).distinct)
+  }
 }
