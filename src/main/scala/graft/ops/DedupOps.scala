@@ -1211,6 +1211,46 @@ object DedupOps {
       .orderBy("split", "lang")
   }
 
+  /** d28: representative selection over near-dup clusters — d14's
+    * transitive components, but instead of dropping every higher-id
+    * member (d12's rule), each cluster KEEPS its best member: the longest
+    * document (n_chars desc, doc_id asc tie-break). This is how
+    * production corpus dedup actually chooses survivors — CCNet-style
+    * pipelines keep the longest/highest-quality copy, not the one that
+    * happened to arrive first. Output marks every clustered doc with its
+    * cluster, the chosen keeper, and whether it survives.
+    *
+    * Scale shape: components come from pointer-jumping over banded
+    * verified pairs (O(log diameter) keyed rounds, never all-pairs); the
+    * keeper election is ONE window over the clustered docs — a set far
+    * smaller than the corpus (only docs that appear in some near-dup
+    * pair), so the argmax never touches unclustered documents. */
+  private def d28(s: SparkSession, d: String): DataFrame = {
+    val comp = connectedComponents(
+      md5VerifiedPairs(s, d).filter(col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b"))
+      .select(col("node").as("doc_id"), col("label").as("component"))
+    clusterKeepBest(comp, docs(s, d).select("doc_id", "n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** The d28 keeper election over any (doc_id, component) clustering and
+    * (doc_id, n_chars) length frame: per cluster, the longest member
+    * (doc_id asc tie-break) is kept; every member row carries its cluster,
+    * the elected keeper, and its own survival flag. */
+  def clusterKeepBest(comp: DataFrame, lens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withLen = comp.join(lens, "doc_id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val keepers = withLen.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keep_id"))
+    comp.join(keepers, "component")
+      .select(col("doc_id"), col("component"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
   /** c03: the c01 curation pipeline expressed ENTIRELY as one SQL
     * statement through the engine's SQL front door — registered graft
     * kernels (`graft_shingle_hashes`, `graft_md5_minhash`,
@@ -1302,7 +1342,7 @@ object DedupOps {
     "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
     "d23_fuzzy_dedup" -> d23 _, "d24_split_leakage" -> d24 _,
     "d25_index_append" -> d25 _, "d26_fuzzy_multipass" -> d26 _,
-    "d27_dup_span_removal" -> d27 _,
+    "d27_dup_span_removal" -> d27 _, "d28_cluster_keep_best" -> d28 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -1780,6 +1820,26 @@ object DedupOps {
           |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           |SELECT a AS doc_id, least(a, min(b)) AS component
           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+    // d28: d14's components + a longest-member keeper election per cluster
+    "d28_cluster_keep_best" ->
+      (BandedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+        """pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.7),
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |          UNION SELECT doc_b, doc_a FROM pairs),
+          |reach AS (SELECT a, b FROM edges
+          |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+          |         FROM reach GROUP BY a),
+          |best AS (
+          |  SELECT c.component, c.doc_id,
+          |    row_number() OVER (PARTITION BY c.component
+          |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+          |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+          |keeprs AS (SELECT component, doc_id AS keep_id FROM best WHERE rn = 1)
+          |SELECT c.doc_id, c.component, k.keep_id,
+          |  c.doc_id = k.keep_id AS kept
+          |FROM comp c JOIN keeprs k USING (component)
+          |ORDER BY c.doc_id""".stripMargin),
     "d11_simhash_md5" ->
       (raw"""WITH base AS (
         |  SELECT doc_id,

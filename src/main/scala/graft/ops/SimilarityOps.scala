@@ -368,6 +368,51 @@ object SimilarityOps {
   private def v14(s: SparkSession, d: String): DataFrame =
     pqAdcTopK(s, emb(s, d))
 
+  /** v15: k-NN label propagation (pseudo-labeling) — every vector in the
+    * unlabeled slice (vec_id % 7 == 3) takes the majority label of its
+    * [[K]] nearest LABELED neighbors by exact cosine, ties broken by
+    * label asc; the vote count rides along as the confidence a downstream
+    * filter thresholds on. The standard semi-supervised step for growing
+    * a labeled training set from a seed set.
+    *
+    * Gate shape is the exact vote (oracle-checkable end-to-end, like
+    * v01): labeled corpus × broadcast unlabeled batch, windowed top-k,
+    * one hash-agg vote. At 100 TB the unlabeled side is corpus-sized, so
+    * the cross join is replaced by a candidate generator — v02's banded
+    * LSH equi-join or v05/v07's IVF routing — and ONLY the vote below
+    * runs on the candidate set; the vote itself is two keyed shuffles
+    * (top-k window + label count), scale-safe as-is. */
+  private def v15(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+    val labeled = corpus.filter(col("vec_id") % 7 =!= 3)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        col("label"))
+    val unlabeled = corpus.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("embedding").as("q_vec"))
+    knnLabelVote(s, labeled, unlabeled, K).orderBy("vec_id")
+  }
+
+  /** The v15 kernel over any (n_id, n_vec, label) / (vec_id, q_vec) pair
+    * of frames: exact-cosine top-k labeled neighbors per query, majority
+    * label, label-asc tie-break, vote count as confidence. */
+  def knnLabelVote(s: SparkSession, labeled: DataFrame,
+                   unlabeled: DataFrame, k: Int): DataFrame = {
+    val scored = labeled.crossJoin(broadcast(unlabeled))
+      .select(col("vec_id"), col("n_id"), col("label"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("n_vec")).as("cos"))
+    val wk = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val votes = scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** Per-dimension int8 codes over any (vec_id, embedding) frame — the
     * quantizer v08 summarizes and v13 retrieves with. A dimension with
     * mx == mn would otherwise divide 0/0 → NaN with engine-divergent cast
@@ -545,7 +590,7 @@ object SimilarityOps {
     "v11_semantic_dedup" -> v11 _,
     "v10_mmr_select" -> v10 _,
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
-    "v14_pq_adc" -> v14 _,
+    "v14_pq_adc" -> v14 _, "v15_knn_labels" -> v15 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
     "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,
@@ -589,6 +634,31 @@ object SimilarityOps {
     * fold — stable, oracle-able. */
   val oracle: Map[String, String] = Map(
     "v10_mmr_select" -> mmrOracleSql,
+    // the exact-vote pseudo-labeler recomputed from scratch: brute-force
+    // cosine top-5 labeled neighbors, majority label, label-asc tie-break
+    "v15_knn_labels" ->
+      """WITH lab AS (
+        |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings WHERE vec_id % 7 <> 3),
+        |unl AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS q
+        |  FROM embeddings WHERE vec_id % 7 = 3),
+        |scored AS (
+        |  SELECT u.vec_id, l.n_id, l.label,
+        |    list_cosine_similarity(u.q, l.v) AS cos
+        |  FROM unl u CROSS JOIN lab l),
+        |topk AS (
+        |  SELECT vec_id, label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, n_id ASC) AS rn FROM scored) x
+        |  WHERE rn <= 5),
+        |votes AS (
+        |  SELECT vec_id, label, count(1) AS votes
+        |  FROM topk GROUP BY vec_id, label)
+        |SELECT vec_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY votes DESC, label ASC) AS rn FROM votes) v
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "v12_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
         |           FROM embeddings WHERE vec_id < 8),

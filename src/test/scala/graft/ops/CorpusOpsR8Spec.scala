@@ -197,4 +197,39 @@ class CorpusOpsR8Spec extends SparkSpec {
     // the SQL path exercised every status family, not a degenerate corpus
     assert(sql.map(_._2).distinct.size >= 3, sql.map(_._2).distinct)
   }
+
+  test("d28 kernel: each cluster keeps its longest member, doc_id tie-break") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "component")
+    // docs 2 and 3 tie on length -> doc_id asc elects 2; cluster 5 -> 6
+    val lens = Seq((1L, 10L), (2L, 50L), (3L, 50L), (5L, 7L), (6L, 30L))
+      .toDF("doc_id", "n_chars")
+    val got = DedupOps.clusterKeepBest(comp, lens)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (5L, 5L, 6L, false), (6L, 5L, 6L, true)))
+  }
+
+  test("d28 gate: one keeper per cluster, and it is the cluster's longest doc") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("d28_cluster_keep_best")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty, "fixture corpus must contain near-dup clusters")
+    val lens = graft.Tables(spark, d, "documents")
+      .select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length === 1, s"cluster $c elected ${kept.length} keepers")
+      val keepId = kept.head._1
+      assert(members.forall(_._3 == keepId), s"cluster $c disagrees on keeper")
+      val maxLen = members.map(m => lens(m._1)).max
+      assert(lens(keepId) === maxLen,
+        s"cluster $c kept doc $keepId (len ${lens(keepId)}) over a len-$maxLen member")
+    }
+  }
 }

@@ -139,6 +139,41 @@ class DedupSimilaritySpec extends SparkSpec {
   private def SparkEntryQueries(name: String, d: String) =
     graft.SparkEntry.queries(name)(spark, d)
 
+  test("v15 kernel: majority of the k nearest labels wins; ties break label-asc") {
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.98f, 0.2f), "a"),
+      (3L, Array(0.95f, 0.31f), "a"),
+      (4L, Array(0.0f, 1.0f), "b"), (5L, Array(0.2f, 0.98f), "b")
+    ).toDF("n_id", "n_vec", "label")
+    val q = Seq((10L, Array(1.0f, 0.1f))).toDF("vec_id", "q_vec")
+    // k=5 takes all five neighbors: 3 a's vs 2 b's -> a, confidence 3
+    val got = SimilarityOps.knnLabelVote(spark, labeled, q, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((10L, "a", 3L)))
+    // exact vote tie (one of each, equidistant) must break label-asc
+    val pair = Seq((1L, Array(1.0f, 0.0f), "b"), (2L, Array(0.0f, 1.0f), "a"))
+      .toDF("n_id", "n_vec", "label")
+    val mid = Seq((20L, Array(1.0f, 1.0f))).toDF("vec_id", "q_vec")
+    val tie = SimilarityOps.knnLabelVote(spark, pair, mid, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(tie.toSeq === Seq((20L, "a", 1L)))
+  }
+
+  test("v15 gate: every unlabeled vector gets one verdict, bounded confidence") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntryQueries("v15_knn_labels", d).collect()
+    val unlabeledCount = graft.Tables(spark, d, "embeddings")
+      .filter($"vec_id" % 7 === 3).count()
+    assert(got.length.toLong === unlabeledCount, "one prediction per query")
+    got.foreach { r =>
+      assert(r.getLong(0) % 7 === 3, "predictions only for the unlabeled slice")
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 5L, r.toString)
+    }
+    // the vote must not be degenerate — a single class absorbing
+    // everything would pass the bounds above on a broken cosine
+    assert(got.map(_.getInt(1)).distinct.length >= 2, "one-class collapse")
+  }
+
   test("connected components merge transitive near-dup chains") {
     // (1,3) and (2,3): the pairwise drop-doc_b rule keeps BOTH 1 and 2 —
     // components must collapse all three through the shared neighbor
