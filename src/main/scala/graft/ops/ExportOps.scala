@@ -463,11 +463,71 @@ object ExportOps {
     }
   }
 
+  // ------------------------------------------- e10: bucketed co-located join
+
+  /** Writes `df` as a Spark-native bucketed parquet table: rows hash-route
+    * into `n` buckets on `key` at WRITE time (sorted within each bucket),
+    * so the table's files carry a `HashPartitioning(key, n)` guarantee
+    * every later join or aggregation on `key` can consume without an
+    * Exchange. Table names are caller-chosen; pass a PID-suffixed name for
+    * gate scratch (concurrent processes share one warehouse directory). */
+  def writeBucketed(df: DataFrame, table: String, n: Int, key: String): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.format("parquet").bucketBy(n, key).sortBy(key)
+      .mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** The join the bucketed layout pays for: orders ⋈ lineitem on the order
+    * key with NO shuffle of either side — both scans already satisfy the
+    * join's required distribution, so the only Exchange left in the plan
+    * is the tiny final-aggregation hash on `o_orderpriority`
+    * (plan-pinned in [[graft.PlanAuditR8Spec]]). This is THE 100 TB fact-
+    * to-fact join strategy: a broadcast is impossible (both sides huge)
+    * and a shuffle join moves both tables over the network every query —
+    * bucketing moves them once, at layout time, and every subsequent
+    * keyed join/agg rides it free. */
+  def colocatedRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        StableAgg.scaledSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+
+  /** e10: the bucketed-layout cycle gated end-to-end — write both fact
+    * tables bucketed on the join key, join them WITHOUT a broadcast
+    * (disabled for the query: at real scale neither fact side fits), and
+    * hash-match the revenue summary against an oracle joining the raw
+    * parquet. Content must be layout-invariant; the zero-shuffle plan
+    * shape is what the bucketing buys and the spec pins. */
+  private def e10(s: SparkSession, d: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val ordT = s"graft_e10_orders_$pid"
+    val liT = s"graft_e10_lineitem_$pid"
+    val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      writeBucketed(Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")), ordT, 8, "o_orderkey")
+      writeBucketed(Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        liT, 8, "l_orderkey")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      localize(colocatedRevenue(s.table(ordT), s.table(liT)))
+        .orderBy("o_orderpriority")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
     "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _,
     "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _,
-    "e08_sorted_export" -> e08 _, "e09_jsonl_roundtrip" -> e09 _)
+    "e08_sorted_export" -> e08 _, "e09_jsonl_roundtrip" -> e09 _,
+    "e10_bucketed_join" -> e10 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -483,6 +543,14 @@ object ExportOps {
   val oracle: Map[String, String] = Map(
     "e03_stream_export" -> exportOracleSql,
     "e01_training_export" -> exportOracleSql,
+    // layout invariance: the bucketed tables' join must equal the same
+    // join computed straight off the raw parquet
+    "e10_bucketed_join" ->
+      """SELECT o_orderpriority, count(1) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |   AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // content invariance: the summary of the fragmented-then-compacted
     // copy must equal the summary of the original table
     "e04_compaction" ->

@@ -713,6 +713,42 @@ object Relational {
     updates.unionByName(deletes).unionByName(inserts)
   }
 
+  /** q70: telemetry gap-fill — per-user 5-minute resample with
+    * last-observation-carried-forward. q52 densifies an ADDITIVE metric
+    * (counts zero-fill); this fills a GAUGE: an empty cell means "state
+    * unchanged", so it inherits the previous observed value — the fill
+    * that needs ordered state, not a coalesce. Each (user, bucket) cell
+    * takes its latest observation (ms-truncated ts, event_id tie-break —
+    * the q16 ordering both engines agree on); the per-user grid is then
+    * densified between the user's first and last observation. The
+    * standard regularization step before windowed feature extraction.
+    *
+    * Scale shape: one (user, bucket) hash agg, one per-user min/max agg,
+    * a `sequence` explode bounded by each user's active span (grid cells,
+    * not corpus rows), one left equi-join back, and one per-user ordered
+    * window for the fill — every stage keyed on user_id, no driver state.
+    * A pathological multi-year-span device would inflate its own grid
+    * only; capping fill horizon (emit nulls past k empty buckets) is a
+    * filter on `bucket - last observed bucket`, same topology. */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "events")
+      .withColumn("bucket", expr("unix_millis(ts) div 300000"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(max_by(col("value"),
+        struct(unix_millis(date_trunc("millisecond", col("ts"))),
+          col("event_id"))).as("obs_value"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        col("obs_value").isNotNull.as("observed"),
+        last(col("obs_value"), ignoreNulls = true).over(w).as("value"))
+      .orderBy("user_id", "bucket")
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -914,6 +950,7 @@ object Relational {
     "q59_incremental_agg" -> q59 _, "q61_funnel" -> q61 _,
     "q63_sketch_users" -> q63 _, "q64_exact_users" -> q64 _,
     "q66_upsert_merge" -> q66 _, "q68_partitioned_merge" -> q68 _,
+    "q70_gap_fill_locf" -> q70 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -1158,6 +1195,25 @@ object Relational {
         |FROM grid g LEFT JOIN counts c
         |  ON g.user_id = c.user_id AND g.hour = c.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+    "q70_gap_fill_locf" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_ms(ts) // 300000 AS bucket,
+        |    last(value ORDER BY date_trunc('milliseconds', ts), event_id)
+        |      AS obs_value
+        |  FROM events GROUP BY user_id, bucket),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(bucket), max(bucket))) AS bucket
+        |  FROM obs GROUP BY user_id),
+        |j AS (
+        |  SELECT g.user_id, g.bucket, o.obs_value
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.bucket = o.bucket)
+        |SELECT user_id, bucket, obs_value IS NOT NULL AS observed,
+        |  last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,

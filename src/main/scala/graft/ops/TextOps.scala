@@ -108,6 +108,52 @@ object TextOps {
       .orderBy("doc_id", "token")
   }
 
+  /** t20: BM25 keyword retrieval (Robertson et al.; the Lucene idf
+    * variant) — the ranking function behind the corpus-search /
+    * contamination-lookup step of a curation pipeline, one rung above
+    * t06's tf-idf: term saturation (k1) and length normalization (b) make
+    * long word-salad documents stop winning on raw term counts.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf = ln((N−df+0.5)/(df+0.5)+1), k1=1.2, b=0.75, over a fixed
+    * 3-term query. Per-term scores round to 6dp (absorbs ln ulp skew)
+    * then sum as exact decimals, so the total is addition-order-free.
+    *
+    * Scale shape: doc lengths and df are corpus aggregations (map-side
+    * combined); the scored set is only docs containing a query term
+    * (the isin filter pushes to the scan); N/avgdl broadcast as one row.
+    * No all-pairs, no corpus self-join — the same two-agg-and-join
+    * topology as t06, plus the top-k TakeOrdered. */
+  private def t20(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "vector", "customer")
+    val k1 = 1.2; val b = 0.75
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(tokenize(col("text"), "space-raw")).as("token"))
+      .filter(length(col("token")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dl.agg(sum(col("dl")).as("total_tokens"))))
+    val qtoks = toks.filter(col("token").isin(terms: _*))
+    val tf = qtoks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = qtoks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("term_score",
+        round(col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term_score").cast("decimal(30,6)")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
   /** Sequence packing for LLM training: assign documents to fixed
     * token-budget bins (2048 tokens) with the prefix-sum formulation —
     * bin = floor(running-token-total-before-doc / budget) within each
@@ -511,7 +557,8 @@ object TextOps {
     "t03_repetition" -> t03 _, "t04_text_profile" -> t04 _,
     "t05_token_frequency" -> t05 _, "t10_pii_redact" -> t10 _,
     "t11_bigram_counts" -> t11 _, "t12_unigram_logprob" -> t12 _,
-    "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _)
+    "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _,
+    "t20_bm25" -> t20 _)
 
   val oracle: Map[String, String] = Map(
     "t16_quality_buckets" ->
@@ -631,6 +678,36 @@ object TextOps {
         |    CAST(top2.cnt * length(top2.g) AS DOUBLE) /
         |    CAST(length(text) AS DOUBLE) END AS top_2gram_char_frac
         |FROM topg ORDER BY doc_id""".stripMargin,
+    "t20_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) x
+        |  WHERE length(token) > 0),
+        |dl AS (SELECT doc_id, count(1) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT (SELECT count(1) FROM documents) AS n_docs,
+        |                 (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens),
+        |qt AS (SELECT doc_id, token FROM toks
+        |       WHERE token IN ('spark', 'vector', 'customer')),
+        |tf AS (SELECT doc_id, token, count(1) AS tf FROM qt
+        |       GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(1) AS df FROM (
+        |            SELECT DISTINCT doc_id, token FROM qt) x GROUP BY token),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    round(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5) + 1)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75
+        |          + 0.75 * CAST(dl AS DOUBLE)
+        |            / (CAST(total_tokens AS DOUBLE) / n_docs))), 6)
+        |      AS term_score
+        |  FROM tf t JOIN dfreq USING (token) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_terms,
+        |  CAST(sum(CAST(term_score AS DECIMAL(30,6))) AS DOUBLE) AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "t06_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents

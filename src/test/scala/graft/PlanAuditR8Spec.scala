@@ -28,4 +28,50 @@ class PlanAuditR8Spec extends SparkSpec {
     // hash aggregations over (vec_id) — keyed shuffles, never nested
     assert(bnljCount(p) <= 1, s"vote stage leaked into a nested loop:\n$p")
   }
+
+  test("q70: grid and fill stay keyed on user_id — one equi-join, no nesting") {
+    val p = plan("q70_gap_fill_locf")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) === 0, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("t20: query-term filter reaches the scored set; only 1-row stats nest") {
+    val p = plan("t20_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    // the two permitted nested-loops are the 1-row N/avgdl broadcasts;
+    // tf↔df↔dl are equi-joins on token/doc_id
+    assert(bnljCount(p) <= 2, s"a model-side join leaked into a nested loop:\n$p")
+  }
+
+  test("e10: the bucketed fact-to-fact join has NO exchange on the join key") {
+    val d2 = "/root/testdata/sf0.001"
+    val s = spark
+    val pid = ProcessHandle.current().pid()
+    val ordT = s"graft_e10spec_orders_$pid"
+    val liT = s"graft_e10spec_lineitem_$pid"
+    val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      ops.ExportOps.writeBucketed(graft.Tables(s, d2, "orders")
+        .select("o_orderkey", "o_orderpriority"), ordT, 8, "o_orderkey")
+      ops.ExportOps.writeBucketed(graft.Tables(s, d2, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"), liT, 8, "l_orderkey")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = ops.ExportOps.colocatedRevenue(s.table(ordT), s.table(liT))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("SortMergeJoin"), p)
+      // the bucketed scans satisfy the join's distribution — a shuffle on
+      // either key means the layout guarantee was dropped on the floor
+      assert(!p.contains("hashpartitioning(o_orderkey"),
+        s"orders side re-shuffled despite bucketing:\n$p")
+      assert(!p.contains("hashpartitioning(l_orderkey"),
+        s"lineitem side re-shuffled despite bucketing:\n$p")
+      // the only exchange left is the final tiny agg on o_orderpriority
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+    }
+  }
 }
