@@ -39,7 +39,8 @@ object SparkEntry {
         "g07_trip_segments" -> ((s, d) => geotab.GeotabSynth.tripQuery(s, d)),
         "g08_stream_trips" -> ((s, d) => geotab.GeotabSynth.streamTrips(s, d)),
         "g09_stream_http_submit" -> ((s, d) => geotab.GeotabSynth.streamHttpSubmit(s, d)),
-        "g10_stream_two_runs" -> ((s, d) => geotab.GeotabSynth.streamTwoRuns(s, d)))
+        "g10_stream_two_runs" -> ((s, d) => geotab.GeotabSynth.streamTwoRuns(s, d)),
+        "g11_grid_density" -> ((s, d) => geotab.GeotabSynth.gridDensityQuery(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -67,5 +68,6 @@ object SparkEntry {
         "g09_stream_http_submit" -> geotab.GeotabSynth.flagshipOracleSql,
         // two scheduled runs with the fleet moving in between must land
         // the union of both runs' flagship outputs
-        "g10_stream_two_runs" -> geotab.GeotabSynth.twoRunsOracleSql)
+        "g10_stream_two_runs" -> geotab.GeotabSynth.twoRunsOracleSql,
+        "g11_grid_density" -> geotab.GeotabSynth.gridDensityOracleSql)
 }

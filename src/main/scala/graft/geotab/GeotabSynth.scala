@@ -410,6 +410,47 @@ object GeotabSynth {
       .orderBy("device_id")
   }
 
+  /** g11: fleet density map — every device's current position aggregated
+    * to a 5° grid cell with device count and mean speed, the heat-map /
+    * coverage query a fleet dashboard runs over the same
+    * DeviceStatusInfo snapshot the flagship reads. The cell id floors
+    * latitude/longitude over 5.0; synthesized coordinates sit at .5/.25
+    * offsets, ≥0.05 from any cell boundary after division, so the float
+    * floor is engine-exact. Speeds are integer-valued doubles, so the sum
+    * is exact and addition-order-free.
+    *
+    * Scale shape: per-row cell projection + one map-side-combined hash
+    * aggregation onto at most 36×72 cells — the post-window cost is one
+    * tiny shuffle regardless of fleet size. */
+  def gridDensityQuery(spark: SparkSession, sfDir: String): DataFrame =
+    info(spark, sfDir)
+      .select(col("speed"),
+        floor(col("latitude") / 5.0).cast("long").as("cell_lat"),
+        floor(col("longitude") / 5.0).cast("long").as("cell_lon"))
+      .groupBy(col("cell_lat"), col("cell_lon"))
+      .agg(count(lit(1)).as("n_devices"),
+        graft.ops.StableAgg.intAvg(col("speed")).as("avg_speed"))
+      .orderBy("cell_lat", "cell_lon")
+
+  /** DuckDB twin of [[gridDensityQuery]], same synth CTE. */
+  val gridDensityOracleSql: String =
+    """WITH latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |), info AS (
+      |  SELECT (o_orderkey % 180) - 90 + 0.5 AS latitude,
+      |         (o_orderkey % 360) - 180 + 0.25 AS longitude,
+      |         o_orderkey % 200 AS speed
+      |  FROM latest WHERE rn = 1
+      |)
+      |SELECT CAST(floor(latitude / 5.0) AS BIGINT) AS cell_lat,
+      |  CAST(floor(longitude / 5.0) AS BIGINT) AS cell_lon,
+      |  count(1) AS n_devices,
+      |  CAST(sum(speed) AS DOUBLE) / count(1) AS avg_speed
+      |FROM info GROUP BY cell_lat, cell_lon
+      |ORDER BY cell_lat, cell_lon""".stripMargin
+
   /** DuckDB twin of [[haversineQuery]], same synth CTE and term order. */
   val haversineOracleSql: String =
     """WITH latest AS (

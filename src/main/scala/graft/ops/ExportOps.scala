@@ -522,12 +522,52 @@ object ExportOps {
     }
   }
 
+  /** Appends `df` to an existing bucketed table, preserving the bucket
+    * spec — Spark validates the (n, key) layout against the catalog and
+    * hash-routes the new rows into the same buckets, so the co-location
+    * guarantee survives ingestion. The steady-state counterpart of
+    * [[writeBucketed]] (d25/e07's append-maintenance pattern applied to
+    * the physical layout): batches land bucketed forever, and no query
+    * ever pays the shuffle again. */
+  def appendBucketed(df: DataFrame, table: String, n: Int, key: String): Unit =
+    df.write.format("parquet").bucketBy(n, key).sortBy(key)
+      .mode(SaveMode.Append).saveAsTable(table)
+
+  /** e11: bucketed-layout APPEND maintenance gated end-to-end — the
+    * orders side lands in two batches (even keys, then odd keys appended),
+    * lineitem lands once; the co-located join over the appended table
+    * must hash-match the oracle joining ALL raw rows, and the plan must
+    * still carry zero join-key exchanges (spec-pinned: the append may
+    * add files per bucket, never break the layout guarantee). */
+  private def e11(s: SparkSession, d: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val ordT = s"graft_e11_orders_$pid"
+    val liT = s"graft_e11_lineitem_$pid"
+    val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val ord = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      writeBucketed(ord.filter(col("o_orderkey") % 2 === 0), ordT, 8, "o_orderkey")
+      appendBucketed(ord.filter(col("o_orderkey") % 2 =!= 0), ordT, 8, "o_orderkey")
+      writeBucketed(Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        liT, 8, "l_orderkey")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      localize(colocatedRevenue(s.table(ordT), s.table(liT)))
+        .orderBy("o_orderpriority")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
     "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _,
     "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _,
     "e08_sorted_export" -> e08 _, "e09_jsonl_roundtrip" -> e09 _,
-    "e10_bucketed_join" -> e10 _)
+    "e10_bucketed_join" -> e10 _, "e11_bucketed_append" -> e11 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -546,6 +586,14 @@ object ExportOps {
     // layout invariance: the bucketed tables' join must equal the same
     // join computed straight off the raw parquet
     "e10_bucketed_join" ->
+      """SELECT o_orderpriority, count(1) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |   AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the append must reconstruct the FULL orders side: same oracle —
+    // both batches' rows join as if the table had landed in one write
+    "e11_bucketed_append" ->
       """SELECT o_orderpriority, count(1) AS n_items,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
         |   AS DOUBLE) AS revenue

@@ -74,4 +74,39 @@ class PlanAuditR8Spec extends SparkSpec {
       s.sql(s"DROP TABLE IF EXISTS $liT")
     }
   }
+
+  test("e11: appending a batch keeps the bucketed layout — still no key exchange") {
+    val d2 = "/root/testdata/sf0.001"
+    val s = spark
+    val pid = ProcessHandle.current().pid()
+    val ordT = s"graft_e11spec_orders_$pid"
+    val liT = s"graft_e11spec_lineitem_$pid"
+    val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val ord = graft.Tables(s, d2, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      ops.ExportOps.writeBucketed(
+        ord.filter(org.apache.spark.sql.functions.col("o_orderkey") % 2 === 0),
+        ordT, 8, "o_orderkey")
+      ops.ExportOps.appendBucketed(
+        ord.filter(org.apache.spark.sql.functions.col("o_orderkey") % 2 =!= 0),
+        ordT, 8, "o_orderkey")
+      ops.ExportOps.writeBucketed(graft.Tables(s, d2, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"), liT, 8, "l_orderkey")
+      // the appended table really holds both batches
+      assert(s.table(ordT).count() === ord.count())
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = ops.ExportOps.colocatedRevenue(s.table(ordT), s.table(liT))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("hashpartitioning(o_orderkey"),
+        s"append broke the orders side's bucket guarantee:\n$p")
+      assert(!p.contains("hashpartitioning(l_orderkey"), p)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+    }
+  }
 }
