@@ -749,6 +749,51 @@ object Relational {
       .orderBy("user_id", "bucket")
   }
 
+  /** q71: session path analysis — the event-type transition matrix within
+    * q32's gap sessions (which page/action follows which, the input to
+    * funnel design and Markov attribution). A transition exists between
+    * consecutive events of the same session; rather than re-windowing by
+    * (user, session) — a second shuffle — both `lag`s ride ONE user_id
+    * window and `new_session = 0` already means "same session as the
+    * previous event", so the whole matrix costs one keyed shuffle plus
+    * one tiny pair aggregation. Counts are integers — engine-exact. */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    t(s, d, "events")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 300000, 1L)
+          .otherwise(0L))
+      .filter(col("new_session") === 0)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** q72: cohort retention — users grouped by first-seen week, counted in
+    * each later activity week as an offset from their cohort (the
+    * retention triangle every product/engagement dashboard draws). One
+    * per-user window for the cohort, a distinct on (user, cohort,
+    * offset), one count — two keyed shuffles total, integer counts, no
+    * self-joins. At scale the distinct is the heavy stage and it shuffles
+    * on the (user, cohort, offset) triple — never wider than the event
+    * count, usually far smaller after map-side partial dedup. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    t(s, d, "events")
+      .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("week"))
+      .withColumn("cohort", min(col("week")).over(byUser))
+      .select(col("user_id"), col("cohort"),
+        (col("week") - col("cohort")).as("offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "offset")
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -950,7 +995,8 @@ object Relational {
     "q59_incremental_agg" -> q59 _, "q61_funnel" -> q61 _,
     "q63_sketch_users" -> q63 _, "q64_exact_users" -> q64 _,
     "q66_upsert_merge" -> q66 _, "q68_partitioned_merge" -> q68 _,
-    "q70_gap_fill_locf" -> q70 _,
+    "q70_gap_fill_locf" -> q70 _, "q71_transition_matrix" -> q71 _,
+    "q72_cohort_retention" -> q72 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -1214,6 +1260,30 @@ object Relational {
         |    ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM j ORDER BY user_id, bucket""".stripMargin,
+    "q71_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, lag(event_type, 1) OVER w AS prev_type,
+        |    CASE WHEN lag(ts_ms, 1) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms, 1) OVER w > 300000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+        |SELECT prev_type, event_type, count(1) AS n_transitions
+        |FROM flagged WHERE new_session = 0
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
+    "q72_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events
+        |), c AS (
+        |  SELECT *, min(week) OVER (PARTITION BY user_id) AS cohort FROM e
+        |), d AS (
+        |  SELECT DISTINCT user_id, cohort, week - cohort AS "offset" FROM c)
+        |SELECT cohort, "offset", count(1) AS n_users
+        |FROM d GROUP BY cohort, "offset"
+        |ORDER BY cohort, "offset"""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,

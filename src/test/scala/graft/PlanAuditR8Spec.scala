@@ -29,6 +29,14 @@ class PlanAuditR8Spec extends SparkSpec {
     assert(bnljCount(p) <= 1, s"vote stage leaked into a nested loop:\n$p")
   }
 
+  test("q71/q72: transition matrix and retention never join — windows + aggs only") {
+    Seq("q71_transition_matrix", "q72_cohort_retention").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+      assert(p.contains("Window"), p)
+    }
+  }
+
   test("q70: grid and fill stay keyed on user_id — one equi-join, no nesting") {
     val p = plan("q70_gap_fill_locf")
     assert(!p.contains("CartesianProduct") && bnljCount(p) === 0, p)
