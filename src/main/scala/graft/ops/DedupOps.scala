@@ -1251,6 +1251,54 @@ object DedupOps {
         (col("doc_id") === col("keep_id")).as("kept"))
   }
 
+  /** d29: PageRank over the verified near-dup graph — the centrality
+    * ranking a corpus-graph analysis runs on top of d14's components
+    * (which documents anchor a duplication cluster; the same scores also
+    * drive graph-based quality propagation). Five damped iterations over
+    * the symmetrized pair graph; every node of a pair graph has degree
+    * ≥ 1, so there is no dangling-mass term.
+    *
+    * Engine-exact float discipline: per-edge contributions round to 9dp
+    * and sum as exact decimals (addition-order-free — the same move as
+    * t12/t19); the damping update is one double expression over literal
+    * constants both engines parse to the same doubles. */
+  private def d29(s: SparkSession, d: String): DataFrame = {
+    val half = md5VerifiedPairs(s, d).filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b")
+    val edges = half.unionByName(
+      half.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    pageRank(edges, iterations = 5).orderBy("doc_id")
+  }
+
+  /** Damped PageRank over a directed edge list (doc_a → doc_b) in the
+    * Pregel-as-joins formulation: each iteration is one equi-join of the
+    * rank table back to the edges plus one keyed aggregation — O(iters)
+    * keyed rounds, no driver state. At 100 TB: edges shuffle on doc_a
+    * once per round and the rank table stays (node, double); persist the
+    * rank frame every few rounds to truncate lineage (the [[
+    * connectedComponents]] move). Requires every node to have outdegree
+    * ≥ 1 (true for any symmetrized graph). */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    val outdeg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("doc_id"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.select(col("doc_id").as("doc_a"), col("rank")), "doc_a")
+        .join(outdeg, "doc_a")
+        .select(col("doc_b").as("doc_id"),
+          round(col("rank") / col("outdeg"), 9).cast("decimal(38,9)").as("c"))
+      ranks = contrib.groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("double").as("in_sum"))
+        .crossJoin(broadcast(nRow))
+        .select(col("doc_id"),
+          round(lit(0.15) / col("n") + lit(0.85) * col("in_sum"), 9).as("rank"))
+    }
+    ranks
+  }
+
   /** c03: the c01 curation pipeline expressed ENTIRELY as one SQL
     * statement through the engine's SQL front door — registered graft
     * kernels (`graft_shingle_hashes`, `graft_md5_minhash`,
@@ -1343,6 +1391,7 @@ object DedupOps {
     "d23_fuzzy_dedup" -> d23 _, "d24_split_leakage" -> d24 _,
     "d25_index_append" -> d25 _, "d26_fuzzy_multipass" -> d26 _,
     "d27_dup_span_removal" -> d27 _, "d28_cluster_keep_best" -> d28 _,
+    "d29_pagerank" -> d29 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -1820,6 +1869,33 @@ object DedupOps {
           |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           |SELECT a AS doc_id, least(a, min(b)) AS component
           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+    // d29: the 5 PageRank iterations unrolled as CTEs over the same
+    // banded/verified pair graph; identical float discipline (9dp-rounded
+    // contributions summed as exact decimals, literal-constant damping)
+    "d29_pagerank" -> {
+      val iter = (i: Int) =>
+        s"""r$i AS (
+           |  SELECT e.doc_b AS doc_id,
+           |    round(CAST(0.15 AS DOUBLE) / n.n + CAST(0.85 AS DOUBLE) *
+           |      CAST(sum(CAST(round(r.rank / o.outdeg, 9)
+           |        AS DECIMAL(38,9))) AS DOUBLE), 9) AS rank
+           |  FROM pr_edges e JOIN r${i - 1} r ON r.doc_id = e.doc_a
+           |  JOIN outdeg o ON o.doc_a = e.doc_a CROSS JOIN n
+           |  GROUP BY e.doc_b, n.n)""".stripMargin
+      BandedPairsCte + ",\n" +
+        """pr_edges AS (
+          |  SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.7
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM verified WHERE jaccard >= 0.7),
+          |outdeg AS (SELECT doc_a, count(1) AS outdeg FROM pr_edges
+          |           GROUP BY doc_a),
+          |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM pr_edges),
+          |n AS (SELECT count(1) AS n FROM nodes),
+          |r0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / n.n AS rank
+          |       FROM nodes CROSS JOIN n),""".stripMargin + "\n" +
+        (1 to 5).map(iter).mkString(",\n") + "\n" +
+        "SELECT doc_id, rank FROM r5 ORDER BY doc_id"
+    },
     // d28: d14's components + a longest-member keeper election per cluster
     "d28_cluster_keep_best" ->
       (BandedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +

@@ -198,6 +198,26 @@ class CorpusOpsR8Spec extends SparkSpec {
     assert(sql.map(_._2).distinct.size >= 3, sql.map(_._2).distinct)
   }
 
+  test("d29 kernel: path-graph PageRank — symmetry, center dominance, unit mass") {
+    // symmetric path 1—2—3: the center receives both endpoints' full
+    // ranks, the endpoints half the center's each
+    val half = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val edges = half.unionByName(
+      half.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    val r = DedupOps.pageRank(edges, iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(r(1L) === r(3L), "symmetric endpoints must tie exactly")
+    assert(r(2L) > r(1L), "the center must out-rank the endpoints")
+    // teleport + damped redistribution conserves probability mass
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, r.toString)
+    // first-iteration hand computation: endpoint = 0.15/3 + 0.85 * (r0/2)
+    val r1 = DedupOps.pageRank(edges, iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r1(1L) - (0.05 + 0.85 / 6)) < 1e-9, r1.toString)
+    assert(math.abs(r1(2L) - (0.05 + 0.85 * 2 / 3)) < 1e-9, r1.toString)
+  }
+
   test("d28 kernel: each cluster keeps its longest member, doc_id tie-break") {
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
       .toDF("doc_id", "component")
