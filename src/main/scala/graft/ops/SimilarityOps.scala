@@ -413,6 +413,37 @@ object SimilarityOps {
       .select(col("vec_id"), col("label").as("pred_label"), col("votes"))
   }
 
+  /** v16: Johnson-Lindenstrauss random projection — 64-dim embeddings
+    * reduced to 16 dims through a deterministic ±1 sign matrix (sign =
+    * parity of md5(i_j), the engine's portable randomness source), scaled
+    * by 1/√16 = 0.25 (exact in binary — no float noise from the scale).
+    * The dimensionality-reduction step that makes downstream clustering /
+    * dedup O(k) per distance instead of O(d); JL guarantees pairwise
+    * distances distort by at most ε with k = O(log n / ε²).
+    *
+    * Engine-exact: per-element contributions (val·sign — an exact sign
+    * flip of the original float) round to 9dp and sum as exact decimals,
+    * so the matmul is addition-order-free. Scale shape: posexplode ×
+    * broadcast 1024-row sign matrix × one (vec_id, j) hash agg — the d×k
+    * work JL costs anywhere, shuffled only on the output key. */
+  private def v16(s: SparkSession, d: String): DataFrame = {
+    val dims = s.range(64).toDF("i")
+    val outs = s.range(16).toDF("j")
+    val signs = dims.crossJoin(outs).select(col("i"), col("j"),
+      when(expr("conv(substring(md5(concat(cast(i as string), '_', " +
+        "cast(j as string))), 1, 7), 16, 10)").cast("long") % 2 === 0,
+        lit(1.0)).otherwise(lit(-1.0)).as("sgn"))
+    emb(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "val")))
+      .join(broadcast(signs), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(round(col("val").cast("double") * col("sgn"), 9)
+        .cast("decimal(38,9)")).as("s"))
+      .select(col("vec_id"), col("j"),
+        round(lit(0.25) * col("s").cast("double"), 6).as("coord"))
+      .orderBy("vec_id", "j")
+  }
+
   /** Per-dimension int8 codes over any (vec_id, embedding) frame — the
     * quantizer v08 summarizes and v13 retrieves with. A dimension with
     * mx == mn would otherwise divide 0/0 → NaN with engine-divergent cast
@@ -591,6 +622,7 @@ object SimilarityOps {
     "v10_mmr_select" -> v10 _,
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
     "v14_pq_adc" -> v14 _, "v15_knn_labels" -> v15 _,
+    "v16_jl_projection" -> v16 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
     "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,
@@ -634,6 +666,25 @@ object SimilarityOps {
     * fold — stable, oracle-able. */
   val oracle: Map[String, String] = Map(
     "v10_mmr_select" -> mmrOracleSql,
+    // the projection recomputed from scratch: same md5-parity sign
+    // matrix, same 9dp-decimal contribution sums, same 0.25 scale
+    "v16_jl_projection" ->
+      """WITH dims AS (SELECT CAST(i AS BIGINT) AS i FROM range(64) t(i)),
+        |outs AS (SELECT CAST(j AS BIGINT) AS j FROM range(16) t(j)),
+        |signs AS (
+        |  SELECT i, j,
+        |    CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_'
+        |                || CAST(j AS VARCHAR)), 1, 7))::BIGINT % 2 = 0
+        |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn
+        |  FROM dims CROSS JOIN outs),
+        |e AS (
+        |  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS val
+        |  FROM embeddings CROSS JOIN dims)
+        |SELECT vec_id, j,
+        |  round(0.25 * CAST(sum(CAST(round(val * sgn, 9)
+        |    AS DECIMAL(38,9))) AS DOUBLE), 6) AS coord
+        |FROM e JOIN signs USING (i)
+        |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
     // the exact-vote pseudo-labeler recomputed from scratch: brute-force
     // cosine top-5 labeled neighbors, majority label, label-asc tie-break
     "v15_knn_labels" ->

@@ -159,6 +159,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tie.toSeq === Seq((20L, "a", 1L)))
   }
 
+  test("v16 gate: JL projection is complete and roughly norm-preserving") {
+    val d = "/root/testdata/sf0.001"
+    val proj = SparkEntryQueries("v16_jl_projection", d)
+      .groupBy($"vec_id").agg(sum($"coord" * $"coord").as("p2"),
+        count(lit(1)).as("k"))
+    val orig = graft.Tables(spark, d, "embeddings")
+      .select($"vec_id",
+        aggregate($"embedding", lit(0.0), (a, x) => a + x * x).as("v2"))
+    val rows = proj.join(orig, "vec_id")
+      .select($"vec_id", $"p2", $"k", $"v2")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) === 16L, "16 output dims per vector"))
+    // E[||Pv||²] = ||v||² for a ±1/√k JL matrix — individual vectors
+    // fluctuate, the corpus mean must not
+    val ratios = rows.map(r => r.getDouble(1) / r.getDouble(3))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"norm-preservation drifted: mean=$mean")
+  }
+
   test("v15 gate: every unlabeled vector gets one verdict, bounded confidence") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntryQueries("v15_knn_labels", d).collect()
