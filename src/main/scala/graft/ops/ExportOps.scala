@@ -562,12 +562,78 @@ object ExportOps {
     }
   }
 
+  // --------------------------------------- e12: versioned atomic publish
+
+  /** Lands `df` as `root/v=<version>/` WITHOUT making it visible — the
+    * data half of a publish. Visibility is the pointer flip below. */
+  def writeVersion(df: DataFrame, root: String, version: Long): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$version")
+
+  /** Atomically flips `root/LATEST` to `version` (temp file + rename —
+    * the metadata-only commit primitive q68's staged swap also relies
+    * on). Readers resolve the pointer before touching data, so a publish
+    * is all-or-nothing: a crash after [[writeVersion]] but before the
+    * flip leaves the previous version served, never a half-written mix —
+    * snapshot isolation for a parquet directory with no table format. */
+  def flipLatest(s: SparkSession, root: String, version: Long): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".LATEST.tmp.$version")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    val target = new org.apache.hadoop.fs.Path(root, "LATEST")
+    fs.delete(target, false) // rename-over is not portable; delete+rename is
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"pointer flip to v=$version failed")
+  }
+
+  /** Publish = land the data, then flip the pointer. */
+  def publishVersion(df: DataFrame, root: String, version: Long): Unit = {
+    writeVersion(df, root, version)
+    flipLatest(df.sparkSession, root, version)
+  }
+
+  /** Resolves `root/LATEST` and reads that version's parquet. */
+  def readPublished(s: SparkSession, root: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(root, "LATEST")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+    s.read.parquet(s"$root/v=$v")
+  }
+
+  /** e12: the versioned-publish cycle gated end-to-end — v1 lands a
+    * partial summary and publishes; v2 lands the full corpus summary and
+    * publishes; the gate reads THROUGH the pointer and must hash-match
+    * the v2 oracle. The crash-window invariant (data landed, pointer not
+    * yet flipped → v1 still served) is spec-pinned in
+    * [[graft.ops.ExportOpsSpec]]. At 100 TB this is the poor-man's
+    * snapshot isolation every pointer-based lake publish uses: readers
+    * never see a partial version because visibility is one atomic
+    * metadata rename, and old versions stay queryable for rollback. */
+  private def e12(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_publish", d)
+    withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      val docsT = Tables(s, d, "documents")
+      def summary(df: DataFrame) = df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      publishVersion(summary(docsT.filter(col("doc_id") % 2 === 0)), root, 1L)
+      publishVersion(summary(docsT), root, 2L)
+      localizeAndDrop(readPublished(s, root), out, "lang")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
     "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _,
     "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _,
     "e08_sorted_export" -> e08 _, "e09_jsonl_roundtrip" -> e09 _,
-    "e10_bucketed_join" -> e10 _, "e11_bucketed_append" -> e11 _)
+    "e10_bucketed_join" -> e10 _, "e11_bucketed_append" -> e11 _,
+    "e12_versioned_publish" -> e12 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -602,6 +668,12 @@ object ExportOps {
     // content invariance: the summary of the fragmented-then-compacted
     // copy must equal the summary of the original table
     "e04_compaction" ->
+      """SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the pointer must serve v2 == the full-corpus summary (same shape
+    // as e04's content-invariance oracle)
+    "e12_versioned_publish" ->
       """SELECT lang, count(1) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
