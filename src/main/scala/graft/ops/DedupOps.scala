@@ -1265,8 +1265,11 @@ object DedupOps {
   private def d29(s: SparkSession, d: String): DataFrame = {
     val half = md5VerifiedPairs(s, d).filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b")
-    val edges = half.unionByName(
-      half.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // cache the edge list: it feeds outdeg, the node universe, AND one
+    // join per iteration — without the cache the banded-pair/verify
+    // subtree re-executes ~8× (measured 14.6 s → 2.0 s at sf0.1)
+    val edges = cached(half.unionByName(
+      half.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     pageRank(edges, iterations = 5).orderBy("doc_id")
   }
 
@@ -1279,22 +1282,32 @@ object DedupOps {
     * connectedComponents]] move). Requires every node to have outdegree
     * ≥ 1 (true for any symmetrized graph). */
   def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
-    val outdeg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("outdeg"))
-    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    // truncate lineage per round (the connectedComponents move): without
+    // it, iteration k's plan embeds every earlier round's joins and the
+    // optimizer/codegen cost grows with k even on a toy graph
+    def truncate(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (!sc.isLocal && sc.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    }
+    val e = truncate(edges.select(col("doc_a"), col("doc_b")))
+    val outdeg = truncate(
+      e.groupBy(col("doc_a")).agg(count(lit(1)).as("outdeg")))
+    val nodes = truncate(e.select(col("doc_a").as("doc_id")).distinct())
     val nRow = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("doc_id"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iterations) {
-      val contrib = edges
+      val contrib = e
         .join(ranks.select(col("doc_id").as("doc_a"), col("rank")), "doc_a")
         .join(outdeg, "doc_a")
         .select(col("doc_b").as("doc_id"),
           round(col("rank") / col("outdeg"), 9).cast("decimal(38,9)").as("c"))
-      ranks = contrib.groupBy(col("doc_id"))
+      ranks = truncate(contrib.groupBy(col("doc_id"))
         .agg(sum(col("c")).cast("double").as("in_sum"))
         .crossJoin(broadcast(nRow))
         .select(col("doc_id"),
-          round(lit(0.15) / col("n") + lit(0.85) * col("in_sum"), 9).as("rank"))
+          round(lit(0.15) / col("n") + lit(0.85) * col("in_sum"), 9).as("rank")))
     }
     ranks
   }
