@@ -307,15 +307,27 @@ object SimilarityOps {
     import s.implicits._
     val dims = 64
     val dsub = dims / m
-    val vecs = corpus.select(col("vec_id"),
-      VectorFunctions.toDouble(col("embedding")).as("v"))
-    val codebook = (0 until m).flatMap { j =>
-      val sub = vecs.select(col("vec_id"),
-        array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv"))
-      new KMeans().setK(k).setSeed(42L + j).setMaxIter(5)
-        .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
-        .clusterCenters.zipWithIndex
-        .map { case (c, i) => (j, i, c.toArray.toSeq) }
+    // cached: the m KMeans fits (maxIter scans each), the code
+    // assignment, and the exact rerank all re-read this frame — uncached
+    // it re-derives from parquet ~50× across the ML fit jobs
+    val vecs = DedupOps.cachedShared(corpus.select(col("vec_id"),
+      VectorFunctions.toDouble(col("embedding")).as("v")))
+    // the m per-subspace fits are independent — run them as concurrent
+    // Spark jobs (each is seeded, so concurrency cannot change results;
+    // sequential fits serialized ~40 tiny ML jobs and dominated the
+    // operator's wall time)
+    val codebook = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until m).map { j => Future {
+        val sub = vecs.select(col("vec_id"),
+          array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv"))
+        new KMeans().setK(k).setSeed(42L + j).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
+          .clusterCenters.zipWithIndex
+          .map { case (c, i) => (j, i, c.toArray.toSeq) }
+      }}), Duration.Inf).flatten
     }.toDF("sub", "code", "cent")
     val subvecs = vecs.select(col("vec_id"),
       explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
