@@ -794,6 +794,65 @@ object Relational {
       .orderBy("cohort", "offset")
   }
 
+  /** q73: hierarchical subtree rollup — the recursive-CTE query Spark
+    * has no operator for (org charts, BOM explosions, account trees),
+    * re-expressed as joins: every node aggregates over its whole
+    * subtree. The hierarchy is the deterministic decimal-digit chain
+    * parent(k) = k div 10 over customer keys (contiguous in the
+    * fixtures, so every parent exists); each ancestor's rollup sums the
+    * balances of all descendants including itself.
+    *
+    * The ancestor closure comes from [[ancestorPairs]] — pointer
+    * DOUBLING, so a depth-d hierarchy closes in O(log d) self-join
+    * rounds (the connectedComponents discipline), not d chained joins;
+    * the rollup is then one join + one keyed agg with exact decimal
+    * sums. The oracle runs the same closure as a DuckDB WITH RECURSIVE. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+      .select(col("c_custkey").as("node"), col("c_acctbal"))
+    val parents = c.filter(col("node") >= 10)
+      .select(col("node"), expr("node div 10").as("parent"))
+    val self = c.select(col("node"), col("node").as("anc"))
+    val pairs = self.unionByName(ancestorPairs(parents))
+    pairs.join(c, "node")
+      .groupBy(col("anc").as("ancestor"))
+      .agg(count(lit(1)).as("n_nodes"),
+        StableAgg.moneySum(col("c_acctbal")).as("subtree_bal"))
+      .orderBy("ancestor")
+  }
+
+  /** All proper (node, anc) ancestor pairs of a parent-pointer forest,
+    * by pointer doubling: round k holds every ancestor within distance
+    * 2^k, so a depth-d chain closes in ⌈log₂ d⌉ rounds — each round one
+    * self equi-join + distinct, lineage-truncated. No driver state
+    * beyond the convergence counter; the pair count is bounded by
+    * nodes × depth (the same bound the recursive CTE materializes). */
+  def ancestorPairs(parents: DataFrame): DataFrame = {
+    def truncate(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (!sc.isLocal && sc.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    }
+    var pairs = truncate(parents.select(col("node"), col("parent").as("anc")))
+    var size = pairs.count()
+    var changed = true
+    val maxRounds = 40
+    var round = 0
+    while (changed && round < maxRounds) {
+      val x = pairs.select(col("node"), col("anc").as("mid"))
+      val y = pairs.select(col("node").as("mid"), col("anc"))
+      val extended = x.join(y, "mid").select(col("node"), col("anc"))
+      val next = truncate(pairs.unionByName(extended).distinct())
+      val nextSize = next.count()
+      changed = nextSize > size
+      pairs = next
+      size = nextSize
+      round += 1
+    }
+    require(!changed, s"ancestorPairs did not converge within $maxRounds rounds")
+    pairs
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -996,7 +1055,7 @@ object Relational {
     "q63_sketch_users" -> q63 _, "q64_exact_users" -> q64 _,
     "q66_upsert_merge" -> q66 _, "q68_partitioned_merge" -> q68 _,
     "q70_gap_fill_locf" -> q70 _, "q71_transition_matrix" -> q71 _,
-    "q72_cohort_retention" -> q72 _,
+    "q72_cohort_retention" -> q72 _, "q73_hierarchy_rollup" -> q73 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -1284,6 +1343,15 @@ object Relational {
         |SELECT cohort, "offset", count(1) AS n_users
         |FROM d GROUP BY cohort, "offset"
         |ORDER BY cohort, "offset"""".stripMargin,
+    "q73_hierarchy_rollup" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS node, c_custkey AS ancestor FROM customer
+        |  UNION ALL
+        |  SELECT node, ancestor // 10 FROM anc WHERE ancestor >= 10)
+        |SELECT ancestor, count(1) AS n_nodes,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS subtree_bal
+        |FROM anc JOIN customer ON c_custkey = node
+        |GROUP BY ancestor ORDER BY ancestor""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,

@@ -93,6 +93,22 @@ class CdcPartitionSpec extends SparkSpec {
     }
   }
 
+  test("q73 kernel: ancestorPairs closes a deep chain in log rounds") {
+    import spark.implicits._
+    // a 33-deep chain (0←1←2…←33): naive chaining needs 33 joins,
+    // doubling must close it inside the 40-round guard with room to spare
+    val parents = (1L to 33L).map(k => (k, k - 1)).toDF("node", "parent")
+    val pairs = Relational.ancestorPairs(parents)
+      .as[(Long, Long)].collect().toSet
+    val expected = (for (n <- 1L to 33L; a <- 0L until n) yield (n, a)).toSet
+    assert(pairs === expected, s"closure wrong: ${pairs.size} vs ${expected.size}")
+    // a forest with two trees: no cross-tree ancestors may appear
+    val forest = Seq((10L, 1L), (11L, 1L), (20L, 2L), (21L, 20L))
+      .toDF("node", "parent")
+    val f = Relational.ancestorPairs(forest).as[(Long, Long)].collect().toSet
+    assert(f === Set((10L, 1L), (11L, 1L), (20L, 2L), (21L, 20L), (21L, 2L)))
+  }
+
   test("q69: mergePartitioned is idempotent under change-batch redelivery") {
     // the property the streaming gate's at-least-once foreachBatch leans
     // on: replaying an already-applied batch cannot change the snapshot
