@@ -266,7 +266,16 @@ object DedupOps {
     * string sets up to negligible 28-bit collisions (same move d05 makes
     * with 64-bit hashes), and long-array intersects are far cheaper to
     * shuffle and compare. */
-  private def md5VerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private def md5VerifiedPairs(s: SparkSession, d: String): DataFrame =
+    bandedPairSides(s, d)
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+          size(array_union(col("hv_a"), col("hv_b"))).cast("double")).as("jaccard"))
+
+  /** Band-blocked candidate pairs with both hashed shingle sets attached —
+    * the shared verify input of [[md5VerifiedPairs]] (resemblance) and
+    * d30 (containment). */
+  private def bandedPairSides(s: SparkSession, d: String): DataFrame = {
     val base = cached(withShingleHashes(s, d)) // banding + both verify sides
     val banded = bandFrame(base)
     val pairs = banded.select(col("band_idx"), col("band"), col("doc_id").as("doc_a"))
@@ -278,10 +287,34 @@ object DedupOps {
     val a = base.select(col("doc_id").as("doc_a"), col("hv").as("hv_a"))
     val b = base.select(col("doc_id").as("doc_b"), col("hv").as("hv_b"))
     pairs.join(a, "doc_a").join(b, "doc_b")
+  }
+
+  /** d30: containment screening — the subset-duplicate case resemblance
+    * misses: a short document wholly contained in a longer one has high
+    * containment |A∩B|/|A| but LOW Jaccard (the big doc's extra shingles
+    * dilute the union), so the d10 ≥0.7 screen never fires. Output is
+    * every banded candidate pair whose max one-sided containment ≥ 0.7,
+    * with both containments and the Jaccard for triage (pairs where
+    * containment fires but Jaccard doesn't are exactly the
+    * subset-duplicates). Candidates come from the SAME resemblance
+    * bands as d10 — documented recall caveat: a containment pair whose
+    * MinHash signatures never collide is invisible to this pass (the
+    * production fix is banding on the SMALLER doc's signature, same
+    * topology), mirroring d23's documented-gap discipline.
+    *
+    * Set semantics are explicit distincts so duplicate shingle hashes
+    * cannot skew either denominator. */
+  private def d30(s: SparkSession, d: String): DataFrame =
+    bandedPairSides(s, d)
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+          size(array_distinct(col("hv_a"))).cast("double")).as("cont_a"),
+        (size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+          size(array_distinct(col("hv_b"))).cast("double")).as("cont_b"),
+        (size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
           size(array_union(col("hv_a"), col("hv_b"))).cast("double")).as("jaccard"))
-  }
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.7)
+      .orderBy("doc_a", "doc_b")
 
   /** Near-dup candidates + exact verify, oracle-checkable end-to-end — the
     * fully-portable twin of d05. */
@@ -1404,7 +1437,7 @@ object DedupOps {
     "d23_fuzzy_dedup" -> d23 _, "d24_split_leakage" -> d24 _,
     "d25_index_append" -> d25 _, "d26_fuzzy_multipass" -> d26 _,
     "d27_dup_span_removal" -> d27 _, "d28_cluster_keep_best" -> d28 _,
-    "d29_pagerank" -> d29 _,
+    "d29_pagerank" -> d29 _, "d30_containment" -> d30 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -1909,6 +1942,23 @@ object DedupOps {
         (1 to 5).map(iter).mkString(",\n") + "\n" +
         "SELECT doc_id, rank FROM r5 ORDER BY doc_id"
     },
+    // d30: containment over the same banded candidates, explicit
+    // distinct-set semantics on both denominators
+    "d30_containment" ->
+      (BandedPairsCte + ",\n" +
+        """cont AS (
+          |  SELECT doc_a, doc_b,
+          |    CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE) /
+          |      CAST(len(list_distinct(ha.hv)) AS DOUBLE) AS cont_a,
+          |    CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE) /
+          |      CAST(len(list_distinct(hb.hv)) AS DOUBLE) AS cont_b,
+          |    CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE) /
+          |      CAST(len(list_distinct(ha.hv || hb.hv)) AS DOUBLE) AS jaccard
+          |  FROM cpairs JOIN hv ha ON ha.doc_id = cpairs.doc_a
+          |              JOIN hv hb ON hb.doc_id = cpairs.doc_b)
+          |SELECT doc_a, doc_b, cont_a, cont_b, jaccard FROM cont
+          |WHERE greatest(cont_a, cont_b) >= 0.7
+          |ORDER BY doc_a, doc_b""".stripMargin),
     // d28: d14's components + a longest-member keeper election per cluster
     "d28_cluster_keep_best" ->
       (BandedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
