@@ -22,6 +22,12 @@ class BenchShuffleSpec extends SparkSpec {
     "q12_window_rank" -> (7511L, 1500L),
     "q24_window_tumbling" -> (9876L, 1000L),
     "t06_tfidf" -> (7371L, 1500L),
+    // round-8 additions (measured under the same local[8]/8-partition
+    // session): q70's grid join, q71's single user window, t20's two
+    // corpus aggs + scored-set joins
+    "q70_gap_fill_locf" -> (678L, 1000L),
+    "q71_transition_matrix" -> (20484L, 1000L),
+    "t20_bm25" -> (46593L, 2500L),
   )
 
   test("pinned queries: shuffle bytes within +20% of pin, rows read exact") {
