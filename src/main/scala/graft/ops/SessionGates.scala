@@ -355,10 +355,70 @@ object SessionGates {
     }
   }
 
+  /** q74: per-user cumulative totals via Spark 4's `transformWithState`
+    * ([[graft.streaming.CumulativeTotalsProcessor]]) under real
+    * multi-batch streaming on the RocksDB state store (the only provider
+    * the new API supports). The events file splits at the integer
+    * midpoint timestamp ((min+max) div 2 — exact in both engines, unlike
+    * a float mean) into two micro-batches; each batch a user appears in
+    * emits that user's RUNNING totals, so batch-2 rows prove per-key
+    * state survived the batch boundary (they carry batch-1's counts).
+    * Values pre-scale to integer cents (floor(v·100+0.5) — identical in
+    * both engines for any sign), so the accumulation is order-free and
+    * the whole output hash-matches a DuckDB oracle computing both
+    * batches' cumulative totals from scratch. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_tws", d)
+    ExportOps.withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+    ExportOps.withConf(s, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val mid = raw.agg(expr("(min(ts) + max(ts)) div 2").as("m"))
+        .head().getLong(0)
+      val now = System.currentTimeMillis()
+      Seq(col("ts") <= mid, col("ts") > mid).zipWithIndex.foreach {
+        case (cond, i) =>
+          val slice = s"$out/slice$i"
+          raw.filter(cond).coalesce(1).write.parquet(slice)
+          val part = new java.io.File(slice).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$out/in/f$i.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(now - (2 - i) * 60000L) // arrival order
+      }
+      import s.implicits._
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("user_id"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .as[graft.streaming.UserEvent]
+      val totals = stream.groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.CumulativeTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = totals.toDF().writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val landed = s.read.parquet(s"$out/data")
+      ExportOps.localizeAndDrop(landed, out, "user_id", "n_events")
+    }
+    }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_session_window" -> q57 _, "q58_stream_sessions" -> q58 _,
     "q62_stream_interval_join" -> q62 _, "q65_stream_dedup" -> q65 _,
-    "q67_stream_outer_join" -> q67 _, "q69_stream_cdc_apply" -> q69 _)
+    "q67_stream_outer_join" -> q67 _, "q69_stream_cdc_apply" -> q69 _,
+    "q74_stream_cumulative" -> q74 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -384,6 +444,27 @@ object SessionGates {
     // the streamed two-batch apply must land exactly the snapshot q68's
     // single-shot log-ordered merge computes
     "q69_stream_cdc_apply" -> Relational.oracle("q68_partitioned_merge"),
+    // cumulative totals recomputed from scratch per batch membership:
+    // batch-1 rows are totals over ts <= mid; batch-2 rows (users with
+    // any later event) are totals over ALL their events — the running
+    // state the processor must have carried across the boundary
+    "q74_stream_cumulative" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |mid AS (SELECT (min(tsn) + max(tsn)) // 2 AS m FROM e),
+        |b1 AS (
+        |  SELECT user_id, count(1) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e CROSS JOIN mid WHERE tsn <= m GROUP BY user_id),
+        |b2u AS (SELECT DISTINCT user_id FROM e CROSS JOIN mid WHERE tsn > m),
+        |b2 AS (
+        |  SELECT e.user_id, count(1) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e JOIN b2u USING (user_id) GROUP BY e.user_id)
+        |SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |ORDER BY user_id, n_events""".stripMargin,
     "q57_session_window" -> SessionOracleSql,
     "q58_stream_sessions" -> SessionOracleSql,
     // ms-truncated self-join: every purchase × same-user clicks in the

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming._
+
+/** Per-user cumulative totals on Spark 4's `transformWithState` — the
+  * arbitrary-state API that supersedes `flatMapGroupsWithState` (which
+  * g08's trip operator gates): typed named state primitives
+  * (Value/List/MapState) on the RocksDB state store, explicit TTL,
+  * timers. This operator keeps ONE `ValueState[UserTotals]` per user and
+  * emits the running (event count, cents) totals once per micro-batch
+  * the user appears in — the per-entity lifetime accumulator every
+  * billing / engagement pipeline maintains.
+  *
+  * Determinism contract (what makes the gate oracle-able): the update is
+  * commutative integer arithmetic (counts + pre-scaled cents), so the
+  * nondeterministic row order WITHIN a micro-batch cannot change the
+  * emitted totals, and one row per (user, batch) means output content is
+  * a pure function of the batch split.
+  *
+  * Scale shape: state is per-key O(1) (two longs), partitioned by the
+  * grouping key across the cluster and snapshotted/restored by the
+  * RocksDB store per micro-batch — the unbounded-key case (user churn)
+  * is what [[TTLConfig]] exists for; the gate keeps NONE because the
+  * fixture window is bounded. */
+case class UserEvent(user_id: Long, cents: Long)
+case class UserTotals(n: Long, cents: Long)
+case class UserCumulative(user_id: Long, n_events: Long, sum_cents: Long)
+
+class CumulativeTotalsProcessor
+    extends StatefulProcessor[Long, UserEvent, UserCumulative] {
+
+  @transient private var totals: ValueState[UserTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserTotals]("totals",
+      Encoders.product[UserTotals], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[UserCumulative] = {
+    val prev = if (totals.exists()) totals.get() else UserTotals(0L, 0L)
+    var n = prev.n
+    var c = prev.cents
+    rows.foreach { e => n += 1; c += e.cents }
+    totals.update(UserTotals(n, c))
+    Iterator.single(UserCumulative(key, n, c))
+  }
+}

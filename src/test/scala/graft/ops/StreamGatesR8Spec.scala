@@ -40,4 +40,34 @@ class StreamGatesR8Spec extends SparkSpec {
           s"stalled watermark $stalled — it should have emitted")
     }
   }
+
+  test("q74: transformWithState carries per-user totals across the batch boundary") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q74_stream_cumulative")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1)
+    // totals over the whole fixture, computed batch-agnostically
+    val exact = graft.Tables(spark, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a user emits at most twice (once per batch they appear in), and the
+    // LAST emission must equal the exact lifetime totals — state survived
+    byUser.foreach { case (u, rs) =>
+      assert(rs.length <= 2, s"user $u emitted ${rs.length} rows")
+      val last = rs.maxBy(_._2)
+      assert((last._2, last._3) === exact(u),
+        s"user $u final totals drifted from the batch-agnostic recompute")
+    }
+    // cross-boundary users exist and their first emission is a strict
+    // prefix of the second — the state the new API must have carried
+    val both = byUser.filter(_._2.length == 2)
+    assert(both.nonEmpty, "fixture must have users active in both batches")
+    both.foreach { case (u, rs) =>
+      val Seq(a, b) = rs.sortBy(_._2).toSeq
+      assert(a._2 < b._2,
+        s"user $u batch-1 emission is not a running prefix: $rs")
+    }
+  }
 }
