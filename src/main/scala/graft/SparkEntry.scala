@@ -40,7 +40,8 @@ object SparkEntry {
         "g08_stream_trips" -> ((s, d) => geotab.GeotabSynth.streamTrips(s, d)),
         "g09_stream_http_submit" -> ((s, d) => geotab.GeotabSynth.streamHttpSubmit(s, d)),
         "g10_stream_two_runs" -> ((s, d) => geotab.GeotabSynth.streamTwoRuns(s, d)),
-        "g11_grid_density" -> ((s, d) => geotab.GeotabSynth.gridDensityQuery(s, d)))
+        "g11_grid_density" -> ((s, d) => geotab.GeotabSynth.gridDensityQuery(s, d)),
+        "g12_geofence" -> ((s, d) => geotab.GeotabSynth.geofenceQuery(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -69,5 +70,6 @@ object SparkEntry {
         // two scheduled runs with the fleet moving in between must land
         // the union of both runs' flagship outputs
         "g10_stream_two_runs" -> geotab.GeotabSynth.twoRunsOracleSql,
-        "g11_grid_density" -> geotab.GeotabSynth.gridDensityOracleSql)
+        "g11_grid_density" -> geotab.GeotabSynth.gridDensityOracleSql,
+        "g12_geofence" -> geotab.GeotabSynth.geofenceOracleSql)
 }

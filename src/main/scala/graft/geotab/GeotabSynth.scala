@@ -451,6 +451,57 @@ object GeotabSynth {
       |FROM info GROUP BY cell_lat, cell_lon
       |ORDER BY cell_lat, cell_lon""".stripMargin
 
+  /** g12: geofence assignment — each device's current position mapped to
+    * the named rectangular zone containing it (or `none`), the alerting /
+    * dispatch primitive every fleet platform runs per snapshot. Zones are
+    * a 4-row literal dimension BROADCAST onto one scan (a range join on
+    * a corpus-sized zone table would bucket by grid cell first — g11's
+    * cells are exactly that coarse index); zones are disjoint, so each
+    * device matches at most once and a left join + coalesce lands the
+    * `none` rows without a second pass. Pure comparisons on the
+    * synthesized .5/.25-offset coordinates — engine-exact. */
+  def geofenceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val zones = Seq(
+      ("north_america", 15.0, 72.0, -170.0, -50.0),
+      ("europe", 35.0, 72.0, -10.0, 40.0),
+      ("south_cone", -60.0, -15.0, -90.0, -30.0),
+      ("oceania", -50.0, -10.0, 110.0, 180.0)
+    ).toDF("zone", "lat_min", "lat_max", "lon_min", "lon_max")
+    info(spark, sfDir)
+      .join(broadcast(zones),
+        col("latitude") >= col("lat_min") && col("latitude") < col("lat_max") &&
+          col("longitude") >= col("lon_min") && col("longitude") < col("lon_max"),
+        "left")
+      .select(col("device_id"), coalesce(col("zone"), lit("none")).as("zone"),
+        col("latitude"), col("longitude"))
+      .orderBy("device_id")
+  }
+
+  /** DuckDB twin of [[geofenceQuery]], same synth CTE and zone rows. */
+  val geofenceOracleSql: String =
+    """WITH latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |), info AS (
+      |  SELECT 'dev-' || o_custkey AS device_id,
+      |         (o_orderkey % 180) - 90 + 0.5 AS latitude,
+      |         (o_orderkey % 360) - 180 + 0.25 AS longitude
+      |  FROM latest WHERE rn = 1
+      |), zones(zone, lat_min, lat_max, lon_min, lon_max) AS (
+      |  VALUES ('north_america', 15.0, 72.0, -170.0, -50.0),
+      |         ('europe', 35.0, 72.0, -10.0, 40.0),
+      |         ('south_cone', -60.0, -15.0, -90.0, -30.0),
+      |         ('oceania', -50.0, -10.0, 110.0, 180.0)
+      |)
+      |SELECT device_id, coalesce(z.zone, 'none') AS zone,
+      |       latitude, longitude
+      |FROM info LEFT JOIN zones z
+      |  ON latitude >= lat_min AND latitude < lat_max
+      | AND longitude >= lon_min AND longitude < lon_max
+      |ORDER BY device_id""".stripMargin
+
   /** DuckDB twin of [[haversineQuery]], same synth CTE and term order. */
   val haversineOracleSql: String =
     """WITH latest AS (

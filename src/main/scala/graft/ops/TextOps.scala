@@ -154,6 +154,30 @@ object TextOps {
       .select(col("doc_id"), col("n_terms"), col("score"))
   }
 
+  /** t21: keyword-in-context (KWIC) snippets — the search-result
+    * companion of t20: for each query term a document contains, the ±3
+    * token window around the FIRST occurrence, the snippet a retrieval UI
+    * (or a contamination-audit reviewer) shows. Entirely per-row:
+    * `array_position` (codegen'd, no explode) finds the occurrence and
+    * `slice` cuts the window over the raw space-split array — both
+    * engines slice the SAME raw array, so even degenerate whitespace
+    * round-trips identically. No shuffle but the output sort. */
+  private def t21(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "vector", "customer")
+    docs(s, d)
+      .select(col("doc_id"), tokenize(col("text"), "space-raw").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(array(terms.map(lit): _*)).as("term"))
+      .withColumn("pos", array_position(col("toks"), col("term")))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), col("term"), col("pos"),
+        concat_ws(" ", slice(col("toks"),
+          greatest(col("pos") - 3, lit(1)),
+          col("pos") + lit(3) - greatest(col("pos") - 3, lit(1)) + lit(1)))
+          .as("snippet"))
+      .orderBy("doc_id", "term")
+  }
+
   /** Sequence packing for LLM training: assign documents to fixed
     * token-budget bins (2048 tokens) with the prefix-sum formulation —
     * bin = floor(running-token-total-before-doc / budget) within each
@@ -558,7 +582,7 @@ object TextOps {
     "t05_token_frequency" -> t05 _, "t10_pii_redact" -> t10 _,
     "t11_bigram_counts" -> t11 _, "t12_unigram_logprob" -> t12 _,
     "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _,
-    "t20_bm25" -> t20 _)
+    "t20_bm25" -> t20 _, "t21_kwic_snippets" -> t21 _)
 
   val oracle: Map[String, String] = Map(
     "t16_quality_buckets" ->
@@ -678,6 +702,21 @@ object TextOps {
         |    CAST(top2.cnt * length(top2.g) AS DOUBLE) /
         |    CAST(length(text) AS DOUBLE) END AS top_2gram_char_frac
         |FROM topg ORDER BY doc_id""".stripMargin,
+    // per-row window over the SAME raw space-split list; list_position =
+    // first occurrence, list slicing clips at both ends like Spark's slice
+    "t21_kwic_snippets" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |terms AS (SELECT unnest(['spark', 'vector', 'customer']) AS term),
+        |hits AS (
+        |  SELECT doc_id, term,
+        |    CAST(list_position(toks, term) AS BIGINT) AS pos, toks
+        |  FROM base CROSS JOIN terms
+        |  WHERE list_position(toks, term) > 0)
+        |SELECT doc_id, term, pos,
+        |  array_to_string(toks[greatest(pos - 3, 1) : pos + 3], ' ')
+        |    AS snippet
+        |FROM hits ORDER BY doc_id, term""".stripMargin,
     "t20_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, token FROM (
