@@ -1345,6 +1345,21 @@ object DedupOps {
     ranks
   }
 
+  /** c04: dedup savings accounting — the report a curation run ships to
+    * its stakeholders: documents and tokens per (curation status,
+    * language), i.e. how much of the corpus each rejection rule removed
+    * and what survives for training. One join of the shared status table
+    * to per-doc token counts + one tiny keyed agg; token counts are
+    * integer sums — engine-exact. */
+  private def c04(s: SparkSession, d: String): DataFrame =
+    curationStatuses(s, d)
+      .join(docs(s, d).select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id")
+      .groupBy(col("status"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("status", "lang")
+
   /** c03: the c01 curation pipeline expressed ENTIRELY as one SQL
     * statement through the engine's SQL front door — registered graft
     * kernels (`graft_shingle_hashes`, `graft_md5_minhash`,
@@ -1430,7 +1445,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_curation_pipeline" -> c01 _, "c02_training_flow" -> c02 _,
-    "c03_sql_pipeline" -> c03 _,
+    "c03_sql_pipeline" -> c03 _, "c04_dedup_accounting" -> c04 _,
     "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
     "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
@@ -1604,6 +1619,19 @@ object DedupOps {
     "c03_sql_pipeline" ->
       (CurationStatusCte +
         "\nSELECT doc_id, status FROM statuses ORDER BY doc_id"),
+    // c04: statuses joined to ws-token counts (c02's kbase tokenization)
+    "c04_dedup_accounting" ->
+      (CurationStatusCte + raw""",
+        |tok AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+        |      t -> length(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents d)
+        |SELECT s.status, t.lang, count(1) AS n_docs,
+        |  CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens
+        |FROM statuses s JOIN tok t ON t.doc_id = s.doc_id
+        |GROUP BY s.status, t.lang
+        |ORDER BY status, lang""".stripMargin),
     "c02_training_flow" ->
       (CurationStatusCte + raw""",
         |keptd AS (SELECT doc_id FROM statuses WHERE status = 'kept'),
