@@ -853,6 +853,54 @@ object Relational {
     pairs
   }
 
+  /** q75: SCD-2 dimension build — turn a change stream into validity
+    * intervals (the standard slowly-changing-dimension type 2 shape every
+    * warehouse maintains). Each order is a change to its customer's
+    * observed attribute (here the latest order price); `valid_to` of one
+    * version is `valid_from` of the next, NULL marks the current row.
+    *
+    * The whole build is ONE window over the change key — a single hash
+    * shuffle on `k`, no self-joins, no per-key subqueries; at 100 TB the
+    * per-key partitions sort independently. Ties inside a key (two
+    * changes with the same timestamp) are broken by the change id in
+    * both engines, and same-instant predecessors become empty intervals
+    * `[ts, ts)` that any as-of probe (q76) naturally skips. */
+  private def q75(s: SparkSession, d: String): DataFrame =
+    scd2Intervals(t(s, d, "orders").select(
+        col("o_custkey").as("k"), col("o_orderkey").as("chg_id"),
+        col("o_orderdate").as("valid_from"), col("o_totalprice").as("price")))
+      .orderBy("k", "version")
+
+  /** The q75 kernel over any (k, chg_id, valid_from, attrs...) change
+    * frame, public for specs: versions number per key in change order;
+    * `valid_to` is the next change's `valid_from` (NULL = current). */
+  def scd2Intervals(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("valid_from"), col("chg_id"))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** q76: point-in-time snapshot — reconstruct the dimension exactly as
+    * it stood at time T from the q75 interval table: `valid_from <= T <
+    * valid_to` selects at most one version per key. Composes on
+    * [[scd2Intervals]] with only a filter — no shuffle beyond q75's one
+    * window, and at scale the interval table is typically persisted so
+    * the probe is a scan + filter. Distinct from q33's as-of JOIN: this
+    * is dimension time-travel, one fixed T for every key. */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val asOf = lit("1995-06-17").cast("timestamp")
+    scd2Intervals(t(s, d, "orders").select(
+        col("o_custkey").as("k"), col("o_orderkey").as("chg_id"),
+        col("o_orderdate").as("valid_from"), col("o_totalprice").as("price")))
+      .filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .select("k", "price", "valid_from", "version")
+      .orderBy("k")
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -1056,6 +1104,7 @@ object Relational {
     "q66_upsert_merge" -> q66 _, "q68_partitioned_merge" -> q68 _,
     "q70_gap_fill_locf" -> q70 _, "q71_transition_matrix" -> q71 _,
     "q72_cohort_retention" -> q72 _, "q73_hierarchy_rollup" -> q73 _,
+    "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -1343,6 +1392,26 @@ object Relational {
         |SELECT cohort, "offset", count(1) AS n_users
         |FROM d GROUP BY cohort, "offset"
         |ORDER BY cohort, "offset"""".stripMargin,
+    "q75_scd2_intervals" ->
+      """SELECT o_custkey AS k, o_orderkey AS chg_id,
+        |  o_orderdate AS valid_from, o_totalprice AS price,
+        |  row_number() OVER w AS version,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY k, version""".stripMargin,
+    "q76_asof_snapshot" ->
+      """WITH v AS (
+        |  SELECT o_custkey AS k, o_orderdate AS valid_from,
+        |    o_totalprice AS price, row_number() OVER w AS version,
+        |    lead(o_orderdate) OVER w AS valid_to
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT k, price, valid_from, version FROM v
+        |WHERE valid_from <= TIMESTAMP '1995-06-17'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-17')
+        |ORDER BY k""".stripMargin,
     "q73_hierarchy_rollup" ->
       """WITH RECURSIVE anc AS (
         |  SELECT c_custkey AS node, c_custkey AS ancestor FROM customer
