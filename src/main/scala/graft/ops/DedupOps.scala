@@ -316,6 +316,38 @@ object DedupOps {
       .filter(greatest(col("cont_a"), col("cont_b")) >= 0.7)
       .orderBy("doc_a", "doc_b")
 
+  /** d31: token-sort fingerprint dedup — the word-order-insensitive exact
+    * pass between d01 (byte-exact) and MinHash (fuzzy): sorting a doc's
+    * tokens canonicalizes reorderings (shuffled sentence fragments,
+    * re-ordered list items, template field permutations), so reordered
+    * copies collapse to one md5 fingerprint while any token
+    * insertion/deletion still separates them. The harness plants
+    * token-reversed twins (`doc_id+100000`) that byte-exact dedup
+    * provably cannot pair — `n_exact_distinct > 1` inside a fingerprint
+    * group is the catch made visible.
+    *
+    * Scale shape: the fingerprint is per-row expression work (tokenize +
+    * `array_sort` + md5 — the sort is per-DOC, bounded by doc length, not
+    * a shuffle), then ONE hash-partitioned groupBy on the 32-byte md5 —
+    * d01's exact topology with a canonicalized key, so the 100 TB cost
+    * is identical to exact dedup. */
+  private def d31(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", reverse(TextFunctions.tokens(col("text")))).as("text"))
+    base.unionByName(variants)
+      .select(col("doc_id"), md5(col("text")).as("exact_md5"),
+        md5(concat_ws(" ",
+          array_sort(TextFunctions.tokens(col("text"))))).as("sig"))
+      .groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("exact_md5")).as("n_exact_distinct"))
+      .select("keeper_id", "n_members", "n_exact_distinct")
+      .orderBy("keeper_id")
+  }
+
   /** Near-dup candidates + exact verify, oracle-checkable end-to-end — the
     * fully-portable twin of d05. */
   private def d10(s: SparkSession, d: String): DataFrame =
@@ -1453,6 +1485,7 @@ object DedupOps {
     "d25_index_append" -> d25 _, "d26_fuzzy_multipass" -> d26 _,
     "d27_dup_span_removal" -> d27 _, "d28_cluster_keep_best" -> d28 _,
     "d29_pagerank" -> d29 _, "d30_containment" -> d30 _,
+    "d31_tokensort_dedup" -> d31 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -1987,6 +2020,24 @@ object DedupOps {
           |SELECT doc_a, doc_b, cont_a, cont_b, jaccard FROM cont
           |WHERE greatest(cont_a, cont_b) >= 0.7
           |ORDER BY doc_a, doc_b""".stripMargin),
+    "d31_tokensort_dedup" ->
+      raw"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(list_reverse(
+        |      list_filter(string_split_regex(text, '\s+'),
+        |        t -> length(t) > 0)), ' ')
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |sigs AS (
+        |  SELECT doc_id, md5(text) AS exact_md5,
+        |    md5(array_to_string(list_sort(
+        |      list_filter(string_split_regex(text, '\s+'),
+        |        t -> length(t) > 0)), ' ')) AS sig
+        |  FROM corpus)
+        |SELECT min(doc_id) AS keeper_id, count(1) AS n_members,
+        |  count(DISTINCT exact_md5) AS n_exact_distinct
+        |FROM sigs GROUP BY sig ORDER BY keeper_id""".stripMargin,
     // d28: d14's components + a longest-member keeper election per cluster
     "d28_cluster_keep_best" ->
       (BandedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
