@@ -178,6 +178,55 @@ object TextOps {
       .orderBy("doc_id", "term")
   }
 
+  /** t22: Zipf vocabulary-coverage curve — for each coverage target
+    * (50/90/95/99% of token occurrences), the smallest frequency-ranked
+    * vocabulary that reaches it. The number a tokenizer-budget or
+    * stopword decision actually needs, and on a Zipf-shaped corpus the
+    * curve's knee is the whole story.
+    *
+    * Scale shape: the naive formulation is a GLOBAL rank + running sum
+    * over the vocabulary — a single-partition window over what is 100M+
+    * rows at 100 TB. This one never ranks the vocabulary: it aggregates
+    * the vocab into a tf-HISTOGRAM (one row per distinct frequency
+    * value — bounded by the max per-token count, thousands of rows at
+    * any corpus size, Zipf guarantees it), runs the cumulative window
+    * over that tiny frame, and recovers the EXACT boundary rank
+    * arithmetically inside the crossing bucket (every token in a bucket
+    * has identical tf, so the m-th token's cumulative mass is
+    * cum_before + m·tf — pure integer math, identical in any engine).
+    * Two corpus-scale hash aggs, one histogram-scale window, zero
+    * corpus-scale sorts. */
+  private def t22(s: SparkSession, d: String): DataFrame = {
+    val vocab = docs(s, d)
+      .select(explode(tokenize(col("text"), "space")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val hist = vocab.groupBy(col("tf"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("tf")).as("mass"))
+    // histogram-sized frame: the global window is over ≤ max(tf) rows
+    val w = Window.orderBy(col("tf").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("tf"), col("n_toks"),
+      (sum(col("mass")).over(w) - col("mass")).as("cum_before"),
+      (sum(col("n_toks")).over(w) - col("n_toks")).as("toks_before"))
+    val th = vocab.agg(sum(col("tf")).as("total_tokens"))
+      .select(col("total_tokens"),
+        explode(array(lit(50L), lit(90L), lit(95L), lit(99L))).as("pct"))
+    // the unique bucket where coverage first reaches pct, then the exact
+    // in-bucket token count m: smallest m with 100·(cum_before+m·tf) ≥
+    // pct·total (integer ceiling division; all operands positive)
+    cum.crossJoin(broadcast(th))
+      .filter(col("cum_before") * 100 < col("pct") * col("total_tokens") &&
+        (col("cum_before") + col("n_toks") * col("tf")) * 100 >=
+          col("pct") * col("total_tokens"))
+      .withColumn("m", expr(
+        "(pct * total_tokens - 100 * cum_before + 100 * tf - 1) div (100 * tf)"))
+      .select(col("pct"),
+        (col("toks_before") + col("m")).as("vocab_size"),
+        (col("cum_before") + col("m") * col("tf")).as("covered_tokens"),
+        col("total_tokens"))
+      .orderBy("pct")
+  }
+
   /** Sequence packing for LLM training: assign documents to fixed
     * token-budget bins (2048 tokens) with the prefix-sum formulation —
     * bin = floor(running-token-total-before-doc / budget) within each
@@ -582,7 +631,8 @@ object TextOps {
     "t05_token_frequency" -> t05 _, "t10_pii_redact" -> t10 _,
     "t11_bigram_counts" -> t11 _, "t12_unigram_logprob" -> t12 _,
     "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _,
-    "t20_bm25" -> t20 _, "t21_kwic_snippets" -> t21 _)
+    "t20_bm25" -> t20 _, "t21_kwic_snippets" -> t21 _,
+    "t22_zipf_coverage" -> t22 _)
 
   val oracle: Map[String, String] = Map(
     "t16_quality_buckets" ->
@@ -704,6 +754,23 @@ object TextOps {
         |FROM topg ORDER BY doc_id""".stripMargin,
     // per-row window over the SAME raw space-split list; list_position =
     // first occurrence, list slicing clips at both ends like Spark's slice
+    "t22_zipf_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |    t -> length(t) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, count(1) AS tf FROM toks GROUP BY token),
+        |ranked AS (
+        |  SELECT row_number() OVER w AS r, sum(tf) OVER w AS cum
+        |  FROM tf
+        |  WINDOW w AS (ORDER BY tf DESC, token ASC ROWS UNBOUNDED PRECEDING)),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM tf),
+        |th AS (SELECT unnest([50, 90, 95, 99]) AS pct)
+        |SELECT CAST(pct AS BIGINT) AS pct, CAST(min(r) AS BIGINT) AS vocab_size,
+        |  CAST(min(cum) AS BIGINT) AS covered_tokens, total_tokens
+        |FROM th CROSS JOIN ranked CROSS JOIN tot
+        |WHERE 100 * cum >= pct * total_tokens
+        |GROUP BY pct, total_tokens ORDER BY pct""".stripMargin,
     "t21_kwic_snippets" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
