@@ -41,7 +41,8 @@ object SparkEntry {
         "g09_stream_http_submit" -> ((s, d) => geotab.GeotabSynth.streamHttpSubmit(s, d)),
         "g10_stream_two_runs" -> ((s, d) => geotab.GeotabSynth.streamTwoRuns(s, d)),
         "g11_grid_density" -> ((s, d) => geotab.GeotabSynth.gridDensityQuery(s, d)),
-        "g12_geofence" -> ((s, d) => geotab.GeotabSynth.geofenceQuery(s, d)))
+        "g12_geofence" -> ((s, d) => geotab.GeotabSynth.geofenceQuery(s, d)),
+        "g13_stop_zones" -> ((s, d) => geotab.GeotabSynth.stopZonesQuery(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -71,5 +72,6 @@ object SparkEntry {
         // the union of both runs' flagship outputs
         "g10_stream_two_runs" -> geotab.GeotabSynth.twoRunsOracleSql,
         "g11_grid_density" -> geotab.GeotabSynth.gridDensityOracleSql,
-        "g12_geofence" -> geotab.GeotabSynth.geofenceOracleSql)
+        "g12_geofence" -> geotab.GeotabSynth.geofenceOracleSql,
+        "g13_stop_zones" -> geotab.GeotabSynth.stopZonesOracleSql)
 }

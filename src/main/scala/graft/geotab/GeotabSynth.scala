@@ -1,6 +1,7 @@
 package graft.geotab
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -460,14 +461,19 @@ object GeotabSynth {
     * device matches at most once and a left join + coalesce lands the
     * `none` rows without a second pass. Pure comparisons on the
     * synthesized .5/.25-offset coordinates — engine-exact. */
-  def geofenceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The 4-zone literal dimension shared by g12 and g13. */
+  private def fenceZones(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val zones = Seq(
+    Seq(
       ("north_america", 15.0, 72.0, -170.0, -50.0),
       ("europe", 35.0, 72.0, -10.0, 40.0),
       ("south_cone", -60.0, -15.0, -90.0, -30.0),
       ("oceania", -50.0, -10.0, 110.0, 180.0)
     ).toDF("zone", "lat_min", "lat_max", "lon_min", "lon_max")
+  }
+
+  def geofenceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val zones = fenceZones(spark)
     info(spark, sfDir)
       .join(broadcast(zones),
         col("latitude") >= col("lat_min") && col("latitude") < col("lat_max") &&
@@ -501,6 +507,73 @@ object GeotabSynth {
       |  ON latitude >= lat_min AND latitude < lat_max
       | AND longitude >= lon_min AND longitude < lon_max
       |ORDER BY device_id""".stripMargin
+
+  /** g13: stop/dwell detection with zone attribution — the delivery-stop
+    * report a fleet platform derives from the same ping history g07
+    * segments into trips: maximal runs of consecutive speed-0 pings per
+    * device (gaps-and-islands via the two-row_number difference — both
+    * windows ride ONE device_id hash shuffle), each dwell located at its
+    * first ping and assigned to the g12 geofence dimension by broadcast
+    * range join. Positions are pure functions of the ping second, so the
+    * dwell location is arithmetic on `min(t)` — no join back to the ping
+    * table. Per-device windows + a 4-row broadcast: nothing in the plan
+    * grows faster than the ping count at 100 TB. */
+  def stopZonesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pings = Tables(spark, sfDir, "orders").select(
+      concat(lit("dev-"), col("o_custkey")).as("device_id"),
+      col("o_orderkey").cast("long").as("t"),
+      ((col("o_orderkey") % 5) * 10).cast("double").as("speed"))
+    val w = Window.partitionBy(col("device_id")).orderBy(col("t"))
+    val dwells = pings.withColumn("rn", row_number().over(w))
+      .filter(col("speed") === 0)
+      .withColumn("grp", col("rn") - row_number().over(w))
+      .groupBy(col("device_id"), col("grp"))
+      .agg(min(col("t")).as("dwell_start"), max(col("t")).as("dwell_end"),
+        count(lit(1)).as("n_pings"))
+      .select(col("device_id"), col("dwell_start"), col("dwell_end"),
+        col("n_pings"),
+        ((col("dwell_start") % 180) - 90 + 0.5).as("latitude"),
+        ((col("dwell_start") % 360) - 180 + 0.25).as("longitude"))
+    dwells.join(broadcast(fenceZones(spark)),
+        col("latitude") >= col("lat_min") && col("latitude") < col("lat_max") &&
+          col("longitude") >= col("lon_min") && col("longitude") < col("lon_max"),
+        "left")
+      .select(col("device_id"), col("dwell_start"), col("dwell_end"),
+        col("n_pings"), coalesce(col("zone"), lit("none")).as("zone"))
+      .orderBy("device_id", "dwell_start")
+  }
+
+  /** DuckDB twin of [[stopZonesQuery]]: same ping synth, same islands. */
+  val stopZonesOracleSql: String =
+    """WITH pings AS (
+      |  SELECT 'dev-' || o_custkey AS device_id, o_orderkey AS t,
+      |         (o_orderkey % 5) * 10 AS speed
+      |  FROM orders
+      |), numbered AS (
+      |  SELECT *, row_number() OVER (PARTITION BY device_id ORDER BY t) AS rn
+      |  FROM pings
+      |), stop_runs AS (
+      |  SELECT *, rn - row_number() OVER (PARTITION BY device_id ORDER BY t)
+      |    AS grp
+      |  FROM numbered WHERE speed = 0
+      |), dwells AS (
+      |  SELECT device_id, min(t) AS dwell_start, max(t) AS dwell_end,
+      |         count(1) AS n_pings,
+      |         (min(t) % 180) - 90 + 0.5 AS latitude,
+      |         (min(t) % 360) - 180 + 0.25 AS longitude
+      |  FROM stop_runs GROUP BY device_id, grp
+      |), zones(zone, lat_min, lat_max, lon_min, lon_max) AS (
+      |  VALUES ('north_america', 15.0, 72.0, -170.0, -50.0),
+      |         ('europe', 35.0, 72.0, -10.0, 40.0),
+      |         ('south_cone', -60.0, -15.0, -90.0, -30.0),
+      |         ('oceania', -50.0, -10.0, 110.0, 180.0)
+      |)
+      |SELECT device_id, dwell_start, dwell_end, n_pings,
+      |       coalesce(z.zone, 'none') AS zone
+      |FROM dwells LEFT JOIN zones z
+      |  ON latitude >= lat_min AND latitude < lat_max
+      | AND longitude >= lon_min AND longitude < lon_max
+      |ORDER BY device_id, dwell_start""".stripMargin
 
   /** DuckDB twin of [[haversineQuery]], same synth CTE and term order. */
   val haversineOracleSql: String =
