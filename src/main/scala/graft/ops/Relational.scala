@@ -901,6 +901,54 @@ object Relational {
       .orderBy("k")
   }
 
+  /** q77: incremental materialized-view maintenance for a JOIN view —
+    * the delta-join identity every warehouse's refresh pipeline runs:
+    * with V = γ(A ⋈ B), an update (ΔA, ΔB) refreshes the view as
+    * V ⊎ γ(ΔA ⋈ B) ⊎ γ(A₀ ⋈ ΔB) (ΔA joins the POST-update dimension, A₀
+    * only ΔB — each joint row counted exactly once), where ⊎ merges
+    * partial aggregates by key. The base view is MATERIALIZED to parquet
+    * and reloaded, so the refresh plan touches only the persisted
+    * partials and the delta joins — the A₀ ⋈ B₀ join never re-executes.
+    * At 100 TB that is the whole point: refresh cost scales with |Δ|,
+    * not |A|. Partial revenues are stored as exact decimals so the merge
+    * is addition-order-free; the cast to double happens once at the
+    * output edge. Gate = the merged view hash-matches a from-scratch
+    * full recompute over the complete tables. */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_matview", d)
+    ExportOps.withScratchCleanup(out) {
+      val ords = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val inDa = col("o_orderkey") % 5 === 0
+      val inDb = col("c_custkey") % 6 === 0
+      val a0 = ords.filter(!inDa)
+      val da = ords.filter(inDa)
+      val b0 = cust.filter(!inDb)
+      val db = cust.filter(inDb)
+      def viewAgg(j: DataFrame): DataFrame = j
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(30,2)")).as("revenue_dec"))
+      viewAgg(a0.join(b0, col("o_custkey") === col("c_custkey")))
+        .write.parquet(s"$out/v0")
+      val v0 = s.read.parquet(s"$out/v0")
+      val delta = viewAgg(da.join(b0.unionByName(db),
+          col("o_custkey") === col("c_custkey")))
+        .unionByName(viewAgg(a0.join(db,
+          col("o_custkey") === col("c_custkey"))))
+      val refreshed = v0.unionByName(delta)
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("revenue_dec")).as("rev"))
+        .select(col("c_nationkey"), col("n_orders"),
+          col("rev").cast("double").as("revenue"))
+        .orderBy("c_nationkey")
+      ExportOps.localizeAndDrop(refreshed, out, "c_nationkey")
+    }
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -1105,6 +1153,7 @@ object Relational {
     "q70_gap_fill_locf" -> q70 _, "q71_transition_matrix" -> q71 _,
     "q72_cohort_retention" -> q72 _, "q73_hierarchy_rollup" -> q73 _,
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
+    "q77_matview_delta" -> q77 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -1412,6 +1461,13 @@ object Relational {
         |WHERE valid_from <= TIMESTAMP '1995-06-17'
         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-17')
         |ORDER BY k""".stripMargin,
+    // the incrementally-refreshed view must equal the from-scratch
+    // recompute — the IVM correctness contract
+    "q77_matview_delta" ->
+      """SELECT c_nationkey, count(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q73_hierarchy_rollup" ->
       """WITH RECURSIVE anc AS (
         |  SELECT c_custkey AS node, c_custkey AS ancestor FROM customer
