@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -562,6 +562,74 @@ object ExportOps {
     }
   }
 
+  // ------------------------------------------- e13: Z-order (Morton) layout
+
+  /** Morton (Z-order) interleave of two `bits`-bit bucket columns: bit i
+    * of `x` lands at position 2i, bit i of `y` at 2i+1. Pure shift/mask
+    * column algebra — stays inside whole-stage codegen, no UDF. */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Linear min/max scaling of `v` onto the `bits`-bit bucket grid —
+    * integer arithmetic throughout, so bucket assignment is engine-exact.
+    * Production Z-order implementations bucket by sampled quantiles to
+    * absorb skew (what `repartitionByRange`'s sampler does); linear
+    * scaling keeps the gate deterministic and costs one tiny bounds agg. */
+  def zBucket(v: Column, mn: Long, mx: Long, bits: Int): Column = {
+    val span = math.max(mx - mn, 1L)
+    ((v - mn) * ((1L << bits) - 1) / span).cast("long")
+  }
+
+  /** Writes lineitem Z-ordered on (l_partkey, l_suppkey): each row's two
+    * dims scale onto a 2^bits grid, interleave into a Morton value, and
+    * the table range-partitions + sorts on that value — so each output
+    * file owns a contiguous stretch of the Z curve, which is a LOCALIZED
+    * rectangle-ish region of (partkey, suppkey) space. That is the
+    * multi-dimensional generalization of e08's single-column sort: file
+    * min/max stats stay tight on BOTH dims at once, and a scan with a
+    * predicate on either dim (or both) skips most files. At 100 TB this
+    * is the standard lakehouse clustering move for fact tables queried on
+    * several uncorrelated columns. The bounds agg collapses to one row
+    * before `head` — gate setup, the same tiny-aggregate pattern every
+    * range sampler pays. */
+  def zorderExport(s: SparkSession, d: String, outDir: String,
+                   numFiles: Int = 16, bits: Int = 8): String = {
+    val li = Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val z = zValue(
+      zBucket(col("l_partkey"), b.getLong(0), b.getLong(1), bits),
+      zBucket(col("l_suppkey"), b.getLong(2), b.getLong(3), bits), bits)
+    li.withColumn("zval", z)
+      .repartitionByRange(numFiles, col("zval"), col("l_orderkey"),
+        col("l_linenumber"))
+      .sortWithinPartitions(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    outDir
+  }
+
+  /** e13: the Z-ordered export gated for content invariance — the curve
+    * reorders layout, never content. The clustering property it buys
+    * (files bounded in BOTH dims; a one-dim box query touches a fraction
+    * of the files a single-column sort layout must read) is spec-pinned
+    * in [[graft.ops.ZOrderSpec]] against a partkey-sorted control. */
+  private def e13(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_zorder", d)
+    withScratchCleanup(out) {
+      zorderExport(s, d, out.getAbsolutePath + "/z")
+      val back = s.read.parquet(out.getAbsolutePath + "/z")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      localizeAndDrop(back, out, "l_orderkey", "l_linenumber")
+    }
+  }
+
   // --------------------------------------- e12: versioned atomic publish
 
   /** Lands `df` as `root/v=<version>/` WITHOUT making it visible — the
@@ -633,7 +701,7 @@ object ExportOps {
     "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _,
     "e08_sorted_export" -> e08 _, "e09_jsonl_roundtrip" -> e09 _,
     "e10_bucketed_join" -> e10 _, "e11_bucketed_append" -> e11 _,
-    "e12_versioned_publish" -> e12 _)
+    "e12_versioned_publish" -> e12 _, "e13_zorder_layout" -> e13 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -685,6 +753,11 @@ object ExportOps {
       raw"""SELECT doc_id, lang,
         |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // content invariance of the Z-ordered layout: the curve may only
+    // reorder rows across files, never change them
+    "e13_zorder_layout" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // byte-faithful JSON round-trip: the md5 of the decoded text must match
     // the md5 of the source text for every row
     "e09_jsonl_roundtrip" ->

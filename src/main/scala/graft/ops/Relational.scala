@@ -949,6 +949,137 @@ object Relational {
     }
   }
 
+  /** Bin width for [[overlapJoinBinned]]: 1 hour. Chosen near the median
+    * interval length so each interval lands in a handful of bins — the
+    * replication factor is `len/bin + 1` per side, the knob that trades
+    * duplicate candidate rows against per-bin fan-in. */
+  private[ops] val OverlapBinMs = 3600000L
+
+  /** q78: interval-overlap join with NO equi key — "which per-user daily
+    * activity spans overlap which global peak-traffic hours". The naive
+    * form is a pure theta-join (`a.start < b.end AND a.end >= b.start`)
+    * that Spark can only run as a broadcast nested loop — quadratic and
+    * un-shardable at 100 TB. The scale form grids time: both interval
+    * sides explode to the hour bins they touch, the join becomes a hash
+    * equi-join on the bin, the overlap predicate re-verifies inside the
+    * bucket, and a final distinct removes the multi-bin double-counts
+    * (the MinHash-LSH discipline applied to time). Peak-hour selection
+    * rides a global row_number whose input is the hour-count aggregate —
+    * cardinality bounded by the time span, never the event count. */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val acts = ev.withColumn("day", expr("ms div 86400000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(col("ms")).as("act_start"), max(col("ms")).as("act_end"))
+    val hourCounts = ev.select(expr("ms div 3600000").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("n"))
+    val rk = Window.orderBy(col("n").desc, col("hr").asc)
+    val wins = hourCounts.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 12)
+      .select(col("hr").as("win_hour"),
+        (col("hr") * OverlapBinMs).as("win_start"),
+        ((col("hr") + 1) * OverlapBinMs).as("win_end"))
+    overlapJoinBinned(acts, wins, OverlapBinMs)
+      .orderBy("user_id", "day", "win_hour")
+  }
+
+  /** The q78 kernel, public for specs: overlap-join `acts` (user_id, day,
+    * closed [act_start, act_end]) against `wins` (win_hour, half-open
+    * [win_start, win_end)) by exploding both sides onto a `binMs` grid
+    * and hash-joining on the bin. Emits one row per genuinely-overlapping
+    * pair with its overlap in ms; the trailing distinct collapses pairs
+    * that co-occupy several bins (their payload row is identical, so
+    * set-dedup is exact). Never compares intervals across different bins
+    * — correctness rests on any overlapping pair sharing at least the
+    * bin of the overlap's first instant. */
+  def overlapJoinBinned(acts: DataFrame, wins: DataFrame, binMs: Long): DataFrame = {
+    val a = acts.withColumn("bin",
+      explode(expr(s"sequence(act_start div ${binMs}L, act_end div ${binMs}L)")))
+    val w = wins.withColumn("bin",
+      explode(expr(s"sequence(win_start div ${binMs}L, (win_end - 1) div ${binMs}L)")))
+    a.join(w, "bin")
+      .filter(col("act_start") < col("win_end") && col("act_end") >= col("win_start"))
+      .select(col("user_id"), col("day"), col("win_hour"),
+        (least(col("act_end") + 1, col("win_end")) -
+          greatest(col("act_start"), col("win_start"))).as("overlap_ms"))
+      .distinct()
+  }
+
+  /** q79: time-weighted average — the gauge-metric aggregate (sensor
+    * readings, prices, queue depths) where a plain `avg` over-weights
+    * bursts: each reading holds until the next one in its user-day, the
+    * last until midnight, and the mean weights each value by how long it
+    * held. One (user_id, day) window for the `lead`, one keyed agg — a
+    * single hash shuffle, the q75/q61 discipline. The numerator
+    * accumulates as exact decimals (value × integer ms), so the sum is
+    * addition-order-free across partitions; doubles appear only at the
+    * final division, which both engines perform on identical inputs. */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    timeWeightedDaily(t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+          col("value")))
+      .orderBy("user_id", "day")
+
+  /** The q79 kernel over any (user_id, event_id, ms, value) reading frame,
+    * public for specs: one row per (user_id, day) with the observation
+    * count, the observed span in ms (first reading → midnight), and the
+    * duration-weighted mean. */
+  def timeWeightedDaily(readings: DataFrame): DataFrame = {
+    val byUserDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ms"), col("event_id"))
+    readings
+      .withColumn("day", expr("ms div 86400000"))
+      .withColumn("next_ms", lead(col("ms"), 1).over(byUserDay))
+      .withColumn("dur_ms",
+        coalesce(col("next_ms"), (col("day") + 1) * 86400000L) - col("ms"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("dur_ms")).as("observed_ms"),
+        round(sum(col("value").cast("decimal(30,6)") * col("dur_ms"))
+          .cast("double") / sum(col("dur_ms")), 6).as("twa_value"))
+  }
+
+  /** The q80 calendar dimension: 12 months, Q2 flagged as the peak
+    * season. Deterministic (spark.range), tiny, broadcast by default. */
+  def monthsDim(s: SparkSession): DataFrame =
+    s.range(1, 13).select(col("id").cast("int").as("omonth"),
+      when(col("id").between(4, 6), lit("peak")).otherwise(lit("off"))
+        .as("season"))
+
+  /** The q80 join: month-partitioned fact ⋈ filtered dim on the partition
+    * column. Public for the plan spec that pins the dynamic-pruning
+    * subquery in the fact scan's PartitionFilters. */
+  def seasonRevenue(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(dim.filter(col("season") === "peak"), Seq("omonth"))
+      .groupBy(col("omonth"))
+      .agg(count(lit(1)).as("n_orders"),
+        StableAgg.moneySum(col("o_totalprice")).as("revenue"))
+
+  /** q80: dynamic partition pruning gated end-to-end — THE scan-avoidance
+    * mechanism for star joins at 100 TB: the fact table is partitioned on
+    * a join key (month), the dimension filter ("peak season") is only
+    * known at run time through the join, and Catalyst turns the dim's
+    * broadcast into a runtime IN-filter on the fact's PARTITION listing —
+    * so 9 of 12 partition directories are never listed, opened, or read.
+    * Static pushdown can't do this (the filter is on the dim, not the
+    * fact); without DPP the fact side scans everything and throws 75%
+    * away after the join. The plan-level guarantee (a `dynamicpruning`
+    * expression inside the fact scan's PartitionFilters) is pinned in
+    * [[graft.DppSpec]]; the gate hash-matches the oracle computing the
+    * same revenue with a static month predicate. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_dpp", d)
+    ExportOps.withScratchCleanup(out) {
+      t(s, d, "orders")
+        .withColumn("omonth", month(col("o_orderdate")))
+        .write.partitionBy("omonth").parquet(s"$out/fact")
+      val fact = s.read.parquet(s"$out/fact")
+      val res = seasonRevenue(fact, monthsDim(s)).orderBy("omonth")
+      ExportOps.localizeAndDrop(res, out, "omonth")
+    }
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -1154,6 +1285,8 @@ object Relational {
     "q72_cohort_retention" -> q72 _, "q73_hierarchy_rollup" -> q73 _,
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q77_matview_delta" -> q77 _,
+    "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
+    "q80_dynamic_pruning" -> q80 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -1468,6 +1601,51 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // The oracle is the NAIVE theta overlap join (DuckDB runs it as an
+    // IEJoin); the engine must land identical pairs from the binned plan.
+    "q78_overlap_join" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |), acts AS (
+        |  SELECT user_id, ms // 86400000 AS day,
+        |    min(ms) AS act_start, max(ms) AS act_end
+        |  FROM e GROUP BY user_id, day
+        |), hours AS (
+        |  SELECT ms // 3600000 AS hr, count(1) AS n FROM e GROUP BY hr
+        |), wins AS (
+        |  SELECT hr AS win_hour, hr * 3600000 AS win_start,
+        |    (hr + 1) * 3600000 AS win_end
+        |  FROM (SELECT hr, n, row_number() OVER (ORDER BY n DESC, hr ASC) AS rk
+        |        FROM hours) x
+        |  WHERE rk <= 12)
+        |SELECT user_id, day, win_hour,
+        |  least(act_end + 1, win_end) - greatest(act_start, win_start) AS overlap_ms
+        |FROM acts JOIN wins
+        |  ON act_start < win_end AND act_end >= win_start
+        |ORDER BY user_id, day, win_hour""".stripMargin,
+    "q79_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+        |    epoch_ms(ts) // 86400000 AS day
+        |  FROM events
+        |), durs AS (
+        |  SELECT *,
+        |    coalesce(lead(ms, 1) OVER (PARTITION BY user_id, day
+        |        ORDER BY ms, event_id),
+        |      (day + 1) * 86400000) - ms AS dur_ms
+        |  FROM e)
+        |SELECT user_id, day, count(1) AS n_obs,
+        |  CAST(sum(dur_ms) AS BIGINT) AS observed_ms,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,6)) * dur_ms) AS DOUBLE)
+        |    / sum(dur_ms), 6) AS twa_value
+        |FROM durs GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
+    // the runtime-pruned join must equal the static predicate it discovers
+    "q80_dynamic_pruning" ->
+      """SELECT month(o_orderdate) AS omonth, count(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE month(o_orderdate) BETWEEN 4 AND 6
+        |GROUP BY omonth ORDER BY omonth""".stripMargin,
     "q73_hierarchy_rollup" ->
       """WITH RECURSIVE anc AS (
         |  SELECT c_custkey AS node, c_custkey AS ancestor FROM customer
