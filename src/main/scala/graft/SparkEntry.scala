@@ -42,7 +42,8 @@ object SparkEntry {
         "g10_stream_two_runs" -> ((s, d) => geotab.GeotabSynth.streamTwoRuns(s, d)),
         "g11_grid_density" -> ((s, d) => geotab.GeotabSynth.gridDensityQuery(s, d)),
         "g12_geofence" -> ((s, d) => geotab.GeotabSynth.geofenceQuery(s, d)),
-        "g13_stop_zones" -> ((s, d) => geotab.GeotabSynth.stopZonesQuery(s, d)))
+        "g13_stop_zones" -> ((s, d) => geotab.GeotabSynth.stopZonesQuery(s, d)),
+        "g14_harsh_events" -> ((s, d) => geotab.GeotabSynth.harshEventsQuery(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -73,5 +74,6 @@ object SparkEntry {
         "g10_stream_two_runs" -> geotab.GeotabSynth.twoRunsOracleSql,
         "g11_grid_density" -> geotab.GeotabSynth.gridDensityOracleSql,
         "g12_geofence" -> geotab.GeotabSynth.geofenceOracleSql,
-        "g13_stop_zones" -> geotab.GeotabSynth.stopZonesOracleSql)
+        "g13_stop_zones" -> geotab.GeotabSynth.stopZonesOracleSql,
+        "g14_harsh_events" -> geotab.GeotabSynth.harshEventsOracleSql)
 }

@@ -575,6 +575,49 @@ object GeotabSynth {
       | AND longitude >= lon_min AND longitude < lon_max
       |ORDER BY device_id, dwell_start""".stripMargin
 
+  /** g14: harsh-driving event detection — the safety report every fleet
+    * platform derives from consecutive speed readings: a speed jump of
+    * ≥ 30 km/h between adjacent pings of a device flags as harsh
+    * acceleration, a drop of ≥ 30 as harsh braking. One `lag` window per
+    * device — the same single device_id hash shuffle as g07/g13; the
+    * event rows are a filter over it, so nothing in the plan outgrows the
+    * ping count. Speeds are integer-derived in both engines (emitted as
+    * BIGINT), making the gate hash-exact. */
+  def harshEventsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pings = Tables(spark, sfDir, "orders").select(
+      concat(lit("dev-"), col("o_custkey")).as("device_id"),
+      col("o_orderkey").cast("long").as("t"),
+      ((col("o_orderkey") % 5) * 10).cast("long").as("speed"))
+    val w = Window.partitionBy(col("device_id")).orderBy(col("t"))
+    pings
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .withColumn("prev_speed", lag(col("speed"), 1).over(w))
+      .withColumn("dspeed", col("speed") - col("prev_speed"))
+      .filter(abs(col("dspeed")) >= 30)
+      .select(col("device_id"), col("t"), col("prev_t"),
+        col("prev_speed"), col("speed"), col("dspeed"),
+        when(col("dspeed") > 0, lit("harsh_accel"))
+          .otherwise(lit("harsh_brake")).as("kind"))
+      .orderBy("device_id", "t")
+  }
+
+  /** DuckDB twin of [[harshEventsQuery]]: same ping synth, same lag. */
+  val harshEventsOracleSql: String =
+    """WITH pings AS (
+      |  SELECT 'dev-' || o_custkey AS device_id, o_orderkey AS t,
+      |         (o_orderkey % 5) * 10 AS speed
+      |  FROM orders
+      |), lagged AS (
+      |  SELECT device_id, t,
+      |    lag(t, 1) OVER w AS prev_t,
+      |    lag(speed, 1) OVER w AS prev_speed,
+      |    speed, speed - lag(speed, 1) OVER w AS dspeed
+      |  FROM pings WINDOW w AS (PARTITION BY device_id ORDER BY t))
+      |SELECT device_id, t, prev_t, prev_speed, speed, dspeed,
+      |  CASE WHEN dspeed > 0 THEN 'harsh_accel' ELSE 'harsh_brake' END AS kind
+      |FROM lagged WHERE abs(dspeed) >= 30
+      |ORDER BY device_id, t""".stripMargin
+
   /** DuckDB twin of [[haversineQuery]], same synth CTE and term order. */
   val haversineOracleSql: String =
     """WITH latest AS (

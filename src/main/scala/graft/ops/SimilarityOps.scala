@@ -438,6 +438,55 @@ object SimilarityOps {
     * so the matmul is addition-order-free. Scale shape: posexplode ×
     * broadcast 1024-row sign matrix × one (vec_id, j) hash agg — the d×k
     * work JL costs anywhere, shuffled only on the output key. */
+  /** v17 geometry: score the first 8 of 32 dims in the cheap pass, carry
+    * a 40-candidate shortlist into the exact rerank. */
+  private val TruncDims = 8
+  private val Shortlist = 40
+
+  /** v17: Matryoshka-style truncated-dimension retrieval — the two-tier
+    * ANN rung between brute force (v01) and bucketed candidates (v02/v05):
+    * the corpus is first scored on only the leading [[TruncDims]]
+    * embedding dimensions (¼ of the FLOPs and memory traffic of a full
+    * scan — with MRL-trained embeddings the leading prefix carries most
+    * of the signal), a per-query shortlist survives, and ONLY shortlist
+    * pairs pay the full-dimension exact cosine. Both stages are
+    * deterministic (cos desc, id asc tie-break), so the whole cascade is
+    * oracle-checkable — unlike v02/v05 whose recall depends on bucketing.
+    * At scale the cheap pass stays a corpus scan against a broadcast
+    * query set (no shuffle until the per-query top-k), and the rerank
+    * touches queries × [[Shortlist]] rows — nothing corpus-sized moves. */
+  private def v17(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+    val queries = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        slice(col("embedding"), 1, TruncDims).as("q_trunc"),
+        col("embedding").as("q_vec"))
+    val cheap = corpus
+      .select(col("vec_id"), slice(col("embedding"), 1, TruncDims).as("trunc"))
+      .crossJoin(broadcast(queries.select(col("q_id"), col("q_trunc"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_trunc"), col("trunc")).as("tcos"))
+    val wPre = Window.partitionBy(col("q_id"))
+      .orderBy(col("tcos").desc, col("n_id").asc)
+    val shortlist = cheap.withColumn("pre_rank", row_number().over(wPre))
+      .filter(col("pre_rank") <= Shortlist)
+      .select(col("q_id"), col("n_id"))
+    val rerank = shortlist
+      .join(corpus.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_vec"))), "q_id")
+      .select(col("q_id"), col("n_id"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    rerank.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   private def v16(s: SparkSession, d: String): DataFrame = {
     val dims = s.range(64).toDF("i")
     val outs = s.range(16).toDF("j")
@@ -634,7 +683,7 @@ object SimilarityOps {
     "v10_mmr_select" -> v10 _,
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
     "v14_pq_adc" -> v14 _, "v15_knn_labels" -> v15 _,
-    "v16_jl_projection" -> v16 _,
+    "v16_jl_projection" -> v16 _, "v17_matryoshka_rerank" -> v17 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
     "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,
@@ -775,6 +824,34 @@ object SimilarityOps {
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY rrf DESC, n_id) AS rank FROM fused)
          |SELECT q_id, rank, n_id, rank_cos, rank_l1, round(rrf, 6) AS rrf
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // the two-tier cascade is deterministic end-to-end: same truncated
+    // shortlist, same exact rerank, same tie-breaks in both engines
+    "v17_matryoshka_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS q_id,
+         |             CAST(embedding AS DOUBLE[]) AS q_vec
+         |           FROM embeddings WHERE vec_id < $NumQueries),
+         |cheap AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    list_cosine_similarity(q_vec[1:$TruncDims],
+         |      CAST(e.embedding AS DOUBLE[])[1:$TruncDims]) AS tcos
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |shortlist AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY tcos DESC, n_id ASC) AS pre_rank FROM cheap) x
+         |  WHERE pre_rank <= $Shortlist),
+         |rerank AS (
+         |  SELECT s.q_id, s.n_id,
+         |    list_cosine_similarity(q.q_vec,
+         |      CAST(e.embedding AS DOUBLE[])) AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings e ON e.vec_id = s.n_id
+         |  JOIN q ON q.q_id = s.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id ASC) AS rank FROM rerank)
+         |SELECT q_id, rank, n_id, round(cos, 4) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

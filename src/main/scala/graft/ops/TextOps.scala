@@ -196,6 +196,46 @@ object TextOps {
     * cum_before + m·tf — pure integer math, identical in any engine).
     * Two corpus-scale hash aggs, one histogram-scale window, zero
     * corpus-scale sorts. */
+  /** t23 chunk geometry: 64-token windows advancing 48 tokens — a
+    * 16-token overlap so no sentence straddling a boundary is lost to
+    * both chunks. */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** t23: sliding-window chunking with overlap — the long-document prep
+    * every embedding/RAG/training pipeline runs when documents exceed the
+    * model's context: fixed-size token windows advancing by a stride <
+    * window so consecutive chunks overlap. Pure per-row array algebra
+    * (tokenize → sequence → explode → slice): a narrow explode with NO
+    * shuffle at all — at 100 TB the chunker is a map-only pass whose
+    * output lands partition-aligned with its input, ready for the
+    * embedding stage. Distinct from t08 (greedy packing of whole short
+    * docs into budget bins); this is the splitting half of the same
+    * context-window problem. */
+  private def t23(s: SparkSession, d: String): DataFrame =
+    chunkWithOverlap(docs(s, d).select(col("doc_id"), col("text")),
+      ChunkTokens, ChunkStride)
+      .orderBy("doc_id", "chunk_start")
+
+  /** The t23 kernel, public for specs: one row per (doc, window start),
+    * with the chunk text rejoined and its token count. Tokenization is
+    * space-raw for exact cross-engine list parity. */
+  def chunkWithOverlap(docsDf: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= chunk,
+      s"stride $stride must be in [1, $chunk]")
+    docsDf
+      .withColumn("toks", tokenize(col("text"), "space-raw"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("chunk_start",
+        explode(expr(s"sequence(0L, greatest(n_tokens - 1, 0L), ${stride}L)")))
+      .withColumn("chunk_arr",
+        slice(col("toks"), (col("chunk_start") + 1).cast("int"), lit(chunk)))
+      .select(col("doc_id"), col("chunk_start"),
+        array_join(col("chunk_arr"), " ").as("chunk_text"),
+        size(col("chunk_arr")).cast("long").as("chunk_tokens"))
+      .filter(col("chunk_tokens") > 0)
+  }
+
   private def t22(s: SparkSession, d: String): DataFrame = {
     val vocab = docs(s, d)
       .select(explode(tokenize(col("text"), "space")).as("token"))
@@ -632,9 +672,25 @@ object TextOps {
     "t11_bigram_counts" -> t11 _, "t12_unigram_logprob" -> t12 _,
     "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _,
     "t20_bm25" -> t20 _, "t21_kwic_snippets" -> t21 _,
-    "t22_zipf_coverage" -> t22 _)
+    "t22_zipf_coverage" -> t22 _, "t23_chunk_overlap" -> t23 _)
 
   val oracle: Map[String, String] = Map(
+    // chunk windows are pure list slices — both engines must produce the
+    // byte-identical rejoined text for every (doc, start) window
+    "t23_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), starts AS (
+        |  SELECT doc_id, tk,
+        |    unnest(generate_series(0, greatest(n - 1, 0), 48)) AS cs
+        |  FROM toks)
+        |SELECT doc_id, cs AS chunk_start,
+        |  array_to_string(tk[cs+1:cs+64], ' ') AS chunk_text,
+        |  CAST(len(tk[cs+1:cs+64]) AS BIGINT) AS chunk_tokens
+        |FROM starts WHERE len(tk[cs+1:cs+64]) > 0
+        |ORDER BY doc_id, chunk_start""".stripMargin,
     "t16_quality_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id, t AS token FROM (
