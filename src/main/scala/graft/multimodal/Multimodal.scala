@@ -146,11 +146,37 @@ object Multimodal {
       .orderBy("frame_phash")
   }
 
+  /** m05: payload-integrity audit — the quarantine pass every media lake
+    * runs on ingest: recompute each payload's checksum and compare with
+    * the manifest's stored digest; mismatches (bit rot, truncated copies,
+    * wrong-object writes) quarantine instead of poisoning downstream
+    * decodes. Corruption is planted deterministically (every 37th doc's
+    * stored digest is computed over a doctored payload) so both engines
+    * agree on the exact quarantine set. A map-only scan — one pass, no
+    * shuffle, scales with payload bytes. */
+  private def m05(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .withColumn("stored_md5",
+        when(col("doc_id") % 37 === 0,
+          md5(concat(col("media"), lit("X").cast("binary"))))
+          .otherwise(md5(col("media"))))
+      .withColumn("computed_md5", md5(col("media")))
+      .filter(col("stored_md5") =!= col("computed_md5"))
+      .select(col("doc_id"), col("stored_md5"), col("computed_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01 _, "m02_media_decode" -> m02 _,
-    "m03_frame_sample" -> m03 _, "m04_frame_dedup" -> m04 _)
+    "m03_frame_sample" -> m03 _, "m04_frame_dedup" -> m04 _,
+    "m05_payload_integrity" -> m05 _)
 
   val oracle: Map[String, String] = Map(
+    // the planted corruptions are exactly the audit's quarantine set
+    "m05_payload_integrity" ->
+      """SELECT doc_id, md5(text || 'X') AS stored_md5,
+        |  md5(text) AS computed_md5
+        |FROM documents WHERE doc_id % 37 = 0
+        |ORDER BY doc_id""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | 'application/octet-stream' AS mime_type

@@ -348,6 +348,30 @@ object DedupOps {
       .orderBy("keeper_id")
   }
 
+  /** d32: near-dup-cluster-aware train/test split — the PREVENTION half
+    * of what d24 audits: assigning splits per DOCUMENT (q51) lets two
+    * near-duplicate docs land on opposite sides of the train/eval fence,
+    * leaking training content into evaluation. The leak-free rule splits
+    * per CLUSTER: every doc inherits its near-dup component's
+    * representative (min doc_id; unclustered docs represent themselves),
+    * and the q51 md5-bucket rule applies to the REPRESENTATIVE — so a
+    * whole cluster moves together, by construction. Costs d14's
+    * components (banded pairs, never all-pairs) + one left join + the
+    * same per-row split expression; nothing new is corpus-quadratic. */
+  private def d32(s: SparkSession, d: String): DataFrame = {
+    val comps = connectedComponents(
+      md5VerifiedPairs(s, d).filter(col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b"))
+      .select(col("node").as("doc_id"), col("label").as("rep"))
+    val b = Hashing.md5Bucket100(col("rep"))
+    docs(s, d).select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup candidates + exact verify, oracle-checkable end-to-end — the
     * fully-portable twin of d05. */
   private def d10(s: SparkSession, d: String): DataFrame =
@@ -1485,7 +1509,7 @@ object DedupOps {
     "d25_index_append" -> d25 _, "d26_fuzzy_multipass" -> d26 _,
     "d27_dup_span_removal" -> d27 _, "d28_cluster_keep_best" -> d28 _,
     "d29_pagerank" -> d29 _, "d30_containment" -> d30 _,
-    "d31_tokensort_dedup" -> d31 _,
+    "d31_tokensort_dedup" -> d31 _, "d32_cluster_split" -> d32 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -1976,6 +2000,28 @@ object DedupOps {
           |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           |SELECT a AS doc_id, least(a, min(b)) AS component
           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+    // d32: the same recursive closure, then every doc inherits its
+    // component representative and the q51 bucket rule applies to the REP
+    "d32_cluster_split" ->
+      (BandedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+        """pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.7),
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |          UNION SELECT doc_b, doc_a FROM pairs),
+          |reach AS (SELECT a, b FROM edges
+          |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+          |         FROM reach GROUP BY a),
+          |assigned AS (
+          |  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+          |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+          |bucketed AS (
+          |  SELECT *, ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 7))::BIGINT
+          |    % 100 AS b
+          |  FROM assigned)
+          |SELECT doc_id, rep,
+          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM bucketed ORDER BY doc_id""".stripMargin),
     // d29: the 5 PageRank iterations unrolled as CTEs over the same
     // banded/verified pair graph; identical float discipline (9dp-rounded
     // contributions summed as exact decimals, literal-constant damping)

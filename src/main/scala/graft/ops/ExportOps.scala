@@ -630,6 +630,56 @@ object ExportOps {
     }
   }
 
+  // --------------------------------- e14: stats manifest + file skipping
+
+  /** File-level statistics manifest over a score-laid-out export: one row
+    * per data file with its row count and score min/max. This is the
+    * poor-man's table format — the metadata layer Iceberg/Delta keep in
+    * manifests — materialized as a queryable parquet table so scan
+    * planning can happen WITHOUT touching data files. One pass over the
+    * export builds it; at 100 TB the manifest is thousands of rows where
+    * the data is billions, and every range-predicate scan consults it
+    * first. */
+  def statsManifest(s: SparkSession, dataDir: String): DataFrame =
+    s.read.parquet(dataDir)
+      .withColumn("file", input_file_name())
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("score")).as("score_min"), max(col("score")).as("score_max"))
+
+  /** e14: manifest-driven file skipping gated end-to-end — e08's
+    * range-sorted layout + the manifest above, then a top-quartile score
+    * query planned FROM THE MANIFEST: only files whose [min, max] range
+    * can contain qualifying rows are handed to the reader; the rest are
+    * never opened. The pruned read re-applies the predicate (manifest
+    * pruning is a superset guarantee, same discipline as every banded
+    * candidate join here) and must hash-match the oracle filtering the
+    * whole table. The threshold derives from the data (¾ of the max
+    * score, integer arithmetic) so the gate holds at any SF; the
+    * manifest consult is a manifest-sized collect — the planner-side
+    * metadata read every table format performs. The actual skip (pruned
+    * file list strictly smaller) is spec-pinned in
+    * [[graft.ops.ManifestSpec]]. */
+  private def e14(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_manifest", d)
+    withScratchCleanup(out) {
+      val dataDir = out.getAbsolutePath + "/data"
+      sortedExport(s, d, dataDir)
+      statsManifest(s, dataDir)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/manifest")
+      val manifest = s.read.parquet(s"$out/manifest")
+      val thr = s.read.parquet(dataDir)
+        .agg(max(col("score"))).head().getLong(0) * 3 / 4
+      val keep = manifest.filter(col("score_max") >= thr)
+        .select(col("file")).collect().map(_.getString(0))
+      require(keep.nonEmpty, "manifest pruned every file")
+      val pruned = s.read.parquet(keep.toIndexedSeq: _*)
+        .filter(col("score") >= thr)
+        .select(col("doc_id"), col("lang"), col("score"))
+      localizeAndDrop(pruned, out, "doc_id")
+    }
+  }
+
   // --------------------------------------- e12: versioned atomic publish
 
   /** Lands `df` as `root/v=<version>/` WITHOUT making it visible — the
@@ -701,7 +751,8 @@ object ExportOps {
     "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _,
     "e08_sorted_export" -> e08 _, "e09_jsonl_roundtrip" -> e09 _,
     "e10_bucketed_join" -> e10 _, "e11_bucketed_append" -> e11 _,
-    "e12_versioned_publish" -> e12 _, "e13_zorder_layout" -> e13 _)
+    "e12_versioned_publish" -> e12 _, "e13_zorder_layout" -> e13 _,
+    "e14_manifest_skipping" -> e14 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -753,6 +804,16 @@ object ExportOps {
       raw"""SELECT doc_id, lang,
         |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the manifest-pruned read must land exactly the rows a full-table
+    // filter finds — file skipping may never change the answer
+    "e14_manifest_skipping" ->
+      raw"""WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS score
+        |  FROM documents)
+        |SELECT doc_id, lang, score FROM scored
+        |WHERE score >= (SELECT max(score) * 3 // 4 FROM scored)
+        |ORDER BY doc_id""".stripMargin,
     // content invariance of the Z-ordered layout: the curve may only
     // reorder rows across files, never change them
     "e13_zorder_layout" ->

@@ -1080,6 +1080,61 @@ object Relational {
     }
   }
 
+  /** q81: snapshot diff / data reconciliation — the row-level audit every
+    * migration, backfill, or replication pipeline runs: old snapshot vs
+    * new snapshot, full-outer joined on the key, each row classified
+    * added / removed / changed (q60 reports drift METRICS; this is the
+    * row-level evidence). The new snapshot derives deterministically from
+    * the old by the q66 mutation pattern (every 7th key's balance bumped,
+    * every 11th removed, every 13th re-inserted under a shifted key), so
+    * both engines reconcile identical states. One full-outer hash join on
+    * the key + per-row classification — at 100 TB both sides shuffle once
+    * on the key and nothing else moves; 'same' rows (the overwhelming
+    * majority) drop before the output. */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val survivors = c.filter(col("k") % 11 =!= 0)
+      .select(col("k"),
+        when(col("k") % 7 === 0, col("bal") + 100).otherwise(col("bal"))
+          .as("bal"))
+    val inserts = c.filter(col("k") % 13 === 0)
+      .select((col("k") + 200000L).as("k"), col("bal"))
+    val newSnap = survivors.unionByName(inserts)
+    val old = c.select(col("k").as("old_k"), col("bal").as("old_bal"))
+    val nw = newSnap.select(col("k").as("new_k"), col("bal").as("new_bal"))
+    old.join(nw, col("old_k") === col("new_k"), "full_outer")
+      .select(coalesce(col("old_k"), col("new_k")).as("k"),
+        when(col("old_k").isNull, lit("added"))
+          .when(col("new_k").isNull, lit("removed"))
+          .when(col("old_bal") =!= col("new_bal"), lit("changed"))
+          .otherwise(lit("same")).as("status"),
+        col("old_bal"), col("new_bal"))
+      .filter(col("status") =!= "same")
+      .orderBy("k")
+  }
+
+  /** q82: ratio-to-report — each group's share of its parent total (the
+    * "percent of segment revenue" column every BI report carries),
+    * computed as a window sum over the ALREADY-AGGREGATED frame: the
+    * heavy pass is one keyed groupBy; the share window runs over
+    * status × priority rows (bounded by the domain, not the data).
+    * Numerator and denominator stay exact decimals until one double
+    * division at the edge — identical inputs, identical IEEE result in
+    * both engines. */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val per = t(s, d, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast("decimal(30,2)")).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+    per.select(col("o_orderstatus"), col("o_orderpriority"), col("n_orders"),
+        col("rev_dec").cast("double").as("revenue"),
+        round(col("rev_dec").cast("double") /
+          sum(col("rev_dec")).over(w).cast("double"), 6).as("share"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -1286,7 +1341,8 @@ object Relational {
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q77_matview_delta" -> q77 _,
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
-    "q80_dynamic_pruning" -> q80 _,
+    "q80_dynamic_pruning" -> q80 _, "q81_snapshot_diff" -> q81 _,
+    "q82_share_of_total" -> q82 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -1646,6 +1702,35 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE month(o_orderdate) BETWEEN 4 AND 6
         |GROUP BY omonth ORDER BY omonth""".stripMargin,
+    "q81_snapshot_diff" ->
+      """WITH old AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |surv AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END AS bal
+        |  FROM old WHERE k % 11 <> 0),
+        |ins AS (SELECT k + 200000 AS k, bal FROM old WHERE k % 13 = 0),
+        |new_snap AS (SELECT * FROM surv UNION ALL SELECT * FROM ins),
+        |diff AS (
+        |  SELECT coalesce(o.k, n.k) AS k,
+        |    CASE WHEN o.k IS NULL THEN 'added'
+        |         WHEN n.k IS NULL THEN 'removed'
+        |         WHEN o.bal <> n.bal THEN 'changed'
+        |         ELSE 'same' END AS status,
+        |    o.bal AS old_bal, n.bal AS new_bal
+        |  FROM old o FULL OUTER JOIN new_snap n ON o.k = n.k)
+        |SELECT k, status, old_bal, new_bal FROM diff
+        |WHERE status <> 'same' ORDER BY k""".stripMargin,
+    "q82_share_of_total" ->
+      """WITH per AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,2))) AS rev_dec,
+        |    count(1) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority, n_orders,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  round(CAST(rev_dec AS DOUBLE) /
+        |    CAST(sum(rev_dec) OVER (PARTITION BY o_orderstatus) AS DOUBLE), 6)
+        |    AS share
+        |FROM per ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q73_hierarchy_rollup" ->
       """WITH RECURSIVE anc AS (
         |  SELECT c_custkey AS node, c_custkey AS ancestor FROM customer
