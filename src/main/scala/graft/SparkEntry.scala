@@ -43,7 +43,8 @@ object SparkEntry {
         "g11_grid_density" -> ((s, d) => geotab.GeotabSynth.gridDensityQuery(s, d)),
         "g12_geofence" -> ((s, d) => geotab.GeotabSynth.geofenceQuery(s, d)),
         "g13_stop_zones" -> ((s, d) => geotab.GeotabSynth.stopZonesQuery(s, d)),
-        "g14_harsh_events" -> ((s, d) => geotab.GeotabSynth.harshEventsQuery(s, d)))
+        "g14_harsh_events" -> ((s, d) => geotab.GeotabSynth.harshEventsQuery(s, d)),
+        "g15_daily_distance" -> ((s, d) => geotab.GeotabSynth.dailyDistanceQuery(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -75,5 +76,6 @@ object SparkEntry {
         "g11_grid_density" -> geotab.GeotabSynth.gridDensityOracleSql,
         "g12_geofence" -> geotab.GeotabSynth.geofenceOracleSql,
         "g13_stop_zones" -> geotab.GeotabSynth.stopZonesOracleSql,
-        "g14_harsh_events" -> geotab.GeotabSynth.harshEventsOracleSql)
+        "g14_harsh_events" -> geotab.GeotabSynth.harshEventsOracleSql,
+        "g15_daily_distance" -> geotab.GeotabSynth.dailyDistanceOracleSql)
 }

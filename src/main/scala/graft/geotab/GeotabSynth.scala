@@ -618,6 +618,58 @@ object GeotabSynth {
       |FROM lagged WHERE abs(dspeed) >= 30
       |ORDER BY device_id, t""".stripMargin
 
+  /** g15: per-device distance traveled — the odometer/utilization report:
+    * consecutive ping positions become haversine legs (g03's formula over
+    * the g13 position synth), summed per device. One `lag` window on the
+    * same device_id shuffle every ping query rides, then one keyed agg.
+    * Float discipline: each leg computes in double with the exact term
+    * order g03 hash-matches, rounds to 6dp, and SUMS AS EXACT DECIMALS —
+    * so the per-device total is addition-order-free across partitions
+    * (a raw double sum would depend on partition merge order). */
+  def dailyDistanceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pings = Tables(spark, sfDir, "orders").select(
+      concat(lit("dev-"), col("o_custkey")).as("device_id"),
+      col("o_orderkey").cast("long").as("t"),
+      ((col("o_orderkey") % 180) - 90 + 0.5).as("lat"),
+      ((col("o_orderkey") % 360) - 180 + 0.25).as("lon"))
+    val w = Window.partitionBy(col("device_id")).orderBy(col("t"))
+    pings
+      .withColumn("plat", lag(col("lat"), 1).over(w))
+      .withColumn("plon", lag(col("lon"), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .select(col("device_id"),
+        round(graft.functions.GeoFunctions.haversineKm(
+          col("plat"), col("plon"), col("lat"), col("lon")), 6).as("leg"))
+      .groupBy(col("device_id"))
+      .agg(count(lit(1)).as("n_legs"),
+        sum(col("leg").cast("decimal(30,6)")).cast("double").as("total_km"))
+      .orderBy("device_id")
+  }
+
+  /** DuckDB twin of [[dailyDistanceQuery]]: same synth, same lag, same
+    * haversine term order, same decimal-sum discipline. */
+  val dailyDistanceOracleSql: String =
+    """WITH pings AS (
+      |  SELECT 'dev-' || o_custkey AS device_id, o_orderkey AS t,
+      |    (o_orderkey % 180) - 90 + 0.5 AS lat,
+      |    (o_orderkey % 360) - 180 + 0.25 AS lon
+      |  FROM orders
+      |), lagged AS (
+      |  SELECT device_id, lat, lon,
+      |    lag(lat, 1) OVER w AS plat, lag(lon, 1) OVER w AS plon
+      |  FROM pings WINDOW w AS (PARTITION BY device_id ORDER BY t)
+      |), legs AS (
+      |  SELECT device_id,
+      |    round(2 * 6371.0088 * asin(sqrt(
+      |      sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+      |      + cos(radians(plat)) * cos(radians(lat))
+      |        * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2))), 6)
+      |      AS leg
+      |  FROM lagged WHERE plat IS NOT NULL)
+      |SELECT device_id, count(1) AS n_legs,
+      |  CAST(sum(CAST(leg AS DECIMAL(30,6))) AS DOUBLE) AS total_km
+      |FROM legs GROUP BY device_id ORDER BY device_id""".stripMargin
+
   /** DuckDB twin of [[haversineQuery]], same synth CTE and term order. */
   val haversineOracleSql: String =
     """WITH latest AS (

@@ -1135,6 +1135,44 @@ object Relational {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  /** q83: cube serving from a materialized rollup — the OLAP pattern that
+    * makes dashboards affordable at 100 TB: the fact table aggregates
+    * ONCE to its finest serving grain (returnflag × linestatus partials:
+    * counts + exact decimal sums), persists, and every coarser query —
+    * by flag, by status, grand total — merges the partials instead of
+    * re-scanning the fact. The gate serves all three coarser queries from
+    * the persisted partials and must hash-match the oracle computing each
+    * directly from the raw table: proof the partial-merge algebra
+    * (sum-of-sums, sum-of-counts over decimals) loses nothing. The q77
+    * matview discipline applied downward through grains. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_cube", d)
+    ExportOps.withScratchCleanup(out) {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,2)")).as("qty_dec"))
+        .write.parquet(s"$out/base")
+      val base = s.read.parquet(s"$out/base")
+      def roll(level: String, k1: org.apache.spark.sql.Column,
+               k2: org.apache.spark.sql.Column,
+               g: org.apache.spark.sql.RelationalGroupedDataset) =
+        g.agg(sum(col("n")).as("sn"), sum(col("qty_dec")).as("sq"))
+          .select(lit(level).as("level"), k1.as("k1"), k2.as("k2"),
+            col("sn").cast("long").as("n"),
+            col("sq").cast("double").as("sum_qty"))
+      val byFlag = roll("flag", col("l_returnflag"), lit(null).cast("string"),
+        base.groupBy(col("l_returnflag")))
+      val byStatus = roll("status", lit(null).cast("string"), col("l_linestatus"),
+        base.groupBy(col("l_linestatus")))
+      val total = roll("all", lit(null).cast("string"), lit(null).cast("string"),
+        base.groupBy())
+      ExportOps.localizeAndDrop(
+        byFlag.unionByName(byStatus).unionByName(total)
+          .orderBy("level", "k1", "k2"), out, "level", "k1", "k2")
+    }
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -1342,7 +1380,7 @@ object Relational {
     "q77_matview_delta" -> q77 _,
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
     "q80_dynamic_pruning" -> q80 _, "q81_snapshot_diff" -> q81 _,
-    "q82_share_of_total" -> q82 _,
+    "q82_share_of_total" -> q82 _, "q83_cube_serving" -> q83 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -1731,6 +1769,22 @@ object Relational {
         |    CAST(sum(rev_dec) OVER (PARTITION BY o_orderstatus) AS DOUBLE), 6)
         |    AS share
         |FROM per ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // each coarser query served from persisted partials must equal the
+    // direct computation over the raw fact table
+    "q83_cube_serving" ->
+      """SELECT 'flag' AS level, l_returnflag AS k1, CAST(NULL AS VARCHAR) AS k2,
+        |  count(1) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'status', CAST(NULL AS VARCHAR), l_linestatus, count(1),
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+        |FROM lineitem GROUP BY l_linestatus
+        |UNION ALL
+        |SELECT 'all', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), count(1),
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+        |FROM lineitem
+        |ORDER BY level, k1, k2""".stripMargin,
     "q73_hierarchy_rollup" ->
       """WITH RECURSIVE anc AS (
         |  SELECT c_custkey AS node, c_custkey AS ancestor FROM customer

@@ -487,6 +487,51 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** v18: one exact Lloyd (k-means) iteration, hash-matched end-to-end —
+    * the training step behind every IVF/PQ codebook (v05/v07/v14 use
+    * k-means-shaped codebooks; this gates the iteration itself): assign
+    * every vector to its nearest current centroid (cosine desc, label asc
+    * — the e02 routing discipline, applied corpus-wide), then recompute
+    * each cluster's mean with exact decimal sums so the update is
+    * addition-order-free and bit-identical at any parallelism. Current
+    * centroids are the per-label decimal means (e02's model); the update
+    * emits per-(cluster, dim) coordinates. Scale shape: the model
+    * broadcasts (k × dims rows), the corpus is scanned once for the
+    * assignment and once for the update — two map-side-combined
+    * aggregations, no corpus-sized join. */
+  private def v18(s: SparkSession, d: String): DataFrame = {
+    val vecs = emb(s, d)
+    val cents = vecs
+      .select(col("label"), posexplode(VectorFunctions.toDouble(col("embedding"))))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("x").cast("decimal(30,12)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        e => e.getField("c")).as("centroid"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cl").asc)
+    val assigned = vecs
+      .crossJoin(broadcast(cents.select(col("label").as("cl"), col("centroid"))))
+      .select(col("vec_id"), col("embedding"), col("cl"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("embedding"), col("centroid")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assigned
+      .select(col("cl").as("cluster"),
+        posexplode(VectorFunctions.toDouble(col("embedding"))))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("x").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)), 6).as("coord"))
+      // 1-based dim at the output edge (generate_subscripts convention)
+      .select(col("cluster"), (col("dim") + 1).cast("long").as("dim"),
+        col("n_members"), col("coord"))
+      .orderBy("cluster", "dim")
+  }
+
   private def v16(s: SparkSession, d: String): DataFrame = {
     val dims = s.range(64).toDF("i")
     val outs = s.range(16).toDF("j")
@@ -684,6 +729,7 @@ object SimilarityOps {
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
     "v14_pq_adc" -> v14 _, "v15_knn_labels" -> v15 _,
     "v16_jl_projection" -> v16 _, "v17_matryoshka_rerank" -> v17 _,
+    "v18_kmeans_step" -> v18 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
     "v03_embed_neardup" -> v03 _, "v04_label_centroids" -> v04 _,
     "v05_knn_ivf" -> v05 _, "v06_neardup_exact" -> v06 _,
@@ -825,6 +871,38 @@ object SimilarityOps {
          |             ORDER BY rrf DESC, n_id) AS rank FROM fused)
          |SELECT q_id, rank, n_id, rank_cos, rank_l1, round(rrf, 6) AS rrf
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // one Lloyd iteration: e02-shaped current model, corpus-wide nearest-
+    // centroid assignment, decimal-exact cluster-mean update
+    "v18_kmeans_step" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(1) AS c
+        |  FROM dims GROUP BY label, dim
+        |), centroids AS (
+        |  SELECT label AS cl, array_agg(c ORDER BY dim) AS centroid
+        |  FROM cent GROUP BY label
+        |), scored AS (
+        |  SELECT e.vec_id, cl,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), centroid)
+        |      AS cos
+        |  FROM embeddings e CROSS JOIN centroids
+        |), assigned AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cl ASC) AS rn FROM scored) x
+        |  WHERE rn = 1
+        |), upd AS (
+        |  SELECT a.cl AS cluster, d.dim, d.x
+        |  FROM assigned a JOIN dims d ON d.vec_id = a.vec_id)
+        |SELECT cluster, dim, count(1) AS n_members,
+        |  round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(1), 6)
+        |    AS coord
+        |FROM upd GROUP BY cluster, dim
+        |ORDER BY cluster, dim""".stripMargin,
     // the two-tier cascade is deterministic end-to-end: same truncated
     // shortlist, same exact rerank, same tie-breaks in both engines
     "v17_matryoshka_rerank" ->
