@@ -104,6 +104,12 @@ object Bench {
     val rows = results.map { case (k, _) =>
       "\"" + k + "\":" + metrics.rowsRead(k) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"shuffle_bytes":$shuffles,"rows":$rows,"sf":"$sfDir"}""")
+    // Trailing short summary: the driver's capture keeps the TAIL of stdout,
+    // and the full line above has outgrown it (r8's artifact lost its totals
+    // to truncation). This line is small enough to always survive, so the
+    // verdict-bearing numbers are machine-readable even when the per-query
+    // maps are cut off.
+    println(s"""{"metric":"summary","total":$total,"unit":"sec","errors":$errors,"queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

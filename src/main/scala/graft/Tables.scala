@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (see TESTDATA.md /
   * FIXTURES.md §B). All engine queries take the scale-factor directory as a
@@ -16,14 +18,24 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as raw nanos and truncate to microseconds
-      // (TimestampType precision). Oracle SQL only ever compares at
-      // millisecond-or-coarser granularity, where ns and µs floors agree.
+      // events.ts has shipped under two physical encodings: parquet
+      // TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as
+      // raw longs via the legacy conf) and plain TIMESTAMP(MICROS) without
+      // the UTC-adjusted flag (which Spark reads as TIMESTAMP_NTZ). Branch
+      // on the type that actually arrives so the loader survives fixture
+      // regeneration — the same discipline a 100 TB lake needs for files
+      // written by heterogeneous producers. Downstream always sees
+      // `ts: TimestampType` at µs precision; oracle SQL only compares at
+      // millisecond-or-coarser granularity, where the encodings agree.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => // raw nanos: truncate to TimestampType's µs grain
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType => // session TZ is UTC → value-stable cast
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -79,6 +79,17 @@ object TextFunctions {
     aggregate(transform(tokens(text), t => xxhash64(t)),
       lit(0L), (acc, h) => xxhash64(acc, h))
 
+  /** Engine-portable rolling fingerprint: fold (acc·31 + h) mod
+    * [[MinHashP]] over 60-bit md5 token-prefix hashes — order-sensitive
+    * like [[fingerprint]], but recomputable in any engine with md5 (the
+    * d09 discipline), which makes t04 oracle-checkable end to end. Bounds:
+    * acc < 2^29 (post-mod) so acc·31 < 2^34, h < 2^60 → the sum stays
+    * under 2^63: wrap-free under ANSI mode, exact BIGINT in the oracle. */
+  def fingerprintMd5(text: Column): Column =
+    aggregate(transform(tokens(text),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")),
+      lit(0L), (acc, h) => (acc * 31L + h) % MinHashP)
+
   /** Punctuation character ratio (0 when empty). */
   def punctRatio(text: Column): Column = {
     val len = length(text).cast("double")

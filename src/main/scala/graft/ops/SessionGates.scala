@@ -22,6 +22,14 @@ import graft.Tables
   * comparison identical in both engines. Session merge is strict
   * (touching windows split): the oracle breaks on `diff >= gap`, matching
   * `MergingSessionsIterator`'s `start < end` merge test.
+  *
+  * Every file-source gate below streams parquet the ENGINE wrote (the
+  * normalized [[graft.Tables]] view landed via [[onePartFile]]), never the
+  * raw fixture file: the fixture's physical ts encoding has already changed
+  * once (raw nanos longs → TIMESTAMP(MICROS)), and staging the normalized
+  * frame makes the micro-batch arithmetic — splits, sentinels, watermarks —
+  * encoding-independent. All event-time arithmetic runs in epoch-µs longs
+  * (`unix_micros`), TimestampType's native grain.
   */
 object SessionGates {
 
@@ -41,6 +49,26 @@ object SessionGates {
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("n_events"))
 
+  /** Writes `df` as exactly ONE parquet file and returns it — the arrival
+    * unit the file-source gates copy into their input dirs. One file per
+    * intended micro-batch: multiple part files would split a batch under
+    * `maxFilesPerTrigger=1` and collide on fixed target names. */
+  private def onePartFile(df: DataFrame, out: java.io.File,
+                          stage: String): java.io.File = {
+    val slice = new java.io.File(out, s"stage_$stage")
+    df.coalesce(1).write.parquet(slice.getPath)
+    slice.listFiles().filter(_.getName.endsWith(".parquet")).head
+  }
+
+  /** Lands `part` in the gate's watched `in/` dir under `name`, mtime-
+    * stamped so the file source replays arrival order (oldest first). */
+  private def arriveAs(part: java.io.File, out: java.io.File, name: String,
+                       mtime: Long): Unit = {
+    val dst = new java.io.File(out, s"in/$name.parquet")
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    dst.setLastModified(mtime)
+  }
+
   /** q57: native session_window as a batch aggregation. One hash shuffle
     * on user_id, sessions merged per-partition — no window function, no
     * self-join; at 100 TB this is the cheapest sessionization shape Spark
@@ -59,41 +87,25 @@ object SessionGates {
     * bounded replays of unbounded pipelines — no `complete` mode, no
     * state-peeking. */
   private def q58(s: SparkSession, d: String): DataFrame = {
-    // nanosAsLong must cover the raw read below AND the streaming query's
-    // whole lifetime (micro-batch plans compile asynchronously after
-    // start()); withConf restores it before anything else runs.
     val out = ExportOps.scratchDir("graft_sessions", d)
-    ExportOps.withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
     ExportOps.withScratchCleanup(out) {
     new java.io.File(out, "in").mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      out.toPath.resolve("in/events.parquet"))
-    // raw nanos view of the same file (what readStream's schema sees)
-    val raw = s.read.parquet(s"$d/events.parquet")
-    val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
-    // coalesce(1): the copy below lands the sentinel as ONE target file;
-    // multiple non-empty part files would collide on the fixed name
-    raw.filter(lit(false)) // schema-only template for the sentinel row
-      .unionByName(raw.limit(1).select(
+    val ev = Tables(s, d, "events") // ts: TimestampType, µs grain
+    val maxMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val now = System.currentTimeMillis()
+    arriveAs(onePartFile(ev, out, "events"), out, "events", now - 120000L)
+    arriveAs(onePartFile(
+      ev.limit(1).select(
         lit(-1L).as("event_id"),
-        lit(maxNanos + 7200L * 1000000000L).as("ts"),
+        timestamp_micros(lit(maxMicros + 7200L * 1000000L)).as("ts"),
         lit(-1L).as("user_id"),
         lit("sentinel").as("event_type"),
         lit(0.0).as("value"),
-        lit("{}").as("props")))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$out/in_sentinel")
-    val sentinelFiles = java.nio.file.Files.list(
-      java.nio.file.Paths.get(s"$out/in_sentinel"))
-    try sentinelFiles
-      .filter(p => p.toString.endsWith(".parquet"))
-      .forEach(p => java.nio.file.Files.copy(p,
-        out.toPath.resolve("in/sentinel.parquet")))
-    finally sentinelFiles.close()
-    val stream = s.readStream.schema(raw.schema).parquet(s"$out/in")
+        lit("{}").as("props")), out, "sentinel"), out, "sentinel",
+      now - 60000L)
+    val stream = s.readStream.schema(ev.schema).parquet(s"$out/in")
       .select(col("user_id"),
-        timestamp_millis(expr("ts div 1000000")).as("tsm"))
+        timestamp_millis(unix_millis(col("ts"))).as("tsm"))
       .withWatermark("tsm", "10 minutes")
     // The streaming aggregation's state partition count is pinned by the
     // checkpoint at first start; every partition costs a state store
@@ -115,7 +127,6 @@ object SessionGates {
     val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
     ExportOps.localizeAndDrop(landed, out, "user_id", "session_start_ms")
     }
-    }
   }
 
   /** q62: stream-stream INTERVAL JOIN under real multi-batch streaming —
@@ -125,7 +136,7 @@ object SessionGates {
     * sides watermarked, the join condition bounds event time on both
     * ends, so buffered state is evicted as the watermark advances — the
     * only way stream-stream join state stays bounded at scale). The
-    * events file is split at its mean timestamp into TWO time-ordered
+    * events corpus is split at its mean timestamp into TWO time-ordered
     * files processed one per micro-batch (`maxFilesPerTrigger 1`), so
     * cross-boundary matches must come from buffered click state, not from
     * a single-batch degenerate join. Timestamps truncate to ms before the
@@ -133,28 +144,22 @@ object SessionGates {
     * the landed pairs hash-match a DuckDB self-join oracle. */
   private def q62(s: SparkSession, d: String): DataFrame = {
     val out = ExportOps.scratchDir("graft_ssjoin", d)
-    ExportOps.withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
     ExportOps.withScratchCleanup(out) {
       new java.io.File(out, "in").mkdirs()
-      val raw = s.read.parquet(s"$d/events.parquet")
+      val ev = Tables(s, d, "events")
       // any split point yields the same join result; the mean just makes
       // both micro-batches non-trivial
-      val mid = raw.agg(avg(col("ts"))).head().getDouble(0).toLong
+      val mid = ev.agg(avg(unix_micros(col("ts")))).head().getDouble(0).toLong
       val now = System.currentTimeMillis()
-      Seq(col("ts") <= mid, col("ts") > mid).zipWithIndex.foreach {
-        case (cond, i) =>
-          val slice = s"$out/slice$i"
-          raw.filter(cond).coalesce(1).write.parquet(slice)
-          val part = new java.io.File(slice).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(s"$out/in/f$i.parquet")
-          java.nio.file.Files.copy(part.toPath, dst.toPath)
-          dst.setLastModified(now - (2 - i) * 60000L) // arrival order
-      }
-      val stream = s.readStream.schema(raw.schema)
+      Seq(unix_micros(col("ts")) <= mid, unix_micros(col("ts")) > mid)
+        .zipWithIndex.foreach { case (cond, i) =>
+          arriveAs(onePartFile(ev.filter(cond), out, s"f$i"), out, s"f$i",
+            now - (2 - i) * 60000L) // arrival order
+        }
+      val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          timestamp_millis(expr("ts div 1000000")).as("ts"))
+          timestamp_millis(unix_millis(col("ts"))).as("ts"))
       val joined = graft.streaming.EventStreams.purchasesWithClicks(stream)
       // 8 state stores per side per micro-batch — same sizing note as q58
       ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
@@ -171,7 +176,6 @@ object SessionGates {
           unix_millis(col("purchase_ts")).as("purchase_ms"),
           col("click_id"), unix_millis(col("click_ts")).as("click_ms"))
       ExportOps.localizeAndDrop(landed, out, "purchase_id", "click_id")
-    }
     }
   }
 
@@ -193,42 +197,38 @@ object SessionGates {
                                        sentinel: Boolean): DataFrame = {
     val out = ExportOps.scratchDir(
       if (sentinel) "graft_ssoj" else "graft_ssoj_ns", d)
-    ExportOps.withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
     ExportOps.withScratchCleanup(out) {
       new java.io.File(out, "in").mkdirs()
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val mid = raw.agg(avg(col("ts"))).head().getDouble(0).toLong
-      val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+      val ev = Tables(s, d, "events")
+      val mid = ev.agg(avg(unix_micros(col("ts")))).head().getDouble(0).toLong
+      val maxMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       val now = System.currentTimeMillis()
-      def sentinelRow(id: Long, tsNanos: Long, eventType: String) =
-        raw.limit(1).select(
-          lit(id).as("event_id"), lit(tsNanos).as("ts"),
+      def sentinelRow(id: Long, tsMicros: Long, eventType: String) =
+        ev.limit(1).select(
+          lit(id).as("event_id"),
+          timestamp_micros(lit(tsMicros)).as("ts"),
           lit(-1L).as("user_id"), lit(eventType).as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
       val slices: Seq[DataFrame] =
-        Seq(raw.filter(col("ts") <= mid), raw.filter(col("ts") > mid)) ++
+        Seq(ev.filter(unix_micros(col("ts")) <= mid),
+            ev.filter(unix_micros(col("ts")) > mid)) ++
           (if (sentinel)
             // purchase first, click 30 min later: the click arrives AFTER
             // the sentinel purchase so the two never pair — every uid -1
             // row in the sink would be a real semantics bug, not fixture
             // noise
-            Seq(sentinelRow(-1L, maxNanos + 5400L * 1000000000L, "purchase")
+            Seq(sentinelRow(-1L, maxMicros + 5400L * 1000000L, "purchase")
               .unionByName(
-                sentinelRow(-2L, maxNanos + 7200L * 1000000000L, "click")))
+                sentinelRow(-2L, maxMicros + 7200L * 1000000L, "click")))
           else Seq.empty)
       slices.zipWithIndex.foreach { case (df, i) =>
-        val slice = s"$out/slice$i"
-        df.coalesce(1).write.parquet(slice)
-        val part = new java.io.File(slice).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(s"$out/in/f$i.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath)
-        dst.setLastModified(now - (slices.size - i) * 60000L) // arrival order
+        arriveAs(onePartFile(df, out, s"f$i"), out, s"f$i",
+          now - (slices.size - i) * 60000L) // arrival order
       }
-      val stream = s.readStream.schema(raw.schema)
+      val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          timestamp_millis(expr("ts div 1000000")).as("ts"))
+          timestamp_millis(unix_millis(col("ts"))).as("ts"))
       val joined = graft.streaming.EventStreams
         .purchasesWithClicks(stream, joinType = "left_outer")
       ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
@@ -246,7 +246,6 @@ object SessionGates {
           unix_millis(col("purchase_ts")).as("purchase_ms"),
           col("click_id"), unix_millis(col("click_ts")).as("click_ms"))
       ExportOps.localizeAndDrop(landed, out, "purchase_id", "click_id")
-    }
     }
   }
 
@@ -267,21 +266,18 @@ object SessionGates {
     * the batch DISTINCT oracle. */
   private def q65(s: SparkSession, d: String): DataFrame = {
     val out = ExportOps.scratchDir("graft_sdd", d)
-    ExportOps.withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
     ExportOps.withScratchCleanup(out) {
       new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val part = onePartFile(ev, out, "events")
       val now = System.currentTimeMillis()
       Seq(0, 1).foreach { i => // identical copies = full redelivery
-        val dst = new java.io.File(s"$out/in/f$i.parquet")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"), dst.toPath)
-        dst.setLastModified(now - (2 - i) * 60000L)
+        arriveAs(part, out, s"f$i", now - (2 - i) * 60000L)
       }
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val stream = s.readStream.schema(raw.schema)
+      val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          timestamp_millis(expr("ts div 1000000")).as("tsm"))
+          timestamp_millis(unix_millis(col("ts"))).as("tsm"))
         .withWatermark("tsm", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
       ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
@@ -297,7 +293,6 @@ object SessionGates {
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_millis(col("tsm")).as("ts_ms"))
       ExportOps.localizeAndDrop(landed, out, "event_id")
-    }
     }
   }
 
@@ -329,13 +324,8 @@ object SessionGates {
       Seq(changes.filter(col("op") === "U"),
           changes.filter(col("op") =!= "U")).zipWithIndex.foreach {
         case (df, i) =>
-          val slice = s"$out/slice$i"
-          df.coalesce(1).write.parquet(slice)
-          val part = new java.io.File(slice).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(s"$out/in/f$i.parquet")
-          java.nio.file.Files.copy(part.toPath, dst.toPath)
-          dst.setLastModified(now - (2 - i) * 60000L) // arrival order
+          arriveAs(onePartFile(df, out, s"f$i"), out, s"f$i",
+            now - (2 - i) * 60000L) // arrival order
       }
       val stream = s.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
@@ -358,38 +348,33 @@ object SessionGates {
   /** q74: per-user cumulative totals via Spark 4's `transformWithState`
     * ([[graft.streaming.CumulativeTotalsProcessor]]) under real
     * multi-batch streaming on the RocksDB state store (the only provider
-    * the new API supports). The events file splits at the integer
-    * midpoint timestamp ((min+max) div 2 — exact in both engines, unlike
-    * a float mean) into two micro-batches; each batch a user appears in
-    * emits that user's RUNNING totals, so batch-2 rows prove per-key
-    * state survived the batch boundary (they carry batch-1's counts).
-    * Values pre-scale to integer cents (floor(v·100+0.5) — identical in
-    * both engines for any sign), so the accumulation is order-free and
-    * the whole output hash-matches a DuckDB oracle computing both
-    * batches' cumulative totals from scratch. */
+    * the new API supports). The events corpus splits at the integer
+    * midpoint timestamp ((min+max) div 2 in epoch-µs — exact in both
+    * engines, unlike a float mean) into two micro-batches; each batch a
+    * user appears in emits that user's RUNNING totals, so batch-2 rows
+    * prove per-key state survived the batch boundary (they carry batch-1's
+    * counts). Values pre-scale to integer cents (floor(v·100+0.5) —
+    * identical in both engines for any sign), so the accumulation is
+    * order-free and the whole output hash-matches a DuckDB oracle
+    * computing both batches' cumulative totals from scratch. */
   private def q74(s: SparkSession, d: String): DataFrame = {
     val out = ExportOps.scratchDir("graft_tws", d)
-    ExportOps.withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
     ExportOps.withConf(s, "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
     ExportOps.withScratchCleanup(out) {
       new java.io.File(out, "in").mkdirs()
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val mid = raw.agg(expr("(min(ts) + max(ts)) div 2").as("m"))
+      val ev = Tables(s, d, "events")
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m"))
         .head().getLong(0)
       val now = System.currentTimeMillis()
-      Seq(col("ts") <= mid, col("ts") > mid).zipWithIndex.foreach {
-        case (cond, i) =>
-          val slice = s"$out/slice$i"
-          raw.filter(cond).coalesce(1).write.parquet(slice)
-          val part = new java.io.File(slice).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(s"$out/in/f$i.parquet")
-          java.nio.file.Files.copy(part.toPath, dst.toPath)
-          dst.setLastModified(now - (2 - i) * 60000L) // arrival order
-      }
+      Seq(unix_micros(col("ts")) <= mid, unix_micros(col("ts")) > mid)
+        .zipWithIndex.foreach { case (cond, i) =>
+          arriveAs(onePartFile(ev.filter(cond), out, s"f$i"), out, s"f$i",
+            now - (2 - i) * 60000L) // arrival order
+        }
       import s.implicits._
-      val stream = s.readStream.schema(raw.schema)
+      val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
         .select(col("user_id"),
           expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
@@ -409,7 +394,6 @@ object SessionGates {
       }
       val landed = s.read.parquet(s"$out/data")
       ExportOps.localizeAndDrop(landed, out, "user_id", "n_events")
-    }
     }
     }
   }
@@ -447,18 +431,19 @@ object SessionGates {
     // cumulative totals recomputed from scratch per batch membership:
     // batch-1 rows are totals over ts <= mid; batch-2 rows (users with
     // any later event) are totals over ALL their events — the running
-    // state the processor must have carried across the boundary
+    // state the processor must have carried across the boundary. Epoch-µs
+    // arithmetic mirrors the engine's unix_micros split exactly.
     "q74_stream_cumulative" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) AS tsn,
+        |  SELECT user_id, epoch_us(ts) AS tsu,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         |  FROM events),
-        |mid AS (SELECT (min(tsn) + max(tsn)) // 2 AS m FROM e),
+        |mid AS (SELECT (min(tsu) + max(tsu)) // 2 AS m FROM e),
         |b1 AS (
         |  SELECT user_id, count(1) AS n_events,
         |    CAST(sum(cents) AS BIGINT) AS sum_cents
-        |  FROM e CROSS JOIN mid WHERE tsn <= m GROUP BY user_id),
-        |b2u AS (SELECT DISTINCT user_id FROM e CROSS JOIN mid WHERE tsn > m),
+        |  FROM e CROSS JOIN mid WHERE tsu <= m GROUP BY user_id),
+        |b2u AS (SELECT DISTINCT user_id FROM e CROSS JOIN mid WHERE tsu > m),
         |b2 AS (
         |  SELECT e.user_id, count(1) AS n_events,
         |    CAST(sum(cents) AS BIGINT) AS sum_cents

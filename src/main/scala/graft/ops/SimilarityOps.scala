@@ -22,6 +22,9 @@ object SimilarityOps {
 
   private val K = 5
   private val NumQueries = 16
+  /** v14 codebook-training sample bound (see [[pqAdcTopK]]): ≥ the oracle
+    * SFs' whole corpus, a constant at lake scale. */
+  private val PqTrainCap = 1024
 
   /** Brute-force exact cosine top-k for the first [[NumQueries]] vectors. */
   private def v01(s: SparkSession, d: String): DataFrame = {
@@ -312,6 +315,17 @@ object SimilarityOps {
     // it re-derives from parquet ~50× across the ML fit jobs
     val vecs = DedupOps.cachedShared(corpus.select(col("vec_id"),
       VectorFunctions.toDouble(col("embedding")).as("v")))
+    // Codebook training is bounded: the fits see at most [[PqTrainCap]]
+    // vectors, chosen by md5(vec_id) priority — deterministic across runs
+    // AND across cluster sizes (unlike sample(), whose draw depends on
+    // partitioning). 16 centroids per subspace need thousands of training
+    // points, not the corpus; at 100 TB this caps each fit's input at a
+    // constant while the encode/ADC serving path below still covers every
+    // vector. At the oracle SFs the cap exceeds the corpus, so training
+    // remains exact-full there (gate outputs unchanged).
+    val trainVecs = DedupOps.cachedShared(
+      vecs.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(PqTrainCap))
     // the m per-subspace fits are independent — run them as concurrent
     // Spark jobs (each is seeded, so concurrency cannot change results;
     // sequential fits serialized ~40 tiny ML jobs and dominated the
@@ -321,7 +335,7 @@ object SimilarityOps {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(Future.sequence((0 until m).map { j => Future {
-        val sub = vecs.select(col("vec_id"),
+        val sub = trainVecs.select(col("vec_id"),
           array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv"))
         new KMeans().setK(k).setSeed(42L + j).setMaxIter(5)
           .setFeaturesCol("fv").setPredictionCol("c").fit(sub)

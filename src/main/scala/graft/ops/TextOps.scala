@@ -49,15 +49,18 @@ object TextOps {
   }
 
   /** Full text profile: language-ID heuristic, composite quality score,
-    * BPE-ish token count, rolling-hash fingerprint. Deterministic but
-    * engine-specific hashes — rows-only check. */
+    * BPE-ish token count, rolling-hash fingerprint. The fingerprint is the
+    * md5-rolling portable variant ([[TextFunctions.fingerprintMd5]] — the
+    * d09 discipline), so the whole profile is oracle-checkable; the
+    * xxhash64 [[TextFunctions.fingerprint]] stays available as the faster
+    * engine-native alternative (spec-pinned). */
   private def t04(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), col("lang"),
         languageId(col("text")).as("predicted_lang"),
         round(qualityScore(col("text")), 4).as("quality"),
         tokenCountBpeish(col("text")).as("bpeish_tokens"),
-        fingerprint(col("text")).as("fingerprint"),
+        fingerprintMd5(col("text")).as("fingerprint"),
         round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
         round(punctRatio(col("text")), 4).as("punct_ratio"))
       .orderBy("doc_id")
@@ -675,6 +678,69 @@ object TextOps {
     "t22_zipf_coverage" -> t22 _, "t23_chunk_overlap" -> t23 _)
 
   val oracle: Map[String, String] = Map(
+    // t07's term-by-term mirror, extended to the FULL t04 profile: same
+    // tokenization, stopword lists, fixed-order double arithmetic and
+    // language argmax; plus the md5-rolling fingerprint fold replayed
+    // left-to-right ((acc·31+h) mod P over 60-bit md5 prefixes — exact
+    // BIGINT in both engines) and the BPE-ish token count. The fixture
+    // corpus is punctuation- and digit-free (lowercase words + spaces),
+    // where the BPE-ish splitter's punct/letter-digit boundaries reduce
+    // to whitespace tokens — the oracle asserts that reduction; a future
+    // fixture with punctuation would need the char-class boundary count
+    // spelled out here instead.
+    "t04_text_profile" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS ltoks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang, text, toks, ltoks,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(ltoks) AS DOUBLE) AS ln,
+        |    CAST(length(text) AS DOUBLE) AS clen,
+        |    CAST(length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS nopunct
+        |  FROM base
+        |), r AS (
+        |  SELECT doc_id, lang, text, toks, ltoks, n, ln, clen,
+        |    CASE WHEN n = 0.0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it',
+        |         'on','for','with','as','at','by','be','this','that','are'], t))) AS DOUBLE) / n
+        |    END AS stopword_ratio,
+        |    CASE WHEN clen = 0.0 THEN 0.0 ELSE (clen - nopunct) / clen END AS punct_ratio,
+        |    CASE WHEN n = 0.0 THEN 0.0 ELSE
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / n END AS distinct_ratio
+        |  FROM m
+        |)
+        |SELECT doc_id, lang,
+        |  list_aggregate([
+        |    {'score': CAST(len(list_filter(ltoks, t -> list_contains(
+        |       ['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE)
+        |       / greatest(ln, 1.0), 'lang': 'de'},
+        |    {'score': CAST(len(list_filter(ltoks, t -> list_contains(
+        |       ['the','a','and','of','to','in','is','it','that','for'], t))) AS DOUBLE)
+        |       / greatest(ln, 1.0), 'lang': 'en'},
+        |    {'score': CAST(len(list_filter(ltoks, t -> list_contains(
+        |       ['el','la','los','las','y','de','un','una','es','que'], t))) AS DOUBLE)
+        |       / greatest(ln, 1.0), 'lang': 'es'},
+        |    {'score': CAST(len(list_filter(ltoks, t -> list_contains(
+        |       ['le','la','les','et','de','des','un','une','est','que'], t))) AS DOUBLE)
+        |       / greatest(ln, 1.0), 'lang': 'fr'},
+        |    {'score': CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |       / greatest(clen, 1.0), 'lang': 'zh'}
+        |  ], 'max').lang AS predicted_lang,
+        |  round(least(n / 100.0, 1.0) * 0.25
+        |    + greatest(1.0 - abs(stopword_ratio - 0.1), 0.0) * 0.25
+        |    + (1.0 - punct_ratio) * 0.25
+        |    + distinct_ratio * 0.25, 4) AS quality,
+        |  CAST(len(toks) AS BIGINT) AS bpeish_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
+        |    (acc, h) -> (acc * 31 + h) % 536870909) AS fingerprint,
+        |  round(stopword_ratio, 4) AS stopword_ratio,
+        |  round(punct_ratio, 4) AS punct_ratio
+        |FROM r ORDER BY doc_id""".stripMargin,
     // chunk windows are pure list slices — both engines must produce the
     // byte-identical rejoined text for every (doc, start) window
     "t23_chunk_overlap" ->

@@ -34,6 +34,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fp(0) !== fp(1))
   }
 
+  test("fingerprintMd5 is order-sensitive, bounded by P, and empty-safe") {
+    val fp = Seq(Tuple1("alpha beta gamma"), Tuple1("gamma beta alpha"),
+      Tuple1("")).toDF("text")
+      .select(TextFunctions.fingerprintMd5($"text")).as[Long].collect()
+    assert(fp(0) !== fp(1))
+    fp.foreach(v => assert(v >= 0L && v < TextFunctions.MinHashP,
+      s"fingerprint $v escapes [0, P)"))
+    // the md5-rolling fold must match a by-hand replay of its definition
+    // (this is exactly what the DuckDB oracle recomputes)
+    val hs = Seq("alpha", "beta", "gamma").map { t =>
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(t.getBytes)
+          .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expected = hs.foldLeft(0L)((acc, h) =>
+      (acc * 31L + h) % TextFunctions.MinHashP)
+    assert(fp(0) === expected)
+  }
+
   test("quality score in [0,1]; empty text well-defined") {
     val q = Seq(Tuple1(""), Tuple1("the cat sat on the mat"),
       Tuple1("a " * 200)).toDF("text")

@@ -128,20 +128,20 @@ class EventStreamsSpec extends SparkSpec {
   test("file-streaming the real events table matches the batch aggregation") {
     // stream the driver-provided parquet as a file source: same transform
     // code, same results as batch — the batch/stream duality SURVEY §1.4
-    // requires. (events.ts is TIMESTAMP(NANOS) -> read raw + convert, as
-    // graft.Tables does for batch.)
+    // requires. Stage the NORMALIZED graft.Tables view (ts: TimestampType)
+    // so the stream is independent of the fixture's physical ts encoding.
     val d = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchDf = graft.Tables(spark, d, "events")
-    // file-stream source wants a directory; stage the single parquet file
+    // file-stream source wants a directory; stage as one parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      dir.resolve("events.parquet"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-events-stage")
+    batchDf.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, dir.resolve("events.parquet"))
     val streamDf = spark.readStream
-      .schema(spark.read.parquet(s"$d/events.parquet").schema)
+      .schema(batchDf.schema)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = EventStreams.tumblingCounts(streamDf, "1 hour", "0 seconds")
       .writeStream.outputMode("append").format("memory")
       .queryName("file_stream_out").start()
