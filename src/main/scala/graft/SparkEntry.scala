@@ -44,7 +44,8 @@ object SparkEntry {
         "g12_geofence" -> ((s, d) => geotab.GeotabSynth.geofenceQuery(s, d)),
         "g13_stop_zones" -> ((s, d) => geotab.GeotabSynth.stopZonesQuery(s, d)),
         "g14_harsh_events" -> ((s, d) => geotab.GeotabSynth.harshEventsQuery(s, d)),
-        "g15_daily_distance" -> ((s, d) => geotab.GeotabSynth.dailyDistanceQuery(s, d)))
+        "g15_daily_distance" -> ((s, d) => geotab.GeotabSynth.dailyDistanceQuery(s, d)),
+        "g16_zone_transitions" -> ((s, d) => geotab.GeotabSynth.zoneTransitionsQuery(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -77,5 +78,6 @@ object SparkEntry {
         "g12_geofence" -> geotab.GeotabSynth.geofenceOracleSql,
         "g13_stop_zones" -> geotab.GeotabSynth.stopZonesOracleSql,
         "g14_harsh_events" -> geotab.GeotabSynth.harshEventsOracleSql,
-        "g15_daily_distance" -> geotab.GeotabSynth.dailyDistanceOracleSql)
+        "g15_daily_distance" -> geotab.GeotabSynth.dailyDistanceOracleSql,
+        "g16_zone_transitions" -> geotab.GeotabSynth.zoneTransitionsOracleSql)
 }

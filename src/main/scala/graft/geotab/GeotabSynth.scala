@@ -670,6 +670,65 @@ object GeotabSynth {
       |  CAST(sum(CAST(leg AS DECIMAL(30,6))) AS DOUBLE) AS total_km
       |FROM legs GROUP BY device_id ORDER BY device_id""".stripMargin
 
+  /** g16: geofence entry/exit transitions — the alerting primitive g12's
+    * static assignment implies but never emits: for each device's ping
+    * history, the moments its containing zone CHANGES (entered europe,
+    * left north_america, …). Zone resolution is the g12 broadcast range
+    * join applied to every ping (not just the latest snapshot), then one
+    * `lag(zone)` per device on the same single device_id hash shuffle
+    * every ping query rides; transitions are a filter over it. At 100 TB
+    * the plan is one scan + one broadcast + one keyed window — the zone
+    * dimension stays 4 literal rows, so nothing grows with the fleet but
+    * the ping scan itself. Zones are disjoint, so the per-ping join
+    * matches at most once and cannot fan out. */
+  def zoneTransitionsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pings = Tables(spark, sfDir, "orders").select(
+      concat(lit("dev-"), col("o_custkey")).as("device_id"),
+      col("o_orderkey").cast("long").as("t"),
+      ((col("o_orderkey") % 180) - 90 + 0.5).as("lat"),
+      ((col("o_orderkey") % 360) - 180 + 0.25).as("lon"))
+    val zoned = pings.join(broadcast(fenceZones(spark)),
+        col("lat") >= col("lat_min") && col("lat") < col("lat_max") &&
+          col("lon") >= col("lon_min") && col("lon") < col("lon_max"),
+        "left")
+      .select(col("device_id"), col("t"),
+        coalesce(col("zone"), lit("none")).as("zone"))
+    val w = Window.partitionBy(col("device_id")).orderBy(col("t"))
+    zoned
+      .withColumn("prev_zone", lag(col("zone"), 1).over(w))
+      .filter(col("prev_zone").isNotNull && col("prev_zone") =!= col("zone"))
+      .select(col("device_id"), col("t"),
+        col("prev_zone").as("from_zone"), col("zone").as("to_zone"))
+      .orderBy("device_id", "t")
+  }
+
+  /** DuckDB twin of [[zoneTransitionsQuery]]: same ping synth, same zone
+    * rows, same lag. */
+  val zoneTransitionsOracleSql: String =
+    """WITH pings AS (
+      |  SELECT 'dev-' || o_custkey AS device_id, o_orderkey AS t,
+      |    (o_orderkey % 180) - 90 + 0.5 AS lat,
+      |    (o_orderkey % 360) - 180 + 0.25 AS lon
+      |  FROM orders
+      |), zones(zone, lat_min, lat_max, lon_min, lon_max) AS (
+      |  VALUES ('north_america', 15.0, 72.0, -170.0, -50.0),
+      |         ('europe', 35.0, 72.0, -10.0, 40.0),
+      |         ('south_cone', -60.0, -15.0, -90.0, -30.0),
+      |         ('oceania', -50.0, -10.0, 110.0, 180.0)
+      |), zoned AS (
+      |  SELECT device_id, t, coalesce(z.zone, 'none') AS zone
+      |  FROM pings LEFT JOIN zones z
+      |    ON lat >= lat_min AND lat < lat_max
+      |   AND lon >= lon_min AND lon < lon_max
+      |), lagged AS (
+      |  SELECT device_id, t, zone,
+      |    lag(zone, 1) OVER (PARTITION BY device_id ORDER BY t) AS prev_zone
+      |  FROM zoned)
+      |SELECT device_id, t, prev_zone AS from_zone, zone AS to_zone
+      |FROM lagged
+      |WHERE prev_zone IS NOT NULL AND prev_zone <> zone
+      |ORDER BY device_id, t""".stripMargin
+
   /** DuckDB twin of [[haversineQuery]], same synth CTE and term order. */
   val haversineOracleSql: String =
     """WITH latest AS (

@@ -357,8 +357,34 @@ object SessionGates {
     * identical in both engines for any sign), so the accumulation is
     * order-free and the whole output hash-matches a DuckDB oracle
     * computing both batches' cumulative totals from scratch. */
-  private def q74(s: SparkSession, d: String): DataFrame = {
-    val out = ExportOps.scratchDir("graft_tws", d)
+  private def q74(s: SparkSession, d: String): DataFrame =
+    twsGate(s, d, "graft_tws", new graft.streaming.CumulativeTotalsProcessor,
+      org.apache.spark.sql.streaming.TimeMode.None())
+
+  /** q84: the TTL-EVICTION twin of q74 — same two-micro-batch replay, but
+    * the per-user state carries a 1 ms TTL
+    * ([[graft.streaming.TtlTotalsProcessor]]): by batch 2 every user's
+    * batch-1 state has expired (a micro-batch boundary is always ≫ 1 ms),
+    * so batch-2 rows carry totals over batch 2 ALONE — state eviction
+    * under key churn, observed end-to-end through the RocksDB store. The
+    * oracle computes both batches' totals INDEPENDENTLY; q74's oracle
+    * (batch-2 totals over ALL events) differs on every user with events in
+    * both halves, so the pair of gates pins carried vs evicted state as
+    * distinct, oracle-checked behaviors of the same API surface. */
+  private def q84(s: SparkSession, d: String): DataFrame =
+    twsGate(s, d, "graft_ttl", new graft.streaming.TtlTotalsProcessor(1L),
+      // TTL state is processing-time-scoped by API contract, so the TTL
+      // gate runs the processor under ProcessingTime; the arithmetic
+      // stays event-derived, so the output is still deterministic
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+      drainByCommits = true)
+
+  private def twsGate(s: SparkSession, d: String, prefix: String,
+      processor: org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, graft.streaming.UserEvent, graft.streaming.UserCumulative],
+      timeMode: org.apache.spark.sql.streaming.TimeMode,
+      drainByCommits: Boolean = false): DataFrame = {
+    val out = ExportOps.scratchDir(prefix, d)
     ExportOps.withConf(s, "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
     ExportOps.withScratchCleanup(out) {
@@ -380,8 +406,7 @@ object SessionGates {
           expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
         .as[graft.streaming.UserEvent]
       val totals = stream.groupByKey(_.user_id)
-        .transformWithState(new graft.streaming.CumulativeTotalsProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
+        .transformWithState(processor, timeMode,
           org.apache.spark.sql.streaming.OutputMode.Append())
       ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
         val q = totals.toDF().writeStream.format("parquet")
@@ -390,7 +415,33 @@ object SessionGates {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        try q.processAllAvailable() finally q.stop()
+        // Under ProcessingTime (the TTL gate), the stateful operator keeps
+        // requesting state-cleanup batches as processing time advances, so
+        // AvailableNow's drain never reaches "no more work" and
+        // processAllAvailable() livelocks — and the cleanup batches
+        // interleave arbitrarily with the data batches. Cleanup batches
+        // emit no rows (no timers; handleInputRows only fires for keys
+        // with input), so the output is complete exactly when both DATA
+        // batches are durably committed. The file source's checkpoint log
+        // (ckpt/sources/0) gains one numbered entry per batch that admits
+        // new files — the gate's two staged files, under
+        // maxFilesPerTrigger=1, mean two entries; waiting until the later
+        // of those batch ids reaches the commit log, then stopping, is
+        // race-free: the sink's metadata log already covers that batch,
+        // and any in-flight cleanup batch adds nothing.
+        try {
+          if (drainByCommits) {
+            def batchIds(dir: String): Array[Long] =
+              Option(new java.io.File(out, dir).list())
+                .getOrElse(Array.empty[String])
+                .flatMap(n => scala.util.Try(n.toLong).toOption)
+            while (q.isActive && {
+              val admitted = batchIds("ckpt/sources/0")
+              admitted.length < 2 ||
+                !batchIds("ckpt/commits").contains(admitted.max)
+            }) Thread.sleep(50)
+          } else q.processAllAvailable()
+        } finally q.stop()
       }
       val landed = s.read.parquet(s"$out/data")
       ExportOps.localizeAndDrop(landed, out, "user_id", "n_events")
@@ -402,7 +453,7 @@ object SessionGates {
     "q57_session_window" -> q57 _, "q58_stream_sessions" -> q58 _,
     "q62_stream_interval_join" -> q62 _, "q65_stream_dedup" -> q65 _,
     "q67_stream_outer_join" -> q67 _, "q69_stream_cdc_apply" -> q69 _,
-    "q74_stream_cumulative" -> q74 _)
+    "q74_stream_cumulative" -> q74 _, "q84_stream_state_ttl" -> q84 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -448,6 +499,25 @@ object SessionGates {
         |  SELECT e.user_id, count(1) AS n_events,
         |    CAST(sum(cents) AS BIGINT) AS sum_cents
         |  FROM e JOIN b2u USING (user_id) GROUP BY e.user_id)
+        |SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |ORDER BY user_id, n_events""".stripMargin,
+    // the TTL twin: batch-1 state has EXPIRED by batch 2, so each batch's
+    // totals compute independently (q74's b2 sums ALL the user's events;
+    // here b2 sums only tsu > m — the observable difference eviction makes)
+    "q84_stream_state_ttl" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |mid AS (SELECT (min(tsu) + max(tsu)) // 2 AS m FROM e),
+        |b1 AS (
+        |  SELECT user_id, count(1) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e CROSS JOIN mid WHERE tsu <= m GROUP BY user_id),
+        |b2 AS (
+        |  SELECT user_id, count(1) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e CROSS JOIN mid WHERE tsu > m GROUP BY user_id)
         |SELECT * FROM b1 UNION ALL SELECT * FROM b2
         |ORDER BY user_id, n_events""".stripMargin,
     "q57_session_window" -> SessionOracleSql,

@@ -239,6 +239,85 @@ object TextOps {
       .filter(col("chunk_tokens") > 0)
   }
 
+  /** t24 retrieval geometry: 16-token chunks advancing 8 (the corpus's
+    * ~35-token docs yield 4-5 chunks each), 16 feature-hash slots, top-5
+    * docs per query. */
+  private val RagChunkTokens = 16
+  private val RagChunkStride = 8
+  private val RagSlots = 16
+  private val RagTopK = 5
+  private val RagQueries = Seq(
+    (0L, "customer order data"),
+    (1L, "spark vector table"),
+    (2L, "fast slow filter"))
+
+  /** t24: RAG retrieval over chunked documents — the loop that closes
+    * t23's chunking with v-family scoring: every document splits into
+    * overlapping chunks, each chunk embeds as a 16-slot feature-hash
+    * bag-of-words (slot = 60-bit md5 token prefix mod 16 — the d09
+    * discipline, so the WHOLE pipeline is oracle-checkable, unlike a
+    * learned embedding), each of 3 fixed queries cosine-scores every
+    * chunk, the best chunk represents its document, and the top-5
+    * documents per query come back with the chunk that won. This is the
+    * retrieval half of a RAG system, end to end: chunk → embed → score →
+    * dedup-to-doc → top-k.
+    *
+    * Float discipline: dot products and squared norms fold INTEGER slot
+    * counts in slot order (exact in double), then one sqrt and one
+    * division per pair — IEEE-identical in both engines, so ranking on
+    * the raw sim with (doc_id, chunk_start) tie-breaks is deterministic
+    * cross-engine; sim rounds to 6dp only for display.
+    *
+    * Scale shape: chunk+embed is the t23 map-only pass plus per-row slot
+    * counting (no shuffle); scoring is a crossJoin with the BROADCAST
+    * 3-row query table (plan-pinned tiny-side family); doc-dedup and
+    * top-k are two windows on one query_id/doc_id hash shuffle. At real
+    * scale the brute chunk scan is replaced by an ANN index over the
+    * same chunk embeddings (v02/v05/v07 — e02 persists exactly such an
+    * index); the composition here gates the semantics. */
+  private def t24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val slotHash = (t: org.apache.spark.sql.Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % RagSlots
+    def embed(toks: org.apache.spark.sql.Column) = {
+      val hs = transform(toks, slotHash)
+      transform(sequence(lit(0), lit(RagSlots - 1)),
+        i => size(filter(hs, h => h === i)).cast("long"))
+    }
+    def norm(v: org.apache.spark.sql.Column) =
+      sqrt(aggregate(v, lit(0.0), (acc, x) => acc + (x * x).cast("double")))
+    val chunks = docs(s, d)
+      .withColumn("toks", tokenize(col("text"), "space-raw"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("chunk_start", explode(expr(
+        s"sequence(0L, greatest(n_tokens - 1, 0L), ${RagChunkStride}L)")))
+      .withColumn("chunk_arr", slice(col("toks"),
+        (col("chunk_start") + 1).cast("int"), lit(RagChunkTokens)))
+      .filter(size(col("chunk_arr")) > 0)
+      .select(col("doc_id"), col("chunk_start"),
+        embed(col("chunk_arr")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val qemb = RagQueries.toDF("query_id", "query_text")
+      .select(col("query_id"),
+        embed(tokenize(col("query_text"), "space-raw")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = chunks.crossJoin(broadcast(qemb))
+      .withColumn("dot", aggregate(
+        zip_with(col("qv"), col("cv"), (x, y) => x * y),
+        lit(0.0), (acc, e) => acc + e.cast("double")))
+      .withColumn("sim", col("dot") / (col("qn") * col("cn")))
+    val wDoc = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("sim").desc, col("chunk_start").asc)
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    scored.withColumn("rb", row_number().over(wDoc)).filter(col("rb") === 1)
+      .withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= RagTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("chunk_start"), round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   private def t22(s: SparkSession, d: String): DataFrame = {
     val vocab = docs(s, d)
       .select(explode(tokenize(col("text"), "space")).as("token"))
@@ -675,9 +754,60 @@ object TextOps {
     "t11_bigram_counts" -> t11 _, "t12_unigram_logprob" -> t12 _,
     "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _,
     "t20_bm25" -> t20 _, "t21_kwic_snippets" -> t21 _,
-    "t22_zipf_coverage" -> t22 _, "t23_chunk_overlap" -> t23 _)
+    "t22_zipf_coverage" -> t22 _, "t23_chunk_overlap" -> t23 _,
+    "t24_rag_retrieval" -> t24 _)
 
   val oracle: Map[String, String] = Map(
+    // the full retrieval loop replayed in SQL: same chunk windows as the
+    // t23 oracle, same md5-slot feature hashing, integer-exact dots and
+    // norms (so the doubles agree bit-for-bit), same two-window ranking
+    "t24_rag_retrieval" ->
+      raw"""WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), chunks0 AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, greatest(n - 1, 0), 8)) AS cs
+        |  FROM tk
+        |), chunks AS (
+        |  SELECT doc_id, cs AS chunk_start, toks[cs+1:cs+16] AS carr
+        |  FROM chunks0 WHERE len(toks[cs+1:cs+16]) > 0
+        |), qrows(query_id, query_text) AS (
+        |  VALUES (0, 'customer order data'), (1, 'spark vector table'),
+        |         (2, 'fast slow filter')
+        |), cemb AS (
+        |  SELECT doc_id, chunk_start,
+        |    list_transform(generate_series(0, 15), i ->
+        |      len(list_filter(carr,
+        |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = i))) AS cv
+        |  FROM chunks
+        |), qemb AS (
+        |  SELECT query_id,
+        |    list_transform(generate_series(0, 15), i ->
+        |      len(list_filter(string_split(query_text, ' '),
+        |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = i))) AS qv
+        |  FROM qrows
+        |), scored AS (
+        |  SELECT query_id, doc_id, chunk_start,
+        |    CAST(list_sum(list_transform(generate_series(1, 16),
+        |        i -> qv[i] * cv[i])) AS DOUBLE)
+        |      / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+        |         * sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)))
+        |      AS sim
+        |  FROM cemb CROSS JOIN qemb
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |             ORDER BY sim DESC, chunk_start ASC) AS rb
+        |  FROM scored
+        |), ranked AS (
+        |  SELECT query_id, doc_id, chunk_start, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, doc_id ASC) AS rank
+        |  FROM best WHERE rb = 1)
+        |SELECT query_id, rank, doc_id, chunk_start, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // t07's term-by-term mirror, extended to the FULL t04 profile: same
     // tokenization, stopword lists, fixed-order double arithmetic and
     // language argmax; plus the md5-rolling fingerprint fold replayed

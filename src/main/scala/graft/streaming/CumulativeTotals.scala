@@ -46,3 +46,36 @@ class CumulativeTotalsProcessor
     Iterator.single(UserCumulative(key, n, c))
   }
 }
+
+/** The TTL twin of [[CumulativeTotalsProcessor]] — the unbounded-key-churn
+  * configuration its Scaladoc points at: the per-user state carries
+  * `TTLConfig(ttl)`, so a user idle longer than the TTL is EVICTED and
+  * their totals restart from zero on return, instead of per-key state
+  * accumulating forever (the only way per-entity state survives 100 TB/day
+  * of churning users). TTL is processing-time by API contract; q84 makes
+  * eviction deterministic by choosing ttl ≪ the inter-batch gap (a
+  * micro-batch's planning alone exceeds 1 ms), so batch-2 reads always see
+  * batch-1 state expired — the gate's oracle is per-batch-independent
+  * totals, distinguishable from q74's carried state by construction. */
+class TtlTotalsProcessor(ttlMs: Long)
+    extends StatefulProcessor[Long, UserEvent, UserCumulative] {
+
+  @transient private var totals: ValueState[UserTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserTotals]("totals",
+      Encoders.product[UserTotals],
+      new TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[UserCumulative] = {
+    // exists() is TTL-aware: expired state reads as absent, so the resume
+    // path and the evicted path are the same code
+    val prev = if (totals.exists()) totals.get() else UserTotals(0L, 0L)
+    var n = prev.n
+    var c = prev.cents
+    rows.foreach { e => n += 1; c += e.cents }
+    totals.update(UserTotals(n, c))
+    Iterator.single(UserCumulative(key, n, c))
+  }
+}
