@@ -680,6 +680,81 @@ object ExportOps {
     }
   }
 
+  /** e15: retention + targeted erasure maintenance — the two delete
+    * shapes every compliant lake runs, gated end-to-end on a day-
+    * partitioned events table:
+    *
+    *  1. RETENTION drops whole partitions older than the cutoff (the day
+    *     of the integer mid-timestamp — deterministic at any SF). This is
+    *     a metadata-only directory delete: no data file is ever read,
+    *     which is why retention at 100 TB is free while row-level
+    *     retention (a full rewrite) is not — partition your lake by the
+    *     retention key.
+    *  2. ERASURE (the GDPR right-to-be-forgotten path) removes every row
+    *     of a deterministic user set (user_id ≡ 3 mod 97). Only the
+    *     partitions that actually CONTAIN a target user are rewritten
+    *     (discovered by a pushdown-filtered scan whose collect is
+    *     day-count-bounded); untouched partitions keep their original
+    *     files byte-for-byte — spec-pinned in ExportOpsSpec, because
+    *     "rewrote the whole table" also passes the value check but is
+    *     the difference between minutes and days at scale.
+    *
+    * The surviving table must hash-match the oracle filtering the raw
+    * events by BOTH rules. Rewrite-then-swap per partition rides the same
+    * staged-directory discipline as q68's merge. */
+  private def e15(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_retention", d)
+    withScratchCleanup(out) {
+      val root = s"$out/table"
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      ev.write.partitionBy("day").parquet(root)
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m"))
+        .head().getLong(0)
+      val cutoff = s.range(1).select(
+        date_format(timestamp_micros(lit(mid)), "yyyy-MM-dd"))
+        .head().getString(0)
+      retentionErase(s, root, out, cutoff, col("user_id") % 97 === 3)
+      val survived = s.read.parquet(root)
+        .select(col("event_id"), col("user_id"),
+          col("day").cast("string").as("day"))
+      localizeAndDrop(survived, out, "event_id")
+    }
+  }
+
+  /** The e15 maintenance kernel, public for the spec that pins its ONLY
+    * scale property the value check can't see: partitions without a
+    * target row keep their original files untouched. `root` must be a
+    * `day=`-partitioned parquet table. */
+  def retentionErase(s: SparkSession, root: String, scratch: java.io.File,
+                     cutoff: String,
+                     isTarget: org.apache.spark.sql.Column): Unit = {
+    val rootFile = new java.io.File(root)
+    // 1. retention: partition-level directory delete, no data read
+    rootFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .filter(_.getName.stripPrefix("day=") < cutoff)
+      .foreach(deleteRecursively)
+    // 2. erasure: rewrite ONLY the partitions holding a target row
+    val affected = s.read.parquet(root).filter(isTarget)
+      .select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)) // bounded by the day count
+    affected.foreach { day =>
+      val pdir = new java.io.File(rootFile, s"day=$day")
+      val staged = new java.io.File(scratch, s"rewrite_$day")
+      // the day column is directory-encoded, not in the files: the
+      // per-partition read sees only the data columns
+      s.read.parquet(pdir.getPath).filter(!isTarget)
+        .write.parquet(staged.getPath)
+      deleteRecursively(pdir)
+      if (!staged.renameTo(pdir))
+        throw new java.io.IOException(s"partition swap failed for $day")
+    }
+  }
+
   // --------------------------------------- e12: versioned atomic publish
 
   /** Lands `df` as `root/v=<version>/` WITHOUT making it visible — the
@@ -752,7 +827,7 @@ object ExportOps {
     "e08_sorted_export" -> e08 _, "e09_jsonl_roundtrip" -> e09 _,
     "e10_bucketed_join" -> e10 _, "e11_bucketed_append" -> e11 _,
     "e12_versioned_publish" -> e12 _, "e13_zorder_layout" -> e13 _,
-    "e14_manifest_skipping" -> e14 _)
+    "e14_manifest_skipping" -> e14 _, "e15_retention_erasure" -> e15 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -768,6 +843,19 @@ object ExportOps {
   val oracle: Map[String, String] = Map(
     "e03_stream_export" -> exportOracleSql,
     "e01_training_export" -> exportOracleSql,
+    // both delete rules replayed on the raw table: retention keeps days
+    // >= the mid-timestamp's day (ISO strings compare as dates), erasure
+    // drops user_id ≡ 3 (mod 97)
+    "e15_retention_erasure" ->
+      """WITH mid AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+        |  FROM events),
+        |cut AS (SELECT strftime(make_timestamp(m), '%Y-%m-%d') AS cutoff
+        |        FROM mid)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day
+        |FROM events CROSS JOIN cut
+        |WHERE strftime(ts, '%Y-%m-%d') >= cutoff AND user_id % 97 <> 3
+        |ORDER BY event_id""".stripMargin,
     // layout invariance: the bucketed tables' join must equal the same
     // join computed straight off the raw parquet
     "e10_bucketed_join" ->

@@ -279,11 +279,16 @@ object TextOps {
     import s.implicits._
     val slotHash = (t: org.apache.spark.sql.Column) =>
       conv(substring(md5(t), 1, 15), 16, 10).cast("long") % RagSlots
-    def embed(toks: org.apache.spark.sql.Column) = {
-      val hs = transform(toks, slotHash)
-      transform(sequence(lit(0), lit(RagSlots - 1)),
-        i => size(filter(hs, h => h === i)).cast("long"))
-    }
+    // Slot counts are ONE aggregate pass over the hash array (fold the
+    // 16-slot histogram), not 16 per-slot filters: CollapseProject inlines
+    // a multiply-referenced array expression into every use, so the
+    // filter-per-slot form re-evaluated the md5 transform 16× per row —
+    // and higher-order functions are codegen-fallback, so the redundancy
+    // was interpreted. Measured 7.5 s → ~1 s at sf0.1, same values.
+    val slotCounts = (hs: org.apache.spark.sql.Column) =>
+      aggregate(hs, expr(s"array_repeat(0L, $RagSlots)"),
+        (acc, h) => transform(acc,
+          (v, j) => when(j.cast("long") === h, v + 1L).otherwise(v)))
     def norm(v: org.apache.spark.sql.Column) =
       sqrt(aggregate(v, lit(0.0), (acc, x) => acc + (x * x).cast("double")))
     val chunks = docs(s, d)
@@ -295,11 +300,13 @@ object TextOps {
         (col("chunk_start") + 1).cast("int"), lit(RagChunkTokens)))
       .filter(size(col("chunk_arr")) > 0)
       .select(col("doc_id"), col("chunk_start"),
-        embed(col("chunk_arr")).as("cv"))
+        transform(col("chunk_arr"), slotHash).as("hs"))
+      .select(col("doc_id"), col("chunk_start"), slotCounts(col("hs")).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val qemb = RagQueries.toDF("query_id", "query_text")
       .select(col("query_id"),
-        embed(tokenize(col("query_text"), "space-raw")).as("qv"))
+        transform(tokenize(col("query_text"), "space-raw"), slotHash).as("hs"))
+      .select(col("query_id"), slotCounts(col("hs")).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val scored = chunks.crossJoin(broadcast(qemb))
       .withColumn("dot", aggregate(

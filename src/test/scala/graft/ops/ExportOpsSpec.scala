@@ -224,6 +224,45 @@ class ExportOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(seqs.map(_.size).sum === spark.read.parquet(s"$d/documents.parquet").count())
   }
 
+  test("e15: erasure rewrites only affected partitions; retention never reads data") {
+    import spark.implicits._
+    val root = tmp("graft_retention_spec") + "/table"
+    val scratch = new java.io.File(tmp("graft_retention_scratch"))
+    scratch.mkdirs()
+    // 4 day-partitions; only day 03 contains the target key
+    Seq(
+      (1L, 10L, "2024-01-01"), (2L, 11L, "2024-01-02"),
+      (3L, 12L, "2024-01-03"), (4L, 99L, "2024-01-03"),
+      (5L, 13L, "2024-01-04"))
+      .toDF("event_id", "user_id", "day")
+      .write.partitionBy("day").parquet(root)
+    def filesOf(day: String): Map[String, Long] = {
+      val d = new java.io.File(root, s"day=$day")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = Seq("2024-01-02", "2024-01-03", "2024-01-04")
+      .map(d => d -> filesOf(d)).toMap
+    ExportOps.retentionErase(spark, root, scratch,
+      cutoff = "2024-01-02", isTarget = $"user_id" === 99L)
+    // retention: the pre-cutoff partition is gone
+    assert(filesOf("2024-01-01").isEmpty, "day < cutoff must be dropped")
+    // erasure: the affected partition was rewritten (files changed) and
+    // the target row is gone, the co-resident row survives
+    assert(filesOf("2024-01-03") !== before("2024-01-03"),
+      "the partition holding the target must be rewritten")
+    // unaffected partitions keep their EXACT original files: the scale
+    // property — a full-table rewrite passes the value check but not this
+    Seq("2024-01-02", "2024-01-04").foreach { d =>
+      assert(filesOf(d) === before(d),
+        s"partition $d has no target rows and must not be touched")
+    }
+    val survived = spark.read.parquet(root)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(survived === Seq(2L, 3L, 5L))
+  }
+
   test("e12: readers never see a landed-but-unflipped version (crash window)") {
     import spark.implicits._
     val root = tmp("graft_publish_spec")
