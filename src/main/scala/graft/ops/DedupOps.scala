@@ -348,6 +348,48 @@ object DedupOps {
       .orderBy("keeper_id")
   }
 
+  /** d33: cross-source duplication audit — the provenance question a
+    * curation pipeline answers before mixing corpora: how much of source
+    * A's content already lives in source B? Each source's DISTINCT
+    * 3-token-shingle set (60-bit md5 identity — the portable d09 family)
+    * joins pairwise on shingle hash; the output is per-ordered-pair
+    * shared-shingle counts with set sizes and Jaccard. Pairs sharing
+    * nothing don't appear (inner join — the oracle mirrors this).
+    *
+    * Scale shape: one explode + distinct (hash shuffle on (source, h)),
+    * one self equi-join ON THE HASH (shuffles shingle sets, never a
+    * source × source cross product — the join output is bounded by
+    * shingle collisions, not by |A|·|B|), two broadcast-sized count
+    * joins. The per-source audit a 100 TB mixing run performs between
+    * CommonCrawl snapshots before token-budget allocation (t17). */
+  private def d33(s: SparkSession, d: String): DataFrame = {
+    // cached: the distinct shingle-set frame feeds the count agg AND both
+    // sides of the self-join — uncached it re-runs the explode+distinct
+    // shuffle four times (measured 4.8 → ~1.4 s at sf0.1)
+    val sh = cachedShared(docs(s, d)
+      .select(col("source"),
+        explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct())
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    shared
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n").as("n_a"))), "source_a")
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_shingles"),
+        col("n_a"), col("n_b"),
+        round(col("shared_shingles").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_shingles")).cast("double"),
+          6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** d32: near-dup-cluster-aware train/test split — the PREVENTION half
     * of what d24 audits: assigning splits per DOCUMENT (q51) lets two
     * near-duplicate docs land on opposite sides of the train/eval fence,
@@ -1510,6 +1552,7 @@ object DedupOps {
     "d27_dup_span_removal" -> d27 _, "d28_cluster_keep_best" -> d28 _,
     "d29_pagerank" -> d29 _, "d30_containment" -> d30 _,
     "d31_tokensort_dedup" -> d31 _, "d32_cluster_split" -> d32 _,
+    "d33_source_overlap" -> d33 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -2022,6 +2065,36 @@ object DedupOps {
           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
           |       ELSE 'test' END AS split
           |FROM bucketed ORDER BY doc_id""".stripMargin),
+    // d33: the same 3-shingle definition as ShingleCte, lifted to the
+    // SOURCE grain with 60-bit md5 identities; the Jaccard quotient is
+    // integer-derived, exact in both engines
+    "d33_source_overlap" ->
+      raw"""WITH base AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), shs AS (
+        |  SELECT source, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1), i ->
+        |      array_to_string(list_slice(toks, i, i + 2), ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM base
+        |), shx AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, unnest(sh) AS g FROM shs)
+        |), counts AS (SELECT source, count(1) AS n FROM shx GROUP BY source),
+        |shared AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         count(1) AS shared_shingles
+        |  FROM shx a JOIN shx b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_shingles, ca.n AS n_a, cb.n AS n_b,
+        |  round(CAST(shared_shingles AS DOUBLE)
+        |    / CAST(ca.n + cb.n - shared_shingles AS DOUBLE), 6) AS jaccard
+        |FROM shared
+        |JOIN counts ca ON ca.source = source_a
+        |JOIN counts cb ON cb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // d29: the 5 PageRank iterations unrolled as CTEs over the same
     // banded/verified pair graph; identical float discipline (9dp-rounded
     // contributions summed as exact decimals, literal-constant damping)

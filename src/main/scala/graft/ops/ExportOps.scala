@@ -710,7 +710,10 @@ object ExportOps {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts"),
           date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      ev.write.partitionBy("day").parquet(root)
+      // partition-align before the write: without it every task emits a
+      // sliver into every day (tasks × days tiny files — e04's compaction
+      // disease, created on purpose); aligned, each day lands as one file
+      ev.repartition(col("day")).write.partitionBy("day").parquet(root)
       val mid = ev.agg(
         expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m"))
         .head().getLong(0)
@@ -742,16 +745,24 @@ object ExportOps {
     val affected = s.read.parquet(root).filter(isTarget)
       .select(col("day").cast("string")).distinct()
       .collect().map(_.getString(0)) // bounded by the day count
-    affected.foreach { day =>
-      val pdir = new java.io.File(rootFile, s"day=$day")
-      val staged = new java.io.File(scratch, s"rewrite_$day")
-      // the day column is directory-encoded, not in the files: the
-      // per-partition read sees only the data columns
-      s.read.parquet(pdir.getPath).filter(!isTarget)
-        .write.parquet(staged.getPath)
-      deleteRecursively(pdir)
-      if (!staged.renameTo(pdir))
-        throw new java.io.IOException(s"partition swap failed for $day")
+    // the per-partition rewrites touch disjoint directories — run them as
+    // concurrent Spark jobs (the v14-fits pattern); serialized they cost
+    // one tiny-job latency PER affected day
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.traverse(affected.toSeq) { day => Future {
+        val pdir = new java.io.File(rootFile, s"day=$day")
+        val staged = new java.io.File(scratch, s"rewrite_$day")
+        // the day column is directory-encoded, not in the files: the
+        // per-partition read sees only the data columns
+        s.read.parquet(pdir.getPath).filter(!isTarget)
+          .write.parquet(staged.getPath)
+        deleteRecursively(pdir)
+        if (!staged.renameTo(pdir))
+          throw new java.io.IOException(s"partition swap failed for $day")
+      }}, Duration.Inf)
     }
   }
 
