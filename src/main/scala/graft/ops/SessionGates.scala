@@ -129,6 +129,64 @@ object SessionGates {
     }
   }
 
+  /** q85: CHAINED stateful aggregations in ONE streaming query — Spark
+    * 4's multiple-stateful-operators-in-append surface, which none of the
+    * other gates touch: per-user 1-minute tumbling counts feed a second
+    * 10-minute tumbling aggregation (peak minute-rate, active-minute
+    * count, total) WITHOUT landing the intermediate anywhere. The two
+    * state stores chain on the PROPAGATED event-time window column
+    * (`window(col("window"), ...)` — the window-of-window API); the
+    * shared watermark closes both levels, and the q58 sentinel flush
+    * drives the final emission. This is the streaming form of a rollup
+    * cascade (q83's serving-grain discipline, kept incremental): at 100
+    * TB/day the minute grain never materializes to storage, only its
+    * running partials live in state. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_chain", d)
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val maxMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val now = System.currentTimeMillis()
+      arriveAs(onePartFile(ev, out, "events"), out, "events", now - 120000L)
+      arriveAs(onePartFile(
+        ev.limit(1).select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxMicros + 7200L * 1000000L)).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"),
+          lit(0.0).as("value"),
+          lit("{}").as("props")), out, "sentinel"), out, "sentinel",
+        now - 60000L)
+      val stream = s.readStream.schema(ev.schema).parquet(s"$out/in")
+        .select(col("user_id"),
+          timestamp_millis(unix_millis(col("ts"))).as("tsm"))
+        .withWatermark("tsm", "10 minutes")
+      val minuteCounts = stream
+        .groupBy(window(col("tsm"), "1 minute"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val tenMinute = minuteCounts
+        .groupBy(window(col("window"), "10 minutes"), col("user_id"))
+        .agg(max(col("n")).as("peak_minute"),
+          count(lit(1)).as("active_minutes"),
+          sum(col("n")).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("window.start")).as("w_start_ms"),
+          col("peak_minute"), col("active_minutes"), col("n_events"))
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = tenMinute.writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
+      ExportOps.localizeAndDrop(landed, out, "user_id", "w_start_ms")
+    }
+  }
+
   /** q62: stream-stream INTERVAL JOIN under real multi-batch streaming —
     * the one streaming operator family the other gates don't cover. Each
     * purchase picks up the same user's clicks from the preceding 30
@@ -453,7 +511,8 @@ object SessionGates {
     "q57_session_window" -> q57 _, "q58_stream_sessions" -> q58 _,
     "q62_stream_interval_join" -> q62 _, "q65_stream_dedup" -> q65 _,
     "q67_stream_outer_join" -> q67 _, "q69_stream_cdc_apply" -> q69 _,
-    "q74_stream_cumulative" -> q74 _, "q84_stream_state_ttl" -> q84 _)
+    "q74_stream_cumulative" -> q74 _, "q84_stream_state_ttl" -> q84 _,
+    "q85_stream_chained_agg" -> q85 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -520,6 +579,21 @@ object SessionGates {
         |  FROM e CROSS JOIN mid WHERE tsu > m GROUP BY user_id)
         |SELECT * FROM b1 UNION ALL SELECT * FROM b2
         |ORDER BY user_id, n_events""".stripMargin,
+    // both grains recomputed batch-side: minute counts, then the 10-min
+    // rollup over them; tumbling windows align to epoch 0, so floor
+    // division mirrors Spark's window assignment exactly
+    "q85_stream_chained_agg" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |mins AS (
+        |  SELECT user_id, ms // 60000 AS minute, count(1) AS n
+        |  FROM e GROUP BY 1, 2),
+        |tens AS (
+        |  SELECT user_id, ((minute * 60000) // 600000) * 600000 AS w_start_ms,
+        |    max(n) AS peak_minute, count(1) AS active_minutes,
+        |    CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM mins GROUP BY 1, 2)
+        |SELECT user_id, w_start_ms, peak_minute, active_minutes, n_events
+        |FROM tens ORDER BY user_id, w_start_ms""".stripMargin,
     "q57_session_window" -> SessionOracleSql,
     "q58_stream_sessions" -> SessionOracleSql,
     // ms-truncated self-join: every purchase × same-user clicks in the
