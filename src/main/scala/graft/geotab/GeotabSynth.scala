@@ -104,7 +104,8 @@ object GeotabSynth {
     * fleet per call (the reference's shape, task.ts:145-218); everything
     * downstream of the reads is the same distributed plan as g01. */
   def connectorFlagship(spark: SparkSession, sfDir: String): DataFrame = {
-    val clientName = "g02-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val clientName = "g02-" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "-" + java.util.UUID.randomUUID().toString.take(8)
     registerFixtureClient(spark, sfDir, clientName)
     val infoDf = normalizeInfo(connectorRead(spark, clientName, "deviceInfo"))
     GeotabPipeline.featuresFlat(
@@ -226,10 +227,11 @@ object GeotabSynth {
     * The sink directory is the query's output table — exactly how a
     * production deployment lands each run's features in storage. */
   def streamFlagship(spark: SparkSession, sfDir: String): DataFrame = {
-    val clientName = "g05-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val clientName = "g05-" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "-" + java.util.UUID.randomUUID().toString.take(8)
     val flat = connectorFlatStream(spark, sfDir, clientName)
     val out = java.nio.file.Files.createTempDirectory("graft-g05-").toFile
-    graft.ops.ExportOps.withScratchCleanup(out) {
+    try graft.ops.ExportOps.withScratchCleanup(out) {
       val q = flat.writeStream.format("parquet")
         .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -239,7 +241,7 @@ object GeotabSynth {
       // repeated gate/bench runs must not accumulate tempdirs
       graft.ops.ExportOps.localizeAndDrop(
         spark.read.parquet(s"$out/data"), out, "id")
-    }
+    } finally graft.sources.geotab.GeotabClients.unregister(clientName)
   }
 
   /** g06: the S8 submit path under streaming — per micro-batch, features
@@ -249,18 +251,28 @@ object GeotabSynth {
     * back and hash-matches the batch CoT oracle byte-for-byte. */
   def streamCot(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.streaming.EventStreams
-    val clientName = "g06-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val clientName = "g06-" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "-" + java.util.UUID.randomUUID().toString.take(8)
     val flat = connectorFlatStream(spark, sfDir, clientName)
     val out = java.nio.file.Files.createTempDirectory("graft-g06-").toFile
-    graft.ops.ExportOps.withScratchCleanup(out) {
+    try graft.ops.ExportOps.withScratchCleanup(out) {
       val w = EventStreams.cotWriter(flat, new EventStreams.FileSink(s"$out/data"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       val q = EventStreams.start(w, s"$out/ckpt")
       q.awaitTermination()
+      // list the sink's batch dirs explicitly: a bare glob read fails with
+      // an opaque PATH_NOT_FOUND when the sink produced nothing, and THAT
+      // failure should name the gate
+      val batchDirs = Option(new java.io.File(out, "data").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      require(batchDirs.nonEmpty,
+        s"g06 streaming CoT sink produced no batches under $out/data")
       graft.ops.ExportOps.localizeAndDrop(
-        spark.read.schema("id STRING, cot_xml STRING").json(s"$out/data/batch_*"),
+        spark.read.schema("id STRING, cot_xml STRING")
+          .json(batchDirs.map(_.getPath).toIndexedSeq: _*),
         out, "id")
-    }
+    } finally graft.sources.geotab.GeotabClients.unregister(clientName)
   }
 
   /** g09: the reference's ACTUAL output boundary under streaming — the
@@ -284,7 +296,8 @@ object GeotabSynth {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     import java.nio.charset.StandardCharsets
     import graft.streaming.{EventStreams, FeatureCollectionHttpSink}
-    val clientName = "g09-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val clientName = "g09-" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "-" + java.util.UUID.randomUUID().toString.take(8)
     val flat = connectorFlatStream(spark, sfDir, clientName)
     // keyed by the X-Graft-Batch idempotency header: the sink documents
     // at-least-once delivery under task retry, so a receiver MUST dedup on
@@ -358,7 +371,10 @@ object GeotabSynth {
           col("f.properties.metadata.designation").as("driver_designation"),
           col("f.properties.metadata.comment").as("driver_comment"))
       graft.ops.ExportOps.localizeAndDrop(landed, out, "id")
-    } finally server.stop(0)
+    } finally {
+      server.stop(0)
+      graft.sources.geotab.GeotabClients.unregister(clientName)
+    }
   }
 
   /** g10: TWO scheduled runs through the connector — the reference's
@@ -374,14 +390,15 @@ object GeotabSynth {
     * stream-static joins are all inside the correctness gate. */
   def streamTwoRuns(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.geotab.{GeotabClients, InMemoryGeotabClient}
-    val clientName = "g10-" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val clientName = "g10-" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "-" + java.util.UUID.randomUUID().toString.take(8)
     // the SAME wiring g05/g06/g09 use — a divergence here would silently
     // gate a different pipeline; the registered fixture client comes back
     // out of the registry for the mid-stream snapshot swap
     val flat = connectorFlatStream(spark, sfDir, clientName)
     val client = GeotabClients(clientName).asInstanceOf[InMemoryGeotabClient]
     val out = java.nio.file.Files.createTempDirectory("graft-g10-").toFile
-    graft.ops.ExportOps.withScratchCleanup(out) {
+    try graft.ops.ExportOps.withScratchCleanup(out) {
       val q = flat.writeStream.format("parquet")
         .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
         .start() // default trigger: fires whenever the snapshot version advances
@@ -393,7 +410,7 @@ object GeotabSynth {
       } finally q.stop()
       graft.ops.ExportOps.localizeAndDrop(
         spark.read.parquet(s"$out/data"), out, "id", "speed_ms")
-    }
+    } finally graft.sources.geotab.GeotabClients.unregister(clientName)
   }
 
   /** g03: haversine distance from every device's current position to the

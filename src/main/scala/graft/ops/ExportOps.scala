@@ -89,14 +89,22 @@ object ExportOps {
     }
   }
 
-  /** PID-suffixed gate scratch dir under java.io.tmpdir: named so
-    * concurrent gate/bench JVMs at the same SF cannot collide, cleared of
-    * any same-pid leftovers before use. One definition for every gate's
-    * `graft_X_<sf>_<pid>` convention. */
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** PID- and invocation-suffixed gate scratch dir under java.io.tmpdir.
+    * The PID isolates concurrent gate/bench JVMs at the same SF; the
+    * per-invocation counter isolates concurrent runs of the SAME gate in
+    * one JVM — the test suite executes suites in parallel, and with a
+    * shared name run B's setup deleted run A's in-flight scratch (the
+    * e16 "quarantine caught 0 rows" failure: A read B's half-staged CSV).
+    * Success and failure paths both delete the dir (localizeAndDrop /
+    * withScratchCleanup), so unique names leak nothing a shared name
+    * wouldn't also leak on kill -9. */
   def scratchDir(prefix: String, d: String): java.io.File = {
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
       prefix + "_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid())
+        "_" + ProcessHandle.current().pid() +
+        "_" + scratchSeq.incrementAndGet())
     deleteRecursively(f)
     f
   }
@@ -460,6 +468,66 @@ object ExportOps {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))
       localizeAndDrop(back, out, "doc_id")
+    }
+  }
+
+  /** e16: CSV interchange round-trip with malformed-row handling — the
+    * OTHER ubiquitous exchange format, and the one where row corruption is
+    * a fact of life (unescaped delimiters, truncated uploads). The gate
+    * exports events as quoted CSV, appends a file of deliberately
+    * malformed lines, and reads back in PERMISSIVE mode with an explicit
+    * schema + `columnNameOfCorruptRecord`: well-formed rows must
+    * round-trip exactly (hash vs the source table), corrupt rows must
+    * land in the quarantine column — counted, never silently dropped,
+    * never poisoning a typed column. The FAILFAST twin (reject the whole
+    * read on first corruption — the S7 ingest discipline) is spec-pinned
+    * in ExportOpsSpec. At 100 TB PERMISSIVE-with-quarantine is the only
+    * viable posture: one bad upload must cost one quarantined partition,
+    * not the job. Timestamps round-trip as epoch-µs longs — CSV has no
+    * timestamp type, so the export pins the encoding instead of trusting
+    * parser locale defaults. */
+  private def e16(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_csv", d)
+    withScratchCleanup(out) {
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("props"))
+      ev.write.mode(SaveMode.Overwrite)
+        .option("header", "true").option("quoteAll", "true")
+        .csv(s"$out/csv")
+      // a "truncated upload": lines that cannot parse into the schema
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/csv/part-corrupt.csv"),
+        java.util.Arrays.asList(
+          "\"event_id\",\"user_id\",\"event_type\",\"ts_us\",\"props\"",
+          "\"not_a_number\",\"9\",\"click\",\"12345\",\"{}\"",
+          "\"12\",\"also_bad\",\"view\",\"oops\",\"{}\""))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      val back = s.read.schema(schema)
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(s"$out/csv")
+      // quarantine accounting rides the same read; cache: two aggregates
+      // + the row dump would otherwise re-parse the CSV three times
+      val cached = DedupOps.cachedShared(back)
+      val nCorrupt = cached.filter(col("_corrupt").isNotNull).count()
+      require(nCorrupt == 2L, s"quarantine caught $nCorrupt of 2 bad rows")
+      val clean = cached.filter(col("_corrupt").isNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"), md5(col("props")).as("props_md5"))
+      localizeAndDrop(clean, out, "event_id")
     }
   }
 
@@ -838,7 +906,8 @@ object ExportOps {
     "e08_sorted_export" -> e08 _, "e09_jsonl_roundtrip" -> e09 _,
     "e10_bucketed_join" -> e10 _, "e11_bucketed_append" -> e11 _,
     "e12_versioned_publish" -> e12 _, "e13_zorder_layout" -> e13 _,
-    "e14_manifest_skipping" -> e14 _, "e15_retention_erasure" -> e15 _)
+    "e14_manifest_skipping" -> e14 _, "e15_retention_erasure" -> e15 _,
+    "e16_csv_roundtrip" -> e16 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -854,6 +923,13 @@ object ExportOps {
   val oracle: Map[String, String] = Map(
     "e03_stream_export" -> exportOracleSql,
     "e01_training_export" -> exportOracleSql,
+    // the CSV round-trip must reproduce the source events exactly (the
+    // two planted corrupt rows are quarantined engine-side, so the clean
+    // set is the whole table)
+    "e16_csv_roundtrip" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |  md5(props) AS props_md5
+        |FROM events ORDER BY event_id""".stripMargin,
     // both delete rules replayed on the raw table: retention keeps days
     // >= the mid-timestamp's day (ISO strings compare as dates), erasure
     // drops user_id ≡ 3 (mod 97)

@@ -37,6 +37,11 @@ trait GeotabClient {
 object GeotabClients {
   private val registry = new ConcurrentHashMap[String, GeotabClient]()
   def register(name: String, client: GeotabClient): Unit = registry.put(name, client)
+  /** Gates that fully execute their read before returning drop their
+    * fixture client here; names are per-invocation (UUID-suffixed), so a
+    * registration can never be replaced mid-stream by a concurrent run of
+    * the same gate — suite parallelism made the shared-name form flaky. */
+  def unregister(name: String): Unit = registry.remove(name)
   def apply(name: String): GeotabClient = {
     val c = registry.get(name)
     require(c != null, s"no GeotabClient registered under '$name'")

@@ -263,6 +263,33 @@ class ExportOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(survived === Seq(2L, 3L, 5L))
   }
 
+  test("e16: FAILFAST rejects the whole CSV read on the first corrupt row") {
+    val dir = new java.io.File(tmp("graft_csv_failfast"))
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "data.csv").toPath,
+      java.util.Arrays.asList(
+        "id,n", "1,10", "2,not_a_number", "3,30"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    // PERMISSIVE without a quarantine column silently nulls the bad cell —
+    // the posture e16 exists to avoid; FAILFAST is the S7 ingest
+    // discipline: reject the batch, never half-load it
+    val failed = intercept[Exception] {
+      spark.read.schema(schema).option("header", "true")
+        .option("mode", "FAILFAST").csv(dir.toString).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(failed).exists(m =>
+      m.contains("Malformed") || m.contains("FAILFAST")),
+      s"expected a malformed-row failure, got: ${messages(failed)}")
+  }
+
   test("e12: readers never see a landed-but-unflipped version (crash window)") {
     import spark.implicits._
     val root = tmp("graft_publish_spec")
