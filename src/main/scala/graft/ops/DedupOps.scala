@@ -1449,6 +1449,48 @@ object DedupOps {
     * and what survives for training. One join of the shared status table
     * to per-doc token counts + one tiny keyed agg; token counts are
     * integer sums — engine-exact. */
+  /** c05: the dataset card — the datasheet a corpus ships with: doc /
+    * char / token counts and exact-distinct-text counts at every serving
+    * grain (per language, per source, per length bucket, corpus total),
+    * in ONE scan via the Spark 4 `Dataset.groupingSets` API (the
+    * DataFrame form of q11's SQL). Each grain is a (dim, group_key) row,
+    * so the card is machine-consumable — the input to t17's token-budget
+    * mixing and the report a release review reads. One grouping-sets
+    * hash aggregation: the scan cost does not multiply with the number
+    * of grains, which is the entire point at 100 TB. */
+  private def c05(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(
+      col("lang"), col("source"),
+      when(col("n_chars") < 150, "<150")
+        .when(col("n_chars") < 250, "150-249")
+        .otherwise(">=250").as("len_bucket"),
+      col("n_chars"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+      md5(col("text")).as("h"))
+    base.groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")), Seq(col("len_bucket")),
+          Seq.empty),
+        col("lang"), col("source"), col("len_bucket"))
+      .agg( // grouping() flags are only legal inside the grouped agg
+        grouping(col("lang")).as("g_lang"),
+        grouping(col("source")).as("g_source"),
+        grouping(col("len_bucket")).as("g_bucket"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_sum"),
+        sum(col("n_tokens")).as("n_tokens_sum"),
+        countDistinct(col("h")).as("n_distinct_texts"))
+      .select(
+        when(col("g_lang") === 0, "lang")
+          .when(col("g_source") === 0, "source")
+          .when(col("g_bucket") === 0, "len_bucket")
+          .otherwise("corpus").as("dim"),
+        coalesce(col("lang"), col("source"), col("len_bucket"), lit("all"))
+          .as("group_key"),
+        col("n_docs"), col("n_chars_sum"), col("n_tokens_sum"),
+        col("n_distinct_texts"))
+      .orderBy("dim", "group_key")
+  }
+
   private def c04(s: SparkSession, d: String): DataFrame =
     curationStatuses(s, d)
       .join(docs(s, d).select(col("doc_id"), col("lang"),
@@ -1544,6 +1586,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_curation_pipeline" -> c01 _, "c02_training_flow" -> c02 _,
     "c03_sql_pipeline" -> c03 _, "c04_dedup_accounting" -> c04 _,
+    "c05_dataset_card" -> c05 _,
     "d17_chunk_dedup" -> d17 _, "d18_bloom_screen" -> d18 _,
     "d19_domain_cap" -> d19 _, "d20_stream_ingest_dedup" -> d20 _,
     "d21_dup_ngram_frac" -> d21 _, "d22_index_dedup" -> d22 _,
@@ -1732,6 +1775,32 @@ object DedupOps {
         |FROM statuses s JOIN tok t ON t.doc_id = s.doc_id
         |GROUP BY s.status, t.lang
         |ORDER BY status, lang""".stripMargin),
+    // c05: the same grouping-sets card, SQL-side; GROUPING() drives the
+    // dim label exactly like the engine's grouping() column
+    "c05_dataset_card" ->
+      raw"""WITH base AS (
+        |  SELECT lang, source,
+        |    CASE WHEN n_chars < 150 THEN '<150'
+        |         WHEN n_chars < 250 THEN '150-249'
+        |         ELSE '>=250' END AS len_bucket,
+        |    n_chars,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT
+        |  CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+        |       WHEN GROUPING(source) = 0 THEN 'source'
+        |       WHEN GROUPING(len_bucket) = 0 THEN 'len_bucket'
+        |       ELSE 'corpus' END AS dim,
+        |  coalesce(lang, source, len_bucket, 'all') AS group_key,
+        |  count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_sum,
+        |  count(DISTINCT h) AS n_distinct_texts
+        |FROM base
+        |GROUP BY GROUPING SETS ((lang), (source), (len_bucket), ())
+        |ORDER BY dim, group_key""".stripMargin,
     "c02_training_flow" ->
       (CurationStatusCte + raw""",
         |keptd AS (SELECT doc_id FROM statuses WHERE status = 'kept'),
