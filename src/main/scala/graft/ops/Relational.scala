@@ -259,6 +259,25 @@ object Relational {
       .agg(count(lit(1)).as("n"), StableAgg.moneySum(col("value")).as("sum_value"))
       .orderBy("k_val")
 
+  /** q86: semi-structured extraction through Spark 4's VARIANT type —
+    * q22's get_json_object re-parses the JSON STRING at every reference,
+    * which at 100 TB means paying the parse once per extracted field;
+    * `parse_json` parses ONCE into the binary variant encoding and
+    * `variant_get` then extracts typed paths as cheap binary probes. The
+    * gate aggregates typed extractions (three references, one parse) and
+    * hash-matches a DuckDB JSON replay; the parquet round-trip of the
+    * VARIANT column itself is spec-pinned in [[graft.VariantSpec]]. */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k_val"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), (col("k_val") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("k_val")).as("k_min"), max(col("k_val")).as("k_max"))
+      .orderBy("event_type", "k_mod")
+
   /** Date bucketing: events per day. */
   private def q23(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
@@ -1397,6 +1416,7 @@ object Relational {
     "q17_topk" -> q17 _, "q18_set_union" -> q18 _,
     "q19_set_except" -> q19 _, "q20_set_intersect" -> q20 _,
     "q21_distinct" -> q21 _, "q22_json_extract" -> q22 _,
+    "q86_variant_extract" -> q86 _,
     "q23_date_buckets" -> q23 _, "q24_window_tumbling" -> q24 _,
     "q25_string_funcs" -> q25 _, "q26_math_funcs" -> q26 _,
     "q27_case_when" -> q27 _, "q28_having" -> q28 _,
@@ -1919,6 +1939,18 @@ object Relational {
         | count(1) AS n,
         | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY k_val ORDER BY k_val""".stripMargin,
+    // q86: the typed-path extractions replayed via DuckDB's JSON functions
+    "q86_variant_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, k_val % 10 AS k_mod, count(1) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k_val) AS k_min, max(k_val) AS k_max
+        |FROM e GROUP BY event_type, k_mod
+        |ORDER BY event_type, k_mod""".stripMargin,
     "q23_date_buckets" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         | count(1) AS n,
