@@ -840,6 +840,28 @@ object Relational {
       .orderBy("ancestor")
   }
 
+  /** q87: the SAME subtree rollup through Spark 4.1's native
+    * `WITH RECURSIVE` (resolved to a `UnionLoop` plan) — the SQL front
+    * door for the hierarchy workload q73 hand-builds with pointer
+    * doubling. Sharing q73's oracle VERBATIM pins that the two surfaces
+    * cannot drift (the c03-vs-c01 discipline). Scale note: the native
+    * recursion iterates depth-d times (each step one join over the
+    * frontier) where q73's doubling closes in ⌈log₂ d⌉ rounds — for deep
+    * hierarchies the DataFrame form remains the scale path; this gates
+    * the SURFACE, and the engine offers both. */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("customer_rec")
+    s.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS node, c_custkey AS ancestor FROM customer_rec
+        |  UNION ALL
+        |  SELECT node, ancestor div 10 FROM anc WHERE ancestor >= 10)
+        |SELECT ancestor, count(1) AS n_nodes,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS subtree_bal
+        |FROM anc JOIN customer_rec ON c_custkey = node
+        |GROUP BY ancestor ORDER BY ancestor""".stripMargin)
+  }
+
   /** All proper (node, anc) ancestor pairs of a parent-pointer forest,
     * by pointer doubling: round k holds every ancestor within distance
     * 2^k, so a depth-d chain closes in ⌈log₂ d⌉ rounds — each round one
@@ -1395,6 +1417,7 @@ object Relational {
     "q66_upsert_merge" -> q66 _, "q68_partitioned_merge" -> q68 _,
     "q70_gap_fill_locf" -> q70 _, "q71_transition_matrix" -> q71 _,
     "q72_cohort_retention" -> q72 _, "q73_hierarchy_rollup" -> q73 _,
+    "q87_recursive_cte" -> q87 _,
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q77_matview_delta" -> q77 _,
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
@@ -1805,6 +1828,17 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
         |FROM lineitem
         |ORDER BY level, k1, k2""".stripMargin,
+    // q87 shares q73's oracle verbatim: native recursion and the
+    // pointer-doubling form must land identical rollups
+    "q87_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS node, c_custkey AS ancestor FROM customer
+        |  UNION ALL
+        |  SELECT node, ancestor // 10 FROM anc WHERE ancestor >= 10)
+        |SELECT ancestor, count(1) AS n_nodes,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS subtree_bal
+        |FROM anc JOIN customer ON c_custkey = node
+        |GROUP BY ancestor ORDER BY ancestor""".stripMargin,
     "q73_hierarchy_rollup" ->
       """WITH RECURSIVE anc AS (
         |  SELECT c_custkey AS node, c_custkey AS ancestor FROM customer
