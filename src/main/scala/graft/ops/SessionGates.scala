@@ -493,11 +493,21 @@ object SessionGates {
               Option(new java.io.File(out, dir).list())
                 .getOrElse(Array.empty[String])
                 .flatMap(n => scala.util.Try(n.toLong).toOption)
+            // deadline: a stalled query must fail loudly, not spin the
+            // gate forever (10 min covers the slowest observed co-tenant
+            // window at sf0.1 with margin)
+            val deadline = System.nanoTime() + 600L * 1000000000L
             while (q.isActive && {
               val admitted = batchIds("ckpt/sources/0")
               admitted.length < 2 ||
                 !batchIds("ckpt/commits").contains(admitted.max)
-            }) Thread.sleep(50)
+            }) {
+              if (System.nanoTime() > deadline)
+                throw new IllegalStateException(
+                  "TTL gate drain deadline: the two data batches did not " +
+                    s"commit within 10 minutes (checkpoint $out/ckpt)")
+              Thread.sleep(50)
+            }
           } else q.processAllAvailable()
         } finally q.stop()
       }
