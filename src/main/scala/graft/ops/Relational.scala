@@ -840,6 +840,30 @@ object Relational {
       .orderBy("ancestor")
   }
 
+  /** q88: ANSI-safe arithmetic through the `try_*` family — this engine
+    * runs with ANSI mode ON (Spark 4's default), where division by zero
+    * and overflow THROW; `try_divide`/`try_add`/`try_to_number` are the
+    * sanctioned null-on-error escape hatch a pipeline uses for dirty
+    * derived metrics (rates over possibly-zero denominators here). The
+    * oracle spells the same semantics out as explicit CASE guards, so
+    * the gate pins Spark's documented null-on-error VALUES — not just
+    * that nothing threw. Per-row expressions only; whole-stage codegen,
+    * no shuffle beyond the final agg. */
+  private def q88(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        (col("event_id") % 7).as("denom"))
+      // per-event rate with a sometimes-zero denominator: ANSI `/` would
+      // throw on the first denom=0 row; try_divide yields null
+      .withColumn("rate", expr("try_divide(cents, denom)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("rate")).as("n_defined"), // nulls drop from count(col)
+        StableAgg.moneySum(when(col("rate").isNotNull, col("rate"))
+          .otherwise(lit(0.0))).as("sum_rate"))
+      .orderBy("event_type")
+
   /** q87: the SAME subtree rollup through Spark 4.1's native
     * `WITH RECURSIVE` (resolved to a `UnionLoop` plan) — the SQL front
     * door for the hierarchy workload q73 hand-builds with pointer
@@ -1417,7 +1441,7 @@ object Relational {
     "q66_upsert_merge" -> q66 _, "q68_partitioned_merge" -> q68 _,
     "q70_gap_fill_locf" -> q70 _, "q71_transition_matrix" -> q71 _,
     "q72_cohort_retention" -> q72 _, "q73_hierarchy_rollup" -> q73 _,
-    "q87_recursive_cte" -> q87 _,
+    "q87_recursive_cte" -> q87 _, "q88_try_arithmetic" -> q88 _,
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q77_matview_delta" -> q77 _,
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
@@ -1828,6 +1852,24 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
         |FROM lineitem
         |ORDER BY level, k1, k2""".stripMargin,
+    // q88: the try_* null-on-error semantics spelled out as explicit
+    // CASE guards; both engines do the same double division of exact
+    // integers, and the sum rounds to 2dp decimals (no representable
+    // midpoints for denominators 1..6, so the rounding modes agree)
+    "q88_try_arithmetic" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |         event_id % 7 AS denom
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    CASE WHEN denom = 0 THEN NULL
+        |         ELSE CAST(cents AS DOUBLE) / denom END AS rate
+        |  FROM e)
+        |SELECT event_type, count(1) AS n, count(rate) AS n_defined,
+        |  CAST(sum(CAST(coalesce(rate, 0.0) AS DECIMAL(30,2))) AS DOUBLE)
+        |    AS sum_rate
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q87 shares q73's oracle verbatim: native recursion and the
     // pointer-doubling form must land identical rollups
     "q87_recursive_cte" ->
