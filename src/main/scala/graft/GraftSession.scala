@@ -12,6 +12,15 @@ import org.apache.spark.sql.SparkSession
   *    overrides with cores×executors, or leaves AQE to coalesce);
   *  - UTC session time (oracle parity + sane event-time semantics);
   *  - graft native functions registered for SQL use.
+  *
+  * Session-wide conf side effect to know about: [[Tables]] sets
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (and leaves it set) the
+  * first time it loads the events table, because the fixture has shipped
+  * with parquet TIMESTAMP(NANOS) encoding that Spark's vectorized reader
+  * otherwise rejects. Consequence: any OTHER parquet read of a NANOS
+  * column in the same session will silently see raw longs instead of
+  * failing loudly. Only events.parquet uses NANOS today; a deployment
+  * ingesting foreign NANOS parquet should scope the conf per-read instead.
   */
 object GraftSession {
 

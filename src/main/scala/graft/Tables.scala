@@ -27,6 +27,10 @@ object Tables {
       // written by heterogeneous producers. Downstream always sees
       // `ts: TimestampType` at µs precision; oracle SQL only compares at
       // millisecond-or-coarser granularity, where the encodings agree.
+      // NOTE: this conf is session-wide and deliberately not restored —
+      // restoring it raced concurrent suites reading events. The effect
+      // (any NANOS parquet column reads as raw longs) is documented at the
+      // session front door, GraftSession.scala.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {

@@ -107,11 +107,18 @@ object GeotabSynth {
     val clientName = "g02-" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "-" + java.util.UUID.randomUUID().toString.take(8)
     registerFixtureClient(spark, sfDir, clientName)
-    val infoDf = normalizeInfo(connectorRead(spark, clientName, "deviceInfo"))
-    GeotabPipeline.featuresFlat(
-        connectorDevices(spark, clientName), infoDf,
-        connectorDrivers(spark, clientName), flagshipConfig(spark, sfDir))
-      .orderBy("id")
+    try {
+      val infoDf = normalizeInfo(connectorRead(spark, clientName, "deviceInfo"))
+      val features = GeotabPipeline.featuresFlat(
+          connectorDevices(spark, clientName), infoDf,
+          connectorDrivers(spark, clientName), flagshipConfig(spark, sfDir))
+      // materialize before unregistering: the plan is lazy, and the
+      // per-invocation UUID name means a leaked registration (one fixture
+      // client per bench rep) is never reclaimed by a later overwrite —
+      // localize (fleet-sized, within the documented contract) so the
+      // finally can evict the client like the other connector gates do
+      graft.ops.ExportOps.localize(features).orderBy("id")
+    } finally graft.sources.geotab.GeotabClients.unregister(clientName)
   }
 
   /** Build and register the fixture-backed API client whose payloads are

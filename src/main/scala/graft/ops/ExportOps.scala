@@ -788,7 +788,7 @@ object ExportOps {
       val cutoff = s.range(1).select(
         date_format(timestamp_micros(lit(mid)), "yyyy-MM-dd"))
         .head().getString(0)
-      retentionErase(s, root, out, cutoff, col("user_id") % 97 === 3)
+      retentionErase(s, root, cutoff, col("user_id") % 97 === 3)
       val survived = s.read.parquet(root)
         .select(col("event_id"), col("user_id"),
           col("day").cast("string").as("day"))
@@ -799,16 +799,23 @@ object ExportOps {
   /** The e15 maintenance kernel, public for the spec that pins its ONLY
     * scale property the value check can't see: partitions without a
     * target row keep their original files untouched. `root` must be a
-    * `day=`-partitioned parquet table. */
-  def retentionErase(s: SparkSession, root: String, scratch: java.io.File,
+    * `day=`-partitioned parquet table; it may live on any Hadoop
+    * filesystem (staging happens under the root, so no cross-FS rename). */
+  def retentionErase(s: SparkSession, root: String,
                      cutoff: String,
                      isTarget: org.apache.spark.sql.Column): Unit = {
-    val rootFile = new java.io.File(root)
+    // Hadoop FileSystem throughout (not java.io.File): this kernel's whole
+    // point is lake maintenance, and the lake lives on HDFS/S3A/ABFS — the
+    // same code path flipLatest and q68's staged swap already use. On
+    // local[*] the Path resolves to the local FS, so the gate is unchanged.
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     // 1. retention: partition-level directory delete, no data read
-    rootFile.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
-      .filter(_.getName.stripPrefix("day=") < cutoff)
-      .foreach(deleteRecursively)
+    fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .filter(_.getPath.getName.stripPrefix("day=") < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
     // 2. erasure: rewrite ONLY the partitions holding a target row
     val affected = s.read.parquet(root).filter(isTarget)
       .select(col("day").cast("string")).distinct()
@@ -821,14 +828,17 @@ object ExportOps {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(Future.traverse(affected.toSeq) { day => Future {
-        val pdir = new java.io.File(rootFile, s"day=$day")
-        val staged = new java.io.File(scratch, s"rewrite_$day")
+        val pdir = new Path(rootPath, s"day=$day")
+        // stage under the TABLE root, not the scratch dir: rename is
+        // same-filesystem-only, and the dot prefix keeps Spark's file
+        // listing from ever seeing a half-written staged dir
+        val staged = new Path(rootPath, s".rewrite_$day.tmp")
         // the day column is directory-encoded, not in the files: the
         // per-partition read sees only the data columns
-        s.read.parquet(pdir.getPath).filter(!isTarget)
-          .write.parquet(staged.getPath)
-        deleteRecursively(pdir)
-        if (!staged.renameTo(pdir))
+        s.read.parquet(pdir.toString).filter(!isTarget)
+          .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        fs.delete(pdir, true)
+        if (!fs.rename(staged, pdir))
           throw new java.io.IOException(s"partition swap failed for $day")
       }}, Duration.Inf)
     }

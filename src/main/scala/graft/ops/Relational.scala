@@ -871,8 +871,13 @@ object Relational {
     * cannot drift (the c03-vs-c01 discipline). Scale note: the native
     * recursion iterates depth-d times (each step one join over the
     * frontier) where q73's doubling closes in ⌈log₂ d⌉ rounds — for deep
-    * hierarchies the DataFrame form remains the scale path; this gates
-    * the SURFACE, and the engine offers both. */
+    * hierarchies the DataFrame form ([[ancestorPairs]]) remains the scale
+    * path; this gates the SURFACE, and the engine offers both. Dispatch
+    * advice: known-shallow hierarchies (org charts, category trees) → the
+    * SQL surface; unbounded/user-generated depth → [[ancestorPairs]].
+    * Depth past `spark.sql.cteRecursionLevelLimit` (default 100) fails
+    * LOUDLY rather than silently truncating — spec-pinned in
+    * CdcPartitionSpec ("q87 guard"). */
   private def q87(s: SparkSession, d: String): DataFrame = {
     t(s, d, "customer").createOrReplaceTempView("customer_rec")
     s.sql(

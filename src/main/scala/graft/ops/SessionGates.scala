@@ -493,26 +493,40 @@ object SessionGates {
               Option(new java.io.File(out, dir).list())
                 .getOrElse(Array.empty[String])
                 .flatMap(n => scala.util.Try(n.toLong).toOption)
+            def drained: Boolean = {
+              val admitted = batchIds("ckpt/sources/0")
+              admitted.length >= 2 &&
+                batchIds("ckpt/commits").contains(admitted.max)
+            }
             // deadline: a stalled query must fail loudly, not spin the
             // gate forever (10 min covers the slowest observed co-tenant
             // window at sf0.1 with margin)
             val deadline = System.nanoTime() + 600L * 1000000000L
-            while (q.isActive && {
-              val admitted = batchIds("ckpt/sources/0")
-              admitted.length < 2 ||
-                !batchIds("ckpt/commits").contains(admitted.max)
-            }) {
+            while (q.isActive && !drained) {
               if (System.nanoTime() > deadline)
                 throw new IllegalStateException(
                   "TTL gate drain deadline: the two data batches did not " +
                     s"commit within 10 minutes (checkpoint $out/ckpt)")
               Thread.sleep(50)
             }
+            // the loop also exits when the query DIES before both data
+            // batches commit; reading whatever partial output landed would
+            // return wrong results with no error in bench mode — surface
+            // the query's real failure instead
+            if (!drained) {
+              q.exception.foreach(throw _)
+              throw new IllegalStateException(
+                "TTL gate: streaming query stopped before both data " +
+                  s"batches committed and reported no exception ($out/ckpt)")
+            }
           } else q.processAllAvailable()
         } finally q.stop()
       }
       val landed = s.read.parquet(s"$out/data")
-      ExportOps.localizeAndDrop(landed, out, "user_id", "n_events")
+      // sum_cents as the final key: when a user's two batch totals tie on
+      // n_events, (user_id, n_events) alone leaves their relative order
+      // undefined — a latent cross-engine hash flake the oracle mirrors
+      ExportOps.localizeAndDrop(landed, out, "user_id", "n_events", "sum_cents")
     }
     }
   }
@@ -569,7 +583,7 @@ object SessionGates {
         |    CAST(sum(cents) AS BIGINT) AS sum_cents
         |  FROM e JOIN b2u USING (user_id) GROUP BY e.user_id)
         |SELECT * FROM b1 UNION ALL SELECT * FROM b2
-        |ORDER BY user_id, n_events""".stripMargin,
+        |ORDER BY user_id, n_events, sum_cents""".stripMargin,
     // the TTL twin: batch-1 state has EXPIRED by batch 2, so each batch's
     // totals compute independently (q74's b2 sums ALL the user's events;
     // here b2 sums only tsu > m — the observable difference eviction makes)
@@ -588,7 +602,7 @@ object SessionGates {
         |    CAST(sum(cents) AS BIGINT) AS sum_cents
         |  FROM e CROSS JOIN mid WHERE tsu > m GROUP BY user_id)
         |SELECT * FROM b1 UNION ALL SELECT * FROM b2
-        |ORDER BY user_id, n_events""".stripMargin,
+        |ORDER BY user_id, n_events, sum_cents""".stripMargin,
     // both grains recomputed batch-side: minute counts, then the 10-min
     // rollup over them; tumbling windows align to epoch 0, so floor
     // division mirrors Spark's window assignment exactly

@@ -276,22 +276,33 @@ object TextOps {
     * same chunk embeddings (v02/v05/v07 — e02 persists exactly such an
     * index); the composition here gates the semantics. */
   private def t24(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val slotHash = (t: org.apache.spark.sql.Column) =>
-      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % RagSlots
-    // Slot counts are ONE aggregate pass over the hash array (fold the
-    // 16-slot histogram), not 16 per-slot filters: CollapseProject inlines
-    // a multiply-referenced array expression into every use, so the
-    // filter-per-slot form re-evaluated the md5 transform 16× per row —
-    // and higher-order functions are codegen-fallback, so the redundancy
-    // was interpreted. Measured 7.5 s → ~1 s at sf0.1, same values.
-    val slotCounts = (hs: org.apache.spark.sql.Column) =>
-      aggregate(hs, expr(s"array_repeat(0L, $RagSlots)"),
-        (acc, h) => transform(acc,
-          (v, j) => when(j.cast("long") === h, v + 1L).otherwise(v)))
-    def norm(v: org.apache.spark.sql.Column) =
-      sqrt(aggregate(v, lit(0.0), (acc, x) => acc + (x * x).cast("double")))
-    val chunks = docs(s, d)
+    val chunks = ragChunkEmbeddings(docs(s, d))
+    val qemb = ragQueryEmbeddings(s)
+    val scored = ragScore(chunks.crossJoin(broadcast(qemb)))
+    ragRerank(scored)
+  }
+
+  private def ragSlotHash(t: org.apache.spark.sql.Column) =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long") % RagSlots
+
+  // Slot counts are ONE aggregate pass over the hash array (fold the
+  // 16-slot histogram), not 16 per-slot filters: CollapseProject inlines
+  // a multiply-referenced array expression into every use, so the
+  // filter-per-slot form re-evaluated the md5 transform 16× per row —
+  // and higher-order functions are codegen-fallback, so the redundancy
+  // was interpreted. Measured 7.5 s → ~1 s at sf0.1, same values.
+  private def ragSlotCounts(hs: org.apache.spark.sql.Column) =
+    aggregate(hs, expr(s"array_repeat(0L, $RagSlots)"),
+      (acc, h) => transform(acc,
+        (v, j) => when(j.cast("long") === h, v + 1L).otherwise(v)))
+
+  private def ragNorm(v: org.apache.spark.sql.Column) =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + (x * x).cast("double")))
+
+  /** The t24/t25 shared chunk+embed stage: (doc_id, chunk_start,
+    * cv: array<long> slot counts, cn: L2 norm). Map-only — no shuffle. */
+  def ragChunkEmbeddings(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("toks", tokenize(col("text"), "space-raw"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("chunk_start", explode(expr(
@@ -300,19 +311,34 @@ object TextOps {
         (col("chunk_start") + 1).cast("int"), lit(RagChunkTokens)))
       .filter(size(col("chunk_arr")) > 0)
       .select(col("doc_id"), col("chunk_start"),
-        transform(col("chunk_arr"), slotHash).as("hs"))
-      .select(col("doc_id"), col("chunk_start"), slotCounts(col("hs")).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    val qemb = RagQueries.toDF("query_id", "query_text")
+        transform(col("chunk_arr"), ragSlotHash _).as("hs"))
+      .select(col("doc_id"), col("chunk_start"), ragSlotCounts(col("hs")).as("cv"))
+      .withColumn("cn", ragNorm(col("cv")))
+
+  /** The fixed 3-query embedding table (query_id, qv, qn) — broadcast
+    * everywhere it appears. */
+  def ragQueryEmbeddings(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RagQueries.toDF("query_id", "query_text")
       .select(col("query_id"),
-        transform(tokenize(col("query_text"), "space-raw"), slotHash).as("hs"))
-      .select(col("query_id"), slotCounts(col("hs")).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val scored = chunks.crossJoin(broadcast(qemb))
+        transform(tokenize(col("query_text"), "space-raw"), ragSlotHash _).as("hs"))
+      .select(col("query_id"), ragSlotCounts(col("hs")).as("qv"))
+      .withColumn("qn", ragNorm(col("qv")))
+  }
+
+  /** Exact (query, chunk) cosine over integer slot counts — identical
+    * expressions in the brute (t24) and index-served (t25) paths, so the
+    * served shortlist reranks on EXACTLY the sims the brute scan computes
+    * and the recall spec measures pure candidate coverage. */
+  private def ragScore(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("dot", aggregate(
         zip_with(col("qv"), col("cv"), (x, y) => x * y),
         lit(0.0), (acc, e) => acc + e.cast("double")))
       .withColumn("sim", col("dot") / (col("qn") * col("cn")))
+
+  /** Best-chunk-per-doc then top-k docs per query: t24's output contract. */
+  private def ragRerank(scored: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("query_id"), col("doc_id"))
       .orderBy(col("sim").desc, col("chunk_start").asc)
     val wQ = Window.partitionBy(col("query_id"))
@@ -323,6 +349,107 @@ object TextOps {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("chunk_start"), round(col("sim"), 6).as("sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** t25 index geometry: 4 hyperplanes over the 16 slot dims → 16 IVF
+    * cells; each query probes its 6 nearest cell centroids. */
+  private val RagCellPlanes = 4
+  private val RagNProbe = 6
+
+  /** t25: RAG retrieval SERVED FROM THE PERSISTED ANN INDEX — the 100 TB
+    * path t24's Scaladoc promises, composed and gated: the same chunk+embed
+    * stage feeds an IVF index (build → persist → reload → route → pruned
+    * cell scan → exact rerank) and returns t24's exact output contract.
+    * t24 is the brute-scan oracle twin; the spec (TextOpsR10Spec) pins
+    * recall against it ≥ the threshold AND that the serve scan reads ONLY
+    * the probed cell directories (PartitionFilters — the no-brute-scan
+    * plan property that makes this the scale path: queries touch
+    * nProbe/nCells of the corpus, never all of it).
+    *
+    * Scale shape: the index build is one map-only embed pass + one
+    * cell-partitioned write + one 16×16 centroid aggregate; serving
+    * broadcasts the centroid table (tiny by construction), collects only
+    * the (query, cell) routing pairs (bounded by queries × nProbe), and
+    * the postings scan prunes to probed cells at the DIRECTORY level —
+    * at a billion chunks each query still reads 6 cells. Rows-only in the
+    * driver gate (cell assignment is engine-hash territory, the v02/v05
+    * adjudication); t24 is the hash-matched twin. */
+  private def t25(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_ragidx", d)
+    ExportOps.withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      buildRagIndex(s, ragChunkEmbeddings(docs(s, d)), root)
+      val served = ragServeFromIndex(s, root, ragQueryEmbeddings(s), RagNProbe)
+      ExportOps.localizeAndDrop(served, out, "query_id", "rank")
+    }
+  }
+
+  /** Builds the persistent RAG chunk index under `root`:
+    * `root/postings/cell=N/` (chunk embeddings, partitioned by their IVF
+    * cell — the layout that turns query routing into directory pruning)
+    * and `root/centroids` (per-cell mean vectors, the routing table).
+    * Cells come from a [[VectorFunctions.hyperplaneSignature]] over the
+    * slot-count vector (at real scale a trained codebook — v07's k-means
+    * fit slots in here unchanged); centroids aggregate from the WRITTEN
+    * postings, so the persisted artifact is self-consistent even if the
+    * input frame is nondeterministic. */
+  def buildRagIndex(s: SparkSession, chunks: DataFrame, root: String): Unit = {
+    chunks
+      .withColumn("cell", graft.functions.VectorFunctions
+        .hyperplaneSignature(col("cv"), planes = RagCellPlanes, dim = RagSlots)
+        .cast("int"))
+      .write.partitionBy("cell").parquet(s"$root/postings")
+    s.read.parquet(s"$root/postings")
+      .select(col("cell"), posexplode(
+        graft.functions.VectorFunctions.toDouble(col("cv"))))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        e => e.getField("v")).as("centroid"))
+      .write.parquet(s"$root/centroids")
+  }
+
+  /** Routes each query to its `nProbe` nearest cell centroids from the
+    * RELOADED index. The collect is bounded by queries × nProbe — the
+    * routing table, not data. */
+  def ragProbes(s: SparkSession, root: String, qemb: DataFrame,
+                nProbe: Int): Array[(Long, Int)] = {
+    val cent = s.read.parquet(s"$root/centroids")
+    val routed = qemb.crossJoin(broadcast(cent))
+      .withColumn("csim", graft.functions.VectorFunctions.dot(
+          graft.functions.VectorFunctions.toDouble(col("qv")), col("centroid"))
+        / (col("qn") * graft.functions.VectorFunctions.l2Norm(col("centroid"))))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    routed.withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nProbe)
+      .select(col("query_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+  }
+
+  /** Serves the query set from the persisted index at `root`: probed-cell
+    * pruned postings scan → exact cosine rerank → t24's output contract. */
+  def ragServeFromIndex(s: SparkSession, root: String, qemb: DataFrame,
+                        nProbe: Int): DataFrame = {
+    val probes = ragProbes(s, root, qemb, nProbe)
+    ragServeShortlist(s, root, qemb, probes)
+  }
+
+  /** The serve stage alone (public so the plan spec can pin the pruned
+    * scan against a known probe set): reads ONLY the probed `cell=`
+    * directories — the literal isin lands in PartitionFilters, so
+    * unprobed cells are never listed, opened, or read. */
+  def ragServeShortlist(s: SparkSession, root: String, qemb: DataFrame,
+                        probes: Array[(Long, Int)]): DataFrame = {
+    import s.implicits._
+    val probedCells = probes.map(_._2).distinct.sorted
+    val postings = s.read.parquet(s"$root/postings")
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val routing = probes.toSeq.toDF("query_id", "cell")
+    val cands = postings
+      .join(broadcast(routing), Seq("cell"))
+      .join(broadcast(qemb), Seq("query_id"))
+    ragRerank(ragScore(cands))
   }
 
   private def t22(s: SparkSession, d: String): DataFrame = {
@@ -762,7 +889,7 @@ object TextOps {
     "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _,
     "t20_bm25" -> t20 _, "t21_kwic_snippets" -> t21 _,
     "t22_zipf_coverage" -> t22 _, "t23_chunk_overlap" -> t23 _,
-    "t24_rag_retrieval" -> t24 _)
+    "t24_rag_retrieval" -> t24 _, "t25_rag_index_serve" -> t25 _)
 
   val oracle: Map[String, String] = Map(
     // the full retrieval loop replayed in SQL: same chunk windows as the

@@ -109,6 +109,34 @@ class CdcPartitionSpec extends SparkSpec {
     assert(f === Set((10L, 1L), (11L, 1L), (20L, 2L), (21L, 20L), (21L, 2L)))
   }
 
+  test("q87 guard: recursion past the configured level limit fails loudly") {
+    import spark.implicits._
+    // the native WITH RECURSIVE iterates depth-d (q87's documented scale
+    // bound, vs q73's log-round doubling). The one failure mode a surface
+    // user must be able to trust: a hierarchy deeper than the configured
+    // limit THROWS — it never silently truncates and returns a plausible
+    // partial closure. A 9-deep chain against a limit of 4 must die.
+    Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L),
+        (7L, 6L), (8L, 7L), (9L, 8L))
+      .toDF("node", "parent").createOrReplaceTempView("deep_chain")
+    val sql =
+      """WITH RECURSIVE anc AS (
+        |  SELECT node, parent AS ancestor FROM deep_chain
+        |  UNION ALL
+        |  SELECT c.node, p.parent FROM anc c
+        |  JOIN deep_chain p ON c.ancestor = p.node)
+        |SELECT count(1) AS n FROM anc""".stripMargin
+    ExportOps.withConf(spark, "spark.sql.cteRecursionLevelLimit", "4") {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.toLowerCase.contains("recursion"),
+        s"expected a recursion-limit error, got: ${e.getMessage}")
+    }
+    // same query, sufficient limit: the full closure (9+8+...+1 = 45 pairs)
+    ExportOps.withConf(spark, "spark.sql.cteRecursionLevelLimit", "20") {
+      assert(spark.sql(sql).head().getLong(0) === 45L)
+    }
+  }
+
   test("q69: mergePartitioned is idempotent under change-batch redelivery") {
     // the property the streaming gate's at-least-once foreachBatch leans
     // on: replaying an already-applied batch cannot change the snapshot

@@ -227,8 +227,6 @@ class ExportOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   test("e15: erasure rewrites only affected partitions; retention never reads data") {
     import spark.implicits._
     val root = tmp("graft_retention_spec") + "/table"
-    val scratch = new java.io.File(tmp("graft_retention_scratch"))
-    scratch.mkdirs()
     // 4 day-partitions; only day 03 contains the target key
     Seq(
       (1L, 10L, "2024-01-01"), (2L, 11L, "2024-01-02"),
@@ -244,7 +242,7 @@ class ExportOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
     val before = Seq("2024-01-02", "2024-01-03", "2024-01-04")
       .map(d => d -> filesOf(d)).toMap
-    ExportOps.retentionErase(spark, root, scratch,
+    ExportOps.retentionErase(spark, root,
       cutoff = "2024-01-02", isTarget = $"user_id" === 99L)
     // retention: the pre-cutoff partition is gone
     assert(filesOf("2024-01-01").isEmpty, "day < cutoff must be dropped")
