@@ -437,6 +437,74 @@ object SessionGates {
       org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
       drainByCommits = true)
 
+  /** q89: EVENT-TIME TIMERS on `transformWithState`
+    * ([[graft.streaming.SessionTimeoutProcessor]]) — sessions close when
+    * the per-user timer registered at `last_event + 5 min` fires as the
+    * watermark passes it, never when new data arrives (handleInputRows
+    * emits nothing; the spec pins that). The events corpus replays as TWO
+    * time-ordered micro-batches (midpoint split, so sessions spanning the
+    * boundary prove timers re-register across batches) plus the q58
+    * sentinel (user -1, 2 h past corpus max) that advances the watermark
+    * over every real timer — the trailing no-data batch then fires them
+    * all and flushes the complete session set. Output must hash-match
+    * q57/q58's batch session oracle: three gates, three mechanisms
+    * (batch agg / session_window streaming / timer-driven arbitrary
+    * state), one truth. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_timers", d)
+    ExportOps.withConf(s, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m"))
+        .head().getLong(0)
+      val maxMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val now = System.currentTimeMillis()
+      Seq(unix_micros(col("ts")) <= mid, unix_micros(col("ts")) > mid)
+        .zipWithIndex.foreach { case (cond, i) =>
+          arriveAs(onePartFile(ev.filter(cond), out, s"f$i"), out, s"f$i",
+            now - (3 - i) * 60000L)
+        }
+      arriveAs(onePartFile(
+        ev.limit(1).select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxMicros + 7200L * 1000000L)).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"),
+          lit(0.0).as("value"),
+          lit("{}").as("props")), out, "sentinel"), out, "sentinel",
+        now - 60000L)
+      import s.implicits._
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("user_id"),
+          timestamp_millis(unix_millis(col("ts"))).as("tsm"))
+        .withWatermark("tsm", "0 seconds")
+        .as[graft.streaming.SessEvent]
+      val sessions = stream.groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.SessionTimeoutProcessor(300000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = sessions.toDF().writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // the sentinel user's own session never closes (nothing advances the
+      // watermark past ITS timer) — by construction it cannot land; the
+      // filter documents the contract rather than trusting it
+      val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
+      ExportOps.localizeAndDrop(landed, out, "user_id", "session_start_ms")
+    }
+    }
+  }
+
   private def twsGate(s: SparkSession, d: String, prefix: String,
       processor: org.apache.spark.sql.streaming.StatefulProcessor[
         Long, graft.streaming.UserEvent, graft.streaming.UserCumulative],
@@ -536,7 +604,7 @@ object SessionGates {
     "q62_stream_interval_join" -> q62 _, "q65_stream_dedup" -> q65 _,
     "q67_stream_outer_join" -> q67 _, "q69_stream_cdc_apply" -> q69 _,
     "q74_stream_cumulative" -> q74 _, "q84_stream_state_ttl" -> q84 _,
-    "q85_stream_chained_agg" -> q85 _)
+    "q85_stream_chained_agg" -> q85 _, "q89_stream_session_timers" -> q89 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -620,6 +688,9 @@ object SessionGates {
         |FROM tens ORDER BY user_id, w_start_ms""".stripMargin,
     "q57_session_window" -> SessionOracleSql,
     "q58_stream_sessions" -> SessionOracleSql,
+    // timer-driven closure must land the SAME sessions the batch agg and
+    // the session_window stream compute — one oracle, three mechanisms
+    "q89_stream_session_timers" -> SessionOracleSql,
     // ms-truncated self-join: every purchase × same-user clicks in the
     // preceding 30 minutes (inclusive both ends, like the streaming join)
     "q62_stream_interval_join" ->
