@@ -165,12 +165,92 @@ object Multimodal {
       .select(col("doc_id"), col("stored_md5"), col("computed_md5"))
       .orderBy("doc_id")
 
+  /** m06: perceptual-hash NEAR-dup across frames — m04 catches byte-exact
+    * re-ingests (identical phash); this catches the re-ENCODE case every
+    * media pipeline hits (same frame, slightly different pixels → a
+    * phash within a few bits). A re-ingested shard arrives with each
+    * frame's 60-bit phash perturbed by a deterministic 1-2 bit mask (the
+    * stand-in for a real codec's drift, md5-derived so both engines agree
+    * bit-for-bit), and the engine finds every pair within Hamming
+    * distance 3 WITHOUT an all-pairs scan: the d03 banding discipline —
+    * the phash splits into 4 bands of 15 bits, candidate pairs only form
+    * inside a (band_idx, band_value) bucket, and the exact Hamming check
+    * runs on candidates only. For a ≤3-bit difference the pigeonhole
+    * guarantees at least one untouched band, so the banded candidate set
+    * PROVABLY contains every qualifying pair — which is why the oracle
+    * can be the brute-force all-pairs SQL and still hash-match: banding
+    * here loses nothing, by construction, and the gate proves it on real
+    * data. Scale shape: pairs form only inside 15-bit-band buckets (the
+    * m-family's d03), the verify legs are hash equi-joins on the frame
+    * key; nothing is quadratic in the corpus. */
+  private def m06(s: SparkSession, d: String): DataFrame = {
+    val base = mediaTable(s, d)
+    val offset = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val variants = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(offset))
+    // re-encoded frames: same payload → same base phash, then the drift
+    // mask (bits new_id%60 and (new_id div 7)%60 — 1 bit when they
+    // coincide, 2 otherwise, always within the Hamming-3 budget)
+    val varFrames = sampleFrames(variants).toDF()
+      .withColumn("frame_phash", expr(
+        """frame_phash ^ (shiftleft(1L, CAST(doc_id % 60 AS INT)) |
+          | shiftleft(1L, CAST((doc_id div 7) % 60 AS INT)))""".stripMargin))
+    val ph = sampleFrames(base).toDF().unionByName(varFrames)
+      .select((col("doc_id") * 10 + col("frame_idx")).as("fkey"),
+        col("frame_phash").as("p")) // frame_idx < 10, keys collision-free
+    val banded = ph.select(col("fkey"), posexplode(array(
+        (0 until 4).map(b =>
+          shiftright(col("p"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+    // dedupe candidates BEFORE the verify: a pair agreeing on two bands
+    // must be checked (and emitted) once
+    val pairs = banded.select(col("band_idx"), col("band"), col("fkey").as("ka"))
+      .join(banded.select(col("band_idx"), col("band"), col("fkey").as("kb")),
+        Seq("band_idx", "band"))
+      .filter(col("ka") < col("kb")).select("ka", "kb").distinct()
+    pairs
+      .join(ph.select(col("fkey").as("ka"), col("p").as("pa")), "ka")
+      .join(ph.select(col("fkey").as("kb"), col("p").as("pb")), "kb")
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("ka").as("key_a"), col("kb").as("key_b"), col("hamming"))
+      .orderBy("key_a", "key_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01 _, "m02_media_decode" -> m02 _,
     "m03_frame_sample" -> m03 _, "m04_frame_dedup" -> m04 _,
-    "m05_payload_integrity" -> m05 _)
+    "m05_payload_integrity" -> m05 _, "m06_frame_neardup" -> m06 _)
 
   val oracle: Map[String, String] = Map(
+    // brute-force all-pairs Hamming — the banded engine result must match
+    // it EXACTLY because ≤3 flipped bits cannot touch all 4 bands
+    // (pigeonhole): the banding's recall guarantee, oracle-enforced
+    "m06_frame_neardup" ->
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text, FALSE AS variant FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text, TRUE AS variant
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |h AS (SELECT doc_id, variant, text, md5(text) AS hex FROM corpus),
+        |f AS (SELECT doc_id, variant, text,
+        |        1 + ('0x' || substr(hex, 17, 4))::BIGINT % 8 AS n_frames FROM h),
+        |frames AS (SELECT doc_id, variant, text, unnest(range(n_frames)) AS fi FROM f),
+        |ph0 AS (SELECT doc_id, variant, fi,
+        |         ('0x' || substr(md5(text || '#f' || fi), 2, 15))::BIGINT AS p
+        |        FROM frames),
+        |ph AS (SELECT doc_id * 10 + fi AS fkey,
+        |         CASE WHEN variant THEN xor(p,
+        |           (1::BIGINT << CAST(doc_id % 60 AS INT)) |
+        |           (1::BIGINT << CAST((doc_id // 7) % 60 AS INT)))
+        |         ELSE p END AS p
+        |       FROM ph0)
+        |SELECT a.fkey AS key_a, b.fkey AS key_b,
+        |  CAST(bit_count(xor(a.p, b.p)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.fkey < b.fkey
+        |WHERE bit_count(xor(a.p, b.p)) <= 3
+        |ORDER BY key_a, key_b""".stripMargin,
     // the planted corruptions are exactly the audit's quarantine set
     "m05_payload_integrity" ->
       """SELECT doc_id, md5(text || 'X') AS stored_md5,

@@ -505,6 +505,89 @@ object SessionGates {
     }
   }
 
+  /** q90: state-store MAINTENANCE — RocksDB changelog checkpointing
+    * under a full QUERY RESTART, the ops half of the streaming story
+    * q74/q84/q89 leave implicit. The cumulative-totals processor runs as
+    * TWO SEPARATE streaming queries against ONE checkpoint: run 1
+    * processes the first half of the corpus and stops (a planned
+    * shutdown); run 2 is a brand-new query instance that must recover
+    * every user's state from the checkpoint before processing the second
+    * half. Output is q74's exact two-batch contract — batch-2 rows carry
+    * batch-1 counts — so the same oracle pins that recovery lost nothing
+    * and duplicated nothing (the file source's checkpoint must also hand
+    * run 2 ONLY the unprocessed file).
+    *
+    * Changelog checkpointing is what makes this shape operable at scale:
+    * each commit uploads the batch's delta instead of a full RocksDB
+    * snapshot, turning per-batch checkpoint cost from O(state) into
+    * O(changes) — the difference between minutes and sub-second commits
+    * once per-key state reaches the tens of GB. The gate requires the
+    * changelog files to actually exist in the checkpoint before it reads
+    * results, so the conf can't silently regress to snapshot-only. */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_restart", d)
+    ExportOps.withConf(s, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    ExportOps.withConf(s,
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true") {
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m"))
+        .head().getLong(0)
+      val now = System.currentTimeMillis()
+      import s.implicits._
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(ev.schema).parquet(s"$out/in")
+          .select(col("user_id"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .as[graft.streaming.UserEvent]
+        val totals = stream.groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.CumulativeTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+          val q = totals.toDF().writeStream.format("parquet")
+            .option("path", s"$out/data")
+            .option("checkpointLocation", s"$out/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      // run 1: first half only, then a planned shutdown
+      arriveAs(onePartFile(ev.filter(unix_micros(col("ts")) <= mid), out, "f0"),
+        out, "f0", now - 120000L)
+      runOnce()
+      // run 2: a NEW query on the same checkpoint — state must recover,
+      // and the source checkpoint must admit only the new file
+      arriveAs(onePartFile(ev.filter(unix_micros(col("ts")) > mid), out, "f1"),
+        out, "f1", now - 60000L)
+      runOnce()
+      // the maintenance property: per-batch changelog files exist (delta
+      // uploads, not full snapshots) — state dir layout:
+      // ckpt/state/0/<partition>/<version>.changelog
+      val changelogs = {
+        val stateDir = new java.io.File(out, "ckpt/state")
+        if (!stateDir.exists()) Array.empty[java.io.File]
+        else {
+          def walk(f: java.io.File): Array[java.io.File] =
+            if (f.isDirectory) f.listFiles().flatMap(walk) else Array(f)
+          walk(stateDir).filter(_.getName.endsWith(".changelog"))
+        }
+      }
+      require(changelogs.nonEmpty,
+        s"changelog checkpointing produced no .changelog files under $out/ckpt/state")
+      val landed = s.read.parquet(s"$out/data")
+      ExportOps.localizeAndDrop(landed, out, "user_id", "n_events", "sum_cents")
+    }
+    }
+    }
+  }
+
   private def twsGate(s: SparkSession, d: String, prefix: String,
       processor: org.apache.spark.sql.streaming.StatefulProcessor[
         Long, graft.streaming.UserEvent, graft.streaming.UserCumulative],
@@ -604,7 +687,8 @@ object SessionGates {
     "q62_stream_interval_join" -> q62 _, "q65_stream_dedup" -> q65 _,
     "q67_stream_outer_join" -> q67 _, "q69_stream_cdc_apply" -> q69 _,
     "q74_stream_cumulative" -> q74 _, "q84_stream_state_ttl" -> q84 _,
-    "q85_stream_chained_agg" -> q85 _, "q89_stream_session_timers" -> q89 _)
+    "q85_stream_chained_agg" -> q85 _, "q89_stream_session_timers" -> q89 _,
+    "q90_stream_restart_recovery" -> q90 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -691,6 +775,26 @@ object SessionGates {
     // timer-driven closure must land the SAME sessions the batch agg and
     // the session_window stream compute — one oracle, three mechanisms
     "q89_stream_session_timers" -> SessionOracleSql,
+    // a query restart over one checkpoint must land exactly what q74's
+    // single-query two-batch replay lands: recovery is lossless and
+    // duplicate-free, or this hash moves
+    "q90_stream_restart_recovery" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |mid AS (SELECT (min(tsu) + max(tsu)) // 2 AS m FROM e),
+        |b1 AS (
+        |  SELECT user_id, count(1) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e CROSS JOIN mid WHERE tsu <= m GROUP BY user_id),
+        |b2u AS (SELECT DISTINCT user_id FROM e CROSS JOIN mid WHERE tsu > m),
+        |b2 AS (
+        |  SELECT e.user_id, count(1) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e JOIN b2u USING (user_id) GROUP BY e.user_id)
+        |SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |ORDER BY user_id, n_events, sum_cents""".stripMargin,
     // ms-truncated self-join: every purchase × same-user clicks in the
     // preceding 30 minutes (inclusive both ends, like the streaming join)
     "q62_stream_interval_join" ->

@@ -60,21 +60,32 @@ class SessionTimeoutProcessor(gapMs: Long)
     // one micro-batch.
     val ordered = rows.map(_.tsm.getTime).toArray.sorted
     var cur = if (open.exists()) open.get() else null
+    // a session restored from state already has a timer at last+gap from
+    // the batch that last touched it (the end-of-batch registration
+    // invariant below); only a session modified THIS batch needs a fresh
+    // one — re-registering an existing (key, expiry) is a warn in the
+    // timer store, and at corpus scale a warn per (user, batch) is a log
+    // flood
+    var dirty = false
     ordered.foreach { t =>
-      if (cur == null) cur = OpenSession(t, t, 1L)
+      if (cur == null) { cur = OpenSession(t, t, 1L); dirty = true }
       else if (t - cur.last_ms >= gapMs) {
         // a LATER event closed this session; emission still waits for a
         // timer — park it WITH its own exact timer: without one, a key
         // that never goes idle (open session forever extending) would
         // hold its closed sessions hostage on the open session's timer
         pending.appendValue(cur)
-        getHandle.registerTimer(cur.last_ms + gapMs)
+        if (dirty) getHandle.registerTimer(cur.last_ms + gapMs)
         cur = OpenSession(t, t, 1L)
-      } else cur = OpenSession(cur.start_ms, math.max(cur.last_ms, t), cur.n + 1L)
+        dirty = true
+      } else {
+        cur = OpenSession(cur.start_ms, math.max(cur.last_ms, t), cur.n + 1L)
+        dirty = true
+      }
     }
     if (cur != null) {
       open.update(cur)
-      getHandle.registerTimer(cur.last_ms + gapMs)
+      if (dirty) getHandle.registerTimer(cur.last_ms + gapMs)
     }
     Iterator.empty // emission is timer-driven only
   }
