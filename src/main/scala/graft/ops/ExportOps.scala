@@ -909,7 +909,61 @@ object ExportOps {
     }
   }
 
+  /** Write-audit-publish: stage the candidate version's data, audit the
+    * STAGED FILES (what readers would actually see — not the input plan,
+    * whose re-evaluation could differ), and flip the pointer only when
+    * zero rows violate. Returns whether it published. A failed audit
+    * leaves `LATEST` untouched and the staged `v=` directory quarantined
+    * on disk for debugging — readers resolve the pointer first, so an
+    * unflipped version is invisible to them by construction. */
+  def auditedPublish(df: DataFrame, root: String, version: Long,
+                     violation: org.apache.spark.sql.Column): Boolean = {
+    writeVersion(df, root, version)
+    val s = df.sparkSession
+    val bad = s.read.parquet(s"$root/v=$version").filter(violation).count()
+    if (bad == 0L) { flipLatest(s, root, version); true } else false
+  }
+
+  /** e17: the WRITE-AUDIT-PUBLISH cycle gated end-to-end — the quality
+    * gate between e12's raw publish and production: v1 (a clean partial
+    * summary) publishes; v2 (the full summary with a PLANTED null
+    * sum_chars — the upstream-bug shape WAP exists to catch) fails its
+    * audit and must NOT become visible; v3 (the corrected full summary,
+    * now with a long-doc count column) passes and publishes. The gate
+    * reads through the pointer and must hash-match v3's oracle — if the
+    * poisoned v2 had flipped, or v3's flip had been skipped, the hash
+    * moves. The failed-audit pointer invariant (LATEST still serves v1
+    * between the v2 rejection and the v3 publish) is spec-pinned in
+    * ExportOpsR10Spec. At 100 TB the audit is one pushdown-filtered count
+    * over the staged files; the publish/reject decision is metadata-only
+    * either way. */
+  private def e17(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_wap", d)
+    withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      val docsT = Tables(s, d, "documents")
+      def summary(df: DataFrame) = df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          count(when(col("n_chars") >= 200, 1)).as("n_long_docs"))
+      val violation = col("n_docs") <= 0 || col("sum_chars").isNull ||
+        col("n_long_docs") > col("n_docs")
+      require(auditedPublish(
+        summary(docsT.filter(col("doc_id") % 2 === 0)), root, 1L, violation),
+        "e17: the clean v1 must publish")
+      // the poisoned candidate: one language's sum goes null upstream
+      val firstLang = docsT.agg(min(col("lang"))).head().getString(0)
+      val poisoned = summary(docsT).withColumn("sum_chars",
+        when(col("lang") === firstLang, lit(null)).otherwise(col("sum_chars")))
+      require(!auditedPublish(poisoned, root, 2L, violation),
+        "e17: the poisoned v2 must fail its audit")
+      require(auditedPublish(summary(docsT), root, 3L, violation),
+        "e17: the corrected v3 must publish")
+      localizeAndDrop(readPublished(s, root), out, "lang")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_audited_publish" -> e17 _,
     "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
     "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _,
     "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _,
@@ -931,6 +985,14 @@ object ExportOps {
         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // what must be served after the WAP cycle is exactly v3's corrected
+    // full summary — a flipped v2 or an unflipped v3 both move this hash
+    "e17_audited_publish" ->
+      """SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(CASE WHEN n_chars >= 200 THEN 1 END) AS BIGINT)
+        |    AS n_long_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "e03_stream_export" -> exportOracleSql,
     "e01_training_export" -> exportOracleSql,
     // the CSV round-trip must reproduce the source events exactly (the

@@ -864,6 +864,46 @@ object Relational {
           .otherwise(lit(0.0))).as("sum_rate"))
       .orderBy("event_type")
 
+  /** q91: first/last-touch attribution — the marketing-analytics shape
+    * every conversion pipeline computes: for each purchase, the EARLIEST
+    * and LATEST click by the same user in the preceding 30 minutes (plus
+    * the touch count), with no-click purchases kept as unattributed rows.
+    * One uid hash equi-join (the 30-minute bound is a post-join filter on
+    * an already-per-user pair space — bounded by a user's click rate, the
+    * q62 discipline), one `min_by`/`max_by` aggregation on a composite
+    * (ms, id) ordering scalar so same-millisecond ties break identically
+    * in both engines, then a left join back onto purchases. The
+    * attribution aggregate runs on the INNER pair set only, so
+    * `min_by`'s null-ordering semantics never enter the result —
+    * cross-engine hash safety by construction rather than by trusting
+    * two engines' null tie rules to agree. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("uid"),
+        col("ms").as("purchase_ms"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("uid"), col("event_id").as("click_id"),
+        col("ms").as("click_ms"))
+    // event ids stay far below 1e6 at every fixture SF, so the composite
+    // ordering scalar ms*1e6+id is collision-free and overflow-free
+    val ord = col("click_ms") * 1000000L + col("click_id")
+    val matched = purchases.join(clicks, Seq("uid"))
+      .filter(col("click_ms") >= col("purchase_ms") - 1800000L &&
+        col("click_ms") <= col("purchase_ms"))
+      .groupBy(col("purchase_id"))
+      .agg(min_by(col("click_id"), ord).as("first_click_id"),
+        max_by(col("click_id"), ord).as("last_click_id"),
+        count(lit(1)).as("n_clicks"))
+    purchases.join(matched, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("uid"), col("purchase_ms"),
+        col("first_click_id"), col("last_click_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("purchase_id")
+  }
+
   /** q87: the SAME subtree rollup through Spark 4.1's native
     * `WITH RECURSIVE` (resolved to a `UnionLoop` plan) — the SQL front
     * door for the hierarchy workload q73 hand-builds with pointer
@@ -1447,6 +1487,7 @@ object Relational {
     "q70_gap_fill_locf" -> q70 _, "q71_transition_matrix" -> q71 _,
     "q72_cohort_retention" -> q72 _, "q73_hierarchy_rollup" -> q73 _,
     "q87_recursive_cte" -> q87 _, "q88_try_arithmetic" -> q88 _,
+    "q91_touch_attribution" -> q91 _,
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q77_matview_delta" -> q77 _,
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
@@ -1875,6 +1916,31 @@ object Relational {
         |  CAST(sum(CAST(coalesce(rate, 0.0) AS DECIMAL(30,2))) AS DOUBLE)
         |    AS sum_rate
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q91: the attribution replayed with arg_min/arg_max on the same
+    // composite ordering scalar; no-click purchases keep null touches
+    "q91_touch_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id AS uid,
+        |        ms AS purchase_ms FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS uid, event_id AS click_id, ms AS click_ms
+        |      FROM e WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.purchase_id,
+        |    arg_min(c.click_id, c.click_ms * 1000000 + c.click_id)
+        |      AS first_click_id,
+        |    arg_max(c.click_id, c.click_ms * 1000000 + c.click_id)
+        |      AS last_click_id,
+        |    count(1) AS n_clicks
+        |  FROM p JOIN c ON p.uid = c.uid
+        |   AND c.click_ms >= p.purchase_ms - 1800000
+        |   AND c.click_ms <= p.purchase_ms
+        |  GROUP BY 1)
+        |SELECT p.purchase_id, p.uid, p.purchase_ms, m.first_click_id,
+        |  m.last_click_id, CAST(coalesce(m.n_clicks, 0) AS BIGINT) AS n_clicks
+        |FROM p LEFT JOIN m USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
     // q87 shares q73's oracle verbatim: native recursion and the
     // pointer-doubling form must land identical rollups
     "q87_recursive_cte" ->

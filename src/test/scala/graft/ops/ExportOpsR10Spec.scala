@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** e17 property spec — the invariant the value gate can't see: a FAILED
+  * audit leaves the pointer (and therefore every reader) on the previous
+  * version, with the rejected candidate quarantined on disk. */
+class ExportOpsR10Spec extends SparkSpec {
+
+  test("e17: a failed audit never flips LATEST; the candidate stays quarantined") {
+    import spark.implicits._
+    val out = ExportOps.scratchDir("graft_wap_spec", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      val v1 = Seq(("en", 10L), ("fr", 7L)).toDF("lang", "n_docs")
+      val violation = col("n_docs") <= 0
+      assert(ExportOps.auditedPublish(v1, root, 1L, violation))
+      val served1 = ExportOps.readPublished(spark, root)
+        .as[(String, Long)].collect().toSet
+      // the poisoned candidate: a negative count the audit must reject
+      val v2 = Seq(("en", 12L), ("fr", -3L)).toDF("lang", "n_docs")
+      assert(!ExportOps.auditedPublish(v2, root, 1L + 1L, violation))
+      // pointer untouched: readers still resolve v1, byte-for-byte
+      val latest = {
+        val src = scala.io.Source.fromFile(s"$root/LATEST", "UTF-8")
+        try src.mkString.trim finally src.close()
+      }
+      assert(latest === "1", s"failed audit moved LATEST to $latest")
+      assert(ExportOps.readPublished(spark, root)
+        .as[(String, Long)].collect().toSet === served1)
+      // the rejected version is quarantined on disk (debuggable), but
+      // invisible to pointer-resolving readers
+      assert(new java.io.File(root, "v=2").exists(),
+        "rejected candidate should stay staged for debugging")
+      // a corrected v3 publishes over the top
+      val v3 = Seq(("en", 12L), ("fr", 3L)).toDF("lang", "n_docs")
+      assert(ExportOps.auditedPublish(v3, root, 3L, violation))
+      assert(ExportOps.readPublished(spark, root)
+        .as[(String, Long)].collect().toSet ===
+        Set(("en", 12L), ("fr", 3L)))
+      ExportOps.deleteRecursively(out)
+    }
+  }
+}
