@@ -452,6 +452,57 @@ object TextOps {
     ragRerank(ragScore(cands))
   }
 
+  /** t26: retrieval EVALUATION — the metrics loop that closes the
+    * retrieval family (t20 lexical BM25, t24 brute dense, t25 index-served
+    * dense): score the t24 ranking against binary lexical relevance labels
+    * (a document is relevant to a query iff it contains EVERY query token)
+    * with the standard IR metrics — precision@5, recall@5, MRR, nDCG@5 —
+    * per query. This is how a pipeline decides whether an index/embedding
+    * change helped before it ships: rank, label, score, compare.
+    *
+    * Float discipline: MRR is a single 1/rank division; DCG terms
+    * (rel/log₂(rank+1)) truncate to DECIMAL(30,9) BEFORE the sum, so the
+    * fold is order-free and immune to last-ulp log2 differences between
+    * engines; IDCG computes by the same formula over ranks 1..5 (the
+    * fixture guarantees ≥5 relevant docs per query); nDCG divides the two
+    * canonicalized doubles once.
+    *
+    * Scale shape: labels are one broadcast-3-queries map pass over the
+    * corpus; the ranking side is 5 rows per query, broadcast into the
+    * label join; totals are one hash agg. Nothing here outgrows the
+    * label scan. */
+  private def t26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ranked = t24(s, d).select(col("query_id"), col("rank"), col("doc_id"))
+    val qdf = RagQueries.toDF("query_id", "query_text")
+      .select(col("query_id"), tokenize(col("query_text"), "space-raw").as("qtoks"))
+    val labels = docs(s, d)
+      .select(col("doc_id"), tokenize(col("text"), "space-raw").as("dtoks"))
+      .crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("doc_id"),
+        when(expr("forall(qtoks, t -> array_contains(dtoks, t))"), 1L)
+          .otherwise(0L).as("rel"))
+    val totals = labels.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_relevant"))
+    // 15-row ranking broadcast into the corpus-sized label frame
+    val top = labels.join(broadcast(ranked), Seq("query_id", "doc_id"))
+    val met = top.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_rel_top5"),
+        round(max(when(col("rel") === 1, lit(1.0) / col("rank"))
+          .otherwise(0.0)), 6).as("mrr"),
+        StableAgg.scaledSum(col("rel") / log2(col("rank") + 1), 9).as("dcg"))
+    val idcg = s.range(1, 6).select(
+      StableAgg.scaledSum(lit(1.0) / log2(col("id") + 1), 9).as("idcg"))
+    met.join(totals, Seq("query_id")).crossJoin(broadcast(idcg))
+      .select(col("query_id"), col("n_relevant"), col("n_rel_top5"),
+        round(col("n_rel_top5") / lit(5.0), 6).as("precision5"),
+        round(col("n_rel_top5").cast("double") / col("n_relevant"), 6)
+          .as("recall5"),
+        col("mrr"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg5"))
+      .orderBy("query_id")
+  }
+
   private def t22(s: SparkSession, d: String): DataFrame = {
     val vocab = docs(s, d)
       .select(explode(tokenize(col("text"), "space")).as("token"))
@@ -889,13 +940,12 @@ object TextOps {
     "t13_winnow_fingerprints" -> t13 _, "t14_gopher_quality" -> t14 _,
     "t20_bm25" -> t20 _, "t21_kwic_snippets" -> t21 _,
     "t22_zipf_coverage" -> t22 _, "t23_chunk_overlap" -> t23 _,
-    "t24_rag_retrieval" -> t24 _, "t25_rag_index_serve" -> t25 _)
+    "t24_rag_retrieval" -> t24 _, "t25_rag_index_serve" -> t25 _,
+    "t26_retrieval_metrics" -> t26 _)
 
-  val oracle: Map[String, String] = Map(
-    // the full retrieval loop replayed in SQL: same chunk windows as the
-    // t23 oracle, same md5-slot feature hashing, integer-exact dots and
-    // norms (so the doubles agree bit-for-bit), same two-window ranking
-    "t24_rag_retrieval" ->
+  /** The t24 oracle, a named val so t26's metrics oracle can wrap the
+    * whole ranking as a subquery without duplicating it. */
+  private val T24OracleSql: String =
       raw"""WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
         |    len(string_split(text, ' ')) AS n
@@ -941,7 +991,52 @@ object TextOps {
         |  FROM best WHERE rb = 1)
         |SELECT query_id, rank, doc_id, chunk_start, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // the full retrieval loop replayed in SQL: same chunk windows as the
+    // t23 oracle, same md5-slot feature hashing, integer-exact dots and
+    // norms (so the doubles agree bit-for-bit), same two-window ranking
+    "t24_rag_retrieval" -> T24OracleSql,
+    // t26 wraps the t24 ranking verbatim and scores it against lexical
+    // relevance labels; per-term DECIMAL truncation before the DCG sums
+    // keeps the log2 arithmetic order-free and cross-engine exact
+    "t26_retrieval_metrics" ->
+      raw"""WITH ranked AS ($T24OracleSql
+        |), qrows2(query_id, query_text) AS (
+        |  VALUES (0, 'customer order data'), (1, 'spark vector table'),
+        |         (2, 'fast slow filter')
+        |), labels AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CASE WHEN list_has_all(string_split(d.text, ' '),
+        |                           string_split(q.query_text, ' '))
+        |    THEN 1 ELSE 0 END AS rel
+        |  FROM documents d CROSS JOIN qrows2 q
+        |), totals AS (
+        |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_relevant
+        |  FROM labels GROUP BY 1
+        |), top AS (
+        |  SELECT r.query_id, r.rank, l.rel
+        |  FROM ranked r JOIN labels l
+        |    ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+        |), met AS (
+        |  SELECT query_id,
+        |    CAST(sum(rel) AS BIGINT) AS n_rel_top5,
+        |    round(max(CASE WHEN rel = 1 THEN 1.0 / rank ELSE 0.0 END), 6) AS mrr,
+        |    CAST(sum(CAST(rel / log2(rank + 1) AS DECIMAL(30,9))) AS DOUBLE)
+        |      AS dcg
+        |  FROM top GROUP BY 1
+        |), idcg AS (
+        |  SELECT CAST(sum(CAST(1.0 / log2(i + 1) AS DECIMAL(30,9))) AS DOUBLE)
+        |    AS v
+        |  FROM range(1, 6) t(i)
+        |)
+        |SELECT m.query_id, t.n_relevant, m.n_rel_top5,
+        |  round(m.n_rel_top5 / 5.0, 6) AS precision5,
+        |  round(CAST(m.n_rel_top5 AS DOUBLE) / t.n_relevant, 6) AS recall5,
+        |  m.mrr, round(m.dcg / idcg.v, 6) AS ndcg5
+        |FROM met m JOIN totals t USING (query_id) CROSS JOIN idcg
+        |ORDER BY query_id""".stripMargin,
     // t07's term-by-term mirror, extended to the FULL t04 profile: same
     // tokenization, stopword lists, fixed-order double arithmetic and
     // language argmax; plus the md5-rolling fingerprint fold replayed
