@@ -111,10 +111,76 @@ object AuditOps {
     scalars.unionByName(tvd).orderBy("metric")
   }
 
+  /** q93: IN-FLIGHT observability (`Dataset.observe`) — q56 audits a
+    * table with dedicated scans; this gates the metrics a pipeline
+    * collects DURING its main pass: named aggregate expressions evaluate
+    * as accumulator side-outputs of the export job itself, so at 100 TB
+    * the quality numbers cost ZERO extra scans (q56's audit is a bounded
+    * but real re-read; this one rides the write the pipeline was doing
+    * anyway — the Deequ "profiling while writing" shape). The observed
+    * pass is a filtered training-export write; the landed metrics
+    * (volume, null count, decimal value sum, ms span) must hash-match
+    * the oracle aggregating the same filter — pinning that the
+    * side-channel saw exactly the exported rows, no more, no fewer.
+    * The export-row-count invariant (parquet rows == n_rows metric) is
+    * spec-pinned in AuditObserveSpec.
+    *
+    * `Observation.get` blocks on the write's QueryExecutionListener
+    * callback — no polling; [[StableAgg.moneySum]] keeps the one
+    * float-valued metric addition-order-free. Metrics surface as a
+    * (metric, value) table in DOUBLE (counts are ≪ 2^53 — exact). */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_observe", d)
+    ExportOps.withScratchCleanup(out) {
+      val obs = org.apache.spark.sql.Observation("export_metrics")
+      Tables(s, d, "events")
+        .filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_millis(col("ts")).as("ms"))
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          count_if(col("value").isNull).as("n_null_value"),
+          StableAgg.moneySum(col("value")).as("sum_value"),
+          min(col("ms")).as("min_ms"),
+          max(col("ms")).as("max_ms"))
+        .write.mode("overwrite").parquet(s"$out/data")
+      val m = obs.get
+      def dbl(v: Any): Double = v match {
+        case l: Long => l.toDouble
+        case i: Int => i.toDouble
+        case x: Double => x
+        case b: java.math.BigDecimal => b.doubleValue
+        case other => other.toString.toDouble
+      }
+      import s.implicits._
+      m.toSeq.map { case (k, v) => (k, dbl(v)) }.sortBy(_._1)
+        .toDF("metric", "value")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q56_quality_audit" -> q56 _, "q60_snapshot_drift" -> q60 _)
+    "q56_quality_audit" -> q56 _, "q60_snapshot_drift" -> q60 _,
+    "q93_observed_metrics" -> q93 _)
 
   val oracle: Map[String, String] = Map(
+    "q93_observed_metrics" ->
+      """SELECT * FROM (
+        |  SELECT 'max_ms' AS metric, CAST(max(epoch_ms(ts)) AS DOUBLE) AS value
+        |  FROM events WHERE event_type <> 'error'
+        |  UNION ALL
+        |  SELECT 'min_ms', CAST(min(epoch_ms(ts)) AS DOUBLE)
+        |  FROM events WHERE event_type <> 'error'
+        |  UNION ALL
+        |  SELECT 'n_null_value', CAST(count_if(value IS NULL) AS DOUBLE)
+        |  FROM events WHERE event_type <> 'error'
+        |  UNION ALL
+        |  SELECT 'n_rows', CAST(count(1) AS DOUBLE)
+        |  FROM events WHERE event_type <> 'error'
+        |  UNION ALL
+        |  SELECT 'sum_value',
+        |    CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE)
+        |  FROM events WHERE event_type <> 'error'
+        |) ORDER BY metric""".stripMargin,
     "q60_snapshot_drift" ->
       """WITH one AS (
         |  SELECT CAST(count_if(l_orderkey % 10 <> 0) AS BIGINT) AS n_old,

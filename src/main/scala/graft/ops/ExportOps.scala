@@ -962,8 +962,129 @@ object ExportOps {
     }
   }
 
+  // ----------------- e18: incremental snapshot consumption (table tail)
+
+  /** Records the table's current data files as snapshot `version`'s
+    * manifest (one row per file). Runs on the Hadoop FileSystem API (the
+    * e15 discipline — portable to HDFS/S3A). Each manifest is a FULL
+    * listing; increments are set differences between two manifests —
+    * simpler to reason about than delta manifests under concurrent
+    * writers, and still metadata-sized: the listing scales with file
+    * count, never data volume. */
+  def commitSnapshot(s: SparkSession, root: String, version: Long): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val data = new org.apache.hadoop.fs.Path(s"$root/data")
+    val fs = data.getFileSystem(conf)
+    val files = fs.listStatus(data).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    import s.implicits._
+    files.toDF("file").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/manifest/v=$version")
+  }
+
+  /** Files present in snapshot `to` but not in snapshot `from` (pass
+    * from = 0 for "since the beginning"). The collect is manifest-sized —
+    * the planner-side metadata read every incremental consumer performs
+    * (e14's argument: thousands of manifest rows vs billions of data
+    * rows). */
+  def newFilesSince(s: SparkSession, root: String,
+                    from: Long, to: Long): Seq[String] = {
+    val cur = s.read.parquet(s"$root/manifest/v=$to")
+    val prev = if (from <= 0L) cur.limit(0)
+               else s.read.parquet(s"$root/manifest/v=$from")
+    cur.except(prev).collect().map(_.getString(0)).toIndexedSeq.sorted
+  }
+
+  /** e18: INCREMENTAL CONSUMPTION of an append-only table — the
+    * downstream half of the lake contract, which no other e-gate covers:
+    * e12/e17 publish snapshots, e14 plans scans from file stats; this is
+    * the consumer that TAILS the table without streaming infrastructure
+    * (the Iceberg incremental-read / Delta startingVersion shape). The
+    * producer appends two batches, committing a manifest snapshot after
+    * each; the consumer processes each increment's NEW FILES ONLY —
+    * discovered by manifest diff, never by re-listing or re-reading data
+    * — and folds algebraic partials (counts + DECIMAL sums, so fold
+    * order can't move the result) into its running aggregate. The served
+    * aggregate must hash-match the full-table oracle: nothing lost,
+    * nothing double-counted.
+    *
+    * At 100 TB this is the difference between an hourly downstream job
+    * re-scanning the table (O(table) per run, unbounded growth) and
+    * reading just the hour's arrivals (O(increment)): the manifest diff
+    * is metadata-sized, and partial-aggregate state replaces re-reads.
+    * The new-files-only property is spec-pinned in ExportOpsR10Spec. */
+  private def e18(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_increment", d)
+    withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      val orders = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      def append(df: DataFrame): Unit =
+        df.write.mode(SaveMode.Append).parquet(s"$root/data")
+      def consume(from: Long, to: Long): Unit = {
+        val fresh = newFilesSince(s, root, from, to)
+        require(fresh.nonEmpty, s"e18: no new files in snapshot $from -> $to")
+        s.read.parquet(fresh: _*)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(30,2)")).as("sum_price"))
+          .write.mode(SaveMode.Append).parquet(s"$root/partials")
+      }
+      append(orders.filter(col("o_orderkey") % 3 =!= 0))
+      commitSnapshot(s, root, 1L)
+      consume(0L, 1L)
+      append(orders.filter(col("o_orderkey") % 3 === 0))
+      commitSnapshot(s, root, 2L)
+      consume(1L, 2L)
+      val served = s.read.parquet(s"$root/partials")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("sum_price")).cast("double").as("sum_price"))
+      localizeAndDrop(served, out, "o_orderpriority")
+    }
+  }
+
+  /** e19: XML interchange round-trip — the third exchange format next to
+    * e09 (JSONL) and e16 (CSV), and the one closest to the reference's
+    * own output boundary (g04's CoT XML). Spark 4's native XML source
+    * writes one `<event>` row element per record and reads back with an
+    * explicit schema (the S7 typed-ingest discipline — no inference);
+    * timestamps travel as epoch-µs longs (e16's rule: interchange
+    * formats carry no timestamp type worth trusting). The round-tripped
+    * table must hash-match the source events exactly — entity escaping
+    * (props holds JSON full of quotes/braces) proven lossless on real
+    * data, not asserted. */
+  private def e19(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_xml", d)
+    withScratchCleanup(out) {
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("props"))
+      ev.write.mode(SaveMode.Overwrite).format("xml")
+        .option("rowTag", "event").save(s"$out/xml")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType)))
+      val back = s.read.format("xml").option("rowTag", "event")
+        .schema(schema).load(s"$out/xml")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"), md5(col("props")).as("props_md5"))
+      localizeAndDrop(back, out, "event_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e17_audited_publish" -> e17 _,
+    "e17_audited_publish" -> e17 _, "e18_incremental_consume" -> e18 _,
+    "e19_xml_roundtrip" -> e19 _,
     "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
     "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _,
     "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _,
@@ -1002,6 +1123,19 @@ object ExportOps {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |  md5(props) AS props_md5
         |FROM events ORDER BY event_id""".stripMargin,
+    // the XML round-trip must reproduce the source events exactly —
+    // same contract as the CSV leg, different format surface
+    "e19_xml_roundtrip" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |  md5(props) AS props_md5
+        |FROM events ORDER BY event_id""".stripMargin,
+    // nothing lost, nothing double-counted across the two increments
+    "e18_incremental_consume" ->
+      """SELECT o_orderpriority, count(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // both delete rules replayed on the raw table: retention keeps days
     // >= the mid-timestamp's day (ISO strings compare as dates), erasure
     // drops user_id ≡ 3 (mod 97)

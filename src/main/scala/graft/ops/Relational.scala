@@ -904,6 +904,116 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** q92: telemetry resample with LINEAR INTERPOLATION — the third fill
+    * semantics in the regularization family: q52 zero-fills an additive
+    * count, q70 carries a gauge forward (a step function), this one draws
+    * the line between the surrounding observations — the regrid a
+    * sensor-fusion or feature-extraction stage wants for continuously-
+    * varying signals, where LOCF introduces staircase bias.
+    *
+    * Formulation: per-user ms-deduped observations (q70's max_by tie
+    * rule) UNION the user's interior hourly grid instants; ONE user_id
+    * hash shuffle carries both window passes — prev = last non-null obs
+    * at-or-before, next = first non-null obs strictly-after — and the
+    * grid rows lerp between them. Both passes are running `last(...,
+    * ignoreNulls)` over `[unbounded preceding, current]` frames (the
+    * "next" pass just orders DESCENDING): Spark's unbounded-PRECEDING
+    * frame processor is a single O(n) sweep, where an `[current,
+    * unbounded following]` frame would recompute its aggregate from
+    * scratch per row — O(n²) per partition, measured minutes-vs-seconds
+    * on this very query. Grid instants are STRICTLY inside the user's
+    * observed span, so both neighbours provably exist: an observation AT
+    * the grid instant sorts before it in the ascending pass (is_grid
+    * tie-break), becomes prev with frac = 0, and the lerp degenerates to
+    * that observation exactly — no special case, no div-by-zero
+    * (t0 ≤ g < t1 always).
+    *
+    * Scale shape: the union never outgrows corpus + grid (grid bounded
+    * by each user's active span — the q70 argument); both passes ride
+    * one keyed exchange (two sorts, zero extra shuffles), no self-join,
+    * no driver state. Float discipline: frac's operands are exact
+    * integer millis, v0/v1 raw fixture doubles, the lerp one mul and
+    * two adds — the identical IEEE expression shape in both engines,
+    * rounded to 6 like q37. */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val B = 3600000L
+    val obs = t(s, d, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("ms")).as("mn"), max(col("ms")).as("mx"))
+      // k0 > mn/B and k1 < mx/B strictly; empty spans filter out BEFORE
+      // sequence(), which would otherwise run descending for k0 > k1
+      .withColumn("k0", expr(s"mn div $B + 1"))
+      .withColumn("k1", expr(s"(mx - 1) div $B"))
+      .filter(col("k0") <= col("k1"))
+      .select(col("user_id"), explode(sequence(col("k0"), col("k1"))).as("k"))
+      .select(col("user_id"), (col("k") * B).as("ms"))
+    val u = obs
+      .select(col("user_id"), col("ms"), lit(0).as("is_grid"),
+        col("v"), col("ms").as("obs_ms"))
+      .unionByName(grid.select(col("user_id"), col("ms"),
+        lit(1).as("is_grid"), lit(null).cast("double").as("v"),
+        lit(null).cast("long").as("obs_ms")))
+    // both directions as O(n) running frames: the descending sweep's
+    // [unbounded preceding, current] is exactly the ascending order's
+    // strictly-after set for the grid row (grid sorts before a same-ms
+    // obs in DESC via is_grid DESC, after it in ASC via is_grid ASC)
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("is_grid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").desc, col("is_grid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("v0", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("t0", last(col("obs_ms"), ignoreNulls = true).over(wPrev))
+      .withColumn("v1", last(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("t1", last(col("obs_ms"), ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("ms").as("grid_ms"), col("t0"), col("t1"),
+        round(col("v0") + (col("v1") - col("v0")) *
+          ((col("ms") - col("t0")).cast("double") /
+            (col("t1") - col("t0")).cast("double")), 6).as("value"))
+      .orderBy("user_id", "grid_ms")
+  }
+
+  /** q94: the MapType function surface — the one container type the
+    * q38/q86 container gates (arrays, VARIANT) don't touch. Per-user
+    * event-type histograms build as real `MapType` columns
+    * (`map_from_entries` over canonically sorted entries — sorted so the
+    * map's physical entry order, which Spark preserves and DuckDB would
+    * not, can never leak into results) and every downstream stat is
+    * computed THROUGH the map API: `map_values` + a fold lambda for the
+    * total, `map_filter` for the heavy-key count, `transform_values` for
+    * a rescaled fold, `try_element_at` (ANSI-safe — plain element_at
+    * THROWS on a missing key under this engine's default ANSI mode) for
+    * point lookup. The oracle replays the same stats relationally — the
+    * map is pure representation, so the gate pins that none of the map
+    * operators bend the values.
+    *
+    * Scale shape: one (user, type) hash agg, one per-user collect into a
+    * bounded map (|event types| entries — histograms over LOW-cardinality
+    * domains are the MapType use case; an unbounded domain belongs in
+    * q71's long format), then per-row expression work. */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).as("n_types"),
+        size(map_filter(col("m"), (_, v) => v >= 5)).as("n_heavy"),
+        expr("aggregate(map_values(m), 0L, (acc, x) -> acc + x)").as("total"),
+        expr("aggregate(map_values(transform_values(m, (k, v) -> 2 * v))," +
+          " 0L, (acc, x) -> acc + x)").as("twice_total"),
+        coalesce(try_element_at(col("m"), lit("click")), lit(0L))
+          .as("n_clicks"))
+      .orderBy("user_id")
+  }
+
   /** q87: the SAME subtree rollup through Spark 4.1's native
     * `WITH RECURSIVE` (resolved to a `UnionLoop` plan) — the SQL front
     * door for the hierarchy workload q73 hand-builds with pointer
@@ -1487,7 +1597,8 @@ object Relational {
     "q70_gap_fill_locf" -> q70 _, "q71_transition_matrix" -> q71 _,
     "q72_cohort_retention" -> q72 _, "q73_hierarchy_rollup" -> q73 _,
     "q87_recursive_cte" -> q87 _, "q88_try_arithmetic" -> q88 _,
-    "q91_touch_attribution" -> q91 _,
+    "q91_touch_attribution" -> q91 _, "q92_resample_lerp" -> q92 _,
+    "q94_map_funcs" -> q94 _,
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q77_matview_delta" -> q77 _,
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
@@ -1738,6 +1849,47 @@ object Relational {
         |FROM grid g LEFT JOIN counts c
         |  ON g.user_id = c.user_id AND g.hour = c.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+    "q94_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(1) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, CAST(count(1) AS INTEGER) AS n_types,
+        |  CAST(count_if(n >= 5) AS INTEGER) AS n_heavy,
+        |  CAST(sum(n) AS BIGINT) AS total,
+        |  CAST(2 * sum(n) AS BIGINT) AS twice_total,
+        |  coalesce(max(CASE WHEN event_type = 'click' THEN n END),
+        |           0) AS n_clicks
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q92_resample_lerp" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, arg_max(value, event_id) AS v
+        |  FROM events GROUP BY user_id, epoch_ms(ts)),
+        |grid AS (
+        |  SELECT user_id,
+        |    3600000 * unnest(generate_series(min(ms) // 3600000 + 1,
+        |                                     (max(ms) - 1) // 3600000)) AS ms
+        |  FROM obs GROUP BY user_id),
+        |u AS (
+        |  SELECT user_id, ms, 0 AS is_grid, v, ms AS obs_ms FROM obs
+        |  UNION ALL
+        |  SELECT user_id, ms, 1, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+        |  FROM grid),
+        |filled AS (
+        |  SELECT user_id, ms, is_grid,
+        |    last_value(v IGNORE NULLS) OVER w0 AS v0,
+        |    last_value(obs_ms IGNORE NULLS) OVER w0 AS t0,
+        |    first_value(v IGNORE NULLS) OVER w1 AS v1,
+        |    first_value(obs_ms IGNORE NULLS) OVER w1 AS t1
+        |  FROM u
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY ms, is_grid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w1 AS (PARTITION BY user_id ORDER BY ms, is_grid
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, ms AS grid_ms, t0, t1,
+        |  round(v0 + (v1 - v0) * (CAST(ms - t0 AS DOUBLE) /
+        |                          CAST(t1 - t0 AS DOUBLE)), 6) AS value
+        |FROM filled WHERE is_grid = 1
+        |ORDER BY user_id, grid_ms""".stripMargin,
     "q70_gap_fill_locf" ->
       """WITH obs AS (
         |  SELECT user_id, epoch_ms(ts) // 300000 AS bucket,

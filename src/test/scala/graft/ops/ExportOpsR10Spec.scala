@@ -42,4 +42,32 @@ class ExportOpsR10Spec extends SparkSpec {
       ExportOps.deleteRecursively(out)
     }
   }
+
+  test("e18: manifest diff hands the consumer ONLY the newly-added files") {
+    import spark.implicits._
+    val out = ExportOps.scratchDir("graft_incr_spec", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .write.mode("append").parquet(s"$root/data")
+      ExportOps.commitSnapshot(spark, root, 1L)
+      val first = ExportOps.newFilesSince(spark, root, 0L, 1L)
+      Seq((3L, "c")).toDF("k", "v")
+        .write.mode("append").parquet(s"$root/data")
+      ExportOps.commitSnapshot(spark, root, 2L)
+      val fresh = ExportOps.newFilesSince(spark, root, 1L, 2L)
+      val all2 = spark.read.parquet(s"$root/manifest/v=2")
+        .collect().map(_.getString(0)).toSet
+      assert(first.nonEmpty && fresh.nonEmpty)
+      assert(fresh.toSet.intersect(first.toSet).isEmpty,
+        "increment re-delivered files from the previous snapshot")
+      assert(first.toSet.union(fresh.toSet) === all2,
+        "snapshot-2 manifest must be exactly old files + new files")
+      // the increment's data is exactly the appended batch — the
+      // consumer never re-reads (and never misses) anything
+      assert(spark.read.parquet(fresh: _*).as[(Long, String)]
+        .collect().toSet === Set((3L, "c")))
+      ExportOps.deleteRecursively(out)
+    }
+  }
 }
