@@ -1045,6 +1045,70 @@ object ExportOps {
     }
   }
 
+  /** Deletes every data file not referenced by a retained snapshot's
+    * manifest, then expires the non-retained manifests themselves. The
+    * cleanup half of the e12/e17/e18 snapshot story (Iceberg's
+    * expire-snapshots + remove-orphan-files): crashed or retried writers
+    * leave committed-to-disk-but-referenced-by-nothing files behind, and
+    * at 100 TB that debris is real money AND a correctness trap for any
+    * path-globbing reader. Listing and manifest reads are metadata-sized;
+    * deletes are bounded by the orphan count. Hadoop FS API throughout
+    * (the e15 discipline). Returns the deleted paths (sorted) so callers
+    * can log/audit the reclaim. */
+  def vacuum(s: SparkSession, root: String, retained: Seq[Long]): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val data = new org.apache.hadoop.fs.Path(s"$root/data")
+    val fs = data.getFileSystem(conf)
+    val live = retained.flatMap(v =>
+      s.read.parquet(s"$root/manifest/v=$v")
+        .collect().map(_.getString(0))).toSet
+    val orphans = fs.listStatus(data).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).filterNot(live).sorted
+    orphans.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    if (fs.exists(mdir)) fs.listStatus(mdir).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .filterNot(st =>
+        retained.contains(st.getPath.getName.stripPrefix("v=").toLong))
+      .foreach(st => fs.delete(st.getPath, true))
+    orphans
+  }
+
+  /** e20: VACUUM gated end-to-end — producer commits two snapshots, then
+    * a crashed retry re-writes batch 2's files WITHOUT committing (the
+    * debris shape vacuum exists for: present on disk, referenced by no
+    * manifest). Vacuum retaining snapshot 2 must delete exactly the
+    * debris; the gate then reads the data directory DIRECTLY (the
+    * path-globbing reader that debris poisons) and must hash-match the
+    * full-table oracle — surviving debris doubles batch 2's rows,
+    * over-deletion loses them, and either moves the hash. The
+    * referenced-files-untouched and idempotent-second-vacuum invariants
+    * are spec-pinned in ExportOpsR10Spec. */
+  private def e20(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_vacuum", d)
+    withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      val orders = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val b1 = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val b2 = orders.filter(col("o_orderkey") % 3 === 0)
+      b1.write.mode(SaveMode.Append).parquet(s"$root/data")
+      commitSnapshot(s, root, 1L)
+      b2.write.mode(SaveMode.Append).parquet(s"$root/data")
+      commitSnapshot(s, root, 2L)
+      b2.write.mode(SaveMode.Append).parquet(s"$root/data")
+      val removed = vacuum(s, root, Seq(2L))
+      require(removed.nonEmpty, "e20: vacuum found no debris to remove")
+      val served = s.read.parquet(s"$root/data")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(30,2)")).cast("double")
+            .as("sum_price"))
+      localizeAndDrop(served, out, "o_orderpriority")
+    }
+  }
+
   /** e19: XML interchange round-trip — the third exchange format next to
     * e09 (JSONL) and e16 (CSV), and the one closest to the reference's
     * own output boundary (g04's CoT XML). Spark 4's native XML source
@@ -1084,7 +1148,7 @@ object ExportOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e17_audited_publish" -> e17 _, "e18_incremental_consume" -> e18 _,
-    "e19_xml_roundtrip" -> e19 _,
+    "e19_xml_roundtrip" -> e19 _, "e20_vacuum" -> e20 _,
     "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
     "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _,
     "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _,
@@ -1129,6 +1193,14 @@ object ExportOps {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |  md5(props) AS props_md5
         |FROM events ORDER BY event_id""".stripMargin,
+    // post-vacuum, the directory-serving read is exactly snapshot 2 —
+    // surviving debris doubles batch 2, over-deletion loses it
+    "e20_vacuum" ->
+      """SELECT o_orderpriority, count(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // nothing lost, nothing double-counted across the two increments
     "e18_incremental_consume" ->
       """SELECT o_orderpriority, count(1) AS n_orders,

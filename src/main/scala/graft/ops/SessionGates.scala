@@ -237,6 +237,54 @@ object SessionGates {
     }
   }
 
+  /** q95: the LEFT-SEMI leg of the stream-stream join family — "which
+    * purchases had at least one click in the preceding 30 minutes",
+    * emitted ONCE per matched purchase with no click payload. Completes
+    * the support matrix q62 (inner) and q67 (left outer) leave open, and
+    * its state/emission semantics are distinct from both: a semi match
+    * emits EAGERLY on the micro-batch its first matching click arrives
+    * in (no watermark-close wait — that's q67's outer rows), and the
+    * join state marks the purchase emitted so a second click in a later
+    * batch cannot re-emit it. The corpus replays as q62's two
+    * time-ordered micro-batches, so cross-boundary matches must come
+    * from buffered click state and batch-2 re-matches must dedupe
+    * against batch-1 emissions; the landed set hash-matches a DuckDB
+    * EXISTS oracle. Same bounded-state argument as q62: both sides
+    * watermarked, the interval bounds event time on both ends. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_sssemi", d)
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val mid = ev.agg(avg(unix_micros(col("ts")))).head().getDouble(0).toLong
+      val now = System.currentTimeMillis()
+      Seq(unix_micros(col("ts")) <= mid, unix_micros(col("ts")) > mid)
+        .zipWithIndex.foreach { case (cond, i) =>
+          arriveAs(onePartFile(ev.filter(cond), out, s"f$i"), out, s"f$i",
+            now - (2 - i) * 60000L)
+        }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_millis(unix_millis(col("ts"))).as("ts"))
+      val joined = graft.streaming.EventStreams
+        .purchasesWithClicks(stream, joinType = "left_semi")
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val landed = s.read.parquet(s"$out/data")
+        .select(col("purchase_id"), col("uid"),
+          unix_millis(col("purchase_ts")).as("purchase_ms"))
+      ExportOps.localizeAndDrop(landed, out, "purchase_id")
+    }
+  }
+
   /** q67: the LEFT-OUTER twin of q62 — "every purchase, with its clicks OR
     * a null-click row if none arrived in the window". The outer rows have
     * different state-eviction semantics from the inner join: a purchase's
@@ -688,7 +736,8 @@ object SessionGates {
     "q67_stream_outer_join" -> q67 _, "q69_stream_cdc_apply" -> q69 _,
     "q74_stream_cumulative" -> q74 _, "q84_stream_state_ttl" -> q84 _,
     "q85_stream_chained_agg" -> q85 _, "q89_stream_session_timers" -> q89 _,
-    "q90_stream_restart_recovery" -> q90 _)
+    "q90_stream_restart_recovery" -> q90 _,
+    "q95_stream_semi_join" -> q95 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -814,6 +863,20 @@ object SessionGates {
     "q65_stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
+    // q62's SEMI twin: the matched purchases, once each, no click payload
+    "q95_stream_semi_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id AS uid,
+        |       p.ts_ms AS purchase_ms
+        |FROM e p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM e c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts_ms >= p.ts_ms - 1800000 AND c.ts_ms <= p.ts_ms)
+        |ORDER BY purchase_id""".stripMargin,
     // q62's LEFT JOIN twin: purchases with no click in the preceding 30
     // minutes keep a null-click row
     "q67_stream_outer_join" ->

@@ -927,7 +927,42 @@ object TextOps {
   private def t15(s: SparkSession, d: String): DataFrame =
     repetitionGopher(docs(s, d)).orderBy("doc_id")
 
+  /** t27: per-source ADAPTIVE quality pruning — the FineWeb/DataComp
+    * mechanism c01's fixed thresholds don't express: each source keeps
+    * its own top 30% by quality, so a high-quality source isn't gutted
+    * by a cutoff tuned for a noisy one (and a noisy source can't flood
+    * the corpus just by being big). The cutoff is RANK-based —
+    * `rk·10 ≤ n·3`, integer arithmetic — rather than a value-interpolated
+    * percentile: rank selection is integer-exact cross-engine, where a
+    * quantile-valued threshold invites last-ulp membership flips on
+    * scores sitting at the cut. Score = t03's distinct-token ratio
+    * (integer-derived doubles, exact in both engines); ties break on
+    * doc_id.
+    *
+    * Scale shape: one source-keyed exchange carries both the rank window
+    * and the per-source count. The per-source sort is the honest cost of
+    * EXACT ranks; at 100 TB the production variant replaces it with a
+    * q41-style approx-quantile cutoff per source (sketch-mergeable, one
+    * scan) and accepts the boundary fuzz — this gate pins the exact
+    * semantics the sketch approximates. */
+  private def t27(s: SparkSession, d: String): DataFrame = {
+    val toks = tokenize(col("text"), "space-raw")
+    val scored = docs(s, d).select(col("doc_id"), col("source"),
+      (size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")).as("score"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val n = Window.partitionBy(col("source"))
+    scored.withColumn("rk", row_number().over(w))
+      .withColumn("n_source", count(lit(1)).over(n))
+      .filter(col("rk") * 10 <= col("n_source") * 3)
+      .select(col("source"), col("doc_id"), col("rk"), col("n_source"),
+        round(col("score"), 6).as("score"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_source_prune" -> t27 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
@@ -994,6 +1029,24 @@ object TextOps {
         |ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // rank-based per-source cut: integer-exact membership, no
+    // value-interpolated threshold to flip on last-ulp score ties
+    "t27_source_prune" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |      len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ASC) AS rk,
+        |    count(1) OVER (PARTITION BY source) AS n_source
+        |  FROM scored)
+        |SELECT source, doc_id, CAST(rk AS INTEGER) AS rk,
+        |  CAST(n_source AS BIGINT) AS n_source,
+        |  round(score, 6) AS score
+        |FROM r WHERE rk * 10 <= n_source * 3
+        |ORDER BY source, rk""".stripMargin,
     // the full retrieval loop replayed in SQL: same chunk windows as the
     // t23 oracle, same md5-slot feature hashing, integer-exact dots and
     // norms (so the doubles agree bit-for-bit), same two-window ranking

@@ -85,11 +85,17 @@ object EventStreams {
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", watermark)
-    purchases.join(clicks,
+    val joined = purchases.join(clicks,
       col("p_user") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon") &&
         col("click_ts") <= col("purchase_ts"), joinType)
-      .select(col("purchase_id"), col("p_user").as("uid"),
+    // a semi join carries no right-side columns: each matched purchase
+    // emits exactly once (on the micro-batch its first match arrives in)
+    if (joinType == "left_semi")
+      joined.select(col("purchase_id"), col("p_user").as("uid"),
+        col("purchase_ts"))
+    else
+      joined.select(col("purchase_id"), col("p_user").as("uid"),
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 

@@ -70,4 +70,43 @@ class ExportOpsR10Spec extends SparkSpec {
       ExportOps.deleteRecursively(out)
     }
   }
+
+  test("e20: vacuum removes only unreferenced files and is idempotent") {
+    import spark.implicits._
+    val out = ExportOps.scratchDir("graft_vac_spec", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .write.mode("append").parquet(s"$root/data")
+      ExportOps.commitSnapshot(spark, root, 1L)
+      Seq((3L, "c")).toDF("k", "v")
+        .write.mode("append").parquet(s"$root/data")
+      ExportOps.commitSnapshot(spark, root, 2L)
+      // debris: a crashed retry, on disk but in no manifest
+      Seq((99L, "zz")).toDF("k", "v")
+        .write.mode("append").parquet(s"$root/data")
+      def dataFiles(): Map[String, (Long, Long)] =
+        new java.io.File(root, "data").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+      val live = spark.read.parquet(s"$root/manifest/v=2")
+        .collect().map(r => new java.io.File(r.getString(0)).getName).toSet
+      val before = dataFiles()
+      val removed = ExportOps.vacuum(spark, root, Seq(2L))
+      // exactly the debris went; every referenced file is byte-untouched
+      assert(removed.nonEmpty)
+      assert(removed.map(p => new java.io.File(p).getName).toSet ===
+        before.keySet -- live, "vacuum must delete exactly the orphans")
+      assert(dataFiles() === before.filter { case (n, _) => live(n) },
+        "referenced files must survive vacuum byte-untouched")
+      // expired snapshot 1's manifest is gone; retained 2 remains
+      assert(!new java.io.File(root, "manifest/v=1").exists())
+      assert(new java.io.File(root, "manifest/v=2").exists())
+      // a second vacuum finds nothing — idempotent maintenance
+      assert(ExportOps.vacuum(spark, root, Seq(2L)).isEmpty)
+      assert(spark.read.parquet(s"$root/data").as[(Long, String)]
+        .collect().toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+      ExportOps.deleteRecursively(out)
+    }
+  }
 }
