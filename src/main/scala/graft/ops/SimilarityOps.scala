@@ -305,43 +305,74 @@ object SimilarityOps {
     * recall against the exact-L2 ranking and the ADC↔exact error bound. */
   def pqAdcTopK(s: SparkSession, corpus: DataFrame,
                 m: Int = 8, k: Int = 16): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import s.implicits._
     val dims = 64
     val dsub = dims / m
-    // cached: the m KMeans fits (maxIter scans each), the code
-    // assignment, and the exact rerank all re-read this frame — uncached
-    // it re-derives from parquet ~50× across the ML fit jobs
+    // cached: the code assignment and the exact rerank both re-read this
+    // frame — uncached it re-derives from parquet across the jobs
     val vecs = DedupOps.cachedShared(corpus.select(col("vec_id"),
       VectorFunctions.toDouble(col("embedding")).as("v")))
-    // Codebook training is bounded: the fits see at most [[PqTrainCap]]
+    // Codebook training is bounded AND driver-side: at most [[PqTrainCap]]
     // vectors, chosen by md5(vec_id) priority — deterministic across runs
     // AND across cluster sizes (unlike sample(), whose draw depends on
-    // partitioning). 16 centroids per subspace need thousands of training
-    // points, not the corpus; at 100 TB this caps each fit's input at a
-    // constant while the encode/ADC serving path below still covers every
-    // vector. At the oracle SFs the cap exceeds the corpus, so training
-    // remains exact-full there (gate outputs unchanged).
-    val trainVecs = DedupOps.cachedShared(
-      vecs.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(PqTrainCap))
-    // the m per-subspace fits are independent — run them as concurrent
-    // Spark jobs (each is seeded, so concurrency cannot change results;
-    // sequential fits serialized ~40 tiny ML jobs and dominated the
-    // operator's wall time)
-    val codebook = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence((0 until m).map { j => Future {
-        val sub = trainVecs.select(col("vec_id"),
-          array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv"))
-        new KMeans().setK(k).setSeed(42L + j).setMaxIter(5)
-          .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
-          .clusterCenters.zipWithIndex
-          .map { case (c, i) => (j, i, c.toArray.toSeq) }
-      }}), Duration.Inf).flatten
+    // partitioning) — collected ONCE (≤1024 × 64 doubles, half a
+    // megabyte) and clustered with plain Lloyd iterations in Scala. This
+    // is how every PQ implementation trains: the codebook is an offline
+    // fit on a capped sample, not a distributed computation — the
+    // previous Spark-ML form launched ~50 tiny cluster jobs (kmeans||
+    // init + per-iteration passes × m subspaces) whose scheduling
+    // latency, not compute, dominated the operator and tracked host
+    // load (bench medians 2.6→13 s on a busy window; driver Lloyd is
+    // milliseconds always). 16 centroids per subspace need thousands of
+    // training points, not the corpus; at 100 TB the cap keeps this a
+    // constant while the encode/ADC serving path below still covers
+    // every vector. At the oracle SFs the cap exceeds the corpus, so
+    // training remains exact-full there.
+    val train: Array[Array[Double]] = vecs
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(PqTrainCap)
+      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+    // Deterministic Lloyd: init = the first k DISTINCT subvectors in
+    // md5-priority order; assignment ties break to the lowest code; an
+    // emptied cluster keeps its previous centroid. Sequential Scala —
+    // bit-identical on any host, any cluster size.
+    def lloyd(points: Array[Array[Double]]): Array[Array[Double]] = {
+      require(points.nonEmpty, "PQ codebook training needs a nonempty sample")
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      points.iterator.takeWhile(_ => init.length < k).foreach { p =>
+        if (seen.add(p.toSeq)) init += p
+      }
+      while (init.length < k) init += init(init.length % seen.size.max(1))
+      var cents = init.toArray
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { val e = a(i) - b(i); acc += e * e; i += 1 }
+        acc
+      }
+      for (_ <- 0 until 10) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Long](k)
+        points.foreach { p =>
+          var best = 0; var bd = d2(p, cents(0)); var c = 1
+          while (c < k) {
+            val dd = d2(p, cents(c))
+            if (dd < bd) { bd = dd; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+    val codebook = (0 until m).flatMap { j =>
+      val sub = train.map(_.slice(j * dsub, (j + 1) * dsub))
+      lloyd(sub).zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
     }.toDF("sub", "code", "cent")
     val subvecs = vecs.select(col("vec_id"),
       explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
