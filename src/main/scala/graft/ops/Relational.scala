@@ -295,6 +295,29 @@ object Relational {
       .agg(count(lit(1)).as("n"), StableAgg.moneySum(col("value")).as("sum_value"))
       .orderBy("win_start_s", "event_type")
 
+  /** q96: SLIDING event-time windows through the native `window()`
+    * operator — the overlapping configuration q24's tumbling gate leaves
+    * open (15-minute windows every 5 minutes: each event belongs to
+    * exactly 3). Sliding windows are how rate/trend dashboards smooth
+    * without waiting a full window (the streaming twin is the same
+    * expression under a watermark). Catalyst expands the window
+    * expression to a 3-row generator per event BEFORE the hash
+    * aggregation — the fan-out is size/slide, fixed at plan time, and
+    * the aggregation stays one map-side-combined shuffle; nothing is
+    * quadratic and no self-join materializes the overlap. The oracle
+    * replays the expansion arithmetic: window k ∈ {0,1,2} of an event
+    * starts at (⌊t/slide⌋−k)·slide, and containment holds for all three
+    * by construction (t − start ∈ [300k, 300k+300) ⊂ [0, 900)). */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        StableAgg.moneySum(col("value")).as("sum_value"))
+      .select(unix_seconds(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start_s", "event_type")
+
   /** String function family. */
   private def q25(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
@@ -1598,7 +1621,7 @@ object Relational {
     "q72_cohort_retention" -> q72 _, "q73_hierarchy_rollup" -> q73 _,
     "q87_recursive_cte" -> q87 _, "q88_try_arithmetic" -> q88 _,
     "q91_touch_attribution" -> q91 _, "q92_resample_lerp" -> q92 _,
-    "q94_map_funcs" -> q94 _,
+    "q94_map_funcs" -> q94 _, "q96_window_sliding" -> q96 _,
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q77_matview_delta" -> q77 _,
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
@@ -1849,6 +1872,17 @@ object Relational {
         |FROM grid g LEFT JOIN counts c
         |  ON g.user_id = c.user_id AND g.hour = c.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+    "q96_window_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |expanded AS (
+        |  SELECT event_type, value,
+        |    (us // 300000000 - k) * 300 AS win_start_s
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k))
+        |SELECT win_start_s, event_type, count(1) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM expanded GROUP BY win_start_s, event_type
+        |ORDER BY win_start_s, event_type""".stripMargin,
     "q94_map_funcs" ->
       """WITH c AS (
         |  SELECT user_id, event_type, CAST(count(1) AS BIGINT) AS n
