@@ -217,12 +217,88 @@ object Multimodal {
       .orderBy("key_a", "key_b")
   }
 
+  /** m07: dual-encoder ALIGNMENT filtering — the CLIP-score curation
+    * step (LAION's core filter): score each (media, caption) pair with
+    * the cosine of an image-tower embedding against a text-tower
+    * embedding, and keep only pairs above threshold — this is how
+    * image-text training sets drop mismatched scrapes and wrong-alt-text
+    * images. Captions drift deterministically (every doc_id ≡ 0 mod 5
+    * takes its successor's caption), so the corpus contains real
+    * mismatches for the filter to catch; the last doc's drifted pair
+    * has no successor and drops in the join — both engines agree.
+    *
+    * The "image tower" is the stub codec's decode (media bytes → text)
+    * feeding [[graft.ops.TextOps.docSlotEmbed]], the t24 16-slot
+    * feature-hash embedding; the text tower is the same embedding on the
+    * caption. Stub encoders, real contract — two towers, embed-level
+    * equi-join, exact cosine, threshold accounting — and md5-derived
+    * throughout, so DuckDB replays every value (the m-family
+    * discipline). Aligned pairs embed identically: integer slot dots
+    * make their cosine exactly 1.0; drifted pairs score the cosine of
+    * two different documents.
+    *
+    * Scale shape: two map-only embed passes and one doc_id equi-join —
+    * nothing pairwise beyond the intended 1:1 pairs; at 100 TB the
+    * towers are the expensive stage (real encoders batch on GPUs via
+    * the m02 mapPartitions seam) and the filter stays a projection. */
+  private def m07(s: SparkSession, d: String): DataFrame = {
+    val media = mediaTable(s, d)
+      .select(col("doc_id"),
+        graft.ops.TextOps.docSlotEmbed(col("media").cast("string")).as("iv"))
+    val pairs = Tables(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, col("doc_id") + 1)
+        .otherwise(col("doc_id")).as("cap_src"))
+    val captions = Tables(s, d, "documents").select(
+      col("doc_id").as("cap_src"),
+      graft.ops.TextOps.docSlotEmbed(col("text")).as("cv"))
+    pairs.join(media, "doc_id").join(captions, "cap_src")
+      .withColumn("dot", aggregate(
+        zip_with(col("iv"), col("cv"), (x, y) => x * y),
+        lit(0.0), (acc, e) => acc + e.cast("double")))
+      .withColumn("cos", col("dot") /
+        (graft.ops.TextOps.ragNorm(col("iv")) *
+          graft.ops.TextOps.ragNorm(col("cv"))))
+      .select(col("doc_id"), col("cap_src"),
+        round(col("cos"), 6).as("clip_score"),
+        (col("cos") >= 0.999).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01 _, "m02_media_decode" -> m02 _,
     "m03_frame_sample" -> m03 _, "m04_frame_dedup" -> m04 _,
-    "m05_payload_integrity" -> m05 _, "m06_frame_neardup" -> m06 _)
+    "m05_payload_integrity" -> m05 _, "m06_frame_neardup" -> m06 _,
+    "m07_clip_filter" -> m07 _)
 
   val oracle: Map[String, String] = Map(
+    // both towers replayed from the raw text (the stub decode recovers
+    // it byte-for-byte): aligned pairs are exactly 1.0, drifted pairs
+    // are the cosine of two different documents — same md5 slot space
+    "m07_clip_filter" ->
+      """WITH emb AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 15), i ->
+        |      len(list_filter(string_split(text, ' '),
+        |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = i))) AS v
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN doc_id + 1 ELSE doc_id END
+        |      AS cap_src
+        |  FROM documents),
+        |scored AS (
+        |  SELECT p.doc_id, p.cap_src,
+        |    CAST(list_sum(list_transform(generate_series(1, 16),
+        |        i -> a.v[i] * b.v[i])) AS DOUBLE)
+        |     / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+        |      * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)))
+        |      AS cos
+        |  FROM pairs p
+        |  JOIN emb a ON a.doc_id = p.doc_id
+        |  JOIN emb b ON b.doc_id = p.cap_src)
+        |SELECT doc_id, cap_src, round(cos, 6) AS clip_score,
+        |  cos >= 0.999 AS kept
+        |FROM scored ORDER BY doc_id""".stripMargin,
     // brute-force all-pairs Hamming — the banded engine result must match
     // it EXACTLY because ≤3 flipped bits cannot touch all 4 bands
     // (pigeonhole): the banding's recall guarantee, oracle-enforced

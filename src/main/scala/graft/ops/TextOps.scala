@@ -282,7 +282,7 @@ object TextOps {
     ragRerank(scored)
   }
 
-  private def ragSlotHash(t: org.apache.spark.sql.Column) =
+  private[graft] def ragSlotHash(t: org.apache.spark.sql.Column) =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long") % RagSlots
 
   // Slot counts are ONE aggregate pass over the hash array (fold the
@@ -291,13 +291,18 @@ object TextOps {
   // filter-per-slot form re-evaluated the md5 transform 16× per row —
   // and higher-order functions are codegen-fallback, so the redundancy
   // was interpreted. Measured 7.5 s → ~1 s at sf0.1, same values.
-  private def ragSlotCounts(hs: org.apache.spark.sql.Column) =
+  private[graft] def ragSlotCounts(hs: org.apache.spark.sql.Column) =
     aggregate(hs, expr(s"array_repeat(0L, $RagSlots)"),
       (acc, h) => transform(acc,
         (v, j) => when(j.cast("long") === h, v + 1L).otherwise(v)))
 
-  private def ragNorm(v: org.apache.spark.sql.Column) =
+  private[graft] def ragNorm(v: org.apache.spark.sql.Column) =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + (x * x).cast("double")))
+
+  /** Whole-document 16-slot feature-hash embedding — the t24 chunk
+    * encoder applied to a full text; m07's stub "encoder tower". */
+  private[graft] def docSlotEmbed(text: org.apache.spark.sql.Column) =
+    ragSlotCounts(transform(tokenize(text, "space-raw"), ragSlotHash _))
 
   /** The t24/t25 shared chunk+embed stage: (doc_id, chunk_start,
     * cv: array<long> slot counts, cn: L2 norm). Map-only — no shuffle. */
