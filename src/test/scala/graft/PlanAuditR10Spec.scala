@@ -59,6 +59,21 @@ class PlanAuditR10Spec extends SparkSpec {
       s"metrics must not add a second scan:\n$p")
   }
 
+  test("q96: the sliding expansion feeds ONE hash aggregation — no self-join") {
+    val p = plan("q96_window_sliding")
+    assert(!p.contains("Join"),
+      s"the overlap must come from the window generator, not a join:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).size === 1,
+      s"one map-side-combined aggregation shuffle:\n$p")
+  }
+
+  test("m07: two embed towers meet in equi-joins — nothing pairwise") {
+    val p = plan("m07_clip_filter")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair scoring must stay 1:1 on doc_id equi-joins:\n$p")
+  }
+
   test("q95: the batch twin plans a hash LeftSemi on user_id, never a nest") {
     import org.apache.spark.sql.functions._
     val e = Tables(spark, d, "events")
