@@ -318,6 +318,30 @@ object Relational {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start_s", "event_type")
 
+  /** q97: COLLATION-aware grouping — Spark 4's string-collation surface
+    * (`collate(s, 'UTF8_LCASE')`), the engine-native answer to
+    * case-insensitive semantics that `lower()`-wrapping approximates:
+    * the collation rides the TYPE, so every comparison, grouping, and
+    * join on the column is case-insensitive without rewriting
+    * expressions — and Catalyst can still hash-partition on it. The
+    * fixture's strings are case-uniform, so the gate PLANTS case
+    * diversity deterministically (even keys upper-case their segment,
+    * odd keys lower-case it) and groups on the collated value; counts
+    * must equal the case-blind oracle. The output key is canonicalized
+    * with `lower()` AT THE EDGE only — inside the engine it is the
+    * collated original. Scale shape: one hash aggregation, identical to
+    * any groupBy — collation changes the equality, not the plan. */
+  private def q97(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .withColumn("seg_mixed",
+        when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+          .otherwise(lower(col("c_mktsegment"))))
+      .groupBy(collate(col("seg_mixed"), "UTF8_LCASE").as("seg"))
+      .agg(count(lit(1)).as("n"),
+        StableAgg.moneySum(col("c_acctbal")).as("sum_bal"))
+      .select(lower(col("seg")).as("segment"), col("n"), col("sum_bal"))
+      .orderBy("segment")
+
   /** String function family. */
   private def q25(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
@@ -1622,6 +1646,7 @@ object Relational {
     "q87_recursive_cte" -> q87 _, "q88_try_arithmetic" -> q88 _,
     "q91_touch_attribution" -> q91 _, "q92_resample_lerp" -> q92 _,
     "q94_map_funcs" -> q94 _, "q96_window_sliding" -> q96 _,
+    "q97_collation" -> q97 _,
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q77_matview_delta" -> q77 _,
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
@@ -1872,6 +1897,15 @@ object Relational {
         |FROM grid g LEFT JOIN counts c
         |  ON g.user_id = c.user_id AND g.hour = c.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+    "q97_collation" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |              ELSE lower(c_mktsegment) END AS seg_mixed,
+        |         c_acctbal
+        |  FROM customer)
+        |SELECT lower(seg_mixed) AS segment, count(1) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal
+        |FROM m GROUP BY lower(seg_mixed) ORDER BY segment""".stripMargin,
     "q96_window_sliding" ->
       """WITH e AS (
         |  SELECT event_type, value, epoch_us(ts) AS us FROM events),

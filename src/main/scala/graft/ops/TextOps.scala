@@ -966,8 +966,40 @@ object TextOps {
       .orderBy("source", "rk")
   }
 
+  /** t28: privacy-preserving RELEASE — the two-step the structured
+    * counterpart of t10's free-text redaction: (1) keyed TOKENIZATION
+    * (sha-256 over key:id) replaces the identifier while preserving
+    * joinability — every table tokenized with the same key still joins
+    * on the token, which redaction destroys; (2) SMALL-CELL SUPPRESSION
+    * rolls any token with fewer than [[PrivacyK]] events into one
+    * `__suppressed__` row — the k-anonymity-style release rule that
+    * keeps rare individuals from being singled out by their row alone.
+    * Sums stay DECIMAL through BOTH aggregation levels (the suppressed
+    * rollup re-sums per-token partials; decimal keeps that fold exact
+    * and order-free) and go double only at the output edge.
+    *
+    * Scale shape: one keyed hash agg + one (mostly pass-through) re-agg
+    * on the release key; the token is a per-row hash projection. At
+    * 100 TB the real deployment holds the key in a KMS and salts per
+    * release epoch — both are parameter changes, not shape changes. */
+  private val PrivacyK = 60L
+  private def t28(s: SparkSession, d: String): DataFrame = {
+    val perToken = Tables(s, d, "events")
+      .groupBy(sha2(concat(lit("graft-key-2024:"),
+        col("user_id").cast("string")), 256).as("token"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,2)")).as("sv"))
+    perToken
+      .withColumn("token", when(col("n_events") < PrivacyK,
+        lit("__suppressed__")).otherwise(col("token")))
+      .groupBy(col("token"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sv")).cast("double").as("sum_value"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t27_source_prune" -> t27 _,
+    "t27_source_prune" -> t27 _, "t28_privacy_release" -> t28 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
@@ -1034,6 +1066,20 @@ object TextOps {
         |ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same key, same hash, same suppression rule — the release tables
+    // must be identical or the tokenization isn't deterministic
+    "t28_privacy_release" ->
+      """WITH t AS (
+        |  SELECT sha256('graft-key-2024:' || CAST(user_id AS VARCHAR))
+        |      AS token,
+        |    CAST(count(1) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(30,2))) AS sv
+        |  FROM events GROUP BY 1)
+        |SELECT CASE WHEN n < 60 THEN '__suppressed__' ELSE token END
+        |    AS token,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sv) AS DOUBLE) AS sum_value
+        |FROM t GROUP BY 1 ORDER BY token""".stripMargin,
     // rank-based per-source cut: integer-exact membership, no
     // value-interpolated threshold to flip on last-ulp score ties
     "t27_source_prune" ->
