@@ -285,6 +285,71 @@ object SessionGates {
     }
   }
 
+  /** q98: UPDATE output mode + an upsert serving sink — the third leg of
+    * the output-mode matrix (every other gate emits APPEND; COMPLETE
+    * re-emits all state per batch and is anti-scale by construction).
+    * Update mode emits only the keys whose aggregate CHANGED in the
+    * micro-batch — the live-dashboard serving pattern: per-user running
+    * totals flow through `foreachBatch` into a keyed table upserted in
+    * place (old rows whose key re-emitted are replaced; untouched keys
+    * survive). The corpus replays as q62's two time-ordered files, so
+    * batch-2 emissions must carry batch-1 state (cumulative counts) and
+    * the upsert must overwrite batch-1's rows for re-emitted keys while
+    * keeping keys that only appeared in batch 1 — both failure modes
+    * (state loss, lost upsert) move the hash off the batch oracle.
+    *
+    * Scale shape: update mode bounds each batch's emission by changed
+    * keys, not state size; the serving upsert here rewrites the (tiny,
+    * user-cardinality) table per batch — at 100 TB the sink is a keyed
+    * store (the q68 partition-grain merge, or an external KV); the
+    * emission semantics gated here are what make that sink incremental. */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_upd", d)
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val mid = ev.agg(avg(unix_micros(col("ts")))).head().getDouble(0).toLong
+      val now = System.currentTimeMillis()
+      Seq(unix_micros(col("ts")) <= mid, unix_micros(col("ts")) > mid)
+        .zipWithIndex.foreach { case (cond, i) =>
+          arriveAs(onePartFile(ev.filter(cond), out, s"f$i"), out, s"f$i",
+            now - (2 - i) * 60000L)
+        }
+      val serving = s"$out/serving"
+      val agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(unix_micros(col("ts"))).as("sum_us"))
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = agg.writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // localize both sides before the overwrite: the serving dir
+            // is also the read source, and a lazy plan would re-list it
+            // mid-write (the d25 lesson); both frames are user-
+            // cardinality-bounded — the documented localize contract
+            val updated = ExportOps.localize(batch)
+            val cur =
+              if (new java.io.File(serving).exists)
+                s.read.parquet(serving)
+              else updated.limit(0)
+            val next = ExportOps.localize(
+              cur.join(updated.select(col("user_id")),
+                  Seq("user_id"), "left_anti")
+                .unionByName(updated))
+            next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(serving)
+          }
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      ExportOps.localizeAndDrop(s.read.parquet(serving), out, "user_id")
+    }
+  }
+
   /** q67: the LEFT-OUTER twin of q62 — "every purchase, with its clicks OR
     * a null-click row if none arrived in the window". The outer rows have
     * different state-eviction semantics from the inner join: a purchase's
@@ -737,7 +802,7 @@ object SessionGates {
     "q74_stream_cumulative" -> q74 _, "q84_stream_state_ttl" -> q84 _,
     "q85_stream_chained_agg" -> q85 _, "q89_stream_session_timers" -> q89 _,
     "q90_stream_restart_recovery" -> q90 _,
-    "q95_stream_semi_join" -> q95 _)
+    "q95_stream_semi_join" -> q95 _, "q98_stream_update_serving" -> q98 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -863,6 +928,12 @@ object SessionGates {
     "q65_stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
+    // the served table after both batches must be the plain batch
+    // aggregate: state carried across batches AND upserts applied
+    "q98_stream_update_serving" ->
+      """SELECT user_id, count(1) AS n_events,
+        |  CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q62's SEMI twin: the matched purchases, once each, no click payload
     "q95_stream_semi_join" ->
       """WITH e AS (
