@@ -45,7 +45,8 @@ object SparkEntry {
         "g13_stop_zones" -> ((s, d) => geotab.GeotabSynth.stopZonesQuery(s, d)),
         "g14_harsh_events" -> ((s, d) => geotab.GeotabSynth.harshEventsQuery(s, d)),
         "g15_daily_distance" -> ((s, d) => geotab.GeotabSynth.dailyDistanceQuery(s, d)),
-        "g16_zone_transitions" -> ((s, d) => geotab.GeotabSynth.zoneTransitionsQuery(s, d)))
+        "g16_zone_transitions" -> ((s, d) => geotab.GeotabSynth.zoneTransitionsQuery(s, d)),
+        "g17_polygon_fence" -> ((s, d) => geotab.GeotabSynth.polygonFenceQuery(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -79,5 +80,6 @@ object SparkEntry {
         "g13_stop_zones" -> geotab.GeotabSynth.stopZonesOracleSql,
         "g14_harsh_events" -> geotab.GeotabSynth.harshEventsOracleSql,
         "g15_daily_distance" -> geotab.GeotabSynth.dailyDistanceOracleSql,
-        "g16_zone_transitions" -> geotab.GeotabSynth.zoneTransitionsOracleSql)
+        "g16_zone_transitions" -> geotab.GeotabSynth.zoneTransitionsOracleSql,
+        "g17_polygon_fence" -> geotab.GeotabSynth.polygonFenceOracleSql)
 }

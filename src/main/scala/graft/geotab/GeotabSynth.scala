@@ -508,6 +508,90 @@ object GeotabSynth {
       .orderBy("device_id")
   }
 
+  /** The 2-polygon dim for g17: real polygon fences (a triangle and a
+    * pentagon), disjoint by construction. Edges precompute driver-side
+    * from the vertex rings — the polygon table is metadata-sized; at a
+    * corpus-sized fence table the g11 grid cells coarse-index candidates
+    * first, exactly like g12's note. */
+  private def polygonZones(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def ring(vs: Seq[(Double, Double)]) =
+      vs.zip(vs.tail :+ vs.head).map { case ((x1, y1), (x2, y2)) =>
+        (x1, y1, x2, y2) }
+    Seq(
+      ("atlantic_triangle",
+        ring(Seq((-85.0, 45.0), (-80.0, 5.0), (-45.0, 45.0)))),
+      ("east_pentagon",
+        ring(Seq((80.0, -30.0), (120.0, -40.0), (140.0, 0.0),
+          (120.0, 30.0), (90.0, 20.0))))
+    ).toDF("zone", "edges")
+  }
+
+  /** g17: point-in-POLYGON geofencing — g12's rectangles upgraded to the
+    * fences real deployments draw (ports, depots, districts are never
+    * axis-aligned boxes). Containment is one ray cast per (ping, zone):
+    * count the polygon edges a horizontal ray to +∞ crosses — odd means
+    * inside — as a `filter` over the broadcast edge array, entirely
+    * inside codegen (no UDF, no geometry lib). The crossing test and its
+    * division are written in the IDENTICAL operand order in the oracle,
+    * so every boundary tie resolves the same way in both engines — the
+    * cross-engine discipline that makes float geometry gateable.
+    * Scale shape: pings × 2-row broadcast polygon dim, then a device_id
+    * left join for the `none` rows — the g12 topology with a richer
+    * predicate; nothing grows but the ping scan. */
+  def polygonFenceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pings = info(spark, sfDir)
+      .select(col("device_id"), col("latitude"), col("longitude"))
+    val matched = pings.crossJoin(broadcast(polygonZones(spark)))
+      .withColumn("crossings", size(filter(col("edges"), e =>
+        ((e.getField("_2") > col("latitude")) =!=
+          (e.getField("_4") > col("latitude"))) &&
+          col("longitude") < (e.getField("_3") - e.getField("_1")) *
+            (col("latitude") - e.getField("_2")) /
+            (e.getField("_4") - e.getField("_2")) + e.getField("_1"))))
+      .filter(col("crossings") % 2 === 1)
+      .select(col("device_id"), col("zone"))
+    pings.join(matched, Seq("device_id"), "left")
+      .select(col("device_id"), coalesce(col("zone"), lit("none")).as("zone"),
+        col("latitude"), col("longitude"))
+      .orderBy("device_id")
+  }
+
+  /** DuckDB twin of [[polygonFenceQuery]]: the same edges as VALUES rows
+    * and the same crossing expression, operand for operand. */
+  val polygonFenceOracleSql: String =
+    """WITH latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |), info AS (
+      |  SELECT 'dev-' || o_custkey AS device_id,
+      |         (o_orderkey % 180) - 90 + 0.5 AS latitude,
+      |         (o_orderkey % 360) - 180 + 0.25 AS longitude
+      |  FROM latest WHERE rn = 1
+      |), edges(zone, x1, y1, x2, y2) AS (
+      |  VALUES ('atlantic_triangle', -85.0, 45.0, -80.0, 5.0),
+      |         ('atlantic_triangle', -80.0, 5.0, -45.0, 45.0),
+      |         ('atlantic_triangle', -45.0, 45.0, -85.0, 45.0),
+      |         ('east_pentagon', 80.0, -30.0, 120.0, -40.0),
+      |         ('east_pentagon', 120.0, -40.0, 140.0, 0.0),
+      |         ('east_pentagon', 140.0, 0.0, 120.0, 30.0),
+      |         ('east_pentagon', 120.0, 30.0, 90.0, 20.0),
+      |         ('east_pentagon', 90.0, 20.0, 80.0, -30.0)
+      |), crossings AS (
+      |  SELECT i.device_id, e.zone,
+      |    count(1) FILTER (WHERE (y1 > latitude) <> (y2 > latitude)
+      |      AND longitude <
+      |        (x2 - x1) * (latitude - y1) / (y2 - y1) + x1) AS c
+      |  FROM info i CROSS JOIN edges e GROUP BY i.device_id, e.zone
+      |), matched AS (
+      |  SELECT device_id, zone FROM crossings WHERE c % 2 = 1
+      |)
+      |SELECT i.device_id, coalesce(m.zone, 'none') AS zone,
+      |       latitude, longitude
+      |FROM info i LEFT JOIN matched m USING (device_id)
+      |ORDER BY device_id""".stripMargin
+
   /** DuckDB twin of [[geofenceQuery]], same synth CTE and zone rows. */
   val geofenceOracleSql: String =
     """WITH latest AS (
