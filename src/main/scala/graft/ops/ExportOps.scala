@@ -1067,10 +1067,15 @@ object ExportOps {
       .map(_.getPath.toString).filterNot(live).sorted
     orphans.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
     val mdir = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    // tolerate non-numeric v= entries (a writer's leftover temp dir like
+    // "v=2.tmp"): a parse abort here would strand maintenance HALF-applied
+    // — data-file deletes above are already durable — so unparseable
+    // entries are skipped, never fatal and never deleted
     if (fs.exists(mdir)) fs.listStatus(mdir).toSeq
       .filter(_.getPath.getName.startsWith("v="))
-      .filterNot(st =>
-        retained.contains(st.getPath.getName.stripPrefix("v=").toLong))
+      .filter(st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong)
+          .toOption.exists(v => !retained.contains(v)))
       .foreach(st => fs.delete(st.getPath, true))
     orphans
   }
@@ -1139,6 +1144,13 @@ object ExportOps {
         org.apache.spark.sql.types.StructField("props",
           org.apache.spark.sql.types.StringType)))
       val back = s.read.format("xml").option("rowTag", "event")
+        // explicit, not default: the reader's default trims surrounding
+        // whitespace in string cells, so a ws-padded props/event_type
+        // would round-trip changed (md5 divergence from the oracle);
+        // FixtureDriftSpec additionally pins the fixtures free of
+        // empty/ws-padded values, which the XML element model cannot
+        // represent distinctly from null
+        .option("ignoreSurroundingSpaces", "false")
         .schema(schema).load(s"$out/xml")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts_us"), md5(col("props")).as("props_md5"))

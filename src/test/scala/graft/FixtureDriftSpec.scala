@@ -68,4 +68,26 @@ class FixtureDriftSpec extends SparkSpec {
       }
     }
   }
+
+  // e19's XML round-trip contract: the XML element model cannot represent
+  // an empty string distinctly from null, and even with
+  // ignoreSurroundingSpaces=false a ws-only cell is representational
+  // quicksand across readers. Pin the round-tripped string columns free of
+  // empty / whitespace-padded values at every SF, so a fixture regen that
+  // introduces one fails HERE with the file named, not as an e19 hash
+  // mismatch.
+  for (d <- sfDirs) {
+    test(s"$d/events.parquet string columns are XML-round-trip safe") {
+      import org.apache.spark.sql.functions.{col, trim, length}
+      for (c <- Seq("event_type", "props")) {
+        val bad = Tables(spark, d, "events")
+          .filter(col(c).isNull || length(col(c)) === 0 ||
+            trim(col(c)) =!= col(c)).count()
+        assert(bad === 0L,
+          s"fixture drift in $d/events.parquet: $bad rows of '$c' are " +
+            "null/empty/whitespace-padded — e19's XML round-trip cannot " +
+            "carry these losslessly; quarantine them engine-side first")
+      }
+    }
+  }
 }

@@ -109,4 +109,27 @@ class ExportOpsR10Spec extends SparkSpec {
       ExportOps.deleteRecursively(out)
     }
   }
+
+  test("e20: vacuum tolerates non-numeric v= manifest debris") {
+    import spark.implicits._
+    val out = ExportOps.scratchDir("graft_vac_tmp", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      Seq((1L, "a")).toDF("k", "v").write.mode("append").parquet(s"$root/data")
+      ExportOps.commitSnapshot(spark, root, 1L)
+      // a writer's leftover temp dir: starts with v= but is not a version;
+      // the parse must skip it — an abort here would strand maintenance
+      // half-applied (data deletes durable, manifest expiry not run)
+      val tmp = new java.io.File(root, "manifest/v=1.tmp")
+      tmp.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "marker").toPath, "in-flight")
+      val removed = ExportOps.vacuum(spark, root, Seq(1L))
+      assert(removed.isEmpty)
+      // the unparseable entry is neither fatal nor deleted
+      assert(new java.io.File(root, "manifest/v=1.tmp/marker").exists())
+      assert(new java.io.File(root, "manifest/v=1").exists())
+      ExportOps.deleteRecursively(out)
+    }
+  }
 }
