@@ -369,9 +369,11 @@ object SessionGates {
     * the third batch, purchases near the stream end must be missing their
     * null rows. */
   private[ops] def streamOuterJoinGate(s: SparkSession, d: String,
-                                       sentinel: Boolean): DataFrame = {
-    val out = ExportOps.scratchDir(
-      if (sentinel) "graft_ssoj" else "graft_ssoj_ns", d)
+                                       sentinel: Boolean,
+                                       joinType: String = "left_outer"): DataFrame = {
+    val prefix = (if (joinType == "full_outer") "graft_ssfj" else "graft_ssoj") +
+      (if (sentinel) "" else "_ns")
+    val out = ExportOps.scratchDir(prefix, d)
     ExportOps.withScratchCleanup(out) {
       new java.io.File(out, "in").mkdirs()
       val ev = Tables(s, d, "events")
@@ -405,7 +407,7 @@ object SessionGates {
         .select(col("event_id"), col("user_id"), col("event_type"),
           timestamp_millis(unix_millis(col("ts"))).as("ts"))
       val joined = graft.streaming.EventStreams
-        .purchasesWithClicks(stream, joinType = "left_outer")
+        .purchasesWithClicks(stream, joinType = joinType)
       ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
         val q = joined.writeStream.format("parquet")
           .option("path", s"$out/data")
@@ -426,6 +428,22 @@ object SessionGates {
 
   private def q67(s: SparkSession, d: String): DataFrame =
     streamOuterJoinGate(s, d, sentinel = true)
+
+  /** q99: the FULL-outer leg — the last of the stream-stream join matrix
+    * (q62 inner / q67 left-outer / q95 left-semi). Both unmatched sides
+    * must emit on watermark close: a purchase with no click in its 30-min
+    * lookback lands a null-click row once the watermark passes its event
+    * time (q67's leg), and a click no purchase claimed lands a
+    * null-purchase row once the watermark passes the point where a
+    * claiming purchase could still arrive (click_ts + 30 min — the
+    * symmetric eviction bound). The q67 three-batch harness already
+    * advances both sides' watermark nodes far enough (90/120 min past
+    * corpus max ≫ the 30-min horizon + 10-min delay), so the same
+    * sentinels flush BOTH legs; hash-matches a DuckDB FULL JOIN oracle.
+    * State bounds are identical to the inner join — full-outer adds
+    * emission on eviction, not retention. */
+  private def q99(s: SparkSession, d: String): DataFrame =
+    streamOuterJoinGate(s, d, sentinel = true, joinType = "full_outer")
 
   /** q65: stateful streaming dedup under at-least-once redelivery — the
     * ingest-side screen every streaming pipeline runs before anything
@@ -806,7 +824,8 @@ object SessionGates {
     "q74_stream_cumulative" -> q74 _, "q84_stream_state_ttl" -> q84 _,
     "q85_stream_chained_agg" -> q85 _, "q89_stream_session_timers" -> q89 _,
     "q90_stream_restart_recovery" -> q90 _,
-    "q95_stream_semi_join" -> q95 _, "q98_stream_update_serving" -> q98 _)
+    "q95_stream_semi_join" -> q95 _, "q98_stream_update_serving" -> q98 _,
+    "q99_stream_full_outer_join" -> q99 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -966,6 +985,22 @@ object SessionGates {
         |       c.event_id AS click_id, c.ts_ms AS click_ms
         |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts_ms >= p.ts_ms - 1800000 AND c.ts_ms <= p.ts_ms
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // the FULL leg: both sides' unmatched rows survive, uid coalesced
+    // across sides (exactly one side is non-null on every outer row)
+    "q99_stream_full_outer_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |)
+        |SELECT p.event_id AS purchase_id,
+        |       COALESCE(p.user_id, c.user_id) AS uid,
+        |       p.ts_ms AS purchase_ms,
+        |       c.event_id AS click_id, c.ts_ms AS click_ms
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM e WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts_ms >= p.ts_ms - 1800000 AND c.ts_ms <= p.ts_ms
         |ORDER BY purchase_id, click_id""".stripMargin)

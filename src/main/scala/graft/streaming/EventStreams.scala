@@ -73,7 +73,11 @@ object EventStreams {
     * row, and it emits only when the watermark passes the purchase's event
     * time — the point where a matching click can no longer arrive. Same
     * state bounds as the inner join; the outer rows ride the eviction
-    * pass. */
+    * pass. "full_outer" adds the symmetric leg — a click no purchase
+    * claimed emits one null-purchase row on ITS watermark close — the
+    * reconciliation shape ("which side of the funnel leaked?") that needs
+    * both sides' unmatched rows; `uid` coalesces across sides because
+    * exactly one side is non-null on every outer row. */
   def purchasesWithClicks(events: DataFrame, horizon: String = "30 minutes",
                           watermark: String = "10 minutes",
                           joinType: String = "inner"): DataFrame = {
@@ -94,6 +98,10 @@ object EventStreams {
     if (joinType == "left_semi")
       joined.select(col("purchase_id"), col("p_user").as("uid"),
         col("purchase_ts"))
+    else if (joinType == "full_outer")
+      joined.select(col("purchase_id"),
+        coalesce(col("p_user"), col("user_id")).as("uid"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
     else
       joined.select(col("purchase_id"), col("p_user").as("uid"),
         col("purchase_ts"), col("click_id"), col("click_ts"))

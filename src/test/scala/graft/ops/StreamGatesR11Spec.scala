@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 streaming-gate property specs. */
+class StreamGatesR11Spec extends SparkSpec {
+
+  test("q99 full-outer: BOTH sides' outer rows emit only on watermark close") {
+    val d = "/root/testdata/sf0.001"
+    // With the sentinel batch the watermark clears every eviction bound,
+    // so the landed frame IS the full batch FULL JOIN (the oracle gates
+    // that). Without it, the watermark stalls and the trailing unmatched
+    // state on BOTH sides must still be buffered when the query drains.
+    val withS = SessionGates
+      .streamOuterJoinGate(spark, d, sentinel = true, joinType = "full_outer")
+      .collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).toSet
+    val withoutS = SessionGates
+      .streamOuterJoinGate(spark, d, sentinel = false, joinType = "full_outer")
+      .collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).toSet
+    assert(withoutS.subsetOf(withS),
+      "the sentinel may only ADD rows (flush buffered outer state)")
+    val missing = withS -- withoutS
+    assert(missing.nonEmpty,
+      "some outer rows must be held back without the watermark advance")
+    val ev = graft.Tables(spark, d, "events")
+      .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+    val maxBySide = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type")).agg(max(col("ts_ms")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stalled = math.min(maxBySide("click"), maxBySide("purchase")) - 600000L
+    // columns: purchase_id|uid|purchase_ms|click_id|click_ms
+    var nullClick, nullPurchase = 0
+    missing.foreach { row =>
+      val p = row.split("\\|")
+      val isNullClick = p(3) == "null" && p(4) == "null"
+      val isNullPurchase = p(0) == "null" && p(2) == "null"
+      assert(isNullClick ^ isNullPurchase,
+        s"held-back rows must be one-sided outer rows (matched rows emit " +
+          s"on arrival, never on watermark): $row")
+      if (isNullClick) {
+        nullClick += 1
+        // a purchase's null-click row closes when the watermark passes its
+        // own event time — held-back ⇒ it sits past the stalled watermark
+        assert(p(2).toLong >= stalled,
+          s"held-back purchase ${p(0)} at ${p(2)} predates the stalled " +
+            s"watermark $stalled — it should have emitted")
+      } else {
+        nullPurchase += 1
+        // a click's null-purchase row closes only when a claiming purchase
+        // can no longer arrive: watermark > click_ts + 30 min — so a
+        // held-back click sits within the horizon of the stalled watermark
+        assert(p(4).toLong >= stalled - 1800000L,
+          s"held-back click ${p(3)} at ${p(4)} is past its eviction bound " +
+            s"(stalled watermark $stalled - 30 min) — it should have emitted")
+      }
+    }
+    assert(nullClick > 0 && nullPurchase > 0,
+      s"both legs must hold state back ($nullClick null-click / " +
+        s"$nullPurchase null-purchase held) — a one-sided holdback means " +
+        "the full-outer eviction pass only runs one side")
+  }
+}
