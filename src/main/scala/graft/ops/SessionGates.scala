@@ -723,6 +723,80 @@ object SessionGates {
     }
   }
 
+  /** q100: `transformWithState` INITIAL-STATE bootstrap — the standard
+    * batch→streaming migration path none of q74/q84/q89/q90 touch: a
+    * user's history arrives ONCE as batch-computed state
+    * ([[graft.streaming.BootstrappedTotalsProcessor]].handleInitialState),
+    * and the stream replays only the post-midpoint events as TWO
+    * micro-batches (split again at the 3/4-point), so emissions prove
+    * BOTH hops: batch-1 history carried in via initial state (never as
+    * events), then carried across a streaming batch boundary. The
+    * processor keeps a second state variable — a `MapState[event_type,
+    * count]` — whose key-set size lands in every output row (`n_types`),
+    * so a bootstrap that drops or double-applies the map moves the hash
+    * exactly like the totals. Oracle recomputes each batch's membership
+    * from scratch: batch-a rows are lifetime totals over ts ≤ m2 for
+    * users with events in (m, m2]; batch-b rows are totals over ALL
+    * events for users with events > m2. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_boot", d)
+    ExportOps.withConf(s, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val Array(mid, maxMicros) = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m"),
+        max(unix_micros(col("ts"))).as("mx"))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid2 = (mid + maxMicros) / 2
+      val now = System.currentTimeMillis()
+      val tsu = unix_micros(col("ts"))
+      Seq(tsu > mid && tsu <= mid2, tsu > mid2).zipWithIndex.foreach {
+        case (cond, i) =>
+          arriveAs(onePartFile(ev.filter(cond), out, s"f$i"), out, s"f$i",
+            now - (2 - i) * 60000L)
+      }
+      import s.implicits._
+      val centsExpr = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+      // batch-computed history: per-user totals + per-type counts over the
+      // pre-midpoint half — distributed state, co-partitioned with the
+      // stream by the grouping key (never a driver-side load)
+      val base = ev.filter(tsu <= mid)
+        .select(col("user_id"), centsExpr.as("cents"), col("event_type"))
+      val perType = base.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("tc"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          collect_list(struct(col("event_type"), col("tc")))).as("type_counts"))
+      val init = base.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .join(perType, Seq("user_id"))
+        .as[graft.streaming.BootstrapState]
+        .groupByKey(_.user_id)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("user_id"), centsExpr.as("cents"), col("event_type"))
+        .as[graft.streaming.TypedEvent]
+      val totals = stream.groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.BootstrappedTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append(), init)
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = totals.toDF().writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val landed = s.read.parquet(s"$out/data")
+      ExportOps.localizeAndDrop(landed, out, "user_id", "n_events", "sum_cents")
+    }
+    }
+  }
+
   private def twsGate(s: SparkSession, d: String, prefix: String,
       processor: org.apache.spark.sql.streaming.StatefulProcessor[
         Long, graft.streaming.UserEvent, graft.streaming.UserCumulative],
@@ -825,7 +899,8 @@ object SessionGates {
     "q85_stream_chained_agg" -> q85 _, "q89_stream_session_timers" -> q89 _,
     "q90_stream_restart_recovery" -> q90 _,
     "q95_stream_semi_join" -> q95 _, "q98_stream_update_serving" -> q98 _,
-    "q99_stream_full_outer_join" -> q99 _)
+    "q99_stream_full_outer_join" -> q99 _,
+    "q100_stream_state_bootstrap" -> q100 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -931,6 +1006,35 @@ object SessionGates {
         |    CAST(sum(cents) AS BIGINT) AS sum_cents
         |  FROM e JOIN b2u USING (user_id) GROUP BY e.user_id)
         |SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |ORDER BY user_id, n_events, sum_cents""".stripMargin,
+    // bootstrap + two streaming batches, each batch's membership
+    // recomputed from scratch: batch-a rows (users with events in
+    // (m, m2]) carry lifetime totals over ts <= m2 — the pre-m half
+    // reached them ONLY via initial state; batch-b rows (users with
+    // events > m2) carry totals over ALL events. n_types counts distinct
+    // event types over the same membership (the MapState's key set).
+    "q100_stream_state_bootstrap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_type
+        |  FROM events),
+        |b AS (SELECT (min(tsu) + max(tsu)) // 2 AS m,
+        |  (((min(tsu) + max(tsu)) // 2) + max(tsu)) // 2 AS m2 FROM e),
+        |ba_u AS (SELECT DISTINCT user_id FROM e CROSS JOIN b
+        |  WHERE tsu > m AND tsu <= m2),
+        |ba AS (
+        |  SELECT e.user_id, count(1) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM e CROSS JOIN b JOIN ba_u USING (user_id)
+        |  WHERE tsu <= m2 GROUP BY e.user_id),
+        |bb_u AS (SELECT DISTINCT user_id FROM e CROSS JOIN b WHERE tsu > m2),
+        |bb AS (
+        |  SELECT e.user_id, count(1) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM e JOIN bb_u USING (user_id) GROUP BY e.user_id)
+        |SELECT * FROM ba UNION ALL SELECT * FROM bb
         |ORDER BY user_id, n_events, sum_cents""".stripMargin,
     // ms-truncated self-join: every purchase × same-user clicks in the
     // preceding 30 minutes (inclusive both ends, like the streaming join)

@@ -57,6 +57,68 @@ class CumulativeTotalsProcessor
   * micro-batch's planning alone exceeds 1 ms), so batch-2 reads always see
   * batch-1 state expired — the gate's oracle is per-batch-independent
   * totals, distinguishable from q74's carried state by construction. */
+/** q100's input/state/output shapes: the cumulative totals of
+  * [[CumulativeTotalsProcessor]] widened with a per-type distinct count so
+  * the second state variable (a `MapState[event_type, count]`) is
+  * observable in the oracle-checked output, not decorative. */
+case class TypedEvent(user_id: Long, cents: Long, event_type: String)
+case class BootstrapState(user_id: Long, n: Long, cents: Long,
+                          type_counts: Map[String, Long])
+case class TypedCumulative(user_id: Long, n_events: Long, sum_cents: Long,
+                           n_types: Long)
+
+/** The INITIAL-STATE bootstrap variant of [[CumulativeTotalsProcessor]] —
+  * the standard batch→streaming migration path: a user's history arrives
+  * once as batch-computed state (`handleInitialState`, called per key on
+  * the FIRST micro-batch before any input rows), and the stream carries
+  * only new events from there. Two state variables: the q74 `ValueState`
+  * totals, plus a `MapState[event_type, count]` whose key set surfaces as
+  * `n_types` in every emission — so a bootstrap that dropped or
+  * double-applied the map state moves the output hash, same as the
+  * totals.
+  *
+  * Scale shape: initial state distributes as a `KeyValueGroupedDataset`
+  * co-partitioned with the stream by the grouping key — the bootstrap is
+  * a one-time shuffled join into the state store, never a driver-side
+  * load; per-key state stays O(event types) afterwards. */
+class BootstrappedTotalsProcessor
+    extends StatefulProcessorWithInitialState[
+      Long, TypedEvent, TypedCumulative, BootstrapState] {
+
+  @transient private var totals: ValueState[UserTotals] = _
+  @transient private var typeCounts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    totals = getHandle.getValueState[UserTotals]("totals",
+      Encoders.product[UserTotals], TTLConfig.NONE)
+    typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInitialState(key: Long, st: BootstrapState,
+                                  timerValues: TimerValues): Unit = {
+    totals.update(UserTotals(st.n, st.cents))
+    st.type_counts.foreach { case (t, c) => typeCounts.updateValue(t, c) }
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timerValues: TimerValues): Iterator[TypedCumulative] = {
+    val prev = if (totals.exists()) totals.get() else UserTotals(0L, 0L)
+    var n = prev.n
+    var c = prev.cents
+    rows.foreach { e =>
+      n += 1; c += e.cents
+      val cur =
+        if (typeCounts.containsKey(e.event_type))
+          typeCounts.getValue(e.event_type)
+        else 0L
+      typeCounts.updateValue(e.event_type, cur + 1L)
+    }
+    totals.update(UserTotals(n, c))
+    Iterator.single(TypedCumulative(key, n, c, typeCounts.keys().size.toLong))
+  }
+}
+
 class TtlTotalsProcessor(ttlMs: Long)
     extends StatefulProcessor[Long, UserEvent, UserCumulative] {
 

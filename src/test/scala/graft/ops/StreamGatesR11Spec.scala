@@ -60,4 +60,39 @@ class StreamGatesR11Spec extends SparkSpec {
         s"$nullPurchase null-purchase held) — a one-sided holdback means " +
         "the full-outer eviction pass only runs one side")
   }
+
+  test("q100: history reaches the stream ONLY via initial state, and is carried") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q100_stream_state_bootstrap")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact lifetime totals + distinct types, computed batch-agnostically
+    val exact = graft.Tables(spark, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("c"),
+        countDistinct(col("event_type")).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val mid = graft.Tables(spark, d, "events").agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"))
+      .head().getLong(0)
+    val preCounts = graft.Tables(spark, d, "events")
+      .filter(unix_micros(col("ts")) <= mid)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = rows.groupBy(_._1)
+    // the bootstrap must actually be exercised: some emitting user's
+    // history half is non-empty (it reached the processor only as state)
+    assert(byUser.keys.exists(u => preCounts.getOrElse(u, 0L) > 0L),
+      "no emitting user had pre-midpoint history — the harness split is broken")
+    byUser.foreach { case (u, rs) =>
+      assert(rs.length <= 2, s"user $u emitted ${rs.length} rows (max 2 batches)")
+      val last = rs.maxBy(_._2)
+      assert((last._2, last._3, last._4) === exact(u),
+        s"user $u final emission ${(last._2, last._3, last._4)} != lifetime " +
+          s"${exact(u)} — initial state lost or double-applied (pre-mid " +
+          s"history: ${preCounts.getOrElse(u, 0L)} events)")
+    }
+  }
 }
