@@ -966,6 +966,66 @@ object TextOps {
       .orderBy("source", "rk")
   }
 
+  /** t29: t27's PRODUCTION cutoff — the sketch variant t27's Scaladoc
+    * promises: instead of an exact per-source sort (the honest cost of
+    * exact ranks, unpayable per refresh at 100 TB), the cutoff comes from
+    * a MERGEABLE per-source score histogram maintained like q63's HLL
+    * sketches: equi-width bins over the score domain (1024 bins on
+    * [0, 1]; `floor(score · 1024)` is a power-of-2 exponent shift, so bin
+    * assignment is bit-exact in both engines), per-(source, bin) count
+    * partials persisted as the standing sketch, a delta batch's partials
+    * merged by SUMMING counts — never re-scanning standing data. The
+    * cutoff bin is the smallest bin whose top-cumulative count reaches
+    * k = ⌊0.3·n⌋ (t27's exact keep count); pruning keeps every doc at or
+    * above it. Boundary fuzz is one bin: the kept set is a SUPERSET of
+    * t27's exact top-30%, and every extra doc's score sits within 1/1024
+    * of the exact cutoff (SketchPruneSpec bounds both). Sources too small
+    * for a nonzero k keep nothing, as in t27.
+    *
+    * Scale shape: the histogram is metadata-sized (≤1025 bins/source), so
+    * threshold-finding is a window over sketch rows, not corpus rows; the
+    * corpus pays one scan for binning and one broadcast-joinable filter —
+    * no per-source sort anywhere. */
+  private def t29(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_sketchcut", d)
+    ExportOps.withScratchCleanup(out) {
+      val toks = tokenize(col("text"), "space-raw")
+      val binned = docs(s, d).select(col("doc_id"), col("source"),
+          (size(array_distinct(toks)).cast("double") /
+            size(toks).cast("double")).as("score"))
+        .withColumn("bin", floor(col("score") * 1024).cast("int"))
+      // the q63 maintenance move: standing partials persisted, delta
+      // partials merged by summed counts (merge-transparent by
+      // construction — counts are the canonical mergeable sketch)
+      binned.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+        .write.parquet(s"$out/sketch")
+      val standing = s.read.parquet(s"$out/sketch")
+      val delta = binned.filter(col("doc_id") % 2 =!= 0)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val hist = standing.unionByName(delta)
+        .groupBy(col("source"), col("bin"))
+        .agg(sum(col("c")).as("c"))
+      val cum = hist.withColumn("c_ge",
+        sum(col("c")).over(Window.partitionBy(col("source"))
+          .orderBy(col("bin").desc)))
+      val tot = binned.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_source"),
+          expr("(count(1) * 3) div 10").as("k"))
+      val cut = cum.join(tot, Seq("source"))
+        .filter(col("c_ge") >= col("k") && col("k") > 0)
+        .groupBy(col("source")).agg(max(col("bin")).as("cut_bin"))
+      val kept = binned.join(cut, Seq("source"))
+        .join(tot.select(col("source"), col("n_source")), Seq("source"))
+        .filter(col("bin") >= col("cut_bin"))
+        .select(col("source"), col("doc_id"), col("bin"), col("cut_bin"),
+          col("n_source"), round(col("score"), 6).as("score"))
+      ExportOps.localizeAndDrop(kept, out, "source", "doc_id")
+    }
+  }
+
   /** t28: privacy-preserving RELEASE — the two-step the structured
     * counterpart of t10's free-text redaction: (1) keyed TOKENIZATION
     * (sha-256 over key:id) replaces the identifier while preserving
@@ -1000,6 +1060,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_source_prune" -> t27 _, "t28_privacy_release" -> t28 _,
+    "t29_sketch_prune" -> t29 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
@@ -1098,6 +1159,33 @@ object TextOps {
         |  round(score, 6) AS score
         |FROM r WHERE rk * 10 <= n_source * 3
         |ORDER BY source, rk""".stripMargin,
+    // t29 mirrors the engine's histogram-cutoff arithmetic exactly: bin
+    // assignment is a power-of-2 scale (bit-exact in both engines), the
+    // cutoff is integer bin/count arithmetic, and merge transparency
+    // means the oracle can compute the histogram in one pass
+    "t29_sketch_prune" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |      len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |b AS (SELECT *, CAST(floor(score * 1024) AS INTEGER) AS bin
+        |      FROM scored),
+        |hist AS (SELECT source, bin, count(1) AS c FROM b GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(count(1) AS BIGINT) AS n_source,
+        |               (count(1) * 3) // 10 AS k
+        |        FROM b GROUP BY 1),
+        |cum AS (SELECT source, bin,
+        |          sum(c) OVER (PARTITION BY source ORDER BY bin DESC) AS c_ge
+        |        FROM hist),
+        |cut AS (SELECT cum.source, max(bin) AS cut_bin
+        |        FROM cum JOIN tot USING (source)
+        |        WHERE c_ge >= k AND k > 0 GROUP BY 1)
+        |SELECT b.source, b.doc_id, b.bin, cut.cut_bin, tot.n_source,
+        |  round(b.score, 6) AS score
+        |FROM b JOIN cut USING (source) JOIN tot USING (source)
+        |WHERE b.bin >= cut.cut_bin
+        |ORDER BY source, doc_id""".stripMargin,
     // the full retrieval loop replayed in SQL: same chunk windows as the
     // t23 oracle, same md5-slot feature hashing, integer-exact dots and
     // norms (so the doubles agree bit-for-bit), same two-window ranking
