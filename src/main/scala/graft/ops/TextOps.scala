@@ -399,19 +399,103 @@ object TextOps {
     * postings, so the persisted artifact is self-consistent even if the
     * input frame is nondeterministic. */
   def buildRagIndex(s: SparkSession, chunks: DataFrame, root: String): Unit = {
-    chunks
-      .withColumn("cell", graft.functions.VectorFunctions
-        .hyperplaneSignature(col("cv"), planes = RagCellPlanes, dim = RagSlots)
-        .cast("int"))
+    assignCells(chunks)
       .write.partitionBy("cell").parquet(s"$root/postings")
-    s.read.parquet(s"$root/postings")
+    centroidsOf(s.read.parquet(s"$root/postings"))
+      .write.parquet(s"$root/centroids")
+  }
+
+  /** The fixed, data-independent cell assignment (hyperplane signature
+    * over the slot-count vector) — shared by build and append so arrival
+    * chunks route into the SAME cell space without any retrain. */
+  private def assignCells(chunks: DataFrame): DataFrame =
+    chunks.withColumn("cell", graft.functions.VectorFunctions
+      .hyperplaneSignature(col("cv"), planes = RagCellPlanes, dim = RagSlots)
+      .cast("int"))
+
+  /** Per-cell mean vectors over `postings`. The mean is an exact-integer
+    * sum (cv carries long slot counts; integer-valued double additions
+    * are exact far below 2^53) divided once — ORDER-FREE, so a centroid
+    * recomputed from any file layout of the same rows is bit-identical.
+    * That property is what lets [[appendRagIndex]]'s per-cell refresh
+    * reproduce a full rebuild's routing table exactly. */
+  private def centroidsOf(postings: DataFrame): DataFrame =
+    postings
       .select(col("cell"), posexplode(
         graft.functions.VectorFunctions.toDouble(col("cv"))))
       .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         e => e.getField("v")).as("centroid"))
-      .write.parquet(s"$root/centroids")
+
+  /** APPEND maintenance for the persisted RAG index — the d25/e07
+    * staged-swap move applied to the postings layout, closing the r10
+    * verdict's "t25 still rebuilds" gap. Arrival chunks route through the
+    * same fixed cell function, land in a staging directory partitioned by
+    * cell, and their files MOVE into the live cell directories with
+    * metadata-only renames (a cell the index has never seen appears as a
+    * new directory — no rebuild); the centroid routing table refreshes by
+    * re-aggregating ONLY the affected cells' postings (a directory-pruned
+    * scan) and carrying every other centroid unchanged, then swaps in via
+    * its own staged write. Nothing ever re-reads unaffected cells, and
+    * pre-existing posting files are never rewritten (RagAppendSpec pins
+    * byte-identity, new-cell creation, and serve-equality with a
+    * from-scratch rebuild). */
+  def appendRagIndex(s: SparkSession, newChunks: DataFrame, root: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val stage = new org.apache.hadoop.fs.Path(s"$root/postings.stage")
+    val fs = stage.getFileSystem(conf)
+    assignCells(newChunks).write.partitionBy("cell").parquet(stage.toString)
+    val staged = fs.listStatus(stage)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    val affected = staged
+      .map(_.getPath.getName.stripPrefix("cell=").toInt).sorted.toSeq
+    staged.foreach { dir =>
+      val live = new org.apache.hadoop.fs.Path(
+        s"$root/postings/${dir.getPath.getName}")
+      if (!fs.exists(live)) fs.mkdirs(live)
+      fs.listStatus(dir.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(live, f.getPath.getName))
+        }
+    }
+    fs.delete(stage, true)
+    // routing-table refresh: affected cells re-aggregate from their own
+    // (pruned) postings; everything else carries; staged swap commits
+    val refreshed = centroidsOf(s.read.parquet(s"$root/postings")
+      .filter(col("cell").isin(affected.map(Int.box): _*)))
+    val carried = s.read.parquet(s"$root/centroids")
+      .filter(!col("cell").isin(affected.map(Int.box): _*))
+    val cstage = s"$root/centroids.stage"
+    refreshed.unionByName(carried).write.parquet(cstage)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/centroids"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(cstage),
+      new org.apache.hadoop.fs.Path(s"$root/centroids"))
+  }
+
+  /** t30: t25's index under APPEND maintenance — the corpus arrives as
+    * two batches (even doc_ids build the index, odd doc_ids append into
+    * it via [[appendRagIndex]]), then the SAME serve path runs against
+    * the appended artifact. Because cell assignment is data-independent
+    * and centroids are order-free exact means, the appended index serves
+    * bit-identically to a from-scratch rebuild over the whole corpus
+    * (spec-pinned equality); rows-only in the driver gate for the same
+    * engine-hash reason as t25, whose twin relationship to t24 carries
+    * over verbatim. */
+  private def t30(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_ragapp", d)
+    ExportOps.withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      val all = docs(s, d)
+      buildRagIndex(s,
+        ragChunkEmbeddings(all.filter(col("doc_id") % 2 === 0)), root)
+      appendRagIndex(s,
+        ragChunkEmbeddings(all.filter(col("doc_id") % 2 =!= 0)), root)
+      val served = ragServeFromIndex(s, root, ragQueryEmbeddings(s), RagNProbe)
+      ExportOps.localizeAndDrop(served, out, "query_id", "rank")
+    }
   }
 
   /** Routes each query to its `nProbe` nearest cell centroids from the
@@ -1060,7 +1144,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_source_prune" -> t27 _, "t28_privacy_release" -> t28 _,
-    "t29_sketch_prune" -> t29 _,
+    "t29_sketch_prune" -> t29 _, "t30_rag_index_append" -> t30 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
