@@ -778,6 +778,83 @@ object Relational {
     }
   }
 
+  /** q101's planted-skew join, public for the plan spec: 90% of the fact
+    * rows collapse onto key 0 (the "one hot customer" shape), the dim is
+    * 100 keys. Broadcast is disabled under [[withSkewConfs]], so the plan
+    * is a sort-merge join whose key-0 shuffle partition dwarfs the
+    * median — exactly what AQE's `OptimizeSkewedJoin` exists to split. */
+  def q101Join(s: SparkSession, d: String): DataFrame = {
+    // ×20 amplification plus an md5 payload (both mirrored in the
+    // oracle): the fixture's event count is tiny AND a constant-key
+    // shuffle block compresses to almost nothing (the first attempt at
+    // this gate produced a "hot" partition of a few KB that AQE rightly
+    // COALESCED) — the incompressible payload gives the hot partition
+    // real post-compression bytes, so the gate exercises the detector,
+    // not a degenerate always-split config
+    // AQE splits a skewed reduce partition along MAPPER boundaries
+    // (PartialReducerPartitionSpec carves map-index ranges), so a
+    // single-split input file — the fixture is one parquet part — makes
+    // every partition unsplittable no matter how skewed. The repartition
+    // restores the many-mapper shape any real-scale scan has.
+    val fact = t(s, d, "events").repartition(8)
+      .withColumn("rep", explode(expr("sequence(0L, 19L)")))
+      .select(
+        expr("CASE WHEN event_id % 100 < 90 THEN 0L ELSE event_id % 100 END")
+          .as("k"),
+        (expr("CAST(floor(value * 100 + 0.5) AS BIGINT)") + col("rep"))
+          .as("cents"),
+        md5(concat(col("event_id").cast("string"), lit("-"),
+          col("rep").cast("string"))).as("payload"))
+    val dim = s.range(100)
+      .select(col("id").as("k"), (col("id") % 7).as("bucket"))
+    fact.join(dim, Seq("k"))
+  }
+
+  /** The q101 conf scope: broadcast off (forcing the sort-merge join AQE
+    * skew-splitting applies to) and the skew thresholds scaled to fixture
+    * bytes — at production scale these stay at their defaults (256 MB
+    * threshold); the RATIO shape (hot partition ≫ median) is what the
+    * gate plants and the spec detects. Skew handling is a pure runtime
+    * re-plan: result content is unchanged (the oracle pins that), only
+    * the partition split changes. */
+  def withSkewConfs[T](s: SparkSession)(body: => T): T =
+    ExportOps.withConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+      ExportOps.withConf(s, "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1") {
+        ExportOps.withConf(s,
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128k") {
+          ExportOps.withConf(s,
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k") {
+            ExportOps.withConf(s,
+              "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0") {
+              body
+            }
+          }
+        }
+      }
+    }
+
+  /** q101: SKEW-JOIN under AQE, gated — `ops/Skew.scala`'s manual salting
+    * covers the shapes AQE can't reach; this gate pins that the AUTOMATIC
+    * path actually fires on a planted hot key: a 90%-on-one-key fact
+    * joins a 100-key dim as a sort-merge join, AQE's `OptimizeSkewedJoin`
+    * must split the hot partition (PlanAuditR11Spec asserts `skew=true`
+    * in the final adaptive plan), and the aggregated join result must
+    * still hash-match the DuckDB oracle — the re-plan is allowed to
+    * change the schedule, never the answer. Materializes inside the conf
+    * scope (AQE decisions happen at action time). */
+  private def q101(s: SparkSession, d: String): DataFrame =
+    withSkewConfs(s) {
+      ExportOps.localize(
+        q101Join(s, d)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("sum_cents"),
+            // the distinct forces the payload through the join shuffle
+            // (pruning it away would also prune the planted bytes)
+            countDistinct(col("payload")).as("n_payloads"))
+          .orderBy("bucket"))
+    }
+
   /** q68: q66's CDC merge at PARTITION grain — the snapshot lands as
     * nation-partitioned parquet, a change batch touching only nations
     * {3, 7} (updates every 3rd key, deletes every 11th — deletes beat
@@ -1688,7 +1765,7 @@ object Relational {
     "q87_recursive_cte" -> q87 _, "q88_try_arithmetic" -> q88 _,
     "q91_touch_attribution" -> q91 _, "q92_resample_lerp" -> q92 _,
     "q94_map_funcs" -> q94 _, "q96_window_sliding" -> q96 _,
-    "q97_collation" -> q97 _,
+    "q97_collation" -> q97 _, "q101_skew_join_aqe" -> q101 _,
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q77_matview_delta" -> q77 _,
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
@@ -1868,6 +1945,22 @@ object Relational {
     "q64_exact_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the skew re-plan may change the schedule, never the answer: same
+    // planted hot-key join and aggregate, computed without any AQE
+    "q101_skew_join_aqe" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN event_id % 100 < 90 THEN 0
+        |              ELSE event_id % 100 END AS k,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) + r.range AS cents,
+        |    md5(CAST(event_id AS VARCHAR) || '-' ||
+        |        CAST(r.range AS VARCHAR)) AS payload
+        |  FROM events CROSS JOIN range(20) r),
+        |dim AS (SELECT range AS k, range % 7 AS bucket FROM range(100))
+        |SELECT bucket, count(1) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(DISTINCT payload) AS BIGINT) AS n_payloads
+        |FROM f JOIN dim USING (k)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q66_upsert_merge" ->
       """WITH changes AS (
         |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
