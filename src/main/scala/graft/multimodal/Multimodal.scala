@@ -264,13 +264,161 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** c06: the c01 curation discipline applied to the MEDIA lake — m05's
+    * integrity audit, m04's frame-grain dedup, and m07's CLIP alignment
+    * filter composed in FIXED precedence with c04-style per-stage
+    * accounting, the whole composition hash-matched as one result:
+    *
+    *   1. `quarantined` — stored digest ≠ recomputed digest (bit rot /
+    *      truncated copies; the planted m05 corruption set). Quarantined
+    *      payloads are excluded BEFORE dedup: a corrupt payload may not
+    *      become a dedup keeper that evicts a healthy copy.
+    *   2. `frame_dup`   — among clean docs, any frame whose perceptual
+    *      hash is owned by a lower-id doc marks the whole doc a
+    *      duplicate loser (min-id keeper election at frame grain).
+    *   3. `misaligned`  — survivors whose (media, caption) cosine fails
+    *      the m07 threshold, including pairs whose caption source is
+    *      missing (unverifiable alignment drops, it doesn't pass).
+    *   4. `kept`        — everything else.
+    *
+    * Output is the c04 report: (status, lang) → doc count + payload
+    * bytes, the savings/audit summary a media-curation run ships.
+    *
+    * Scale shape: one map-only integrity pass, the m04 frame fan-out
+    * with one keyed min-agg, the m07 two-tower embed join, and one final
+    * hash agg — every stage keyed, nothing quadratic, nothing driver-
+    * side; stage verdicts meet on doc_id equi-joins exactly like c01. */
+  private def c06(s: SparkSession, d: String): DataFrame = {
+    // the corpus is the m04 re-ingest scenario: every 10th payload
+    // arrives AGAIN under an offset id (the fixture itself carries no
+    // byte-exact duplicates, so without the shard the dedup stage would
+    // be dead code in this gate); lang rides along for the accounting
+    val base0 = mediaTable(s, d)
+    val offset = base0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val media = base0.unionByName(
+      base0.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(offset)))
+    val langs = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+    val langOf = langs.unionByName(
+      langs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(offset)))
+    val checked = media
+      .withColumn("stored_md5",
+        when(col("doc_id") % 37 === 0,
+          md5(concat(col("media"), lit("X").cast("binary"))))
+          .otherwise(md5(col("media"))))
+      .withColumn("ok", col("stored_md5") === md5(col("media")))
+    val clean = checked.filter(col("ok"))
+      .select("doc_id", "media", "mimeType", "nBytes", "sourceTable")
+    val frames = sampleFrames(clean).toDF()
+    val owners = frames.groupBy(col("frame_phash"))
+      .agg(min(col("doc_id")).as("owner"))
+    val dupDocs = frames.join(owners, Seq("frame_phash"))
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val iv = clean.select(col("doc_id"),
+      graft.ops.TextOps.docSlotEmbed(col("media").cast("string")).as("iv"))
+    val caps = Tables(s, d, "documents").select(
+      col("doc_id").as("cap_src"),
+      graft.ops.TextOps.docSlotEmbed(col("text")).as("cv"))
+    val aligned = iv
+      .withColumn("cap_src",
+        when(col("doc_id") % 5 === 0, col("doc_id") + 1)
+          .otherwise(col("doc_id")))
+      .join(caps, Seq("cap_src"), "left")
+      .withColumn("cos", when(col("cv").isNull, lit(0.0)).otherwise(
+        aggregate(zip_with(col("iv"), col("cv"), (x, y) => x * y),
+          lit(0.0), (acc, e) => acc + e.cast("double")) /
+          (graft.ops.TextOps.ragNorm(col("iv")) *
+            graft.ops.TextOps.ragNorm(col("cv")))))
+      .select(col("doc_id"), (col("cos") >= 0.999).as("aligned"))
+    checked.select(col("doc_id"), col("ok"), col("nBytes"))
+      .join(dupDocs, Seq("doc_id"), "left")
+      .join(aligned, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(!col("ok"), "quarantined")
+          .when(col("is_dup"), "frame_dup")
+          .when(!col("aligned"), "misaligned")
+          .otherwise("kept"))
+      .join(langOf, "doc_id")
+      .groupBy(col("status"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nBytes")).as("sum_bytes"))
+      .orderBy("status", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01 _, "m02_media_decode" -> m02 _,
     "m03_frame_sample" -> m03 _, "m04_frame_dedup" -> m04 _,
     "m05_payload_integrity" -> m05 _, "m06_frame_neardup" -> m06 _,
-    "m07_clip_filter" -> m07 _)
+    "m07_clip_filter" -> m07 _, "c06_media_curation" -> c06 _)
 
   val oracle: Map[String, String] = Map(
+    // the whole media-curation composition replayed from documents.text
+    // (the stub decode recovers the payload byte-for-byte): integrity
+    // plant, frame fan-out + min-id keeper election over CLEAN docs only,
+    // two-tower cosine with missing-caption drops, fixed precedence
+    "c06_media_curation" ->
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, text, octet_length(encode(text)) AS n_bytes,
+        |    (doc_id % 37 = 0) AS bad
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT o FROM off), lang, text,
+        |    octet_length(encode(text)),
+        |    ((doc_id + (SELECT o FROM off)) % 37 = 0)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |h AS (SELECT doc_id, text, md5(text) AS hex FROM m WHERE NOT bad),
+        |f AS (SELECT doc_id, text,
+        |        1 + ('0x' || substr(hex, 17, 4))::BIGINT % 8 AS n_frames
+        |      FROM h),
+        |frames AS (SELECT doc_id, text, unnest(range(n_frames)) AS fi FROM f),
+        |ph AS (SELECT doc_id,
+        |        ('0x' || substr(md5(text || '#f' || fi), 2, 15))::BIGINT AS p
+        |       FROM frames),
+        |owners AS (SELECT p, min(doc_id) AS owner FROM ph GROUP BY p),
+        |dups AS (SELECT DISTINCT ph.doc_id FROM ph JOIN owners USING (p)
+        |         WHERE ph.doc_id > owner),
+        |vexpr AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 15), i ->
+        |      len(list_filter(string_split(text, ' '),
+        |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = i))) AS v
+        |  FROM m WHERE NOT bad),
+        |emb AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 15), i ->
+        |      len(list_filter(string_split(text, ' '),
+        |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = i))) AS v
+        |  FROM documents),
+        |al AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN b.doc_id IS NULL THEN FALSE ELSE
+        |      (CAST(list_sum(list_transform(generate_series(1, 16),
+        |          i -> a.v[i] * b.v[i])) AS DOUBLE)
+        |       / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x))
+        |             AS DOUBLE))
+        |        * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x))
+        |             AS DOUBLE)))) >= 0.999 END AS aligned
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 5 = 0 THEN doc_id + 1 ELSE doc_id END
+        |            AS cap_src
+        |        FROM m WHERE NOT bad) c
+        |  JOIN vexpr a ON a.doc_id = c.doc_id
+        |  LEFT JOIN emb b ON b.doc_id = c.cap_src),
+        |st AS (
+        |  SELECT m.doc_id, m.lang, m.n_bytes,
+        |    CASE WHEN m.bad THEN 'quarantined'
+        |         WHEN d.doc_id IS NOT NULL THEN 'frame_dup'
+        |         WHEN NOT al.aligned THEN 'misaligned'
+        |         ELSE 'kept' END AS status
+        |  FROM m
+        |  LEFT JOIN dups d ON d.doc_id = m.doc_id
+        |  LEFT JOIN al ON al.doc_id = m.doc_id)
+        |SELECT status, lang, count(1) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
+        |FROM st GROUP BY 1, 2 ORDER BY status, lang""".stripMargin,
     // both towers replayed from the raw text (the stub decode recovers
     // it byte-for-byte): aligned pairs are exactly 1.0, drifted pairs
     // are the cosine of two different documents — same md5 slot space
