@@ -822,12 +822,16 @@ object ExportOps {
       .collect().map(_.getString(0)) // bounded by the day count
     // the per-partition rewrites touch disjoint directories — run them as
     // concurrent Spark jobs (the v14-fits pattern); serialized they cost
-    // one tiny-job latency PER affected day
+    // one tiny-job latency PER affected day. The pool is CAPPED (8): an
+    // unbounded Future.traverse would submit every affected partition's
+    // job at once — fine at day-count cardinality, a scheduler pile-up if
+    // a caller ever points this at a finer partition grain
     locally {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.traverse(affected.toSeq) { day => Future {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.traverse(affected.toSeq) { day => Future {
         val pdir = new Path(rootPath, s"day=$day")
         // stage under the TABLE root, not the scratch dir: rename is
         // same-filesystem-only, and the dot prefix keeps Spark's file
@@ -841,6 +845,7 @@ object ExportOps {
         if (!fs.rename(staged, pdir))
           throw new java.io.IOException(s"partition swap failed for $day")
       }}, Duration.Inf)
+      finally pool.shutdown()
     }
   }
 
