@@ -797,6 +797,67 @@ object SessionGates {
     }
   }
 
+  /** q102: the checkpoint AS A TABLE — Spark 4's state-store data source
+    * (`spark.read.format("statestore")`), the ops introspection surface
+    * q90's recovery story implies but never exposes: after a streaming
+    * aggregation commits, its per-key state is read back as a plain
+    * batch DataFrame (key/value structs + partition_id) straight from
+    * the checkpoint, no query restart, no state peeking hacks. The q98
+    * two-file replay runs a per-user count/sum aggregate in UPDATE mode;
+    * the gate then reads the FINAL state and must hash-match the plain
+    * batch aggregate oracle — state content, not emissions, is the
+    * checked artifact. The reader's `batchId` option time-travels to the
+    * state AS OF an earlier commit (StateSourceSpec pins batch 0 =
+    * first-file-only totals — the debugging move this source exists
+    * for).
+    *
+    * Scale shape: the source reads state files partition-parallel
+    * (partition_id is a first-class column); nothing rehydrates through
+    * the streaming runtime, so inspecting TB-scale state costs one scan
+    * of the store, not a replay. */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_statesrc", d)
+    ExportOps.withScratchCleanup(out) {
+      stateSourceHarness(s, d, out)
+      val st = s.read.format("statestore").option("path", s"$out/ckpt").load()
+      val totals = st.select(col("key.user_id").as("user_id"),
+        col("value.count").as("n_events"),
+        col("value.sum").as("sum_off_ms"))
+      ExportOps.localizeAndDrop(totals, out, "user_id")
+    }
+  }
+
+  /** Runs q102's two-batch streaming aggregate to completion against
+    * `out/ckpt`, public-in-package for StateSourceSpec's time-travel
+    * pin. The foreachBatch sink only drains the iterator (b.count) —
+    * the artifact under test is the STATE the commits leave behind. */
+  private[ops] def stateSourceHarness(s: SparkSession, d: String,
+                                      out: java.io.File): Unit = {
+    new java.io.File(out, "in").mkdirs()
+    val ev = Tables(s, d, "events")
+    val mid = ev.agg(avg(unix_micros(col("ts")))).head().getDouble(0).toLong
+    val now = System.currentTimeMillis()
+    Seq(unix_micros(col("ts")) <= mid, unix_micros(col("ts")) > mid)
+      .zipWithIndex.foreach { case (cond, i) =>
+        arriveAs(onePartFile(ev.filter(cond), out, s"f$i"), out, s"f$i",
+          now - (2 - i) * 60000L)
+      }
+    val agg = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(unix_millis(col("ts")) - lit(BaseEpochMs)).as("sum_off_ms"))
+    ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) => batch.count(); () }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
   private def twsGate(s: SparkSession, d: String, prefix: String,
       processor: org.apache.spark.sql.streaming.StatefulProcessor[
         Long, graft.streaming.UserEvent, graft.streaming.UserCumulative],
@@ -900,7 +961,8 @@ object SessionGates {
     "q90_stream_restart_recovery" -> q90 _,
     "q95_stream_semi_join" -> q95 _, "q98_stream_update_serving" -> q98 _,
     "q99_stream_full_outer_join" -> q99 _,
-    "q100_stream_state_bootstrap" -> q100 _)
+    "q100_stream_state_bootstrap" -> q100 _,
+    "q102_state_source_read" -> q102 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -1060,6 +1122,13 @@ object SessionGates {
     // summed metric mirrors the engine's bounded offset from the fixed
     // 2020-01-01 base epoch (overflow-safe on both sides)
     "q98_stream_update_serving" ->
+      """SELECT user_id, count(1) AS n_events,
+        |  CAST(sum(epoch_ms(ts) - 1577836800000) AS BIGINT) AS sum_off_ms
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the STATE after both commits (read via the statestore source) must
+    // be the plain batch aggregate — same truth as q98's served table,
+    // read from the checkpoint instead of a sink
+    "q102_state_source_read" ->
       """SELECT user_id, count(1) AS n_events,
         |  CAST(sum(epoch_ms(ts) - 1577836800000) AS BIGINT) AS sum_off_ms
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

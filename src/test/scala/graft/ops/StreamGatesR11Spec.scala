@@ -61,6 +61,45 @@ class StreamGatesR11Spec extends SparkSpec {
         "the full-outer eviction pass only runs one side")
   }
 
+  test("q102: statestore batchId time-travels to the state AS OF an earlier commit") {
+    val d = "/root/testdata/sf0.001"
+    val out = ExportOps.scratchDir("graft_statesrc_spec", "spec")
+    ExportOps.withScratchCleanup(out) {
+      SessionGates.stateSourceHarness(spark, d, out)
+      def stateAt(opts: Map[String, String]): Map[Long, (Long, Long)] = {
+        val r = spark.read.format("statestore")
+          .option("path", s"$out/ckpt")
+        opts.foreach { case (k, v) => r.option(k, v) }
+        r.load()
+          .select(col("key.user_id"), col("value.count"), col("value.sum"))
+          .collect()
+          .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+      }
+      val fin = stateAt(Map.empty)
+      val b0 = stateAt(Map("batchId" -> "0"))
+      // batch 0 committed only the first file: every user's batch-0 state
+      // must equal their first-half totals, strictly below the final
+      // state for any user with second-half events
+      val mid = graft.Tables(spark, d, "events")
+        .agg(avg(unix_micros(col("ts")))).head().getDouble(0).toLong
+      val firstHalf = graft.Tables(spark, d, "events")
+        .filter(unix_micros(col("ts")) <= mid)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(unix_millis(col("ts")) - lit(SessionGates.BaseEpochMs)).as("sm"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(b0 === firstHalf,
+        "batchId=0 state must be exactly the first file's aggregate")
+      assert(b0 != fin, "final state must differ (second file added events)")
+      // final state is componentwise >= the batch-0 state (counts only grow)
+      b0.foreach { case (u, (n0, _)) =>
+        assert(fin(u)._1 >= n0, s"user $u count shrank across commits")
+      }
+      ExportOps.deleteRecursively(out)
+    }
+  }
+
   test("q100: history reaches the stream ONLY via initial state, and is carried") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q100_stream_state_bootstrap")(spark, d)
