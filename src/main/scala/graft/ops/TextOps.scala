@@ -1110,6 +1110,62 @@ object TextOps {
     }
   }
 
+  /** t31: n-gram LANGUAGE-ID — the classifier the survey's text family
+    * lists but t02 (which profiles the GIVEN label) never builds: the
+    * classic character-trigram heuristic behind langid/CLD-style
+    * detectors, trained and evaluated on the corpus itself. Even docs
+    * train per-language profiles (top-50 trigrams by count, doc_id
+    * tie-broken lexically — integer-exact membership cross-engine); odd
+    * docs classify by counting how many of their DISTINCT trigrams land
+    * in each profile, argmax with lexical tie-break, `und` when nothing
+    * matches. Output is the (true, predicted) confusion matrix — the
+    * artifact a curation pipeline actually consumes to decide whether
+    * the detector is good enough to route on. (The fixture's synthetic
+    * texts share ONE vocabulary across langs, so measured accuracy sits
+    * near chance BY CONSTRUCTION — the gate pins the detector's
+    * mechanics bit-for-bit, and the near-uniform confusion matrix is the
+    * honest reading a real pipeline would act on: don't route on this
+    * label.)
+    *
+    * Scale shape: training is one (lang, trigram) hash agg; the profile
+    * is metadata-sized (languages × 50) and BROADCAST into the holdout's
+    * distinct-trigram explode — scoring is map-side; the only per-doc
+    * window runs keyed on doc_id. Nothing is quadratic, nothing
+    * driver-side. */
+  private def t31(s: SparkSession, d: String): DataFrame = {
+    val tri = expr(
+      "transform(sequence(1, greatest(length(text) - 2, 0))," +
+        " i -> substring(text, i, 3))")
+    val base = docs(s, d).select(col("doc_id"), col("lang"), tri.as("tris"))
+    val prof = base.filter(col("doc_id") % 2 === 0)
+      .select(col("lang"), explode(col("tris")).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g").asc)))
+      .filter(col("rk") <= 50)
+      .select(col("lang").as("cand"), col("g"))
+    val holdDocs = base.filter(col("doc_id") % 2 =!= 0)
+    val best = holdDocs
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(col("tris"))).as("g"))
+      .join(broadcast(prof), Seq("g"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cand").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand"))
+    val unmatched = holdDocs.select(col("doc_id"), col("lang"))
+      .join(best.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("cand", lit("und"))
+    best.unionByName(unmatched)
+      .groupBy(col("lang"), col("cand"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("cand").as("predicted"), col("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
   /** t28: privacy-preserving RELEASE — the two-step the structured
     * counterpart of t10's free-text redaction: (1) keyed TOKENIZATION
     * (sha-256 over key:id) replaces the identifier while preserving
@@ -1145,6 +1201,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_source_prune" -> t27 _, "t28_privacy_release" -> t28 _,
     "t29_sketch_prune" -> t29 _, "t30_rag_index_append" -> t30 _,
+    "t31_langid_ngram" -> t31 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
@@ -1243,6 +1300,42 @@ object TextOps {
         |  round(score, 6) AS score
         |FROM r WHERE rk * 10 <= n_source * 3
         |ORDER BY source, rk""".stripMargin,
+    // the whole detector replayed in SQL: same trigram windows, same
+    // top-50 profiles (count desc, trigram asc — integer-exact
+    // membership), same distinct-trigram overlap argmax with lexical
+    // tie-break and the 'und' fallback
+    "t31_langid_ngram" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(generate_series(1, greatest(len(text) - 2, 0)),
+        |      i -> substr(text, i, 3)) AS tris
+        |  FROM documents),
+        |train AS (
+        |  SELECT lang, unnest(tris) AS g FROM base WHERE doc_id % 2 = 0),
+        |cnt AS (SELECT lang, g, count(1) AS c FROM train GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT lang AS cand, g FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, g ASC) AS rk FROM cnt) x WHERE rk <= 50),
+        |hold AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(tris)) AS g
+        |  FROM base WHERE doc_id % 2 = 1),
+        |scored AS (
+        |  SELECT h.doc_id, h.lang, p.cand, count(1) AS score
+        |  FROM hold h JOIN prof p USING (g) GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT doc_id, lang, cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand ASC) AS rk FROM scored) x
+        |  WHERE rk = 1),
+        |unmatched AS (
+        |  SELECT b.doc_id, b.lang, 'und' AS cand
+        |  FROM (SELECT doc_id, lang FROM base WHERE doc_id % 2 = 1) b
+        |  LEFT JOIN best ON best.doc_id = b.doc_id
+        |  WHERE best.doc_id IS NULL),
+        |allp AS (SELECT * FROM best UNION ALL SELECT * FROM unmatched)
+        |SELECT lang, cand AS predicted, count(1) AS n_docs
+        |FROM allp GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     // t29 mirrors the engine's histogram-cutoff arithmetic exactly: bin
     // assignment is a power-of-2 scale (bit-exact in both engines), the
     // cutoff is integer bin/count arithmetic, and merge transparency
