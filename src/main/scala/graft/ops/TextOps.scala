@@ -1166,6 +1166,53 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
+  /** c07: SQL-DEFINED functions as the extension surface — Spark 4's
+    * `CREATE FUNCTION ... RETURN` scalar UDFs and
+    * `RETURNS TABLE ... RETURN SELECT` table functions, the declarative
+    * counterpart of c03's registered JVM kernels: a SQL-only user
+    * defines a quality score and a shingle generator IN SQL, composes
+    * them with a correlated LATERAL join, and gets bit-identical results
+    * to the DataFrame surface. The scale property that makes this the
+    * preferred extension point: the analyzer INLINES the scalar function
+    * body into the plan — the optimized plan carries the arithmetic, not
+    * a function call, so everything stays inside whole-stage codegen
+    * (PlanAuditR11Spec pins the inlining; a JVM UDF black-boxes the
+    * optimizer at exactly this spot). The TVF erases to the same
+    * explode-the-sequence generator the t-family writes by hand. */
+  private def c07(s: SparkSession, d: String): DataFrame = {
+    docs(s, d).createOrReplaceTempView("documents")
+    registerSqlUdfs(s)
+    s.sql(
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    round(graft_distinct_ratio(text), 6) AS score
+        |  FROM documents),
+        |kept AS (SELECT * FROM scored WHERE score >= 0.5),
+        |sh AS (
+        |  SELECT k.doc_id, k.lang, g.g
+        |  FROM kept k, LATERAL graft_grams3(k.text) g)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(1) AS BIGINT) AS n_shingles,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_shingles
+        |FROM sh GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** The c07 SQL function definitions, shared with the inlining spec. */
+  private[graft] def registerSqlUdfs(s: SparkSession): Unit = {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_distinct_ratio(t STRING)
+        |RETURNS DOUBLE
+        |RETURN CAST(size(array_distinct(split(t, ' '))) AS DOUBLE)
+        |  / size(split(t, ' '))""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_grams3(t STRING)
+        |RETURNS TABLE(g STRING)
+        |RETURN SELECT concat_ws(' ', slice(split(t, ' '), i, 3)) AS g
+        |FROM (SELECT explode(
+        |  sequence(1, greatest(size(split(t, ' ')) - 2, 1))) AS i)""".stripMargin)
+    ()
+  }
+
   /** t28: privacy-preserving RELEASE — the two-step the structured
     * counterpart of t10's free-text redaction: (1) keyed TOKENIZATION
     * (sha-256 over key:id) replaces the identifier while preserving
@@ -1201,7 +1248,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_source_prune" -> t27 _, "t28_privacy_release" -> t28 _,
     "t29_sketch_prune" -> t29 _, "t30_rag_index_append" -> t30 _,
-    "t31_langid_ngram" -> t31 _,
+    "t31_langid_ngram" -> t31 _, "c07_sql_udf_pipeline" -> c07 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
@@ -1300,6 +1347,26 @@ object TextOps {
         |  round(score, 6) AS score
         |FROM r WHERE rk * 10 <= n_source * 3
         |ORDER BY source, rk""".stripMargin,
+    // the SQL-UDF pipeline replayed with the function bodies expanded
+    // inline (exactly what Spark's analyzer does to them)
+    "c07_sql_udf_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS score
+        |  FROM documents),
+        |kept AS (SELECT * FROM scored WHERE score >= 0.5),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(
+        |      generate_series(1,
+        |        greatest(len(string_split(text, ' ')) - 2, 1)),
+        |      i -> array_to_string(
+        |        list_slice(string_split(text, ' '), i, i + 2), ' '))) AS g
+        |  FROM kept)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+        |  count(1) AS n_shingles, count(DISTINCT g) AS n_distinct_shingles
+        |FROM sh GROUP BY lang ORDER BY lang""".stripMargin,
     // the whole detector replayed in SQL: same trigram windows, same
     // top-50 profiles (count desc, trigram asc — integer-exact
     // membership), same distinct-trigram overlap argmax with lexical

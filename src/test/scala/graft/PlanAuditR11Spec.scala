@@ -42,6 +42,25 @@ class PlanAuditR11Spec extends SparkSpec {
     }
   }
 
+  test("c07: SQL-defined scalar functions INLINE — no function call survives optimization") {
+    ops.TextOps.registerSqlUdfs(spark)
+    Tables(spark, d, "documents").createOrReplaceTempView("documents")
+    val df = spark.sql(
+      "SELECT doc_id, graft_distinct_ratio(text) AS score FROM documents")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_distinct_ratio"),
+      s"the scalar SQL UDF must inline to its body:\n$optimized")
+    assert(optimized.contains("array_distinct"),
+      s"the inlined body's arithmetic must appear in the plan:\n$optimized")
+    // and the physical plan stays codegen'd — no UDF eval node
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("ScalaUDF") && !physical.contains("BatchEval"),
+      s"no black-box UDF eval may appear:\n$physical")
+    // "*(n)" is whole-stage codegen's stage marker in the plan string
+    assert(physical.contains("*(1)"),
+      s"the inlined projection must sit inside whole-stage codegen:\n$physical")
+  }
+
   test("t29: the histogram cutoff plan carries no per-source global sort of the corpus") {
     // t27 pays Window(row_number) over corpus rows; t29's corpus-side work
     // must stay sort-free — its only window runs over sketch (hist) rows.
