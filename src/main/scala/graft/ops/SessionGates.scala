@@ -797,6 +797,84 @@ object SessionGates {
     }
   }
 
+  /** q103: late REDELIVERY under sessionization — the composed ingest
+    * shape production needs, gated because the naïve shape is silently
+    * wrong: Spark's append-mode session aggregation does NOT drop input
+    * rows behind the watermark (verified empirically on 4.1.2 — a
+    * redelivered batch 30 days behind the watermark re-opened closed
+    * sessions and RE-EMITTED them, inflating the sink; the engine
+    * reported zero `numRowsDroppedByWatermark` throughout). "Late data
+    * is dropped" is a property of the PIPELINE, not the operator — so
+    * the pipeline here puts q65's ingest screen
+    * (`dropDuplicatesWithinWatermark(event_id)`) IN FRONT of q58's
+    * session aggregation: the redelivered rows (same event ids — a
+    * retry, the realistic late-data source) are absorbed by the screen,
+    * and the landed sessions hash-match the untouched q57/q58 oracle.
+    * StreamGatesR11Spec pins the footgun directly: the SAME harness
+    * without the screen inflates the session event-count sum by exactly
+    * the planted rows. */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    lateRedeliveryHarness(s, d, screened = true)
+
+  /** The q103 harness, public-in-package so the spec can run the
+    * UNSCREENED variant and observe the inflation the screen prevents.
+    * Returns the landed (filtered, localized) session rows. */
+  private[ops] def lateRedeliveryHarness(s: SparkSession, d: String,
+                                         screened: Boolean): DataFrame = {
+    val out = ExportOps.scratchDir(
+      if (screened) "graft_late" else "graft_late_ns", d)
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val Array(minMicros, maxMicros) = ev.agg(
+        min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val now = System.currentTimeMillis()
+      // batch 1: the whole corpus — the watermark lands at max - 10 min
+      arriveAs(onePartFile(ev, out, "f0"), out, "f0", now - 240000L)
+      // batch 2: a REDELIVERY of rows from the corpus start, strictly
+      // behind the watermark (guarded: first quarter of the span, which
+      // must exceed the 10-min delay for the plant to be late at all)
+      require(maxMicros - minMicros > 4L * 600L * 1000000L,
+        "fixture span too short to plant unambiguously late rows")
+      val lateCut = minMicros + (maxMicros - minMicros) / 4
+      val late = ev.filter(unix_micros(col("ts")) <= lateCut)
+      require(late.limit(1).count() > 0, "no late rows to plant")
+      arriveAs(onePartFile(late, out, "f1"), out, "f1", now - 120000L)
+      // batch 3: the q58 sentinel flushes every closed session
+      arriveAs(onePartFile(
+        ev.limit(1).select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxMicros + 7200L * 1000000L)).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"),
+          lit(0.0).as("value"),
+          lit("{}").as("props")), out, "sentinel"), out, "sentinel",
+        now - 60000L)
+      val ingest = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("event_id"), col("user_id"),
+          timestamp_millis(unix_millis(col("ts"))).as("tsm"))
+        .withWatermark("tsm", "10 minutes")
+      val screenedStream =
+        if (screened) ingest.dropDuplicatesWithinWatermark("event_id")
+        else ingest
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = sessionAgg(screenedStream.drop("event_id")).writeStream
+          .format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
+      ExportOps.localizeAndDrop(landed, out, "user_id", "session_start_ms")
+    }
+  }
+
   /** q102: the checkpoint AS A TABLE — Spark 4's state-store data source
     * (`spark.read.format("statestore")`), the ops introspection surface
     * q90's recovery story implies but never exposes: after a streaming
@@ -962,7 +1040,8 @@ object SessionGates {
     "q95_stream_semi_join" -> q95 _, "q98_stream_update_serving" -> q98 _,
     "q99_stream_full_outer_join" -> q99 _,
     "q100_stream_state_bootstrap" -> q100 _,
-    "q102_state_source_read" -> q102 _)
+    "q102_state_source_read" -> q102 _,
+    "q103_late_redelivery_screen" -> q103 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -1046,6 +1125,11 @@ object SessionGates {
         |FROM tens ORDER BY user_id, w_start_ms""".stripMargin,
     "q57_session_window" -> SessionOracleSql,
     "q58_stream_sessions" -> SessionOracleSql,
+    // the screened late redelivery must change NOTHING: the replayed
+    // rows are already in the corpus, so the landed sessions are the
+    // plain session oracle (an unscreened replay inflates session
+    // counts — spec-pinned)
+    "q103_late_redelivery_screen" -> SessionOracleSql,
     // timer-driven closure must land the SAME sessions the batch agg and
     // the session_window stream compute — one oracle, three mechanisms
     "q89_stream_session_timers" -> SessionOracleSql,

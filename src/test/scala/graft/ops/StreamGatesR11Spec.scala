@@ -100,6 +100,32 @@ class StreamGatesR11Spec extends SparkSpec {
     }
   }
 
+  test("q103: the ingest screen is load-bearing — unscreened late replay inflates sessions") {
+    val d = "/root/testdata/sf0.001"
+    def sumN(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("n_events"))).head().getLong(0)
+    val corpus = graft.Tables(spark, d, "events").count()
+    val Array(mn, mx) = graft.Tables(spark, d, "events")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val planted = graft.Tables(spark, d, "events")
+      .filter(unix_micros(col("ts")) <= mn + (mx - mn) / 4).count()
+    // screened: the redelivery is fully absorbed — every corpus event
+    // sessionized exactly once (the oracle gates the full row content)
+    val screened = SessionGates.lateRedeliveryHarness(spark, d, screened = true)
+    assert(sumN(screened) === corpus)
+    // unscreened: append-mode session aggregation does NOT drop
+    // watermark-late input (Spark 4.1.2, verified here) — the replay
+    // re-opens closed sessions and re-emits them, inflating the sink by
+    // exactly the planted rows. This is WHY q103 composes the q65 screen
+    // in front: late-data hygiene is the pipeline's job.
+    val unscreened = SessionGates.lateRedeliveryHarness(spark, d, screened = false)
+    assert(sumN(unscreened) === corpus + planted,
+      s"expected the unscreened replay to inflate by $planted — if this " +
+        "now equals the corpus, Spark started dropping late aggregation " +
+        "input and the q103 scaladoc story needs rewriting")
+  }
+
   test("q100: history reaches the stream ONLY via initial state, and is carried") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q100_stream_state_bootstrap")(spark, d)
