@@ -308,6 +308,33 @@ object Relational {
     * replays the expansion arithmetic: window k ∈ {0,1,2} of an event
     * starts at (⌊t/slide⌋−k)·slide, and containment holds for all three
     * by construction (t − start ∈ [300k, 300k+300) ⊂ [0, 900)). */
+  /** q104: EXACT percentile family — `median` / `percentile(p)` — the
+    * third leg of the quantile story (q41 gates the approx sketch, t29
+    * the mergeable-histogram cutoff; this is the exact form a report
+    * grain small enough to sort actually uses). Values pre-scale to
+    * integer cents (the corpus discipline), so the sort ranks are
+    * unambiguous and the linear interpolation at exact-binary fractions
+    * (.25/.5/.75) is bit-exact cross-engine; the .9 leg's position
+    * arithmetic is the same IEEE expression in both engines and the
+    * round-6 output sits far above the last ulp.
+    *
+    * Scale shape: exact percentiles SORT each group — the honest cost,
+    * payable at report grain (groups = event types). At corpus grain the
+    * scale paths are the other two legs; this gate pins what they
+    * approximate. */
+  private def q104(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("median(cents)"), 6).as("p50"),
+        round(expr("percentile(cents, 0.25D)"), 6).as("p25"),
+        round(expr("percentile(cents, 0.75D)"), 6).as("p75"),
+        round(expr("percentile(cents, 0.9D)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   private def q96(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy(window(col("ts"), "15 minutes", "5 minutes"),
@@ -1766,6 +1793,7 @@ object Relational {
     "q91_touch_attribution" -> q91 _, "q92_resample_lerp" -> q92 _,
     "q94_map_funcs" -> q94 _, "q96_window_sliding" -> q96 _,
     "q97_collation" -> q97 _, "q101_skew_join_aqe" -> q101 _,
+    "q104_exact_percentiles" -> q104 _,
     "q75_scd2_intervals" -> q75 _, "q76_asof_snapshot" -> q76 _,
     "q77_matview_delta" -> q77 _,
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
@@ -1945,6 +1973,21 @@ object Relational {
     "q64_exact_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact quantiles over pre-scaled integer cents: interpolation at
+    // exact-binary fractions is bit-exact; the .9 leg's position math is
+    // the same IEEE expression in both engines, rounded far above ulp
+    "q104_exact_percentiles" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type,
+        |  round(median(cents), 6) AS p50,
+        |  round(quantile_cont(cents, 0.25), 6) AS p25,
+        |  round(quantile_cont(cents, 0.75), 6) AS p75,
+        |  round(quantile_cont(cents, 0.9), 6) AS p90,
+        |  count(1) AS n
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the skew re-plan may change the schedule, never the answer: same
     // planted hot-key join and aggregate, computed without any AQE
     "q101_skew_join_aqe" ->
