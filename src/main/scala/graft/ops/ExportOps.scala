@@ -942,6 +942,58 @@ object ExportOps {
     * ExportOpsR10Spec. At 100 TB the audit is one pushdown-filtered count
     * over the staged files; the publish/reject decision is metadata-only
     * either way. */
+  /** PARTITION-LAYOUT migration (partition evolution): rewrite a table
+    * into a new partitioning scheme under a staging path, then publish
+    * with one directory rename — the source is never mutated and stays
+    * fully readable until the instant the destination appears (the
+    * e12/e17 publish discipline applied to re-layout). At 100 TB this is
+    * how a `day=` table becomes `day=/region=` when a second pruning
+    * dimension starts paying for itself: one full rewrite (the honest,
+    * unavoidable cost), zero unreadable windows, and the old layout
+    * remains the rollback until it is explicitly retired.
+    * ExportOpsR11Spec pins source byte-identity through the migration
+    * and two-level directory pruning on the result. */
+  def migrateLayout(s: SparkSession, srcDir: String, dstDir: String,
+                    partCols: Seq[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    val fs = dst.getFileSystem(conf)
+    require(!fs.exists(dst),
+      s"migration target $dstDir already exists — retire it explicitly first")
+    val stage = new org.apache.hadoop.fs.Path(dstDir + ".stage")
+    s.read.parquet(srcDir)
+      .write.partitionBy(partCols: _*).parquet(stage.toString)
+    if (!fs.rename(stage, dst))
+      throw new java.io.IOException(s"layout publish failed for $dstDir")
+  }
+
+  /** e21: partition evolution gated end-to-end — the events table lands
+    * day-partitioned (v1), migrates to (day, event_type) two-level
+    * partitioning (v2) through [[migrateLayout]], and the gate
+    * aggregates the MIGRATED table; both partition values come back
+    * through directory-name recovery, so the hash also proves the
+    * re-layout lost no rows and invented none. The payoff the spec
+    * measures: a (day, event_type) point query on v2 prunes to ONE leaf
+    * directory. */
+  private def e21(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_relayout", d)
+    withScratchCleanup(out) {
+      val ev = Tables(s, d, "events").select(
+        col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      ev.write.partitionBy("day").parquet(s"$out/v1")
+      migrateLayout(s, s"$out/v1", s"$out/v2", Seq("day", "event_type"))
+      val back = s.read.parquet(s"$out/v2")
+        .groupBy(col("day").cast("string").as("day"),
+          col("event_type").cast("string").as("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("day", "event_type")
+      localizeAndDrop(back, out, "day", "event_type")
+    }
+  }
+
   private def e17(s: SparkSession, d: String): DataFrame = {
     val out = scratchDir("graft_wap", d)
     withScratchCleanup(out) {
@@ -1166,6 +1218,7 @@ object ExportOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e17_audited_publish" -> e17 _, "e18_incremental_consume" -> e18 _,
     "e19_xml_roundtrip" -> e19 _, "e20_vacuum" -> e20 _,
+    "e21_layout_migration" -> e21 _,
     "e01_training_export" -> e01 _, "e02_centroid_index" -> e02 _,
     "e03_stream_export" -> e03 _, "e04_compaction" -> e04 _,
     "e05_schema_evolution" -> e05 _, "e07_centroid_append" -> e07 _,
@@ -1204,6 +1257,15 @@ object ExportOps {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |  md5(props) AS props_md5
         |FROM events ORDER BY event_id""".stripMargin,
+    // the migrated (day, event_type) layout must aggregate to exactly
+    // the source events — partition values recovered from directories,
+    // so a re-layout that lost or invented rows moves this hash
+    "e21_layout_migration" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(1) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // the XML round-trip must reproduce the source events exactly —
     // same contract as the CSV leg, different format surface
     "e19_xml_roundtrip" ->
