@@ -875,6 +875,66 @@ object SessionGates {
     }
   }
 
+  /** q105: STREAMING in-flight observation — `Dataset.observe` on an
+    * unbounded stream (q93 gates the batch form): data-quality counters
+    * ride the ingest edge of the q58 session pipeline and surface per
+    * micro-batch through `StreamingQueryProgress.observedMetrics`, the
+    * zero-extra-pass monitoring hook (the metrics compute inside the
+    * existing scan, no second job, no sink). The landed sessions still
+    * hash-match the untouched session oracle — observation must be
+    * side-effect-free — and StreamGatesR11Spec pins the accounting: the
+    * per-batch observed row counts sum to exactly corpus + sentinel, and
+    * the observed cents sum equals the batch-computed total. */
+  private def q105(s: SparkSession, d: String): DataFrame =
+    observedSessionHarness(s, d)._1
+
+  /** Runs q105's observed pipeline; returns (landed sessions, observed
+    * row-count sum, observed cents sum) for the accounting spec. */
+  private[ops] def observedSessionHarness(s: SparkSession, d: String)
+      : (DataFrame, Long, Long) = {
+    val out = ExportOps.scratchDir("graft_observe", d)
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val maxMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val now = System.currentTimeMillis()
+      arriveAs(onePartFile(ev, out, "events"), out, "events", now - 120000L)
+      arriveAs(onePartFile(
+        ev.limit(1).select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxMicros + 7200L * 1000000L)).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"),
+          lit(0.0).as("value"),
+          lit("{}").as("props")), out, "sentinel"), out, "sentinel",
+        now - 60000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .observe("ingest", count(lit(1)).as("n_rows"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_cents"))
+        .select(col("user_id"),
+          timestamp_millis(unix_millis(col("ts"))).as("tsm"))
+        .withWatermark("tsm", "10 minutes")
+      val observed = ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = sessionAgg(stream).writeStream
+          .format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        q.recentProgress.toSeq
+          .flatMap(p => Option(p.observedMetrics.get("ingest")))
+          .map(r => (r.getAs[Long]("n_rows"),
+            Option(r.getAs[Any]("sum_cents")).fold(0L)(_.asInstanceOf[Long])))
+      }
+      val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
+      (ExportOps.localizeAndDrop(landed, out, "user_id", "session_start_ms"),
+        observed.map(_._1).sum, observed.map(_._2).sum)
+    }
+  }
+
   /** q102: the checkpoint AS A TABLE — Spark 4's state-store data source
     * (`spark.read.format("statestore")`), the ops introspection surface
     * q90's recovery story implies but never exposes: after a streaming
@@ -1041,7 +1101,8 @@ object SessionGates {
     "q99_stream_full_outer_join" -> q99 _,
     "q100_stream_state_bootstrap" -> q100 _,
     "q102_state_source_read" -> q102 _,
-    "q103_late_redelivery_screen" -> q103 _)
+    "q103_late_redelivery_screen" -> q103 _,
+    "q105_stream_observe" -> q105 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -1130,6 +1191,9 @@ object SessionGates {
     // plain session oracle (an unscreened replay inflates session
     // counts — spec-pinned)
     "q103_late_redelivery_screen" -> SessionOracleSql,
+    // observation is side-effect-free: the observed pipeline lands the
+    // plain session oracle (the metrics ride the scan, not the result)
+    "q105_stream_observe" -> SessionOracleSql,
     // timer-driven closure must land the SAME sessions the batch agg and
     // the session_window stream compute — one oracle, three mechanisms
     "q89_stream_session_timers" -> SessionOracleSql,

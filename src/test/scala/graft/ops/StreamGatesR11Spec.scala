@@ -126,6 +126,20 @@ class StreamGatesR11Spec extends SparkSpec {
         "input and the q103 scaladoc story needs rewriting")
   }
 
+  test("q105: observed metrics account for every ingested row and cent") {
+    val d = "/root/testdata/sf0.001"
+    val (_, nRows, sumCents) = SessionGates.observedSessionHarness(spark, d)
+    val ev = graft.Tables(spark, d, "events")
+    val corpus = ev.count()
+    val cents = ev.agg(
+      sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))).head().getLong(0)
+    // the sentinel row observes too (value 0.0 → floor(0.5) = 0 cents)
+    assert(nRows === corpus + 1,
+      s"observed $nRows rows, ingested ${corpus + 1} (corpus + sentinel)")
+    assert(sumCents === cents,
+      s"observed cents $sumCents != batch total $cents")
+  }
+
   test("q100: history reaches the stream ONLY via initial state, and is carried") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q100_stream_state_bootstrap")(spark, d)
