@@ -875,6 +875,81 @@ object SessionGates {
     }
   }
 
+  /** q106: MULTIPLE STATEFUL OPERATORS in one streaming query — the
+    * stream-stream interval join (q62) feeding a windowed aggregation,
+    * in one plan: the funnel-rate shape ("purchase-with-click events per
+    * hour") that needed two separate queries and an intermediate topic
+    * before Spark 3.4's watermark PROPAGATION — the join's output
+    * watermark (input watermark minus the join's maximal event-time
+    * delay) drives the downstream window's closing, so both operators'
+    * state stays bounded in a single query. q85 chains agg→agg; this
+    * gates the harder join→agg leg. The q67 sentinel pair advances both
+    * join sides far enough that every real pair emits AND every real
+    * hourly window closes; sentinel-derived rows cannot contribute (the
+    * uid -1 purchase finds no click). Hash-matches a DuckDB replay of
+    * the join feeding an hour-bucketed count. */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_joinagg", d)
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val maxMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val now = System.currentTimeMillis()
+      def sentinelRow(id: Long, tsMicros: Long, eventType: String) =
+        ev.limit(1).select(
+          lit(id).as("event_id"),
+          timestamp_micros(lit(tsMicros)).as("ts"),
+          lit(-1L).as("user_id"), lit(eventType).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      // two micro-batches only (corpus, then the watermark sentinels):
+      // cross-batch JOIN state is already q62's gated property — this
+      // gate's property is the operator CHAIN, and every extra batch
+      // costs ~12 state-store commits (3 stateful ops × 8 partitions +
+      // logs); the sentinel batch still drives the full propagation
+      // cascade (join flush → per-purchase agg close → hourly close)
+      val slices: Seq[DataFrame] =
+        Seq(ev,
+          sentinelRow(-1L, maxMicros + 5400L * 1000000L, "purchase")
+            .unionByName(
+              sentinelRow(-2L, maxMicros + 7200L * 1000000L, "click")))
+      slices.zipWithIndex.foreach { case (df, i) =>
+        arriveAs(onePartFile(df, out, s"f$i"), out, s"f$i",
+          now - (slices.size - i) * 60000L)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_millis(unix_millis(col("ts"))).as("ts"))
+      val joined = graft.streaming.EventStreams
+        .purchasesWithClicks(stream, joinType = "inner")
+      // distinct aggregations are unsupported on streams, and the
+      // composition doesn't need one: a per-(window, purchase) stateful
+      // aggregate first (click count per matched purchase), then the
+      // hourly rollup — THREE chained stateful operators (join → agg →
+      // agg), each driven by the propagated watermark
+      val hourly = joined
+        .filter(col("uid") >= 0) // sentinels can't pair; belt documented
+        .groupBy(window(col("purchase_ts"), "1 hour"), col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .groupBy(col("window"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("n_clicks")).as("n_pairs"))
+        .select(unix_millis(col("window.start")).as("hour_start_ms"),
+          col("n_pairs"), col("n_purchases"))
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = hourly.writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val landed = s.read.parquet(s"$out/data")
+      ExportOps.localizeAndDrop(landed, out, "hour_start_ms")
+    }
+  }
+
   /** q105: STREAMING in-flight observation — `Dataset.observe` on an
     * unbounded stream (q93 gates the batch form): data-quality counters
     * ride the ingest edge of the q58 session pipeline and surface per
@@ -1102,7 +1177,8 @@ object SessionGates {
     "q100_stream_state_bootstrap" -> q100 _,
     "q102_state_source_read" -> q102 _,
     "q103_late_redelivery_screen" -> q103 _,
-    "q105_stream_observe" -> q105 _)
+    "q105_stream_observe" -> q105 _,
+    "q106_stream_join_agg" -> q106 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -1246,6 +1322,23 @@ object SessionGates {
         |  FROM e JOIN bb_u USING (user_id) GROUP BY e.user_id)
         |SELECT * FROM ba UNION ALL SELECT * FROM bb
         |ORDER BY user_id, n_events, sum_cents""".stripMargin,
+    // the q62 join replayed batch-side, bucketed to epoch-aligned hours:
+    // the two-stateful-operator query must land exactly what the batch
+    // composition computes
+    "q106_stream_join_agg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |), pairs AS (
+        |  SELECT p.event_id AS purchase_id, p.ts_ms AS purchase_ms
+        |  FROM e p JOIN e c
+        |    ON p.user_id = c.user_id
+        |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |   AND c.ts_ms >= p.ts_ms - 1800000 AND c.ts_ms <= p.ts_ms)
+        |SELECT (purchase_ms // 3600000) * 3600000 AS hour_start_ms,
+        |  count(1) AS n_pairs,
+        |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases
+        |FROM pairs GROUP BY 1 ORDER BY hour_start_ms""".stripMargin,
     // ms-truncated self-join: every purchase × same-user clicks in the
     // preceding 30 minutes (inclusive both ends, like the streaming join)
     "q62_stream_interval_join" ->
