@@ -21,7 +21,7 @@ object SimilarityOps {
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
   private val K = 5
-  private val NumQueries = 16
+  private[ops] val NumQueries = 16
   /** v14 codebook-training sample bound (see [[pqAdcTopK]]): ≥ the oracle
     * SFs' whole corpus, a constant at lake scale. */
   private val PqTrainCap = 1024
@@ -305,13 +305,21 @@ object SimilarityOps {
     * recall against the exact-L2 ranking and the ADC↔exact error bound. */
   def pqAdcTopK(s: SparkSession, corpus: DataFrame,
                 m: Int = 8, k: Int = 16): DataFrame = {
+    val vecs = DedupOps.cachedShared(corpus.select(col("vec_id"),
+      VectorFunctions.toDouble(col("embedding")).as("v")))
+    val codebook = pqCodebook(s, vecs, m, k)
+    pqAdcServe(s, vecs, codebook, pqEncode(vecs, codebook, m))
+  }
+
+  /** The trained PQ codebook as a (sub, code, cent) frame — m bounded
+    * driver-side Lloyd fits on the md5-priority-capped sample (the v14
+    * discipline; see the scale rationale below). Deterministic:
+    * bit-identical on any host, any cluster size, any run. */
+  def pqCodebook(s: SparkSession, vecs: DataFrame,
+                 m: Int = 8, k: Int = 16): DataFrame = {
     import s.implicits._
     val dims = 64
     val dsub = dims / m
-    // cached: the code assignment and the exact rerank both re-read this
-    // frame — uncached it re-derives from parquet across the jobs
-    val vecs = DedupOps.cachedShared(corpus.select(col("vec_id"),
-      VectorFunctions.toDouble(col("embedding")).as("v")))
     // Codebook training is bounded AND driver-side: at most [[PqTrainCap]]
     // vectors, chosen by md5(vec_id) priority — deterministic across runs
     // AND across cluster sizes (unlike sample(), whose draw depends on
@@ -370,24 +378,44 @@ object SimilarityOps {
       }
       cents
     }
-    val codebook = (0 until m).flatMap { j =>
+    (0 until m).flatMap { j =>
       val sub = train.map(_.slice(j * dsub, (j + 1) * dsub))
       lloyd(sub).zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
     }.toDF("sub", "code", "cent")
-    val subvecs = vecs.select(col("vec_id"),
+  }
+
+  private def pqSubvecs(vecs: DataFrame, m: Int): DataFrame = {
+    val dsub = 64 / m
+    vecs.select(col("vec_id"),
       explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
-    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, e) => acc + e)
-    val codes = subvecs.join(broadcast(codebook), "sub")
+  }
+
+  private def pqL2sq(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Encodes every vector against the codebook: (vec_id, sub, code) —
+    * the 8x-compressed corpus representation an index persists. */
+  def pqEncode(vecs: DataFrame, codebook: DataFrame,
+               m: Int = 8): DataFrame =
+    pqSubvecs(vecs, m).join(broadcast(codebook), "sub")
       .select(col("vec_id"), col("sub"),
-        struct(l2sq(col("sv"), col("cent")).as("dist"), col("code")).as("sc"))
+        struct(pqL2sq(col("sv"), col("cent")).as("dist"), col("code")).as("sc"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(col("sc")).as("best"))
       .select(col("vec_id"), col("sub"), col("best.code").as("code"))
-    val queries = subvecs.filter(col("vec_id") < NumQueries)
+
+  /** ADC serving from a (possibly reloaded) codebook + codes pair: the
+    * compressed scan nominates a shortlist from codes alone; only the
+    * shortlist pays a full-vector exact rerank. */
+  def pqAdcServe(s: SparkSession, vecs: DataFrame, codebook: DataFrame,
+                 codes: DataFrame, m: Int = 8): DataFrame = {
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      pqL2sq(a, b)
+    val queries = pqSubvecs(vecs, m).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qv"))
     val qTables = queries.join(broadcast(codebook), "sub")
       .select(col("q_id"), col("sub"), col("code"),
@@ -424,6 +452,32 @@ object SimilarityOps {
 
   private def v14(s: SparkSession, d: String): DataFrame =
     pqAdcTopK(s, emb(s, d))
+
+  /** v19: the PQ index PERSISTED and SERVED — v14's codebook and codes
+    * land as parquet artifacts (the 8x-compressed corpus an index ships
+    * to serving: 4 bytes of codes per vector vs 256 of floats), then the
+    * SAME ADC + refine path runs against the RELOADED artifacts. This
+    * closes the retrieval family's last non-persisted artifact (d22
+    * signatures, e02/e07 centroids, t25/t30 postings — now PQ too).
+    * Because training and encoding are deterministic, serve-from-artifact
+    * must equal the in-memory v14 bit-for-bit (spec-pinned, along with a
+    * doctored-codes serve change proving the answer comes from the
+    * artifact). Rows-only in the driver gate for v14's engine-hash
+    * reason; v14 itself carries the family's accuracy specs. */
+  private def v19(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_pqidx", d)
+    ExportOps.withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      val vecs = DedupOps.cachedShared(emb(s, d).select(col("vec_id"),
+        VectorFunctions.toDouble(col("embedding")).as("v")))
+      val codebook = pqCodebook(s, vecs)
+      codebook.write.parquet(s"$root/codebook")
+      pqEncode(vecs, codebook).write.parquet(s"$root/codes")
+      val served = pqAdcServe(s, vecs,
+        s.read.parquet(s"$root/codebook"), s.read.parquet(s"$root/codes"))
+      ExportOps.localizeAndDrop(served, out, "q_id", "rank")
+    }
+  }
 
   /** v15: k-NN label propagation (pseudo-labeling) — every vector in the
     * unlabeled slice (vec_id % 7 == 3) takes the majority label of its
@@ -773,6 +827,7 @@ object SimilarityOps {
     "v10_mmr_select" -> v10 _,
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
     "v14_pq_adc" -> v14 _, "v15_knn_labels" -> v15 _,
+    "v19_pq_index_serve" -> v19 _,
     "v16_jl_projection" -> v16 _, "v17_matryoshka_rerank" -> v17 _,
     "v18_kmeans_step" -> v18 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
