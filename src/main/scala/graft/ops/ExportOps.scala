@@ -789,7 +789,8 @@ object ExportOps {
         date_format(timestamp_micros(lit(mid)), "yyyy-MM-dd"))
         .head().getString(0)
       retentionErase(s, root, cutoff, col("user_id") % 97 === 3)
-      val survived = s.read.parquet(root)
+      // read THROUGH the manifest — the crash-consistent serve path
+      val survived = TxTable.read(s, root)
         .select(col("event_id"), col("user_id"),
           col("day").cast("string").as("day"))
       localizeAndDrop(survived, out, "event_id")
@@ -811,22 +812,32 @@ object ExportOps {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // 1. retention: partition-level directory delete, no data read
-    fs.listStatus(rootPath)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
-      .filter(_.getPath.getName.stripPrefix("day=") < cutoff)
-      .foreach(st => fs.delete(st.getPath, true))
+    TxTable.bootstrapIfNeeded(s, root)
+    // 1. retention: a MANIFEST-ONLY drop of the expired day partitions —
+    //    no data read, no file touched; the expired files become invisible
+    //    at the single commit below and vacuum sweeps their directories.
+    //    (Even cheaper than the old direct directory delete, and crash-
+    //    safe: an aborted run leaves the old manifest serving everything.)
+    def dayOf(rel: String): Option[String] =
+      "day=([^/]+)/".r.findFirstMatchIn(rel).map(_.group(1))
+    val retained = TxTable.liveFiles(s, root)
+      .filter(f => dayOf(f).forall(_ >= cutoff))
     // 2. erasure: rewrite ONLY the partitions holding a target row
-    val affected = s.read.parquet(root).filter(isTarget)
+    //    (discovered over the retained live set; pushdown-filtered scan,
+    //    day-count-bounded collect)
+    val affected = TxTable.read(s, root)
+      // typed comparison (no cast on the partition column) so the expired
+      // days prune at the directory level even before vacuum removes them
+      .filter(col("day") >= lit(cutoff)).filter(isTarget)
       .select(col("day").cast("string")).distinct()
       .collect().map(_.getString(0)) // bounded by the day count
-    // the per-partition rewrites touch disjoint directories — run them as
+    // the per-partition rewrites write disjoint staging dirs — run them as
     // concurrent Spark jobs (the v14-fits pattern); serialized they cost
     // one tiny-job latency PER affected day. The pool is CAPPED (8): an
     // unbounded Future.traverse would submit every affected partition's
     // job at once — fine at day-count cardinality, a scheduler pile-up if
     // a caller ever points this at a finer partition grain
-    locally {
+    val moved = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -837,16 +848,34 @@ object ExportOps {
         // same-filesystem-only, and the dot prefix keeps Spark's file
         // listing from ever seeing a half-written staged dir
         val staged = new Path(rootPath, s".rewrite_$day.tmp")
-        // the day column is directory-encoded, not in the files: the
-        // per-partition read sees only the data columns
-        s.read.parquet(pdir.toString).filter(!isTarget)
+        // prune to this day's live files; the day column is directory-
+        // encoded, so the rewrite sees only the data columns
+        TxTable.read(s, root).filter(col("day") === lit(day))
+          .drop("day").filter(!isTarget)
           .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-        fs.delete(pdir, true)
-        if (!fs.rename(staged, pdir))
-          throw new java.io.IOException(s"partition swap failed for $day")
-      }}, Duration.Inf)
+        // survivors land BESIDE the old files (unique task-UUID names;
+        // nothing live is deleted here) — visibility is the commit below
+        val rels = fs.listStatus(staged)
+          .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+          .map { f =>
+            val to = new Path(pdir, f.getPath.getName)
+            if (!fs.rename(f.getPath, to))
+              throw new java.io.IOException(s"staged promote failed for $to")
+            s"day=$day/${f.getPath.getName}"
+          }
+        fs.delete(staged, true)
+        rels
+      }}, Duration.Inf).flatten
       finally pool.shutdown()
     }
+    // ONE atomic commit makes the whole maintenance (retention + every
+    // erased partition) visible together — a crash anywhere above serves
+    // the untouched pre-maintenance table; vacuum then deletes expired and
+    // superseded files and their emptied directories
+    val affectedSet = affected.toSet
+    TxTable.commit(s, root,
+      retained.filterNot(f => dayOf(f).exists(affectedSet.contains)) ++ moved)
+    TxTable.vacuum(s, root)
   }
 
   // --------------------------------------- e12: versioned atomic publish

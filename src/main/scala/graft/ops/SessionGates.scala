@@ -348,7 +348,8 @@ object SessionGates {
           .start()
         try q.processAllAvailable() finally q.stop()
       }
-      val served = s.read.parquet(serving)
+      // serve THROUGH the manifest (TxTable) — the crash-consistent path
+      val served = TxTable.read(s, serving)
         .select(col("k").as("user_id"), col("n_events"), col("sum_off_ms"))
       ExportOps.localizeAndDrop(served, out, "user_id")
     }

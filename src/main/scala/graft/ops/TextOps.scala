@@ -401,8 +401,10 @@ object TextOps {
   def buildRagIndex(s: SparkSession, chunks: DataFrame, root: String): Unit = {
     assignCells(chunks)
       .write.partitionBy("cell").parquet(s"$root/postings")
-    centroidsOf(s.read.parquet(s"$root/postings"))
+    TxTable.bootstrapIfNeeded(s, s"$root/postings")
+    centroidsOf(TxTable.read(s, s"$root/postings"))
       .write.parquet(s"$root/centroids")
+    TxTable.bootstrapIfNeeded(s, s"$root/centroids")
   }
 
   /** The fixed, data-independent cell assignment (hyperplane signature
@@ -445,34 +447,58 @@ object TextOps {
     val conf = s.sparkContext.hadoopConfiguration
     val stage = new org.apache.hadoop.fs.Path(s"$root/postings.stage")
     val fs = stage.getFileSystem(conf)
+    TxTable.bootstrapIfNeeded(s, s"$root/postings")
     assignCells(newChunks).write.partitionBy("cell").parquet(stage.toString)
     val staged = fs.listStatus(stage)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
     val affected = staged
       .map(_.getPath.getName.stripPrefix("cell=").toInt).sorted.toSeq
-    staged.foreach { dir =>
+    // append = move the staged files in beside the live ones (checked
+    // metadata renames; pre-existing files are never touched), then flip
+    // visibility with ONE manifest commit — a crash mid-move leaves the
+    // old manifest latest and the half-moved files invisible, and the
+    // next append's vacuum sweeps such orphans (CrashSafeSwapSpec)
+    val moved = staged.toSeq.flatMap { dir =>
       val live = new org.apache.hadoop.fs.Path(
         s"$root/postings/${dir.getPath.getName}")
       if (!fs.exists(live)) fs.mkdirs(live)
       fs.listStatus(dir.getPath)
         .filter(_.getPath.getName.endsWith(".parquet"))
-        .foreach { f =>
-          fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(live, f.getPath.getName))
+        .map { f =>
+          val to = new org.apache.hadoop.fs.Path(live, f.getPath.getName)
+          if (!fs.rename(f.getPath, to))
+            throw new java.io.IOException(s"staged append move failed for $to")
+          s"${dir.getPath.getName}/${f.getPath.getName}"
         }
     }
     fs.delete(stage, true)
+    TxTable.commit(s, s"$root/postings",
+      TxTable.liveFiles(s, s"$root/postings") ++ moved)
+    TxTable.vacuum(s, s"$root/postings")
     // routing-table refresh: affected cells re-aggregate from their own
-    // (pruned) postings; everything else carries; staged swap commits
-    val refreshed = centroidsOf(s.read.parquet(s"$root/postings")
+    // (pruned) postings; everything else carries. The refreshed table is
+    // a full replacement, so it commits as new files + a manifest that
+    // lists ONLY them, then vacuums the old generation — both versions
+    // exist on disk until the atomic flip, zero unreadable windows (the
+    // r11 ADVICE's delete-then-rename window closed).
+    val refreshed = centroidsOf(TxTable.read(s, s"$root/postings")
       .filter(col("cell").isin(affected.map(Int.box): _*)))
-    val carried = s.read.parquet(s"$root/centroids")
+    val carried = TxTable.read(s, s"$root/centroids")
       .filter(!col("cell").isin(affected.map(Int.box): _*))
-    val cstage = s"$root/centroids.stage"
-    refreshed.unionByName(carried).write.parquet(cstage)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/centroids"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(cstage),
-      new org.apache.hadoop.fs.Path(s"$root/centroids"))
+    val cstage = new org.apache.hadoop.fs.Path(s"$root/centroids.stage")
+    refreshed.unionByName(carried).write.parquet(cstage.toString)
+    val cmoved = fs.listStatus(cstage)
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val to = new org.apache.hadoop.fs.Path(
+          s"$root/centroids", f.getPath.getName)
+        if (!fs.rename(f.getPath, to))
+          throw new java.io.IOException(s"centroid refresh move failed for $to")
+        f.getPath.getName
+      }
+    fs.delete(cstage, true)
+    TxTable.commit(s, s"$root/centroids", cmoved)
+    TxTable.vacuum(s, s"$root/centroids")
   }
 
   /** t30: t25's index under APPEND maintenance — the corpus arrives as
@@ -503,7 +529,7 @@ object TextOps {
     * routing table, not data. */
   def ragProbes(s: SparkSession, root: String, qemb: DataFrame,
                 nProbe: Int): Array[(Long, Int)] = {
-    val cent = s.read.parquet(s"$root/centroids")
+    val cent = TxTable.read(s, s"$root/centroids")
     val routed = qemb.crossJoin(broadcast(cent))
       .withColumn("csim", graft.functions.VectorFunctions.dot(
           graft.functions.VectorFunctions.toDouble(col("qv")), col("centroid"))
@@ -532,7 +558,7 @@ object TextOps {
                         probes: Array[(Long, Int)]): DataFrame = {
     import s.implicits._
     val probedCells = probes.map(_._2).distinct.sorted
-    val postings = s.read.parquet(s"$root/postings")
+    val postings = TxTable.read(s, s"$root/postings")
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
     val routing = probes.toSeq.toDF("query_id", "cell")
     val cands = postings
@@ -1133,9 +1159,12 @@ object TextOps {
     * window runs keyed on doc_id. Nothing is quadratic, nothing
     * driver-side. */
   private def t31(s: SparkSession, d: String): DataFrame = {
+    // Short-text guard: Spark's sequence(1, 0) defaults to step -1 and
+    // yields [1, 0] (two bogus windows), while DuckDB's generate_series
+    // yields [] — texts under 3 chars must produce NO trigrams.
     val tri = expr(
-      "transform(sequence(1, greatest(length(text) - 2, 0))," +
-        " i -> substring(text, i, 3))")
+      "if(length(text) < 3, cast(array() as array<string>)," +
+        " transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")
     val base = docs(s, d).select(col("doc_id"), col("lang"), tri.as("tris"))
     val prof = base.filter(col("doc_id") % 2 === 0)
       .select(col("lang"), explode(col("tris")).as("g"))

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned-manifest commit protocol for parquet tables maintained by
+  * staged swaps — the crash-safety layer under [[Relational.mergePartitioned]]
+  * (q68/q98), [[TextOps.appendRagIndex]] (t30), and
+  * [[ExportOps.retentionErase]] (e15).
+  *
+  * The r11 verdict's one `weak`: those kernels committed with
+  * `delete(live); rename(staged, live)` per partition — a crash between
+  * the delete and the rename loses the partition, a crash mid-loop leaves
+  * a mixed-version snapshot, and a reader listing the table mid-swap can
+  * see a partition vanish. This object replaces that with the pointer
+  * protocol e12/e17 already use for whole-table publishes, applied at
+  * FILE grain (the Delta-log/Iceberg shape, rebuilt on nothing but the
+  * Hadoop FileSystem API):
+  *
+  *  - Data files live in their normal partition directories and are
+  *    NEVER mutated: maintenance lands NEW files (unique names — Spark's
+  *    task-UUID part names) alongside the old ones.
+  *  - Visibility is a manifest: `_tx/manifest-v<N>.txt` lists every live
+  *    data file (one root-relative path per line). Commit = write the
+  *    next-numbered manifest to a dot-temp and rename it into place —
+  *    one atomic metadata op. Readers resolve max-N and read exactly
+  *    that file set, so they see version N or version N+1, never a
+  *    mixture, never a missing partition.
+  *  - A crash at ANY point before the manifest rename leaves the old
+  *    manifest latest and every old file untouched — the table still
+  *    serves the old version. A crash after leaves the new version
+  *    serving with superseded files as invisible garbage.
+  *  - [[vacuum]] is the e20-style maintenance step: delete data files
+  *    the latest manifest no longer references (superseded versions and
+  *    aborted-commit orphans) and drop emptied partition directories.
+  *    After a vacuum, directory listing and manifest agree, so legacy
+  *    `spark.read.parquet(dir)` reads stay equivalent on the happy path;
+  *    crash recovery is always through the manifest.
+  *
+  * Scale shape: the manifest is file-count-sized METADATA (e14's
+  * argument — thousands of manifest lines vs billions of data rows; at
+  * 100 TB this is the same metadata scale every log-structured table
+  * format carries), written and resolved driver-side. Single writer per
+  * table, as with every kernel here; concurrent READERS are safe at any
+  * point, racing a vacuum at worst hits a deleted file and fails loudly
+  * (parquet reads do not ignore missing files by default) — never
+  * silently serves a mixture.
+  */
+object TxTable {
+
+  private val TxDirName = "_tx"
+  private val ManifestRe = "manifest-v(\\d+)\\.txt".r
+
+  /** Test-only crash injection: arming a failpoint makes the matching
+    * protocol step throw [[InjectedCrash]], simulating a process death at
+    * exactly that instant. The value is a countdown: 0 throws on the next
+    * hit, n throws on the (n+1)th (to target e.g. the SECOND commit of a
+    * multi-table maintenance). Production code never arms these. */
+  private[graft] final class InjectedCrash(site: String)
+    extends RuntimeException(s"injected crash at $site")
+  @volatile private[graft] var armedFailpoints: Map[String, Int] = Map.empty
+  private[graft] def failpoint(site: String): Unit = synchronized {
+    armedFailpoints.get(site).foreach { n =>
+      if (n <= 0) { armedFailpoints -= site; throw new InjectedCrash(site) }
+      else armedFailpoints += (site -> (n - 1))
+    }
+  }
+
+  private def fsOf(s: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Highest committed manifest version, 0 if none. */
+  def currentVersion(s: SparkSession, root: String): Long = {
+    val (fs, rootPath) = fsOf(s, root)
+    val tx = new Path(rootPath, TxDirName)
+    if (!fs.exists(tx)) 0L
+    else fs.listStatus(tx).flatMap(st => st.getPath.getName match {
+      case ManifestRe(v) => Some(v.toLong)
+      case _ => None
+    }).foldLeft(0L)(math.max)
+  }
+
+  /** Root-relative live data file paths of the latest committed version.
+    * Driver-side and manifest-sized — metadata, never data. */
+  def liveFiles(s: SparkSession, root: String): Seq[String] = {
+    val v = currentVersion(s, root)
+    require(v > 0L, s"no committed manifest under $root — bootstrap first")
+    val (fs, rootPath) = fsOf(s, root)
+    val in = fs.open(new Path(rootPath, s"$TxDirName/manifest-v$v.txt"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Commits `files` (root-relative paths) as the next version. The
+    * manifest lands under a dot-temp name, then ONE rename makes it the
+    * latest — the atomic visibility flip. Returns the new version. */
+  def commit(s: SparkSession, root: String, files: Seq[String]): Long = {
+    failpoint("beforeCommit")
+    val (fs, rootPath) = fsOf(s, root)
+    val tx = new Path(rootPath, TxDirName)
+    if (!fs.exists(tx)) fs.mkdirs(tx)
+    val v = currentVersion(s, root) + 1L
+    val tmp = new Path(tx, s".manifest-v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(tx, s"manifest-v$v.txt")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"manifest commit v=$v failed for $root")
+    failpoint("afterCommit")
+    v
+  }
+
+  /** Registers a pre-protocol table's current data files as version 1.
+    * No-op if the table already has a manifest. */
+  def bootstrapIfNeeded(s: SparkSession, root: String): Unit =
+    if (currentVersion(s, root) == 0L) {
+      commit(s, root, listDataFiles(s, root))
+      ()
+    }
+
+  /** Recursive listing of the table's visible parquet data files
+    * (root-relative), skipping hidden (`_`/`.`) names at every level. */
+  def listDataFiles(s: SparkSession, root: String): Seq[String] = {
+    val (fs, rootPath) = fsOf(s, root)
+    val prefix = rootPath.toUri.getPath.stripSuffix("/") + "/"
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.filterNot(st => hidden(st.getPath.getName))
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet"))
+            Seq(st.getPath.toUri.getPath.stripPrefix(prefix))
+          else Nil
+        }
+    walk(rootPath)
+  }
+
+  /** Reads the latest committed version: exactly the manifest's file
+    * set, with partition columns recovered from the directory-encoded
+    * paths (`basePath`), so the frame is indistinguishable from a
+    * directory read of a clean table — but immune to in-flight or
+    * crashed maintenance. Partition-column predicates still prune at
+    * the file-index level (spec-pinned). */
+  def read(s: SparkSession, root: String): DataFrame = {
+    val files = liveFiles(s, root).map(f => s"$root/$f")
+    s.read.option("basePath", root).parquet(files: _*)
+  }
+
+  /** e20-style maintenance: delete visible parquet files the latest
+    * manifest does not reference (superseded versions, aborted-commit
+    * orphans), drop partition directories that emptied, and trim all
+    * but the last `keepManifests` manifests. Callers run it AFTER a
+    * commit (the kernels here vacuum inline, so steady-state directory
+    * listings match the manifest); a deployment with long-running
+    * concurrent readers would defer it by a retention window instead —
+    * the standard log-structured-table contract. */
+  def vacuum(s: SparkSession, root: String, keepManifests: Int = 10): Unit = {
+    val (fs, rootPath) = fsOf(s, root)
+    val live = liveFiles(s, root).toSet
+    listDataFiles(s, root).filterNot(live.contains).foreach { rel =>
+      fs.delete(new Path(rootPath, rel), false)
+    }
+    // drop partition dirs that now hold nothing visible
+    def sweep(p: Path): Boolean = { // returns "directory is empty now"
+      var remaining = 0
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) remaining += 1
+        else if (st.isDirectory) {
+          if (sweep(st.getPath)) fs.delete(st.getPath, true)
+          else remaining += 1
+        } else remaining += 1
+      }
+      remaining == 0
+    }
+    fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .foreach { st => if (sweep(st.getPath)) fs.delete(st.getPath, true) }
+    val v = currentVersion(s, root)
+    val tx = new Path(rootPath, TxDirName)
+    if (fs.exists(tx)) fs.listStatus(tx).foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(mv) if mv.toLong <= v - keepManifests =>
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+  }
+}

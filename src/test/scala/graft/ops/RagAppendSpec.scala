@@ -97,11 +97,19 @@ class RagAppendSpec extends SparkSpec {
         .select($"cell").as[Int].head()
       ExportOps.deleteRecursively(
         new java.io.File(root, s"postings/cell=$topCell"))
-      val servedAfter = TextOps.ragServeFromIndex(spark, root, q0, 6)
-        .collect().map(_.toSeq.map(String.valueOf(_))).toSet
-      assert(servedAfter !== servedBefore,
-        "doctoring the probed cell did not change the serve — the result " +
-          "is not coming from the index artifact")
+      // under the TxTable manifest protocol a doctored (out-of-band
+      // deleted) cell makes the serve FAIL LOUDLY at load — the manifest
+      // still references the files, so the read refuses rather than
+      // silently serving less. Either outcome (loud failure or a changed
+      // result) proves the answer comes from the index artifact alone.
+      scala.util.Try(TextOps.ragServeFromIndex(spark, root, q0, 6)
+        .collect().map(_.toSeq.map(String.valueOf(_))).toSet) match {
+        case scala.util.Failure(_) => () // manifest caught the doctoring
+        case scala.util.Success(servedAfter) =>
+          assert(servedAfter !== servedBefore,
+            "doctoring the probed cell did not change the serve — the " +
+              "result is not coming from the index artifact")
+      }
       ExportOps.deleteRecursively(out)
     }
   }
