@@ -1166,6 +1166,65 @@ object SessionGates {
     }
   }
 
+  /** q107: the LISTSTATE leg of `transformWithState`
+    * ([[graft.streaming.RecentEventsProcessor]]) — a bounded newest-5
+    * per-user event buffer, completing the typed-state matrix (q74
+    * ValueState, q100 MapState, q84 TTL, q89 timers). The events corpus
+    * replays as two time-ordered micro-batches split LATE (the 19/20
+    * point, not the usual midpoint — deliberately, so most users have
+    * fewer than 5 batch-2 events and their batch-2 window MUST blend in
+    * batch-1 elements carried by the ListState; a midpoint split gives
+    * every fixture user ≥ 24 batch-2 events and the carry becomes
+    * unobservable). Each batch a user appears in emits the running
+    * recent-window metric (size ≤ 5, cents sum, newest event id);
+    * ListStateSurvivalSpec pins the bound and the cross-batch blend
+    * directly. Oracle recomputes each batch's membership from scratch: a
+    * batch's row for a user is the newest-5 (by ts, id) over ALL events
+    * up to that batch's end. */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_recent", d)
+    ExportOps.withConf(s, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + 19 * max(unix_micros(ts))) div 20")
+          .as("m"))
+        .head().getLong(0)
+      val now = System.currentTimeMillis()
+      Seq(unix_micros(col("ts")) <= mid, unix_micros(col("ts")) > mid)
+        .zipWithIndex.foreach { case (cond, i) =>
+          arriveAs(onePartFile(ev.filter(cond), out, s"f$i"), out, s"f$i",
+            now - (2 - i) * 60000L)
+        }
+      import s.implicits._
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .as[graft.streaming.RecentEvent]
+      val windows = stream.groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.RecentEventsProcessor(5),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        val q = windows.toDF().writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val landed = s.read.parquet(s"$out/data")
+      ExportOps.localizeAndDrop(landed, out,
+        "user_id", "n_recent", "sum_cents_recent", "last_event_id")
+    }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_session_window" -> q57 _, "q58_stream_sessions" -> q58 _,
     "q62_stream_interval_join" -> q62 _, "q65_stream_dedup" -> q65 _,
@@ -1176,6 +1235,7 @@ object SessionGates {
     "q95_stream_semi_join" -> q95 _, "q98_stream_update_serving" -> q98 _,
     "q99_stream_full_outer_join" -> q99 _,
     "q100_stream_state_bootstrap" -> q100 _,
+    "q107_stream_list_state" -> q107 _,
     "q102_state_source_read" -> q102 _,
     "q103_late_redelivery_screen" -> q103 _,
     "q105_stream_observe" -> q105 _,
@@ -1323,6 +1383,41 @@ object SessionGates {
         |  FROM e JOIN bb_u USING (user_id) GROUP BY e.user_id)
         |SELECT * FROM ba UNION ALL SELECT * FROM bb
         |ORDER BY user_id, n_events, sum_cents""".stripMargin,
+    // two streaming batches, membership recomputed per batch: a user's
+    // row in a batch is the newest-5 of ALL their events up to that
+    // batch's end (ts, then event_id orders ties) — batch-2 windows
+    // blend batch-1 events wherever a user has fewer than 5 new ones,
+    // which is exactly the ListState carried across the boundary
+    "q107_stream_list_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT (min(tsu) + 19 * max(tsu)) // 20 AS m FROM e),
+        |ranked1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tsu DESC, event_id DESC) AS rk
+        |  FROM e CROSS JOIN b WHERE tsu <= m),
+        |b1 AS (
+        |  SELECT user_id, count(1) AS n_recent,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents_recent,
+        |    CAST(max(CASE WHEN rk = 1 THEN event_id END) AS BIGINT)
+        |      AS last_event_id
+        |  FROM ranked1 WHERE rk <= 5 GROUP BY user_id),
+        |b2_u AS (SELECT DISTINCT user_id FROM e CROSS JOIN b WHERE tsu > m),
+        |ranked2 AS (
+        |  SELECT e.*, row_number() OVER (PARTITION BY e.user_id
+        |    ORDER BY tsu DESC, event_id DESC) AS rk
+        |  FROM e JOIN b2_u USING (user_id)),
+        |b2 AS (
+        |  SELECT user_id, count(1) AS n_recent,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents_recent,
+        |    CAST(max(CASE WHEN rk = 1 THEN event_id END) AS BIGINT)
+        |      AS last_event_id
+        |  FROM ranked2 WHERE rk <= 5 GROUP BY user_id)
+        |SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |ORDER BY user_id, n_recent, sum_cents_recent, last_event_id"""
+        .stripMargin,
     // the q62 join replayed batch-side, bucketed to epoch-aligned hours:
     // the two-stateful-operator query must land exactly what the batch
     // composition computes

@@ -141,3 +141,56 @@ class TtlTotalsProcessor(ttlMs: Long)
     Iterator.single(UserCumulative(key, n, c))
   }
 }
+
+/** q107's shapes: each event carries its deterministic order key
+  * (event time + id) so "the last N" is well-defined regardless of
+  * row order within a micro-batch. */
+case class RecentEvent(user_id: Long, ts_us: Long, event_id: Long,
+                       cents: Long)
+case class RecentWindow(user_id: Long, n_recent: Long,
+                        sum_cents_recent: Long, last_event_id: Long)
+
+/** The `ListState` leg of `transformWithState` — the one typed state
+  * variable q74 (ValueState), q100 (MapState), q84 (TTL) and q89
+  * (timers) leave untouched: a BOUNDED per-user buffer of the most
+  * recent `maxN` events, the "recent telemetry per device" shape behind
+  * the reference's freshness discipline (`task.ts:231` keeps only the
+  * newest DeviceStatusInfo per device; this generalizes to newest-N).
+  * Each micro-batch appends the user's arrivals, trims to the newest N
+  * by (event time, id) — a total order, so intra-batch row order cannot
+  * change the result — and emits the running window metric (size, cents
+  * sum, newest id).
+  *
+  * Why ListState and not a ValueState[Array[...]]: appends are O(new
+  * rows) against the state store (RocksDB merge), only an overflow trim
+  * rewrites the list — per-key cost is bounded by N + batch arrivals,
+  * never by history length. Per-key state is ≤ N fixed-width rows, so
+  * total state is keys × N — flat in stream length, the property that
+  * lets a recent-events buffer survive 100 TB/day. */
+class RecentEventsProcessor(maxN: Int)
+    extends StatefulProcessor[Long, RecentEvent, RecentWindow] {
+
+  @transient private var recent: ListState[RecentEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[RecentEvent]("recent",
+      Encoders.product[RecentEvent], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[RecentEvent],
+      timerValues: TimerValues): Iterator[RecentWindow] = {
+    val incoming = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    recent.appendList(incoming)
+    // list order is append order; the re-sort (≤ maxN + batch elements)
+    // makes the newest-N contract explicit rather than implicit in
+    // batch-split monotonicity
+    val all = recent.get().toArray.sortBy(e => (e.ts_us, e.event_id))
+    val kept =
+      if (all.length > maxN) {
+        val k = all.takeRight(maxN)
+        recent.put(k) // overflow trim — the one full-list rewrite
+        k
+      } else all
+    Iterator.single(RecentWindow(key, kept.length.toLong,
+      kept.map(_.cents).sum, kept.last.event_id))
+  }
+}
