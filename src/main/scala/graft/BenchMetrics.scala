@@ -47,6 +47,19 @@ final class BenchMetrics extends SparkListener {
     label.set(name)
   }
 
+  // streaming-harness classification, marked MECHANICALLY by a
+  // StreamingQueryListener Bench registers (a gate that starts any
+  // Structured Streaming query during its window is "streaming" — those
+  // gates pay multi-micro-batch startup + state-store commit costs the
+  // bench artifact's family split exists to separate from batch plans)
+  private val streamingGates = TrieMap.empty[String, Boolean]
+  def markStreaming(): Unit = {
+    val n = label.get
+    if (n != null) { streamingGates.put(n, true); () }
+  }
+  def isStreaming(name: String): Boolean =
+    streamingGates.getOrElse(name, false)
+
   /** Close the attribution window: the query's action has returned, so
     * every event is already posted to the (FIFO) listener bus — poll
     * until started==ended job counts hold across two consecutive reads,

@@ -7,6 +7,13 @@ fetchall-based tools/compare_oracle.py hides (DuckDB HUGEINT -> float64,
 arrays -> unhashable numpy.ndarray, etc.).
 
 Usage: driver_compare.py <sfDir> <verifyOutDir> [query ...]
+       driver_compare.py --bench <old_bench.json> <new_bench.json>
+
+The --bench mode mechanically adjudicates a round-over-round bench pair of
+SPARK_GRAFT_BENCH_OUT artifacts: carried-query (present in BOTH files)
+median sums and their ratio, the per-family split, host load stamps, and
+the top per-query regressions — the self-adjudicating comparison the r11
+verdict asked for in place of prose co-tenancy arguments.
 """
 import glob
 import hashlib
@@ -103,5 +110,49 @@ def main(sf_dir, out_dir, only):
     return 1 if n_bad else 0
 
 
+def bench_compare(old_path, new_path):
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+
+    def medians(b):
+        return {q: v["median_sec"] for q, v in b["queries"].items()
+                if "median_sec" in v}
+
+    om, nm = medians(old), medians(new)
+    carried = sorted(set(om) & set(nm))
+    osum = sum(om[q] for q in carried)
+    nsum = sum(nm[q] for q in carried)
+    print(f"old: {old_path} reps={old.get('reps')} sf={old.get('sf')} "
+          f"load={old.get('load_avg_before')}->{old.get('load_avg_after')}")
+    print(f"new: {new_path} reps={new.get('reps')} sf={new.get('sf')} "
+          f"load={new.get('load_avg_before')}->{new.get('load_avg_after')}")
+    print(f"carried queries: {len(carried)}  "
+          f"sum_median old={osum:.2f}s new={nsum:.2f}s "
+          f"ratio={nsum / osum if osum else float('nan'):.3f}")
+    for fam in ("batch", "streaming"):
+        oc = [q for q in carried
+              if old["queries"][q].get("family") == fam]
+        fo = sum(om[q] for q in oc)
+        fn = sum(nm[q] for q in oc)
+        print(f"  {fam:9s} carried={len(oc):4d} old={fo:7.2f}s "
+              f"new={fn:7.2f}s ratio={fn / fo if fo else float('nan'):.3f}")
+    added = sorted(set(nm) - set(om))
+    if added:
+        print(f"added ({len(added)}): sum_median="
+              f"{sum(nm[q] for q in added):.2f}s  {', '.join(added)}")
+    dropped = sorted(set(om) - set(nm))
+    if dropped:
+        print(f"dropped ({len(dropped)}): {', '.join(dropped)}")
+    regressions = sorted(
+        ((nm[q] / om[q], q) for q in carried if om[q] > 0.2),
+        reverse=True)[:10]
+    print("top carried regressions (queries >0.2s in old):")
+    for r, q in regressions:
+        print(f"  {q:32s} {om[q]:6.2f}s -> {nm[q]:6.2f}s  x{r:.2f}")
+    return 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--bench":
+        sys.exit(bench_compare(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
