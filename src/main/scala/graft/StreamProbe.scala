@@ -1,0 +1,35 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Local iteration harness for the streaming-gate cost diet: times each
+  * named gate N times warm in one JVM so harness-overhead changes are
+  * measurable without bench noise. Not part of the driver contract. */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "q62_stream_interval_join", "q99_stream_full_outer_join",
+      "q106_stream_join_agg", "q89_stream_session_timers",
+      "q103_late_redelivery_screen", "q105_stream_observe",
+      "q67_stream_outer_join", "q95_stream_semi_join",
+      "g08_stream_trips", "q85_stream_chained_agg")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedOptimizerRules)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries("g05_stream_flagship")(spark, sfDir).count() // warm
+    names.foreach { n =>
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n%-32s ${ts.map(t => f"$t%.2f").mkString(" ")} median=${ts.sorted.apply(1)}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -927,11 +927,16 @@ object GeotabSynth {
     val trips = TripSegmentation.trips(spark, stream,
       stopSpeed = 1.0, watermarkDelay = "10 minutes",
       idleTimeoutMs = Long.MaxValue / 4)
-    val q = trips.toDF().writeStream.format("parquet")
-      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // fixture-scale state-store sizing: one store instance per shuffle
+    // partition per micro-batch; see SessionGates.StreamShuffleParts
+    graft.ops.ExportOps.withConf(spark, "spark.sql.shuffle.partitions",
+      graft.ops.SessionGates.StreamShuffleParts) {
+      val q = trips.toDF().writeStream.format("parquet")
+        .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val landed = spark.read.parquet(s"$out/data")
       .select(col("deviceId").as("device_id"),
         (col("startMs") / 1000L).cast("long").as("trip_start_s"),

@@ -101,7 +101,15 @@ object ExportOps {
     * withScratchCleanup), so unique names leak nothing a shared name
     * wouldn't also leak on kill -9. */
   def scratchDir(prefix: String, d: String): java.io.File = {
-    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+    // GRAFT_SCRATCH overrides the scratch base (e.g. a tmpfs like
+    // /dev/shm): gate fixtures and streaming checkpoints are transient
+    // per-run artifacts, and on a host whose java.io.tmpdir is
+    // disk-backed their fsync latency is pure fixture overhead — the
+    // gates' semantics (state survival, commit protocol, plan shape) are
+    // byte-identical on any local filesystem.
+    val base = sys.env.get("GRAFT_SCRATCH")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val f = new java.io.File(base,
       prefix + "_" + d.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + ProcessHandle.current().pid() +
         "_" + scratchSeq.incrementAndGet())

@@ -35,6 +35,19 @@ object SessionGates {
 
   private val GapMs = 300000L
 
+  /** Fixture-scale state-store partition count for the streaming gates'
+    * micro-batch harnesses (the r11 verdict's cost-diet item): every
+    * stateful operator opens one state-store instance PER shuffle
+    * partition PER micro-batch, and at gate scale (10³-10⁴ rows) those
+    * instance open/commit round-trips — not data — dominate wall time.
+    * Two partitions keep every multi-instance property observable (state
+    * is still key-partitioned, co-partitioning still proven, restart
+    * recovery still reloads per-partition stores) at a quarter of the
+    * prior 8-instance fixed cost; at production scale
+    * `spark.sql.shuffle.partitions` is sized to load, exactly as the
+    * serving-table `nPart` note on q98 says. */
+  private[graft] val StreamShuffleParts = "2"
+
   /** 2020-01-01T00:00:00Z in epoch-ms — the fixed base the q98 serving
     * metric offsets from so per-key sums stay far from Long overflow. */
   private[ops] val BaseEpochMs = 1577836800000L
@@ -118,7 +131,7 @@ object SessionGates {
     // scale this knob is sized to state volume, not set to the batch
     // shuffle default. The conf is held for the query's whole (serial)
     // lifetime and restored before anything else runs.
-    ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
       val q = sessionAgg(stream).writeStream
         .format("parquet")
         .option("path", s"$out/data")
@@ -177,7 +190,7 @@ object SessionGates {
         .select(col("user_id"),
           unix_millis(col("window.start")).as("w_start_ms"),
           col("peak_minute"), col("active_minutes"), col("n_events"))
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = tenMinute.writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -223,8 +236,8 @@ object SessionGates {
         .select(col("event_id"), col("user_id"), col("event_type"),
           timestamp_millis(unix_millis(col("ts"))).as("ts"))
       val joined = graft.streaming.EventStreams.purchasesWithClicks(stream)
-      // 8 state stores per side per micro-batch — same sizing note as q58
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      // StreamShuffleParts state stores per side per micro-batch (see note)
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = joined.writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -273,7 +286,7 @@ object SessionGates {
           timestamp_millis(unix_millis(col("ts"))).as("ts"))
       val joined = graft.streaming.EventStreams
         .purchasesWithClicks(stream, joinType = "left_semi")
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = joined.writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -331,7 +344,7 @@ object SessionGates {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(unix_millis(col("ts")) - lit(BaseEpochMs)).as("sum_off_ms"))
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = agg.writeStream
           .outputMode("update")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -409,7 +422,7 @@ object SessionGates {
           timestamp_millis(unix_millis(col("ts"))).as("ts"))
       val joined = graft.streaming.EventStreams
         .purchasesWithClicks(stream, joinType = joinType)
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = joined.writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -474,7 +487,7 @@ object SessionGates {
           timestamp_millis(unix_millis(col("ts"))).as("tsm"))
         .withWatermark("tsm", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = stream.writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -623,7 +636,7 @@ object SessionGates {
         .transformWithState(new graft.streaming.SessionTimeoutProcessor(300000L),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           org.apache.spark.sql.streaming.OutputMode.Append())
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = sessions.toDF().writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -684,7 +697,7 @@ object SessionGates {
           .transformWithState(new graft.streaming.CumulativeTotalsProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Append())
-        ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+        ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
           val q = totals.toDF().writeStream.format("parquet")
             .option("path", s"$out/data")
             .option("checkpointLocation", s"$out/ckpt")
@@ -783,7 +796,7 @@ object SessionGates {
         .transformWithState(new graft.streaming.BootstrappedTotalsProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Append(), init)
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = totals.toDF().writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -861,7 +874,7 @@ object SessionGates {
       val screenedStream =
         if (screened) ingest.dropDuplicatesWithinWatermark("event_id")
         else ingest
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = sessionAgg(screenedStream.drop("event_id")).writeStream
           .format("parquet")
           .option("path", s"$out/data")
@@ -937,7 +950,7 @@ object SessionGates {
           sum(col("n_clicks")).as("n_pairs"))
         .select(unix_millis(col("window.start")).as("hour_start_ms"),
           col("n_pairs"), col("n_purchases"))
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = hourly.writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -991,7 +1004,7 @@ object SessionGates {
         .select(col("user_id"),
           timestamp_millis(unix_millis(col("ts"))).as("tsm"))
         .withWatermark("tsm", "10 minutes")
-      val observed = ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      val observed = ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = sessionAgg(stream).writeStream
           .format("parquet")
           .option("path", s"$out/data")
@@ -1061,7 +1074,7 @@ object SessionGates {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(unix_millis(col("ts")) - lit(BaseEpochMs)).as("sum_off_ms"))
-    ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
       val q = agg.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) => batch.count(); () }
@@ -1101,7 +1114,7 @@ object SessionGates {
       val totals = stream.groupByKey(_.user_id)
         .transformWithState(processor, timeMode,
           org.apache.spark.sql.streaming.OutputMode.Append())
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = totals.toDF().writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -1209,7 +1222,7 @@ object SessionGates {
         .transformWithState(new graft.streaming.RecentEventsProcessor(5),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Append())
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
         val q = windows.toDF().writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
