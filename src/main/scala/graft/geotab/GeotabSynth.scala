@@ -103,10 +103,17 @@ object GeotabSynth {
     * fixtures, not the pipeline input — the real API returns one bounded
     * fleet per call (the reference's shape, task.ts:145-218); everything
     * downstream of the reads is the same distributed plan as g01. */
-  def connectorFlagship(spark: SparkSession, sfDir: String): DataFrame = {
+  def connectorFlagship(spark: SparkSession, sfDir: String): DataFrame =
+    connectorFlagship(spark, sfDir, _ => ())
+
+  /** `arm` receives the freshly registered fixture client before any scan
+    * runs — the fault-injection seam for the connector-recovery spec
+    * (planted 503s / validated-then-expired sessions mid-scan). */
+  def connectorFlagship(spark: SparkSession, sfDir: String,
+      arm: graft.sources.geotab.InMemoryGeotabClient => Unit): DataFrame = {
     val clientName = "g02-" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "-" + java.util.UUID.randomUUID().toString.take(8)
-    registerFixtureClient(spark, sfDir, clientName)
+    arm(registerFixtureClient(spark, sfDir, clientName))
     try {
       val infoDf = normalizeInfo(connectorRead(spark, clientName, "deviceInfo"))
       val features = GeotabPipeline.featuresFlat(

@@ -14,6 +14,19 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 case class GeotabCredentials(database: String, sessionId: String, userName: String)
 
+/** Server-side session rejection mid-call — the reference API's expired-
+  * session error (its clients re-Authenticate and retry; task.ts:127-143
+  * caches exactly because Authenticate is rate-limited). The connector's
+  * recovery path: re-resolve credentials through the validate-on-use
+  * cache (which re-logins because the server no longer validates the old
+  * session) and retry the call once. */
+class GeotabSessionExpiredException(msg: String) extends RuntimeException(msg)
+
+/** Transient server failure (HTTP 503 / rate-limit burst) — retryable
+  * with the SAME session after a short backoff, the g09 submit-side
+  * discipline applied to the ingest side. */
+class GeotabTransientException(msg: String) extends RuntimeException(msg)
+
 trait GeotabClient {
   /** POST Authenticate (rate-limited in production — task.ts:297-300). */
   def authenticate(database: String, userName: String, password: String): GeotabCredentials
@@ -196,6 +209,16 @@ class InMemoryGeotabClient(
   /** Test hook: server-side session expiry. */
   def expireAllSessions(): Unit = sessions.clear()
 
+  // Fault injection for the connector-recovery gate: `injectTransientFailures(n)`
+  // makes the next n gets fail 503-style; `expireSessionsAfterGets(k)`
+  // expires every live session AFTER the kth successful get — the
+  // validated-then-expired race (a session that passed validate-on-use
+  // dies server-side before the scan's next call uses it).
+  private val transientLeft = new AtomicInteger(0)
+  private val expireCountdown = new AtomicInteger(Int.MaxValue)
+  def injectTransientFailures(n: Int): Unit = transientLeft.set(n)
+  def expireSessionsAfterGets(k: Int): Unit = expireCountdown.set(k)
+
   private def toJson(m: Map[String, Any]): String =
     m.map {
       case (k, v: String) => s""""$k":"$v""""
@@ -205,7 +228,12 @@ class InMemoryGeotabClient(
 
   override def get(typeName: String, search: Map[String, String],
                    credentials: GeotabCredentials): Seq[String] = {
-    require(sessions.contains(credentials.sessionId), "invalid session")
+    if (transientLeft.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new GeotabTransientException("injected 503")
+    if (!sessions.contains(credentials.sessionId))
+      throw new GeotabSessionExpiredException(
+        s"session ${credentials.sessionId} is not valid")
+    if (expireCountdown.decrementAndGet() == 0) expireAllSessions()
     getCalls.add((typeName, search))
     typeName match {
       case "User" =>

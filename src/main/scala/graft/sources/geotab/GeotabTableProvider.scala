@@ -298,14 +298,38 @@ class GeotabPartitionReader(schema: StructType, partition: GeotabInputPartition,
     row.getUTF8String(groupOrdinal).toString == myGroup
   }
 
+  /** One fetch with the reference's two recovery paths (task.ts:297-324):
+    * an expired-session rejection re-resolves credentials through the
+    * validate-on-use cache — which re-logins exactly because the server
+    * no longer validates the old session — and retries once; a transient
+    * 503 retries with the SAME session under short exponential backoff
+    * (the g09 submit-side discipline on the ingest side). Anything past
+    * the budgets propagates: the scan fails loudly, never half-fetches. */
+  private def fetchWithRecovery(): Seq[String] = {
+    val db = props.getOrElse("database", "db")
+    val user = props.getOrElse("user", "user")
+    val pw = props.getOrElse("password", "")
+    var reauthLeft = 1
+    var transientLeft = 3
+    var backoffMs = 50L
+    while (true) {
+      val creds = GeotabSessionCache.credentials(clientName, db, user, pw)
+      try return GeotabClients(clientName)
+        .get(GeotabTableProvider.typeNameFor(partition.entity), partition.search, creds)
+      catch {
+        case _: GeotabSessionExpiredException if reauthLeft > 0 =>
+          reauthLeft -= 1 // next credentials() re-validates and re-logins
+        case _: GeotabTransientException if transientLeft > 0 =>
+          transientLeft -= 1
+          Thread.sleep(backoffMs)
+          backoffMs *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private lazy val rows: Iterator[InternalRow] = {
-    val creds = GeotabSessionCache.credentials(
-      clientName,
-      props.getOrElse("database", "db"),
-      props.getOrElse("user", "user"),
-      props.getOrElse("password", ""))
-    val raw = GeotabClients(clientName)
-      .get(GeotabTableProvider.typeNameFor(partition.entity), partition.search, creds)
+    val raw = fetchWithRecovery()
     // FAILFAST JSON deserialize — the req.typed() analogue (task.ts:161-163)
     val parser = new JacksonParser(parseSchema,
       new JSONOptions(Map("mode" -> "FAILFAST"), "UTC"),

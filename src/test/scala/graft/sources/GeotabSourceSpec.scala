@@ -315,6 +315,32 @@ class GeotabSourceSpec extends SparkSpec {
       s"expected a fail-fast parse error, got: ${messages(ex).mkString(" | ")}")
   }
 
+  test("mid-scan faults: 503 retries with the same session; expired session re-auths; g02 result identical") {
+    val d = "/root/testdata/sf0.001"
+    // clean reference run
+    GeotabSessionCache.clear()
+    val clean = graft.geotab.GeotabSynth.connectorFlagship(spark, d)
+      .collect().map(_.mkString("|")).sorted
+    val cleanLogins = GeotabSessionCache.logins.get()
+    // faulted run: the FIRST get 503s (must retry with the SAME session,
+    // not burn a login), and after the first SUCCESSFUL get every live
+    // session expires server-side — the validated-then-expired race: the
+    // next scan's cached credentials pass nothing (server cleared them),
+    // so the cache's validate-on-use path must re-login mid-pipeline
+    GeotabSessionCache.clear()
+    val faulted = graft.geotab.GeotabSynth.connectorFlagship(spark, d, c => {
+      c.injectTransientFailures(1)
+      c.expireSessionsAfterGets(1)
+    }).collect().map(_.mkString("|")).sorted
+    assert(faulted.toSeq === clean.toSeq,
+      "the faulted run must land exactly the clean g02 result")
+    // recovery really happened through Authenticate: the faulted run paid
+    // exactly one re-login on top of the clean run's single login
+    assert(GeotabSessionCache.logins.get() === cleanLogins + 1,
+      s"expected ${cleanLogins + 1} logins (initial + one re-auth), " +
+        s"got ${GeotabSessionCache.logins.get()}")
+  }
+
   test("connector feeds the reference pipeline end-to-end") {
     val c = freshClient()
     GeotabClients.register("t5", c)
