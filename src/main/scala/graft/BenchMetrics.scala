@@ -20,17 +20,18 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   */
 final class BenchMetrics extends SparkListener {
   private val label = new AtomicReference[String](null)
-  private val acc = TrieMap.empty[String, (AtomicLong, AtomicLong)]
+  private val acc = TrieMap.empty[String, (AtomicLong, AtomicLong, AtomicLong)]
   private val jobsStarted = new AtomicLong
   private val jobsEnded = new AtomicLong
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val name = label.get
     if (name != null && t.taskMetrics != null) {
-      val (sh, rows) =
-        acc.getOrElseUpdate(name, (new AtomicLong, new AtomicLong))
+      val (sh, rows, shRec) = acc.getOrElseUpdate(name,
+        (new AtomicLong, new AtomicLong, new AtomicLong))
       sh.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
       rows.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      shRec.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
     }
   }
   override def onJobStart(j: SparkListenerJobStart): Unit =
@@ -81,4 +82,6 @@ final class BenchMetrics extends SparkListener {
     acc.get(name).map(_._1.get).getOrElse(0L)
   def rowsRead(name: String): Long =
     acc.get(name).map(_._2.get).getOrElse(0L)
+  def shuffleRecords(name: String): Long =
+    acc.get(name).map(_._3.get).getOrElse(0L)
 }

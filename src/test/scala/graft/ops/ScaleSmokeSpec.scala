@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.{BenchMetrics, SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Amplified-scale smoke (the r11 verdict's item 6): the scale arguments
+  * for the shuffle-heavy families are plan-shape arguments — this spec
+  * backs the top claims with a measured point at ×20 fixture
+  * amplification (the q101 move: explode a rep index, perturb the keys):
+  *
+  *  - d17/d21 chunk/n-gram dedup shuffles scale LINEARLY with input
+  *    (hash-partitioned gram keys), never quadratically (all-pairs);
+  *  - the q68 partition-grain merge's I/O scales with TOUCHED partitions
+  *    while the q66 whole-snapshot merge pays the full corpus — the
+  *    asymmetry that makes partition-grain CDC the 100 TB path;
+  *  - t29's histogram cutoff still plans NO corpus rank at ×20 where
+  *    t27's exact variant pays the per-source sort.
+  *
+  * Gated behind GRAFT_SCALE_SMOKE=1 (reported "canceled" otherwise) so
+  * the default `sbt test` stays fast; run with
+  * `GRAFT_SCALE_SMOKE=1 sbt "testOnly graft.ops.ScaleSmokeSpec"`.
+  * Measured numbers live in BASELINE.md §scale-smoke. */
+class ScaleSmokeSpec extends SparkSpec {
+
+  private val enabled = sys.env.contains("GRAFT_SCALE_SMOKE")
+  private val base = "/root/testdata/sf0.001"
+  private val X = 20
+
+  /** ×X amplified sibling of the sf0.001 fixture dir (documents +
+    * customer), built once per JVM: rep r offsets every key so the
+    * amplified corpus has X distinct copies of each row's content under
+    * distinct identities — the shape that grows every dedup/merge
+    * family's real work by X. */
+  private lazy val ampDir: String = {
+    val out = ExportOps.scratchDir("graft_scale_amp", "spec")
+    out.mkdirs()
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => ExportOps.deleteRecursively(out)))
+    val rep = explode(expr(s"sequence(0L, ${X - 1}L)")).as("rep")
+    spark.read.parquet(s"$base/documents.parquet")
+      .select(col("*"), rep)
+      .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L)
+      .drop("rep")
+      .write.parquet(s"$out/documents.parquet")
+    spark.read.parquet(s"$base/customer.parquet")
+      .select(col("*"), rep)
+      .withColumn("c_custkey", col("c_custkey") + col("rep") * 1000000L)
+      .drop("rep")
+      .write.parquet(s"$out/customer.parquet")
+    out.getAbsolutePath
+  }
+
+  private case class M(sec: Double, shuffleBytes: Long, rowsRead: Long,
+                       shuffleRecords: Long)
+
+  private def measure(body: => Unit): M = {
+    val m = new BenchMetrics
+    spark.sparkContext.addSparkListener(m)
+    try {
+      m.start("probe")
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      m.finish()
+      M(sec, m.shuffleBytes("probe"), m.rowsRead("probe"),
+        m.shuffleRecords("probe"))
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
+  private def fmt(name: String, m: M): String =
+    f"$name%-28s ${m.sec}%7.2fs shuffle=${m.shuffleBytes}%12d " +
+      f"shuffle_rows=${m.shuffleRecords}%10d rows=${m.rowsRead}%10d"
+
+  test("d17/d21: gram-dedup shuffle scales linearly at x20, never all-pairs") {
+    assume(enabled, "set GRAFT_SCALE_SMOKE=1 to run the amplified-scale smoke")
+    Seq("d17_chunk_dedup", "d21_dup_ngram_frac").foreach { gate =>
+      val m1 = measure { SparkEntry.queries(gate)(spark, base).count(); () }
+      val m20 = measure { SparkEntry.queries(gate)(spark, ampDir).count(); () }
+      info(fmt(s"$gate x1", m1)); info(fmt(s"$gate x${X}", m20))
+      // linear scaling tolerance: ≤ 1.5×X on bytes. A banding/grouping
+      // regression to all-pairs would put the ratio near X² (400)
+      assert(m20.shuffleBytes <= m1.shuffleBytes.max(1L) * (3 * X / 2),
+        s"$gate shuffle grew ${m20.shuffleBytes.toDouble / m1.shuffleBytes}x " +
+          s"at x$X amplification — super-linear (all-pairs?) behavior")
+      DedupOps.unpersistCaches()
+    }
+  }
+
+  test("q66 vs q68 at x20: partition-grain merge I/O scales with touched partitions") {
+    assume(enabled, "set GRAFT_SCALE_SMOKE=1 to run the amplified-scale smoke")
+    val out = ExportOps.scratchDir("graft_scale_merge", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val snap = spark.read.parquet(s"$ampDir/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_nationkey").as("p"))
+      snap.write.partitionBy("p").parquet(s"$out/snap")
+      // the amplified change batch touches the same 2 of 25 nations
+      val changes = Relational.q68Changes(spark, ampDir)
+      val mFull = measure {
+        Relational.upsertMerge(
+            spark.read.parquet(s"$out/snap")
+              .select(col("k"), col("name"), col("bal"),
+                col("p").cast("int").as("p")),
+            changes, Seq("name", "bal", "p"))
+          .write.mode("overwrite").parquet(s"$out/full")
+      }
+      val mPart = measure {
+        Relational.mergePartitioned(spark, s"$out/snap", changes,
+          Seq("name", "bal"))
+        ()
+      }
+      info(fmt("q66 whole-snapshot", mFull)); info(fmt("q68 partition-grain", mPart))
+      // 2 of 25 partitions touched: the partition-grain path must shuffle
+      // a small fraction of what the whole-snapshot merge pays. (Rows-read
+      // is not asserted: parquet row-group pushdown makes recordsRead
+      // granular and layout-dependent; shuffle volume is the clean,
+      // plan-determined signal of what the merge actually re-keys.)
+      assert(mPart.shuffleRecords < mFull.shuffleRecords / 4,
+        s"merge shuffled ${mPart.shuffleRecords} rows vs whole-snapshot " +
+          s"${mFull.shuffleRecords} — partition pruning is not holding at x20")
+      assert(mPart.shuffleBytes < mFull.shuffleBytes / 3,
+        s"merge shuffled ${mPart.shuffleBytes} bytes vs ${mFull.shuffleBytes} " +
+          "— the merge is re-shuffling more than the touched partitions")
+      ExportOps.deleteRecursively(out)
+    }
+  }
+
+  test("t27 vs t29 at x20: the sketch cutoff still plans no corpus rank") {
+    assume(enabled, "set GRAFT_SCALE_SMOKE=1 to run the amplified-scale smoke")
+    val t27df = SparkEntry.queries("t27_source_prune")(spark, ampDir)
+    val m27 = measure { t27df.count(); () }
+    val t29df = SparkEntry.queries("t29_sketch_prune")(spark, ampDir)
+    val m29 = measure { t29df.count(); () }
+    info(fmt("t27 exact rank", m27)); info(fmt("t29 sketch cutoff", m29))
+    // the r11 plan pin, re-asserted at amplified scale: t29's corpus-side
+    // plan carries no per-source rank; t27's does (sanity check on both)
+    assert(t27df.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("row_number"),
+      "t27 should rank corpus rows — fixture drifted")
+    assert(!t29df.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("row_number"),
+      "t29 must not rank corpus rows at x20")
+  }
+}
