@@ -1252,7 +1252,47 @@ object ExportOps {
     }
   }
 
+  /** e22: SNAPSHOT TIME TRAVEL over the [[TxTable]] manifest log — the
+    * read-side payoff of the r12 crash-safe commit protocol: because
+    * maintenance lands new files beside the old and flips a numbered
+    * manifest, every un-vacuumed version remains a readable snapshot.
+    * The gate bootstraps a nation-partitioned customer snapshot (v1),
+    * applies the q68 change batch through the partition-grain merge
+    * (v2, vacuum deferred — the retention-window posture), then
+    * aggregates BOTH versions through [[TxTable.readVersion]]: the v1
+    * rows must reproduce the pre-merge table (rollback/audit/
+    * reproducible-training reads against a moving table) and the v2
+    * rows the post-merge state — a time-travel read that leaked files
+    * across versions moves either half's hash. Cents-scaled sums keep
+    * the double fold order-free. At 100 TB this is Delta/Iceberg's
+    * `VERSION AS OF`, priced the same way: old versions cost only the
+    * superseded files vacuum hasn't retired. */
+  private def e22(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_timetravel", d)
+    withScratchCleanup(out) {
+      val snapDir = s"$out/snap"
+      Tables(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_nationkey").as("p"))
+        .write.partitionBy("p").parquet(snapDir)
+      TxTable.bootstrapIfNeeded(s, snapDir) // v1
+      Relational.mergePartitioned(s, snapDir,
+        Relational.q68Changes(s, d), Seq("name", "bal"),
+        vacuumNow = false) // v2; v1's files stay readable until vacuum
+      def summarize(df: DataFrame, v: Long): DataFrame =
+        df.groupBy(col("p").cast("int").as("p"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(bal * 100 + 0.5) AS BIGINT)"))
+              .as("sum_bal_cents"))
+          .withColumn("version", lit(v))
+      val both = summarize(TxTable.readVersion(s, snapDir, 1L), 1L)
+        .unionByName(summarize(TxTable.readVersion(s, snapDir, 2L), 2L))
+      localizeAndDrop(both, out, "version", "p")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_tx_time_travel" -> e22 _,
     "e17_audited_publish" -> e17 _, "e18_incremental_consume" -> e18 _,
     "e19_xml_roundtrip" -> e19 _, "e20_vacuum" -> e20 _,
     "e21_layout_migration" -> e21 _,
@@ -1277,6 +1317,45 @@ object ExportOps {
         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // both snapshots recomputed from the raw table: version 1 is the
+    // customer base, version 2 replays the q68 CDC merge (latest-per-key,
+    // tombstones drop); a time-travel read that leaked files across
+    // versions moves either half
+    "e22_tx_time_travel" ->
+      """WITH changes AS (
+        |  SELECT c_custkey AS k, c_acctbal AS bal,
+        |         CAST(c_nationkey AS INT) AS p,
+        |         CAST(0 AS BIGINT) AS seq, 'S' AS op
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 100, CAST(c_nationkey AS INT), 1, 'U'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, CAST(c_nationkey AS INT), 2, 'D'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, c_acctbal, CAST(c_nationkey AS INT), 1, 'I'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 13 = 0),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM changes),
+        |v2 AS (SELECT bal, p FROM latest WHERE rn = 1 AND op <> 'D'),
+        |a1 AS (
+        |  SELECT CAST(c_nationkey AS INT) AS p, count(1) AS n_rows,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_bal_cents,
+        |    CAST(1 AS BIGINT) AS version
+        |  FROM customer GROUP BY 1),
+        |a2 AS (
+        |  SELECT p, count(1) AS n_rows,
+        |    CAST(sum(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_bal_cents,
+        |    CAST(2 AS BIGINT) AS version
+        |  FROM v2 GROUP BY 1)
+        |SELECT p, n_rows, sum_bal_cents, version FROM a1
+        |UNION ALL
+        |SELECT p, n_rows, sum_bal_cents, version FROM a2
+        |ORDER BY version, p""".stripMargin,
     // what must be served after the WAP cycle is exactly v3's corrected
     // full summary — a flipped v2 or an unflipped v3 both move this hash
     "e17_audited_publish" ->

@@ -59,6 +59,12 @@ object TxTable {
   private[graft] final class InjectedCrash(site: String)
     extends RuntimeException(s"injected crash at $site")
   @volatile private[graft] var armedFailpoints: Map[String, Int] = Map.empty
+
+  /** Test-only interleave hook, invoked between a commit's version read
+    * and its claim of the manifest name: lets a spec deterministically
+    * inject a foreign (cross-process) commit into the race window the
+    * in-process lock cannot cover. No-op in production. */
+  @volatile private[graft] var interleave: () => Unit = () => ()
   private[graft] def failpoint(site: String): Unit = synchronized {
     armedFailpoints.get(site).foreach { n =>
       if (n <= 0) { armedFailpoints -= site; throw new InjectedCrash(site) }
@@ -84,11 +90,21 @@ object TxTable {
 
   /** Root-relative live data file paths of the latest committed version.
     * Driver-side and manifest-sized — metadata, never data. */
-  def liveFiles(s: SparkSession, root: String): Seq[String] = {
-    val v = currentVersion(s, root)
-    require(v > 0L, s"no committed manifest under $root — bootstrap first")
+  def liveFiles(s: SparkSession, root: String): Seq[String] =
+    filesOfVersion(s, root, currentVersion(s, root))
+
+  /** The file set of a SPECIFIC committed version — the time-travel read
+    * the numbered manifests give for free: every version's data files
+    * stay on disk until [[vacuum]] retires them, so any un-vacuumed
+    * snapshot is re-readable by resolving its manifest instead of the
+    * latest. */
+  def filesOfVersion(s: SparkSession, root: String, version: Long): Seq[String] = {
+    require(version > 0L, s"no committed manifest under $root — bootstrap first")
     val (fs, rootPath) = fsOf(s, root)
-    val in = fs.open(new Path(rootPath, s"$TxDirName/manifest-v$v.txt"))
+    val p = new Path(rootPath, s"$TxDirName/manifest-v$version.txt")
+    require(fs.exists(p),
+      s"version $version of $root is gone (vacuumed or never committed)")
+    val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
@@ -96,20 +112,52 @@ object TxTable {
 
   /** Commits `files` (root-relative paths) as the next version. The
     * manifest lands under a dot-temp name, then ONE rename makes it the
-    * latest — the atomic visibility flip. Returns the new version. */
+    * latest — the atomic visibility flip. Returns the new version.
+    *
+    * Optimistic concurrency: the version number is the write token — if
+    * another writer committed the same version first, this commit FAILS
+    * with ConcurrentModificationException, never a silent clobber.
+    * In-process contention (a multi-threaded driver, racing maintenance
+    * jobs in one JVM) is serialized on this object, so the
+    * read-version/rename pair is atomic and exactly one thread wins each
+    * version. Cross-PROCESS concurrent writers are out of contract —
+    * every log-structured table format needs a commit coordinator for
+    * that (HDFS gets it from atomic no-overwrite rename; S3 needs an
+    * external store even for Delta) — but get best-effort detection: a
+    * writer-unique temp, an existence check before the rename, and a
+    * read-back verify after it. The loser's data files remain invisible
+    * orphans for [[vacuum]]. */
   def commit(s: SparkSession, root: String, files: Seq[String]): Long = {
     failpoint("beforeCommit")
     val (fs, rootPath) = fsOf(s, root)
     val tx = new Path(rootPath, TxDirName)
     if (!fs.exists(tx)) fs.mkdirs(tx)
-    val v = currentVersion(s, root) + 1L
-    val tmp = new Path(tx, s".manifest-v$v.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val target = new Path(tx, s"manifest-v$v.txt")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"manifest commit v=$v failed for $root")
+    val payload = files.sorted.mkString("\n").getBytes("UTF-8")
+    val v = synchronized {
+      val v = currentVersion(s, root) + 1L
+      val tmp = new Path(tx,
+        s".manifest-v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(payload) finally out.close()
+      interleave()
+      val target = new Path(tx, s"manifest-v$v.txt")
+      if (fs.exists(target)) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"commit race on $root: version $v already committed by another writer")
+      }
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"manifest commit v=$v failed for $root")
+      // read-back verification closes the cross-process check-then-rename
+      // window (POSIX rename overwrites an existing target silently)
+      val in = fs.open(target)
+      val landed = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+      if (!java.util.Arrays.equals(landed.getBytes("UTF-8"), payload))
+        throw new java.util.ConcurrentModificationException(
+          s"commit race on $root: version $v was won by another writer")
+      v
+    }
     failpoint("afterCommit")
     v
   }
@@ -147,6 +195,15 @@ object TxTable {
     * the file-index level (spec-pinned). */
   def read(s: SparkSession, root: String): DataFrame = {
     val files = liveFiles(s, root).map(f => s"$root/$f")
+    s.read.option("basePath", root).parquet(files: _*)
+  }
+
+  /** Snapshot-as-of read: the table exactly as version `version` served
+    * it. Valid for any version [[vacuum]] has not yet retired —
+    * rollback, audit, and reproducible-training reads against a moving
+    * table (e22 gates it end-to-end). */
+  def readVersion(s: SparkSession, root: String, version: Long): DataFrame = {
+    val files = filesOfVersion(s, root, version).map(f => s"$root/$f")
     s.read.option("basePath", root).parquet(files: _*)
   }
 

@@ -156,6 +156,61 @@ class CrashSafeSwapSpec extends SparkSpec {
     }
   }
 
+  test("commit race: one winner per version in-process; a foreign mid-window commit fails loudly") {
+    import spark.implicits._
+    val out = ExportOps.scratchDir("graft_occ", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val root = s"$out/table"
+      Seq((1L, "a")).toDF("k", "v").write.parquet(root)
+      TxTable.bootstrapIfNeeded(spark, root)
+      // in-process contention: two threads race 40 commits each; the
+      // commit lock serializes them, so EVERY attempt wins a distinct
+      // version and each version serves exactly its winner's payload —
+      // never a clobber, never two writers believing they won one version
+      val wins =
+        new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+      def writer(name: String): Thread = new Thread(() => {
+        (1 to 40).foreach { i =>
+          val payload = s"$name/file-$i.parquet"
+          val v = TxTable.commit(spark, root, Seq(payload))
+          wins.add((name, v, payload)); ()
+        }
+      })
+      val (a, b) = (writer("A"), writer("B"))
+      a.start(); b.start(); a.join(60000); b.join(60000)
+      val winList = wins.toArray(Array.empty[(String, Long, String)]).toSeq
+      assert(winList.size === 80, s"every serialized commit must land: $winList")
+      val byVersion = winList.groupBy(_._2)
+      assert(byVersion.size === 80, "two writers claimed the same version")
+      byVersion.foreach { case (v, ws) =>
+        assert(TxTable.filesOfVersion(spark, root, v) === Seq(ws.head._3),
+          s"version $v does not serve its winner's payload")
+      }
+      // cross-process race, injected deterministically into the window
+      // between the version read and the manifest claim: a FOREIGN writer
+      // (another process — outside the JVM lock) lands the same version
+      // first; our commit must fail loudly and the table must keep
+      // serving the foreign winner's snapshot, never our clobber
+      val vNext = TxTable.currentVersion(spark, root) + 1L
+      val txDir = new java.io.File(root, "_tx")
+      TxTable.interleave = () => {
+        java.nio.file.Files.write(
+          new java.io.File(txDir, s"manifest-v$vNext.txt").toPath,
+          "FOREIGN/file.parquet".getBytes("UTF-8"))
+        TxTable.interleave = () => () // fire once
+      }
+      try {
+        intercept[java.util.ConcurrentModificationException] {
+          TxTable.commit(spark, root, Seq("OURS/file.parquet"))
+        }
+      } finally TxTable.interleave = () => ()
+      assert(TxTable.filesOfVersion(spark, root, vNext) ===
+        Seq("FOREIGN/file.parquet"),
+        "the foreign winner's manifest must survive our failed commit")
+      ExportOps.deleteRecursively(out)
+    }
+  }
+
   test("concurrent reader racing merges sees old or new, never a mixture or a missing partition") {
     val out = ExportOps.scratchDir("graft_race", "spec")
     ExportOps.withScratchCleanup(out) {
