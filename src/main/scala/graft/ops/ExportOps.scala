@@ -341,8 +341,10 @@ object ExportOps {
       .agg(sum(col("x").cast("decimal(30,12)")).cast("decimal(38,12)").as("s"),
         count(lit(1)).as("n"))
 
-  def buildCentroidIndex(s: SparkSession, emb: DataFrame, dir: String): Unit =
+  def buildCentroidIndex(s: SparkSession, emb: DataFrame, dir: String): Unit = {
     centroidStats(emb).write.mode(SaveMode.Overwrite).parquet(dir)
+    TxTable.bootstrapIfNeeded(s, dir)
+  }
 
   /** The centroid-index maintenance loop (the e02 half of the
     * persisted-index gap d25 closed for signatures): aggregate ONLY the
@@ -352,19 +354,32 @@ object ExportOps {
     * batch plus a shuffle of the |labels|×|dims|-row index table. New
     * labels simply appear (no index rebuild); because the statistics are
     * exact decimals, serve results after any append sequence are
-    * bit-identical to a from-scratch build. */
+    * bit-identical to a from-scratch build. The commit rides the
+    * [[TxTable]] manifest protocol (the r12 crash-safety discipline):
+    * the merged generation lands beside the old files, one manifest
+    * rename flips visibility, vacuum retires the old generation — a
+    * crash at any instant serves one complete index version. */
   def appendToCentroidIndex(s: SparkSession, arrival: DataFrame,
                             dir: String): Unit = {
-    val merged = s.read.parquet(dir).unionByName(centroidStats(arrival))
+    TxTable.bootstrapIfNeeded(s, dir)
+    val merged = TxTable.read(s, dir).unionByName(centroidStats(arrival))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("s")).cast("decimal(38,12)").as("s"), sum(col("n")).as("n"))
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(dir + ".stage")
     merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    fs.delete(path, true)
-    if (!fs.rename(stage, path))
-      throw new java.io.IOException(s"commit rename failed: $stage -> $path")
+    val moved = fs.listStatus(stage)
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val to = new org.apache.hadoop.fs.Path(path, f.getPath.getName)
+        if (!fs.rename(f.getPath, to))
+          throw new java.io.IOException(s"staged promote failed for $to")
+        f.getPath.getName
+      }
+    fs.delete(stage, true)
+    TxTable.commit(s, dir, moved)
+    TxTable.vacuum(s, dir)
   }
 
   /** Serve phase: assemble centroids (exact sum / count, the identical

@@ -115,8 +115,16 @@ def bench_compare(old_path, new_path):
     new = json.load(open(new_path))
 
     def medians(b):
-        return {q: v["median_sec"] for q, v in b["queries"].items()
-                if "median_sec" in v}
+        # accepts both the SPARK_GRAFT_BENCH_OUT artifact (values are
+        # {"median_sec": ...} dicts) and the driver's BENCH_r{N}.json
+        # single-pass format (values are bare seconds)
+        out = {}
+        for q, v in b["queries"].items():
+            if isinstance(v, dict) and "median_sec" in v:
+                out[q] = v["median_sec"]
+            elif isinstance(v, (int, float)):
+                out[q] = float(v)
+        return out
 
     om, nm = medians(old), medians(new)
     carried = sorted(set(om) & set(nm))
@@ -129,9 +137,15 @@ def bench_compare(old_path, new_path):
     print(f"carried queries: {len(carried)}  "
           f"sum_median old={osum:.2f}s new={nsum:.2f}s "
           f"ratio={nsum / osum if osum else float('nan'):.3f}")
+    def family(q):
+        for b in (new, old):
+            v = b["queries"].get(q)
+            if isinstance(v, dict) and "family" in v:
+                return v["family"]
+        return "batch"
+
     for fam in ("batch", "streaming"):
-        oc = [q for q in carried
-              if old["queries"][q].get("family") == fam]
+        oc = [q for q in carried if family(q) == fam]
         fo = sum(om[q] for q in oc)
         fn = sum(nm[q] for q in oc)
         print(f"  {fam:9s} carried={len(oc):4d} old={fo:7.2f}s "
