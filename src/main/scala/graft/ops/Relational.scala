@@ -828,13 +828,35 @@ object Relational {
         lit(batchId + 1L).as("seq"), lit("U").as("op")): _*)
     val servingPath = new org.apache.hadoop.fs.Path(servingDir)
     val fs = servingPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(servingPath)) {
+    if (TxTable.currentVersion(s, servingDir) == 0L) {
       // bootstrap: the first batch IS the snapshot (update mode emits
-      // every key it has seen, so batch 0 covers all its keys); register
-      // it as manifest v1 so every later merge commits crash-safely
+      // every key it has seen, so batch 0 covers all its keys). It lands
+      // through the SAME staged-commit protocol as every later merge: a
+      // crash mid-bootstrap leaves no manifest (readers fail loudly, and
+      // a later attempt could otherwise register the partial table as
+      // v1), and the foreachBatch redelivery of batch 0 simply redoes it
+      val stagePath = new org.apache.hadoop.fs.Path(servingDir + ".bootstrap")
+      fs.delete(stagePath, true) // a stale crashed attempt
       changes.drop("seq", "op")
-        .write.partitionBy("p").parquet(servingDir)
-      TxTable.bootstrapIfNeeded(s, servingDir)
+        .write.partitionBy("p").parquet(stagePath.toString)
+      val moved = fs.listStatus(stagePath)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("p="))
+        .flatMap { dir =>
+          val dst = new org.apache.hadoop.fs.Path(
+            servingPath, dir.getPath.getName)
+          if (!fs.exists(dst)) fs.mkdirs(dst)
+          fs.listStatus(dir.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map { f =>
+              val to = new org.apache.hadoop.fs.Path(dst, f.getPath.getName)
+              if (!fs.rename(f.getPath, to))
+                throw new java.io.IOException(s"bootstrap move failed for $to")
+              s"${dir.getPath.getName}/${f.getPath.getName}"
+            }
+        }.toSeq
+      fs.delete(stagePath, true)
+      TxTable.commit(s, servingDir, moved)
+      ()
     } else {
       mergePartitioned(s, servingDir, changes, payloadCols)
       ()

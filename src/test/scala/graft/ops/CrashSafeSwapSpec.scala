@@ -156,6 +156,42 @@ class CrashSafeSwapSpec extends SparkSpec {
     }
   }
 
+  test("serving bootstrap: a crashed batch-0 leaves NO manifest; redelivery completes it cleanly") {
+    import spark.implicits._
+    val out = ExportOps.scratchDir("graft_crash_boot", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val serving = s"$out/serving"
+      val b0 = (0L until 20L).map(k => (k, 1L, k * 10L))
+        .toDF("user_id", "n_events", "sum_off_ms")
+      TxTable.armedFailpoints = Map("beforeCommit" -> 0)
+      try intercept[TxTable.InjectedCrash] {
+        Relational.upsertServePartitioned(spark, serving, b0, 0L,
+          "user_id", Seq("n_events", "sum_off_ms"), nPart = 4)
+      } finally TxTable.armedFailpoints = Map.empty
+      // no manifest committed: a reader fails loudly instead of serving
+      // (or later registering) the partial bootstrap
+      intercept[IllegalArgumentException] { TxTable.read(spark, serving) }
+      // foreachBatch redelivery of batch 0 redoes the bootstrap
+      Relational.upsertServePartitioned(spark, serving, b0, 0L,
+        "user_id", Seq("n_events", "sum_off_ms"), nPart = 4)
+      val got = TxTable.read(spark, serving)
+        .select($"k", $"n_events", $"sum_off_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got === b0.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+      // and a follow-up merge batch lands on the recovered table
+      Relational.upsertServePartitioned(spark, serving,
+        Seq((3L, 5L, 999L)).toDF("user_id", "n_events", "sum_off_ms"), 1L,
+        "user_id", Seq("n_events", "sum_off_ms"), nPart = 4)
+      val after = TxTable.read(spark, serving)
+        .filter($"k" === 3L).select($"n_events", $"sum_off_ms")
+        .head()
+      assert((after.getLong(0), after.getLong(1)) === ((5L, 999L)))
+      ExportOps.deleteRecursively(out)
+    }
+  }
+
   test("commit race: one winner per version in-process; a foreign mid-window commit fails loudly") {
     import spark.implicits._
     val out = ExportOps.scratchDir("graft_occ", "spec")
