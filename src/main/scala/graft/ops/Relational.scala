@@ -856,7 +856,8 @@ object Relational {
         }.toSeq
       fs.delete(stagePath, true)
       TxTable.commit(s, servingDir, moved)
-      ()
+      // sweep a crashed earlier bootstrap's half-moved orphans
+      TxTable.vacuum(s, servingDir)
     } else {
       mergePartitioned(s, servingDir, changes, payloadCols)
       ()

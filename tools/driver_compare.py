@@ -115,9 +115,15 @@ def bench_compare(old_path, new_path):
     new = json.load(open(new_path))
 
     def medians(b):
-        # accepts both the SPARK_GRAFT_BENCH_OUT artifact (values are
-        # {"median_sec": ...} dicts) and the driver's BENCH_r{N}.json
-        # single-pass format (values are bare seconds)
+        # accepts the SPARK_GRAFT_BENCH_OUT artifact (values are
+        # {"median_sec": ...} dicts), a bare {"queries": {name: sec}}
+        # map, or the driver's BENCH_r{N}.json stdout-capture wrapper
+        # (salvages per-query seconds from the truncated "tail": query
+        # times are the only floats keyed by gate names there)
+        import re
+        if "queries" not in b and "tail" in b:
+            return {q: float(v) for q, v in re.findall(
+                r'"([a-z]\d+[a-z0-9_]*)":([0-9]+\.[0-9]+)', b["tail"])}
         out = {}
         for q, v in b["queries"].items():
             if isinstance(v, dict) and "median_sec" in v:
