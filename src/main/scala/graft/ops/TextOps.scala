@@ -1226,6 +1226,54 @@ object TextOps {
         |FROM sh GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** c08: SQL PIPE SYNTAX + PARAMETERIZED QUERIES — Spark 4's two new
+    * SQL front doors, composed: the curation filter-extend-aggregate
+    * pipeline written as `FROM ... |> WHERE |> EXTEND |> AGGREGATE |>
+    * ORDER BY` (the linear dataflow form that reads like the DataFrame
+    * chain it desugars to), with the quality threshold bound as a NAMED
+    * PARAMETER (`:minChars` — the injection-safe surface a serving layer
+    * templates instead of string-splicing). Pipe syntax is pure sugar:
+    * PlanAuditR12Spec pins `sameResult` against the standard-SQL form,
+    * so the readability costs literally nothing at plan time. The
+    * aggregates stay order-free (integer sums, min/max of per-row
+    * doubles) — the cross-engine determinism discipline every oracled
+    * gate follows. */
+  private def c08(s: SparkSession, d: String): DataFrame = {
+    docs(s, d).createOrReplaceTempView("documents")
+    s.sql(c08PipeSql, Map("minChars" -> 50))
+  }
+
+  /** The c08 pipe-syntax text, shared with the plan-parity spec. */
+  private[graft] val c08PipeSql: String =
+    """FROM documents
+      ||> WHERE n_chars >= :minChars
+      ||> EXTEND size(split(text, ' ')) AS n_toks
+      ||> EXTEND CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+      |     / n_toks AS distinct_ratio
+      ||> WHERE distinct_ratio >= 0.5
+      ||> AGGREGATE CAST(count(*) AS BIGINT) AS n_docs,
+      |     CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+      |     round(min(distinct_ratio), 6) AS min_ratio,
+      |     round(max(distinct_ratio), 6) AS max_ratio
+      |   GROUP BY source, lang
+      ||> ORDER BY source, lang""".stripMargin
+
+  /** The same pipeline in standard SQL — the plan-parity twin. */
+  private[graft] val c08StandardSql: String =
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+      |  round(min(distinct_ratio), 6) AS min_ratio,
+      |  round(max(distinct_ratio), 6) AS max_ratio
+      |FROM (
+      |  SELECT lang, source, n_toks,
+      |    CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / n_toks
+      |      AS distinct_ratio
+      |  FROM (SELECT *, size(split(text, ' ')) AS n_toks FROM documents
+      |        WHERE n_chars >= :minChars))
+      |WHERE distinct_ratio >= 0.5
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   /** The c07 SQL function definitions, shared with the inlining spec. */
   private[graft] def registerSqlUdfs(s: SparkSession): Unit = {
     s.sql(
@@ -1278,6 +1326,7 @@ object TextOps {
     "t27_source_prune" -> t27 _, "t28_privacy_release" -> t28 _,
     "t29_sketch_prune" -> t29 _, "t30_rag_index_append" -> t30 _,
     "t31_langid_ngram" -> t31 _, "c07_sql_udf_pipeline" -> c07 _,
+    "c08_sql_pipe_pipeline" -> c08 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
@@ -1378,6 +1427,20 @@ object TextOps {
         |ORDER BY source, rk""".stripMargin,
     // the SQL-UDF pipeline replayed with the function bodies expanded
     // inline (exactly what Spark's analyzer does to them)
+    // the pipe-syntax pipeline replayed in standard SQL: same threshold
+    // (the bound :minChars = 50), same per-row ratio, order-free aggs
+    "c08_sql_pipe_pipeline" ->
+      """WITH base AS (
+        |  SELECT source, lang, len(string_split(text, ' ')) AS n_toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS distinct_ratio
+        |  FROM documents WHERE n_chars >= 50)
+        |SELECT source, lang, count(1) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+        |  round(min(distinct_ratio), 6) AS min_ratio,
+        |  round(max(distinct_ratio), 6) AS max_ratio
+        |FROM base WHERE distinct_ratio >= 0.5
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "c07_sql_udf_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, text,

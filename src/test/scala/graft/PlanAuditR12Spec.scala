@@ -53,6 +53,22 @@ class PlanAuditR12Spec extends SparkSpec {
     }
   }
 
+  test("c08: pipe syntax is pure sugar — same optimized plan as the standard form") {
+    Tables(spark, d, "documents").createOrReplaceTempView("documents")
+    val params = Map("minChars" -> 50)
+    val piped = spark.sql(ops.TextOps.c08PipeSql, params)
+    val standard = spark.sql(ops.TextOps.c08StandardSql, params)
+    assert(piped.queryExecution.optimizedPlan
+        .sameResult(standard.queryExecution.optimizedPlan),
+      s"pipe form must optimize to the standard form's plan:\n" +
+        s"piped:\n${piped.queryExecution.optimizedPlan}\n" +
+        s"standard:\n${standard.queryExecution.optimizedPlan}")
+    // and the physical plan stays one codegen'd agg over the scan — the
+    // linear pipe chain must not materialize intermediate steps
+    val physical = piped.queryExecution.executedPlan.toString
+    assert(physical.contains("HashAggregate"), physical)
+  }
+
   test("TxTable.read after a merge serves exactly the manifest's file set") {
     val out = ExportOps.scratchDir("graft_txplan2", "spec")
     ExportOps.withScratchCleanup(out) {
