@@ -737,6 +737,75 @@ object SessionGates {
     }
   }
 
+  /** q108: STATE-SCHEMA EVOLUTION across a restart — the upgrade story
+    * q90's same-processor restart leaves open: run 1 accumulates per-user
+    * totals with the v1 state type; run 2 is the UPGRADED deployment
+    * ([[graft.streaming.EvolvedTotalsProcessor]] — state grew an
+    * `Option[Long]` field) resuming on the SAME checkpoint under Avro
+    * state encoding. The store decodes v1 rows with the new field absent
+    * and writes v2 rows — no migration job, no replay: the only operable
+    * upgrade path once keyed state reaches the tens of TB. The gate's
+    * output unions both runs (run-1 rows carry `max_cents_run2 = -1` —
+    * the run-1 schema widened at read; run-2 rows carry lifetime totals
+    * PLUS the new field folded over run-2 events only, its absent-state
+    * default observable), so a dropped field, a misdecoded v1 row, or
+    * lost carried counts each move the hash. */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_evolve", d)
+    ExportOps.withConf(s, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    ExportOps.withConf(s,
+      "spark.sql.streaming.stateStore.encodingFormat", "avro") {
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m"))
+        .head().getLong(0)
+      val now = System.currentTimeMillis()
+      import s.implicits._
+      def stream = s.readStream.schema(ev.schema).parquet(s"$out/in")
+        .select(col("user_id"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .as[graft.streaming.UserEvent]
+      def runOnce(dataDir: String,
+                  f: org.apache.spark.sql.Dataset[
+                    graft.streaming.UserEvent] => org.apache.spark.sql.DataFrame): Unit =
+        ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
+          val q = f(stream).writeStream.format("parquet")
+            .option("path", dataDir)
+            .option("checkpointLocation", s"$out/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      arriveAs(onePartFile(ev.filter(unix_micros(col("ts")) <= mid), out, "f0"),
+        out, "f0", now - 120000L)
+      runOnce(s"$out/data", st => st.groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.CumulativeTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append()).toDF())
+      arriveAs(onePartFile(ev.filter(unix_micros(col("ts")) > mid), out, "f1"),
+        out, "f1", now - 60000L)
+      runOnce(s"$out/data", st => st.groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.EvolvedTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append()).toDF())
+      // one sink dir (the file-sink metadata log is checkpoint-tied); the
+      // run-1 files carry the NARROW schema — the output evolved with the
+      // state, and mergeSchema widens the old rows with the read-time
+      // default, exactly like the store widened the v1 state rows
+      val landed = s.read.option("mergeSchema", "true").parquet(s"$out/data")
+        .withColumn("max_cents_run2",
+          coalesce(col("max_cents_run2"), lit(-1L)))
+      ExportOps.localizeAndDrop(landed, out,
+        "user_id", "n_events", "sum_cents", "max_cents_run2")
+    }
+    }
+    }
+  }
+
   /** q100: `transformWithState` INITIAL-STATE bootstrap — the standard
     * batch→streaming migration path none of q74/q84/q89/q90 touch: a
     * user's history arrives ONCE as batch-computed state
@@ -1249,6 +1318,7 @@ object SessionGates {
     "q99_stream_full_outer_join" -> q99 _,
     "q100_stream_state_bootstrap" -> q100 _,
     "q107_stream_list_state" -> q107 _,
+    "q108_state_schema_evolution" -> q108 _,
     "q102_state_source_read" -> q102 _,
     "q103_late_redelivery_screen" -> q103 _,
     "q105_stream_observe" -> q105 _,
@@ -1396,6 +1466,31 @@ object SessionGates {
         |  FROM e JOIN bb_u USING (user_id) GROUP BY e.user_id)
         |SELECT * FROM ba UNION ALL SELECT * FROM bb
         |ORDER BY user_id, n_events, sum_cents""".stripMargin,
+    // both runs recomputed from scratch: run-1 rows are pre-mid totals
+    // with the widened column's read-time default (-1); run-2 rows are
+    // LIFETIME totals (v1 state carried through the upgrade) plus the
+    // new field folded over run-2 events only — a dropped field,
+    // misdecoded v1 row, or lost carry each move a different column
+    "q108_state_schema_evolution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT (min(tsu) + max(tsu)) // 2 AS m FROM e),
+        |r1 AS (
+        |  SELECT user_id, count(1) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(-1 AS BIGINT) AS max_cents_run2
+        |  FROM e CROSS JOIN b WHERE tsu <= m GROUP BY user_id),
+        |r2u AS (SELECT DISTINCT user_id FROM e CROSS JOIN b WHERE tsu > m),
+        |r2 AS (
+        |  SELECT e.user_id, count(1) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(max(CASE WHEN tsu > m THEN cents END) AS BIGINT)
+        |      AS max_cents_run2
+        |  FROM e JOIN r2u USING (user_id) CROSS JOIN b GROUP BY e.user_id)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY user_id, n_events""".stripMargin,
     // two streaming batches, membership recomputed per batch: a user's
     // row in a batch is the newest-5 of ALL their events up to that
     // batch's end (ts, then event_id orders ties) — batch-2 windows

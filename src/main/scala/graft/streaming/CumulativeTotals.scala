@@ -194,3 +194,47 @@ class RecentEventsProcessor(maxN: Int)
       kept.map(_.cents).sum, kept.last.event_id))
   }
 }
+
+/** q108's evolved state shapes: v2 adds an OPTIONAL field to the
+  * [[UserTotals]] state (Option ⇒ an Avro union-with-null — the
+  * evolvable encoding; a required field could not be read from v1
+  * state). */
+case class UserTotalsV2(n: Long, cents: Long, maxCents: Option[Long])
+case class UserCumulativeV2(user_id: Long, n_events: Long, sum_cents: Long,
+                            // Option ⇒ nullable in the sink parquet, so the
+                            // run-1 files (written before the column existed)
+                            // stay readable under the merged schema
+                            max_cents_run2: Option[Long])
+
+/** The STATE-SCHEMA-EVOLUTION leg of the restart story — q90 proves a
+  * restart recovers v1 state; this processor is the UPGRADED deployment
+  * resuming on the same checkpoint: the state type grew a field
+  * (`maxCents`), and under Avro state encoding
+  * (`spark.sql.streaming.stateStore.encodingFormat=avro`) the store
+  * reads v1 rows with the new field absent (None) and writes v2 rows —
+  * no state migration job, no replay. That is the only operable upgrade
+  * path at 100 TB of keyed state: a rewrite-the-state migration is a
+  * full-store scan per deploy. The carried v1 counters keep
+  * accumulating (the q74 contract); the new field starts fresh, and its
+  * absent-state default (-1) is observable in the output so a silent
+  * field drop or misdecode moves the gate hash. */
+class EvolvedTotalsProcessor
+    extends StatefulProcessor[Long, UserEvent, UserCumulativeV2] {
+
+  @transient private var totals: ValueState[UserTotalsV2] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserTotalsV2]("totals",
+      Encoders.product[UserTotalsV2], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[UserCumulativeV2] = {
+    val prev = if (totals.exists()) totals.get() else UserTotalsV2(0L, 0L, None)
+    var n = prev.n
+    var c = prev.cents
+    var mx = prev.maxCents.getOrElse(-1L)
+    rows.foreach { e => n += 1; c += e.cents; mx = math.max(mx, e.cents) }
+    totals.update(UserTotalsV2(n, c, Some(mx)))
+    Iterator.single(UserCumulativeV2(key, n, c, Some(mx)))
+  }
+}
