@@ -21,6 +21,21 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_PROBE_PROGRESS=1: dump each micro-batch's duration breakdown
+    if (sys.env.contains("GRAFT_PROBE_PROGRESS"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            println(s"[progress] batch=${p.batchId} rows=${p.numInputRows} " +
+              s"durations=${p.durationMs}")
+          }
+          override def onQueryTerminated(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        })
     SparkEntry.queries("g05_stream_flagship")(spark, sfDir).count() // warm
     names.foreach { n =>
       val ts = (1 to 3).map { _ =>

@@ -48,6 +48,18 @@ object SessionGates {
     * serving-table `nPart` note on q98 says. */
   private[graft] val StreamShuffleParts = "2"
 
+  /** The q89 exception to [[StreamShuffleParts]]: the timer gate's
+    * addBatch is CPU-bound REAL work (per-session timer
+    * registration/firing over every session in the corpus — ~per-event
+    * processor cost, not per-instance fixed cost), so it WANTS
+    * parallelism where the other gates only pay instance overhead:
+    * at sf0.1 its median reads 11.7 s on 2 partitions, 8.2 s on 8
+    * (probe-measured; 16 buys only 0.6 s more against over-sharding the
+    * small SFs). Exactly the "size partitions to load" note made
+    * concrete: partition count follows the operator's work profile, not
+    * a global constant. */
+  private[graft] val TimerShuffleParts = "8"
+
   /** 2020-01-01T00:00:00Z in epoch-ms — the fixed base the q98 serving
     * metric offsets from so per-key sums stay far from Long overflow. */
   private[ops] val BaseEpochMs = 1577836800000L
@@ -603,6 +615,12 @@ object SessionGates {
     val out = ExportOps.scratchDir("graft_timers", d)
     ExportOps.withConf(s, "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    // delta uploads per commit, not full snapshots — the q90 maintenance
+    // conf; the timer gate pays 4+ commits (3 data batches + the
+    // watermark-driven firing batch) and is the bench family ceiling
+    ExportOps.withConf(s,
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true") {
     ExportOps.withScratchCleanup(out) {
       new java.io.File(out, "in").mkdirs()
       val ev = Tables(s, d, "events")
@@ -636,7 +654,7 @@ object SessionGates {
         .transformWithState(new graft.streaming.SessionTimeoutProcessor(300000L),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           org.apache.spark.sql.streaming.OutputMode.Append())
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", TimerShuffleParts) {
         val q = sessions.toDF().writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
@@ -650,6 +668,7 @@ object SessionGates {
       // filter documents the contract rather than trusting it
       val landed = s.read.parquet(s"$out/data").filter(col("user_id") >= 0)
       ExportOps.localizeAndDrop(landed, out, "user_id", "session_start_ms")
+    }
     }
     }
   }
