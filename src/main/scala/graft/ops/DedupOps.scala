@@ -997,8 +997,13 @@ object DedupOps {
     * data; the corpus behind the index is never rescanned. */
   private[ops] def screenAgainstIndex(s: SparkSession, incoming: DataFrame,
                                       inHv: DataFrame, idxDir: String): DataFrame = {
-    val sigs = s.read.parquet(s"$idxDir/sigs")
-    val bands = s.read.parquet(s"$idxDir/bands")
+    // crash-consistent serve: resolve the manifest (registering a
+    // pre-protocol index on first touch), so a crashed append's
+    // half-moved files are invisible to the screen
+    TxTable.bootstrapIfNeeded(s, s"$idxDir/sigs")
+    TxTable.bootstrapIfNeeded(s, s"$idxDir/bands")
+    val sigs = TxTable.read(s, s"$idxDir/sigs")
+    val bands = TxTable.read(s, s"$idxDir/bands")
     val exact = incoming.select(col("doc_id"), md5(col("text")).as("th"))
       .join(sigs.select(col("th")).distinct(), Seq("th"), "left_semi")
       .select(col("doc_id")).distinct()
@@ -1034,10 +1039,15 @@ object DedupOps {
                                  arrHv: DataFrame, kept: DataFrame,
                                  idxDir: String): Unit = {
     val keptHv = arrHv.join(kept.select("doc_id"), "doc_id")
-    keptHv
-      .join(arrivals.select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
-      .write.mode("append").parquet(s"$idxDir/sigs")
-    bandFrame(keptHv).write.mode("append").parquet(s"$idxDir/bands")
+    // both sides commit through the TxTable manifest (r12 discipline): a
+    // crashed append leaves the prior generation serving, never a
+    // partially-visible batch of signatures that would let its own dups
+    // screen as kept
+    TxTable.stageAndCommit(
+      keptHv.join(
+        arrivals.select(col("doc_id"), md5(col("text")).as("th")), "doc_id"),
+      s"$idxDir/sigs", append = true)
+    TxTable.stageAndCommit(bandFrame(keptHv), s"$idxDir/bands", append = true)
   }
 
   /** Build + persist the d22 corpus index (sigs/ + bands/) under `dir`.

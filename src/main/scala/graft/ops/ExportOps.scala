@@ -365,21 +365,7 @@ object ExportOps {
     val merged = TxTable.read(s, dir).unionByName(centroidStats(arrival))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("s")).cast("decimal(38,12)").as("s"), sum(col("n")).as("n"))
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stage = new org.apache.hadoop.fs.Path(dir + ".stage")
-    merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    val moved = fs.listStatus(stage)
-      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
-      .map { f =>
-        val to = new org.apache.hadoop.fs.Path(path, f.getPath.getName)
-        if (!fs.rename(f.getPath, to))
-          throw new java.io.IOException(s"staged promote failed for $to")
-        f.getPath.getName
-      }
-    fs.delete(stage, true)
-    TxTable.commit(s, dir, moved)
-    TxTable.vacuum(s, dir)
+    TxTable.stageAndCommit(merged, dir, append = false)
   }
 
   /** Serve phase: assemble centroids (exact sum / count, the identical

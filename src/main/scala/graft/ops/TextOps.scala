@@ -485,20 +485,8 @@ object TextOps {
       .filter(col("cell").isin(affected.map(Int.box): _*)))
     val carried = TxTable.read(s, s"$root/centroids")
       .filter(!col("cell").isin(affected.map(Int.box): _*))
-    val cstage = new org.apache.hadoop.fs.Path(s"$root/centroids.stage")
-    refreshed.unionByName(carried).write.parquet(cstage.toString)
-    val cmoved = fs.listStatus(cstage)
-      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
-      .map { f =>
-        val to = new org.apache.hadoop.fs.Path(
-          s"$root/centroids", f.getPath.getName)
-        if (!fs.rename(f.getPath, to))
-          throw new java.io.IOException(s"centroid refresh move failed for $to")
-        f.getPath.getName
-      }
-    fs.delete(cstage, true)
-    TxTable.commit(s, s"$root/centroids", cmoved)
-    TxTable.vacuum(s, s"$root/centroids")
+    TxTable.stageAndCommit(refreshed.unionByName(carried),
+      s"$root/centroids", append = false)
   }
 
   /** t30: t25's index under APPEND maintenance — the corpus arrives as

@@ -174,6 +174,7 @@ object TxTable {
     * (root-relative), skipping hidden (`_`/`.`) names at every level. */
   def listDataFiles(s: SparkSession, root: String): Seq[String] = {
     val (fs, rootPath) = fsOf(s, root)
+    if (!fs.exists(rootPath)) return Nil
     val prefix = rootPath.toUri.getPath.stripSuffix("/") + "/"
     def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
     def walk(p: Path): Seq[String] =
@@ -205,6 +206,37 @@ object TxTable {
   def readVersion(s: SparkSession, root: String, version: Long): DataFrame = {
     val files = filesOfVersion(s, root, version).map(f => s"$root/$f")
     s.read.option("basePath", root).parquet(files: _*)
+  }
+
+  /** Stage `df` as parquet beside `dir` and commit it through the
+    * manifest protocol — the shared shape of every FLAT (unpartitioned)
+    * table maintenance here: write to a `.stage` sibling, move the part
+    * files in with checked metadata renames (old files untouched), flip
+    * one manifest, vacuum. `append = true` keeps the current generation
+    * in the manifest (an append); `false` lists only the new files (a
+    * full replacement). A crash at any instant serves one complete
+    * version. Partitioned tables (cell=/p= layouts) keep their custom
+    * moves — their manifests carry per-partition paths. */
+  def stageAndCommit(df: DataFrame, dir: String, append: Boolean,
+                     vacuumNow: Boolean = true): Unit = {
+    val s = df.sparkSession
+    val (fs, dirPath) = fsOf(s, dir)
+    if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
+    bootstrapIfNeeded(s, dir)
+    val stage = new Path(dir + ".stage")
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(stage.toString)
+    val moved = fs.listStatus(stage)
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val to = new Path(dirPath, f.getPath.getName)
+        if (!fs.rename(f.getPath, to))
+          throw new java.io.IOException(s"staged promote failed for $to")
+        f.getPath.getName
+      }
+    fs.delete(stage, true)
+    commit(s, dir, (if (append) liveFiles(s, dir) else Nil) ++ moved)
+    if (vacuumNow) vacuum(s, dir)
   }
 
   /** e20-style maintenance: delete visible parquet files the latest
