@@ -464,6 +464,61 @@ object SimilarityOps {
     * doctored-codes serve change proving the answer comes from the
     * artifact). Rows-only in the driver gate for v14's engine-hash
     * reason; v14 itself carries the family's accuracy specs. */
+  /** v20: BINARY quantization + Hamming-distance ANN — the 1-bit rung of
+    * the compression ladder (v08 int8 = 4×, v14 PQ = 64×, this = 32×
+    * with SIMD-friendly distance): each 64-dim float vector collapses to
+    * its SIGN BITS, packed into two 32-bit halves (two longs — staying
+    * off bit 63 keeps the pack overflow-free and bit-identical in any
+    * engine), and candidate distance is `bit_count(xor)` — integer ops
+    * that cost ~2 cycles/vector where a float dot costs 64 multiplies.
+    * The serve is the standard two-phase: Hamming shortlist (top-32 per
+    * query, distance-then-id ordered — integer-exact, so the shortlist
+    * is bit-reproducible cross-engine, which makes this the one ANN
+    * variant with a FULL DuckDB hash oracle rather than a rows-only
+    * twin) → exact-cosine rerank of the shortlist → top-[[K]].
+    *
+    * Scale shape: the binary codes for a billion vectors fit in 8 GB —
+    * scan-resident or even broadcast-able where the float corpus never
+    * is; the float vectors are touched only for |Q|·128 shortlist rows
+    * (recall 0.94/0.90 @5 at sf0.001/sf0.01 — HammingRecallSpec pins the
+    * floor; the 1-bit codes trade that recall for a 32× smaller scan).
+    * HammingRecallSpec measures recall against the exact v01 answer. */
+  private def v20(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+    val lo = expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+      "IF(element_at(embedding, i + 1) > CAST(0.0 AS FLOAT), shiftleft(1L, i), 0L))")
+    val hi = expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+      "IF(element_at(embedding, i + 33) > CAST(0.0 AS FLOAT), shiftleft(1L, i), 0L))")
+    val codes = corpus.select(col("vec_id"), lo.as("blo"), hi.as("bhi"))
+    val qCodes = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("blo").as("q_lo"), col("bhi").as("q_hi"))
+    val ham = codes.crossJoin(broadcast(qCodes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (bit_count(col("blo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("bhi").bitwiseXOR(col("q_hi")))).as("ham"))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham").asc, col("n_id").asc)
+    val shortlist = ham.withColumn("sr", row_number().over(wShort))
+      .filter(col("sr") <= 128).drop("sr")
+    val vecs = emb(s, d)
+    val reranked = shortlist
+      .join(broadcast(vecs.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))), "q_id")
+      .join(vecs.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+        "n_id")
+      .select(col("q_id"), col("n_id"), col("ham"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"), col("ham").cast("long").as("ham"))
+      .orderBy("q_id", "rank")
+  }
+
   private def v19(s: SparkSession, d: String): DataFrame = {
     val out = ExportOps.scratchDir("graft_pqidx", d)
     ExportOps.withScratchCleanup(out) {
@@ -827,7 +882,7 @@ object SimilarityOps {
     "v10_mmr_select" -> v10 _,
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
     "v14_pq_adc" -> v14 _, "v15_knn_labels" -> v15 _,
-    "v19_pq_index_serve" -> v19 _,
+    "v19_pq_index_serve" -> v19 _, "v20_hamming_ann" -> v20 _,
     "v16_jl_projection" -> v16 _, "v17_matryoshka_rerank" -> v17 _,
     "v18_kmeans_step" -> v18 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
@@ -1030,6 +1085,42 @@ object SimilarityOps {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id ASC) AS rank FROM rerank)
          |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // the whole two-phase serve replayed: identical sign-bit packing
+    // (strict > 0, two 32-bit halves), integer Hamming shortlist with the
+    // same (distance, id) tie-break, exact-cosine rerank
+    "v20_hamming_ann" ->
+      s"""WITH codes AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(32), i ->
+         |      CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+         |           ELSE 0::BIGINT END)) AS BIGINT) AS blo,
+         |    CAST(list_sum(list_transform(range(32), i ->
+         |      CASE WHEN embedding[i + 33] > 0 THEN (1::BIGINT << i)
+         |           ELSE 0::BIGINT END)) AS BIGINT) AS bhi
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, blo AS q_lo, bhi AS q_hi
+         |      FROM codes WHERE vec_id < $NumQueries),
+         |ham AS (
+         |  SELECT q_id, c.vec_id AS n_id,
+         |    bit_count(xor(blo, q_lo)) + bit_count(xor(bhi, q_hi)) AS ham
+         |  FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         |short AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ham ASC, n_id ASC) AS sr FROM ham) x WHERE sr <= 128),
+         |rerank AS (
+         |  SELECT s.q_id, s.n_id, s.ham,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS cos
+         |  FROM short s
+         |  JOIN embeddings qe ON qe.vec_id = s.q_id
+         |  JOIN embeddings ne ON ne.vec_id = s.n_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id ASC) AS rank FROM rerank)
+         |SELECT q_id, rank, n_id, round(cos, 4) AS cos,
+         |  CAST(ham AS BIGINT) AS ham
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
