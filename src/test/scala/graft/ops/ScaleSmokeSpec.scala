@@ -121,6 +121,18 @@ class ScaleSmokeSpec extends SparkSpec {
       assert(mPart.shuffleBytes < mFull.shuffleBytes / 3,
         s"merge shuffled ${mPart.shuffleBytes} bytes vs ${mFull.shuffleBytes} " +
           "— the merge is re-shuffling more than the touched partitions")
+      // the commit protocol stays METADATA-sized at x20: the manifest
+      // lists files, not rows — its byte size tracks the file count
+      // (tens of entries), never the 30k-row data volume
+      val mf = new java.io.File(s"$out/snap/_tx").listFiles()
+        .filter(_.getName.startsWith("manifest-")).maxBy(_.getName)
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+        .split("\n").count(_.nonEmpty)
+      assert(lines === TxTable.liveFiles(spark, s"$out/snap").size)
+      assert(mf.length() < 20000,
+        s"manifest grew to ${mf.length()} bytes — it must stay file-count " +
+          "metadata, not data-sized")
       ExportOps.deleteRecursively(out)
     }
   }
