@@ -436,10 +436,11 @@ object TextOps {
     * same fixed cell function, land in a staging directory partitioned by
     * cell, and their files MOVE into the live cell directories with
     * metadata-only renames (a cell the index has never seen appears as a
-    * new directory — no rebuild); the centroid routing table refreshes by
-    * re-aggregating ONLY the affected cells' postings (a directory-pruned
-    * scan) and carrying every other centroid unchanged, then swaps in via
-    * its own staged write. Nothing ever re-reads unaffected cells, and
+    * new directory — no rebuild), becoming visible only through ONE
+    * [[TxTable]] manifest commit; the centroid routing table refreshes by
+    * re-aggregating ONLY the affected cells' postings (a manifest-pruned
+    * scan) and carrying every other centroid unchanged, committing through
+    * its own manifest flip. Nothing ever re-reads unaffected cells, and
     * pre-existing posting files are never rewritten (RagAppendSpec pins
     * byte-identity, new-cell creation, and serve-equality with a
     * from-scratch rebuild). */
