@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Locale-pinned decimal formatting: the artifact is parsed as JSON, so
+    * a default locale whose decimal separator is ',' must not leak into it
+    * (the f-interpolator is locale-sensitive). */
+  private def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
+  /** JSON string escaping for embedded error text: quotes, backslashes and
+    * control characters would otherwise tear the self-adjudicating
+    * artifact apart. */
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case '\n'          => b.append("\\n")
+      case '\r'          => b.append("\\r")
+      case '\t'          => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -115,7 +139,7 @@ object Bench {
       }
     val qs = results.map {
       case (k, Right(t)) => "\"" + k + "\":" + t
-      case (k, Left(m))  => "\"" + k + "\":\"" + m + "\""
+      case (k, Left(m))  => "\"" + k + "\":\"" + jsonEscape(m) + "\""
     }.mkString("{", ",", "}")
     graft.ops.DedupOps.unpersistCaches() // post-timing cache lifecycle
     val errors = results.count(_._2.isLeft)
@@ -140,14 +164,14 @@ object Bench {
     // reasoning from single-pass totals on a noisy host.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { outPath =>
       val loadAfter = loadAvg()
-      def arr(xs: Seq[Double]) = xs.map(v => f"$v%.2f").mkString("[", ",", "]")
+      def arr(xs: Seq[Double]) = xs.map(v => num(v, 2)).mkString("[", ",", "]")
       val qjson = results.map { case (name, r) =>
         val fam = if (metrics.isStreaming(name)) "streaming" else "batch"
         val body = r match {
           case Right(m) =>
-            val rs = repTimes(name).map(t => f"$t%.4f").mkString("[", ",", "]")
-            f""""median_sec":$m%.4f,"reps_sec":$rs"""
-          case Left(msg) => s""""error":"$msg""""
+            val rs = repTimes(name).map(t => num(t, 4)).mkString("[", ",", "]")
+            s""""median_sec":${num(m, 4)},"reps_sec":$rs"""
+          case Left(msg) => s""""error":"${jsonEscape(msg)}""""
         }
         s""""$name":{$body,"family":"$fam","shuffle_bytes":${
           metrics.shuffleBytes(name)},"rows_read":${metrics.rowsRead(name)}}"""
@@ -159,9 +183,9 @@ object Bench {
         s"""{"sf":"$sfDir","reps":$reps,"cpus":"$cpus",
            |"load_avg_before":${arr(loadBefore)},"load_avg_after":${arr(loadAfter)},
            |"n_queries":${results.size},"errors":$errors,
-           |"total_median_sec":${f"$total%.2f"},
-           |"families":{"batch":{"n":${bs.size},"sum_median_sec":${f"${bs.sum}%.2f"}},
-           |"streaming":{"n":${ss.size},"sum_median_sec":${f"${ss.sum}%.2f"}}},
+           |"total_median_sec":${num(total, 2)},
+           |"families":{"batch":{"n":${bs.size},"sum_median_sec":${num(bs.sum, 2)}},
+           |"streaming":{"n":${ss.size},"sum_median_sec":${num(ss.sum, 2)}}},
            |"queries":$qjson}""".stripMargin.replace("\n", "")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
       println(s"[bench] artifact written to $outPath")

@@ -471,7 +471,7 @@ object SimilarityOps {
     * off bit 63 keeps the pack overflow-free and bit-identical in any
     * engine), and candidate distance is `bit_count(xor)` — integer ops
     * that cost ~2 cycles/vector where a float dot costs 64 multiplies.
-    * The serve is the standard two-phase: Hamming shortlist (top-32 per
+    * The serve is the standard two-phase: Hamming shortlist (top-128 per
     * query, distance-then-id ordered — integer-exact, so the shortlist
     * is bit-reproducible cross-engine, which makes this the one ANN
     * variant with a FULL DuckDB hash oracle rather than a rows-only

@@ -484,6 +484,10 @@ object TextOps {
     // r11 ADVICE's delete-then-rename window closed).
     val refreshed = centroidsOf(TxTable.read(s, s"$root/postings")
       .filter(col("cell").isin(affected.map(Int.box): _*)))
+    // a pre-protocol index has no centroids manifest yet — register its
+    // current files as v1 (same register-on-first-touch contract as
+    // DedupOps.screenAgainstIndex) instead of failing "bootstrap first"
+    TxTable.bootstrapIfNeeded(s, s"$root/centroids")
     val carried = TxTable.read(s, s"$root/centroids")
       .filter(!col("cell").isin(affected.map(Int.box): _*))
     TxTable.stageAndCommit(refreshed.unionByName(carried),
@@ -518,6 +522,9 @@ object TextOps {
     * routing table, not data. */
   def ragProbes(s: SparkSession, root: String, qemb: DataFrame,
                 nProbe: Int): Array[(Long, Int)] = {
+    // serve path register-on-first-touch: a pre-protocol index (persisted
+    // before the manifest protocol existed) gets its v1 manifest here
+    TxTable.bootstrapIfNeeded(s, s"$root/centroids")
     val cent = TxTable.read(s, s"$root/centroids")
     val routed = qemb.crossJoin(broadcast(cent))
       .withColumn("csim", graft.functions.VectorFunctions.dot(
@@ -547,6 +554,7 @@ object TextOps {
                         probes: Array[(Long, Int)]): DataFrame = {
     import s.implicits._
     val probedCells = probes.map(_._2).distinct.sorted
+    TxTable.bootstrapIfNeeded(s, s"$root/postings") // pre-protocol index
     val postings = TxTable.read(s, s"$root/postings")
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
     val routing = probes.toSeq.toDF("query_id", "cell")

@@ -196,6 +196,7 @@ object TxTable {
     * the file-index level (spec-pinned). */
   def read(s: SparkSession, root: String): DataFrame = {
     val files = liveFiles(s, root).map(f => s"$root/$f")
+    if (files.isEmpty) return emptySnapshot(s, root, currentVersion(s, root))
     s.read.option("basePath", root).parquet(files: _*)
   }
 
@@ -205,7 +206,72 @@ object TxTable {
     * table (e22 gates it end-to-end). */
   def readVersion(s: SparkSession, root: String, version: Long): DataFrame = {
     val files = filesOfVersion(s, root, version).map(f => s"$root/$f")
+    if (files.isEmpty) return emptySnapshot(s, root, version)
+    // A manifest can outlive its data: vacuum keeps the last keepManifests
+    // manifests as commit HISTORY but deletes every data file the latest
+    // version no longer references. Check up front so a vacuumed snapshot
+    // fails with the real story, not parquet's file-not-found.
+    val (fs, _) = fsOf(s, root)
+    val missing = files.filterNot(f => fs.exists(new Path(f)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"version $version of $root is no longer readable: ${missing.size} of " +
+        s"${files.size} data files were deleted by vacuum (only the latest " +
+        s"version's data files survive a vacuum; retained older manifests " +
+        s"are commit history, not readable snapshots). First missing: " +
+        missing.head)
     s.read.option("basePath", root).parquet(files: _*)
+  }
+
+  /** An empty-but-legal snapshot (a manifest that commits zero files —
+    * e.g. a retention erasure expiring every partition). Parquet cannot
+    * infer a schema from zero files, so serve the schema sidecar
+    * [[stageAndCommit]] records; without one, fail with the TxTable-level
+    * story instead of Spark's misleading "Unable to infer schema". */
+  private def emptySnapshot(s: SparkSession, root: String,
+                            version: Long): DataFrame =
+    storedSchema(s, root) match {
+      case Some(schema) =>
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema)
+      case None => throw new IllegalStateException(
+        s"version $version of $root committed zero data files and no schema " +
+          s"sidecar is recorded ($TxDirName/$SchemaFileName) — an empty " +
+          s"snapshot cannot be served without a schema source")
+    }
+
+  private val SchemaFileName = "schema.json"
+
+  /** Latest recorded table schema, if any maintenance recorded one. */
+  def storedSchema(s: SparkSession,
+                   root: String): Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, rootPath) = fsOf(s, root)
+    val p = new Path(rootPath, s"$TxDirName/$SchemaFileName")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(text)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Records `schema` as the table's schema sidecar (latest wins — after a
+    * schema evolution the latest schema is the one an empty snapshot
+    * should serve). Same dot-temp + rename discipline as manifests. */
+  def recordSchema(s: SparkSession, root: String,
+                   schema: org.apache.spark.sql.types.StructType): Unit = {
+    val (fs, rootPath) = fsOf(s, root)
+    val tx = new Path(rootPath, TxDirName)
+    if (!fs.exists(tx)) fs.mkdirs(tx)
+    val tmp = new Path(tx,
+      s".$SchemaFileName.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    val target = new Path(tx, SchemaFileName)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"schema sidecar write failed for $root")
   }
 
   /** Stage `df` as parquet beside `dir` and commit it through the
@@ -223,6 +289,7 @@ object TxTable {
     val (fs, dirPath) = fsOf(s, dir)
     if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
     bootstrapIfNeeded(s, dir)
+    recordSchema(s, dir, df.schema) // lets an empty future version serve
     val stage = new Path(dir + ".stage")
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(stage.toString)
@@ -246,7 +313,15 @@ object TxTable {
     * commit (the kernels here vacuum inline, so steady-state directory
     * listings match the manifest); a deployment with long-running
     * concurrent readers would defer it by a retention window instead —
-    * the standard log-structured-table contract. */
+    * the standard log-structured-table contract.
+    *
+    * Retention contract: only the LATEST version's data files survive a
+    * vacuum. The `keepManifests` retained older manifests are commit
+    * HISTORY (who committed what, when) — [[readVersion]] against them
+    * after a vacuum fails with the accurate story, never parquet's
+    * file-not-found. Time travel across versions therefore requires
+    * deferring vacuum (e22's flow: commit, commit, read both, THEN
+    * vacuum). */
   def vacuum(s: SparkSession, root: String, keepManifests: Int = 10): Unit = {
     val (fs, rootPath) = fsOf(s, root)
     val live = liveFiles(s, root).toSet

@@ -113,4 +113,34 @@ class RagAppendSpec extends SparkSpec {
       ExportOps.deleteRecursively(out)
     }
   }
+
+  test("a pre-protocol index registers on first touch for serve AND append") {
+    val out = ExportOps.scratchDir("graft_ragapp_preproto", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      TextOps.buildRagIndex(spark,
+        TextOps.ragChunkEmbeddings(documents.filter(col("doc_id") % 2 === 0)),
+        root)
+      // simulate an index persisted BEFORE the manifest protocol existed:
+      // strip the _tx logs from both artifact tables
+      Seq("postings", "centroids").foreach { t =>
+        ExportOps.deleteRecursively(new java.io.File(root, s"$t/_tx"))
+      }
+      val qemb = TextOps.ragQueryEmbeddings(spark)
+      // serve bootstraps v1 manifests instead of dying "bootstrap first"
+      val served = TextOps.ragServeFromIndex(spark, root, qemb, 6)
+      assert(served.count() > 0)
+      assert(TxTable.currentVersion(spark, s"$root/centroids") >= 1L)
+      assert(TxTable.currentVersion(spark, s"$root/postings") >= 1L)
+      // and so does append against a fresh pre-protocol copy
+      Seq("postings", "centroids").foreach { t =>
+        ExportOps.deleteRecursively(new java.io.File(root, s"$t/_tx"))
+      }
+      TextOps.appendRagIndex(spark,
+        TextOps.ragChunkEmbeddings(documents.filter(col("doc_id") % 2 =!= 0)),
+        root)
+      assert(TextOps.ragServeFromIndex(spark, root, qemb, 6).count() > 0)
+      ExportOps.deleteRecursively(out)
+    }
+  }
 }

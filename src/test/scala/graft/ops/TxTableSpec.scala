@@ -79,4 +79,69 @@ class TxTableSpec extends SparkSpec {
       ExportOps.deleteRecursively(out)
     }
   }
+
+  test("an empty-but-legal manifest serves an empty frame via the schema sidecar") {
+    import spark.implicits._
+    val out = ExportOps.scratchDir("graft_txunit4", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val root = s"$out/t"
+      // stageAndCommit records the schema sidecar; then a maintenance
+      // step (e.g. a retention erasure expiring every partition) commits
+      // ZERO files — the table must serve empty with the schema, not die
+      // in parquet's "Unable to infer schema"
+      TxTable.stageAndCommit(Seq((1L, "a")).toDF("k", "v"), root,
+        append = false)
+      TxTable.commit(spark, root, Nil)
+      val served = TxTable.read(spark, root)
+      assert(served.count() === 0L)
+      assert(served.columns.toSeq === Seq("k", "v"))
+      // the zero-file VERSION also time-travels as empty
+      assert(TxTable.readVersion(spark, root,
+        TxTable.currentVersion(spark, root)).count() === 0L)
+      ExportOps.deleteRecursively(out)
+    }
+  }
+
+  test("a zero-file manifest without a schema sidecar fails with the TxTable story") {
+    import spark.implicits._
+    val out = ExportOps.scratchDir("graft_txunit5", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val root = s"$out/t"
+      Seq((1L, "a")).toDF("k", "v").write.parquet(root)
+      TxTable.bootstrapIfNeeded(spark, root) // no sidecar written this path
+      TxTable.commit(spark, root, Nil)
+      val ex = intercept[IllegalStateException] { TxTable.read(spark, root) }
+      assert(ex.getMessage.contains("zero data files"),
+        s"must explain the empty snapshot, got: ${ex.getMessage}")
+      ExportOps.deleteRecursively(out)
+    }
+  }
+
+  test("readVersion after vacuum reports the retention contract, not file-not-found") {
+    import spark.implicits._
+    val out = ExportOps.scratchDir("graft_txunit6", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val root = s"$out/t"
+      // v1 = one row; v2 = a full replacement (new files) — then vacuum
+      // deletes v1's data but RETAINS its manifest as commit history
+      TxTable.stageAndCommit(Seq((1L, "a")).toDF("k", "v"), root,
+        append = false, vacuumNow = false)
+      val vOld = TxTable.currentVersion(spark, root)
+      TxTable.stageAndCommit(Seq((2L, "b")).toDF("k", "v"), root,
+        append = false, vacuumNow = false)
+      // both versions readable pre-vacuum (the e22 time-travel window)
+      assert(TxTable.readVersion(spark, root, vOld).count() === 1L)
+      TxTable.vacuum(spark, root)
+      assert(TxTable.read(spark, root).as[(Long, String)].collect()
+        .toSeq === Seq((2L, "b")))
+      // the old manifest still resolves (history) but its read tells the
+      // accurate vacuum story instead of parquet's missing-file error
+      val ex = intercept[IllegalStateException] {
+        TxTable.readVersion(spark, root, vOld)
+      }
+      assert(ex.getMessage.contains("deleted by vacuum"),
+        s"got: ${ex.getMessage}")
+      ExportOps.deleteRecursively(out)
+    }
+  }
 }

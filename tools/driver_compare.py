@@ -122,8 +122,21 @@ def bench_compare(old_path, new_path):
         # times are the only floats keyed by gate names there)
         import re
         if "queries" not in b and "tail" in b:
-            return {q: float(v) for q, v in re.findall(
+            # Seconds are the only FLOAT values keyed by gate names in the
+            # tail; integer maps there (rows_read, shuffle_bytes) must NOT
+            # be salvaged as seconds, so the decimal point is load-bearing.
+            # When truncation cut the float map entirely (seen in
+            # BENCH_r12.json), say so loudly instead of reporting a
+            # meaningless "carried: 0" comparison.
+            got = {q: float(v) for q, v in re.findall(
                 r'"([a-z]\d+[a-z0-9_]*)":([0-9]+\.[0-9]+)', b["tail"])}
+            if not got:
+                print("WARNING: tail-format artifact yielded 0 per-query "
+                      "seconds (the float map was truncated away; the "
+                      "surviving integer maps are row counts, not seconds) "
+                      "— no per-query comparison is possible against it",
+                      file=sys.stderr)
+            return got
         out = {}
         for q, v in b["queries"].items():
             if isinstance(v, dict) and "median_sec" in v:
@@ -144,8 +157,9 @@ def bench_compare(old_path, new_path):
           f"sum_median old={osum:.2f}s new={nsum:.2f}s "
           f"ratio={nsum / osum if osum else float('nan'):.3f}")
     def family(q):
+        # legacy tail-format artifacts have no "queries" map at all
         for b in (new, old):
-            v = b["queries"].get(q)
+            v = b.get("queries", {}).get(q)
             if isinstance(v, dict) and "family" in v:
                 return v["family"]
         return "batch"
