@@ -4,8 +4,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension entry point:
   * `--conf spark.sql.extensions=graft.GraftExtensions` injects the engine's
-  * native functions into every session built on the cluster. */
+  * native functions and the matview-rewrite optimizer rule into every
+  * session built on the cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.descriptions.foreach(e.injectFunction)
+    // aggregate navigation: rewrite covered aggregates onto registered
+    // materialized views (no-op until a view is registered)
+    e.injectOptimizerRule(_ => plans.MatviewRewrite)
+  }
 }

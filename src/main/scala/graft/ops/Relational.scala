@@ -1646,6 +1646,69 @@ object Relational {
     }
   }
 
+  /** q109: q83's cube serving made TRANSPARENT — aggregate navigation via
+    * a Catalyst optimizer rule ([[graft.plans.MatviewRewrite]], registered
+    * through `SparkSessionExtensions`). The three coarser queries here are
+    * written against the RAW lineitem table, exactly as a dashboard would
+    * write them; the rule redirects each one onto the registered
+    * partial-aggregate artifact (count partial + exact decimal sum
+    * partial), merging partials instead of re-scanning the fact table. The
+    * DuckDB oracle computes every grain directly from the raw table, so a
+    * hash match proves the rewrite is lossless; PlanAuditR13Spec pins that
+    * the optimized plans actually scan the view artifact (and that
+    * non-covered queries don't). At 100 TB the rewritten scan is KB-scale
+    * metadata where the original is the full fact table. */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.{MatviewCatalog, MatviewRewrite}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Sum => CSum}
+    import org.apache.spark.sql.types.DecimalType
+    val out = ExportOps.scratchDir("graft_mvrw", d)
+    ExportOps.withScratchCleanup(out) {
+      // materialize the serving grain once (the q83 artifact shape:
+      // exact decimal partials so any re-grouping merges losslessly)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,2)")).as("qty_dec"))
+        .write.parquet(s"$out/mv")
+      val defn = MatviewCatalog.define("lineitem_rf_ls",
+        base = t(s, d, "lineitem"), mv = s.read.parquet(s"$out/mv"),
+        dims = Set("l_returnflag", "l_linestatus"),
+        partialOf = {
+          case Count(Seq(Literal(1, _))) => Some("n")
+          case CSum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
+              if a.name == "l_quantity" && dt == DecimalType(30, 2) =>
+            Some("qty_dec")
+          case _ => None
+        })
+      MatviewRewrite.attach(s)
+      MatviewCatalog.register(defn)
+      try {
+        // the USER-side queries: raw-table aggregates at three grains
+        def grain(level: String, keys: Seq[org.apache.spark.sql.Column],
+                  k1: org.apache.spark.sql.Column,
+                  k2: org.apache.spark.sql.Column): DataFrame =
+          t(s, d, "lineitem").groupBy(keys: _*)
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("decimal(30,2)")).as("qd"))
+            .select(lit(level).as("level"), k1.as("k1"), k2.as("k2"),
+              col("n"), col("qd").cast("double").as("sum_qty"))
+        val byFlag = grain("flag", Seq(col("l_returnflag")),
+          col("l_returnflag"), lit(null).cast("string"))
+        val byStatus = grain("status", Seq(col("l_linestatus")),
+          lit(null).cast("string"), col("l_linestatus"))
+        val total = grain("all", Nil,
+          lit(null).cast("string"), lit(null).cast("string"))
+        // localizeAndDrop collects HERE, inside the registration scope —
+        // the rewrite fires during these executions
+        ExportOps.localizeAndDrop(
+          byFlag.unionByName(byStatus).unionByName(total)
+            .orderBy("level", "k1", "k2"), out, "level", "k1", "k2")
+      } finally MatviewCatalog.unregister("lineitem_rf_ls")
+    }
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -1859,6 +1922,7 @@ object Relational {
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
     "q80_dynamic_pruning" -> q80 _, "q81_snapshot_diff" -> q81 _,
     "q82_share_of_total" -> q82 _, "q83_cube_serving" -> q83 _,
+    "q109_matview_rewrite" -> q109 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -2343,6 +2407,23 @@ object Relational {
     // each coarser query served from persisted partials must equal the
     // direct computation over the raw fact table
     "q83_cube_serving" ->
+      """SELECT 'flag' AS level, l_returnflag AS k1, CAST(NULL AS VARCHAR) AS k2,
+        |  count(1) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'status', CAST(NULL AS VARCHAR), l_linestatus, count(1),
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+        |FROM lineitem GROUP BY l_linestatus
+        |UNION ALL
+        |SELECT 'all', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), count(1),
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+        |FROM lineitem
+        |ORDER BY level, k1, k2""".stripMargin,
+    // q109 serves the SAME three grains through the optimizer-rule
+    // rewrite; the oracle recomputes each directly from the raw table, so
+    // a hash match proves the partial-merge rewrite is lossless
+    "q109_matview_rewrite" ->
       """SELECT 'flag' AS level, l_returnflag AS k1, CAST(NULL AS VARCHAR) AS k2,
         |  count(1) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty

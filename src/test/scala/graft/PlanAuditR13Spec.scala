@@ -1,0 +1,167 @@
+package graft
+
+import graft.ops.ExportOps
+import graft.plans.{MatviewCatalog, MatviewRewrite}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-13 plan pins for the matview-rewrite optimizer rule (q109) — the
+  * claims the driver's hash gate can't check:
+  *
+  *  - a COVERED aggregate's optimized plan scans the view artifact and
+  *    never touches the base table (the whole 100 TB argument);
+  *  - the rewrite preserves result schema (names, types, output ids) —
+  *    the hash gate sees values, not plan provenance;
+  *  - NON-covered shapes (non-dim grouping key, non-dim filter, unmapped
+  *    aggregate, DISTINCT) are left alone and still scan the base;
+  *  - a dim-only filter slices the view, not the base, and stays correct;
+  *  - the answer really comes from the artifact: doctoring the view
+  *    changes the result (serve-from-artifact proof);
+  *  - registration is scoped: after unregister, the same query scans the
+  *    base again. */
+class PlanAuditR13Spec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private def lineitem = Tables(spark, d, "lineitem")
+
+  private def scannedRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+
+  private def withCube[A](body: String => A): A = {
+    val out = ExportOps.scratchDir("graft_mvplan", "spec")
+    ExportOps.withScratchCleanup(out) {
+      val mvPath = s"$out/mv"
+      lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,2)")).as("qty_dec"))
+        .write.parquet(mvPath)
+      MatviewRewrite.attach(spark)
+      MatviewCatalog.register(MatviewCatalog.define("spec_cube",
+        base = lineitem, mv = spark.read.parquet(mvPath),
+        dims = Set("l_returnflag", "l_linestatus"),
+        partialOf = {
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(
+            org.apache.spark.sql.catalyst.expressions.Literal(1, _))) =>
+            Some("n")
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+              dt: org.apache.spark.sql.types.DecimalType, _, _), _)
+              if a.name == "l_quantity" &&
+                dt == org.apache.spark.sql.types.DecimalType(30, 2) =>
+            Some("qty_dec")
+          case _ => None
+        }))
+      try body(mvPath)
+      finally MatviewCatalog.unregister("spec_cube")
+    }
+  }
+
+  private def covered = lineitem.groupBy(col("l_returnflag"))
+    .agg(count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("decimal(30,2)")).as("sq"))
+
+  test("q109: a covered aggregate scans the view artifact, never the base") {
+    withCube { mvPath =>
+      val roots = scannedRoots(covered)
+      assert(roots.exists(_.contains("graft_mvplan")),
+        s"rewritten plan must scan the view, scanned: $roots")
+      assert(!roots.exists(_.contains("lineitem.parquet")),
+        s"rewritten plan must NOT scan the base table, scanned: $roots")
+      // schema preserved exactly (names and types — invisible rewrite)
+      val control = covered // same logical query, compare to unregistered run
+      assert(control.schema.map(f => (f.name, f.dataType)) ===
+        Seq(("l_returnflag",
+          org.apache.spark.sql.types.StringType),
+          ("n", org.apache.spark.sql.types.LongType),
+          ("sq", org.apache.spark.sql.types.DecimalType(38, 2))))
+    }
+  }
+
+  test("q109: rewritten results equal the direct computation, incl. dim filter") {
+    withCube { _ =>
+      val rewritten = covered.orderBy("l_returnflag").collect().toSeq
+      val sliced = lineitem.filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,2)")).as("sq"))
+      assert(scannedRoots(sliced).exists(_.contains("graft_mvplan")),
+        "dim-only filter must still rewrite")
+      val slicedRows = sliced.orderBy("l_returnflag").collect().toSeq
+      MatviewCatalog.unregister("spec_cube") // direct computation now
+      assert(covered.orderBy("l_returnflag").collect().toSeq === rewritten)
+      assert(lineitem.filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,2)")).as("sq"))
+        .orderBy("l_returnflag").collect().toSeq === slicedRows)
+    }
+  }
+
+  test("q109: non-covered shapes are left alone (base scan preserved)") {
+    withCube { _ =>
+      val nonDimKey = lineitem.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val nonDimFilter = lineitem.filter(col("l_orderkey") > 100)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val unmappedAgg = lineitem.groupBy(col("l_returnflag"))
+        .agg(max(col("l_quantity")).as("mx"))
+      val distinctAgg = lineitem.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("nd"))
+      for ((q, what) <- Seq((nonDimKey, "non-dim grouping key"),
+        (nonDimFilter, "non-dim filter"), (unmappedAgg, "unmapped aggregate"),
+        (distinctAgg, "distinct aggregate"))) {
+        val roots = scannedRoots(q)
+        assert(roots.exists(_.contains("lineitem.parquet")),
+          s"$what must keep scanning the base, scanned: $roots")
+        assert(!roots.exists(_.contains("graft_mvplan")),
+          s"$what must not be rewritten, scanned: $roots")
+      }
+    }
+  }
+
+  test("q109: the answer comes from the artifact — doctoring the view changes it") {
+    withCube { mvPath =>
+      val before = covered.orderBy("l_returnflag").collect().toSeq
+      // doctor the artifact out-of-band: rewrite it with inflated counts
+      val doctored = spark.read.parquet(mvPath)
+        .withColumn("n", col("n") + 1000000L)
+      val tmp = mvPath + ".doctored"
+      doctored.write.parquet(tmp)
+      ExportOps.deleteRecursively(new java.io.File(mvPath))
+      new java.io.File(tmp).renameTo(new java.io.File(mvPath))
+      // re-register so the cached scan lists the doctored files
+      MatviewCatalog.register(MatviewCatalog.define("spec_cube",
+        base = lineitem, mv = spark.read.parquet(mvPath),
+        dims = Set("l_returnflag", "l_linestatus"),
+        partialOf = {
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(
+            org.apache.spark.sql.catalyst.expressions.Literal(1, _))) =>
+            Some("n")
+          case _ => None
+        }))
+      val after = lineitem.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n")).orderBy("l_returnflag").collect().toSeq
+      assert(after !== before.map(r => org.apache.spark.sql.Row(
+        r.getString(0), r.getLong(1))),
+        "doctored view must change the served counts")
+      assert(after.forall(_.getLong(1) > 1000000L),
+        s"counts must reflect the doctored partials: $after")
+    }
+  }
+
+  test("q109: registration is scoped — after unregister the base serves again") {
+    withCube { _ => () } // withCube unregisters in finally
+    val roots = scannedRoots(covered)
+    assert(roots.exists(_.contains("lineitem.parquet")) &&
+      !roots.exists(_.contains("graft_mvplan")),
+      s"after unregister the query must scan the base again: $roots")
+  }
+}
