@@ -1292,8 +1292,86 @@ object ExportOps {
     }
   }
 
+  /** Row-level change feed between two committed [[TxTable]] versions —
+    * Delta/Iceberg's `table_changes()` recovered READ-SIDE from the
+    * manifest log (no write-time change capture needed): full-outer join
+    * the two snapshots on `key` and classify each row `insert` / `delete`
+    * / `update_preimage` + `update_postimage` (the Delta CDF contract:
+    * updates emit BOTH images, so a consumer can re-derive either
+    * snapshot or maintain a downstream aggregate incrementally).
+    * Unchanged rows — the overwhelming majority of a 100 TB table — drop
+    * before the output. One key shuffle; nothing collects.
+    *
+    * `_commit_version` stamps the feed with the TO version, so chained
+    * feeds (v1→v2, v2→v3) concatenate into a replayable log. */
+  def tableChanges(s: SparkSession, root: String, fromVersion: Long,
+                   toVersion: Long, key: Seq[String]): DataFrame =
+    changeDataFeed(TxTable.readVersion(s, root, fromVersion),
+      TxTable.readVersion(s, root, toVersion), key)
+      .withColumn("_commit_version", lit(toVersion))
+
+  /** The diff kernel behind [[tableChanges]], public for the CDF
+    * round-trip spec (applying the feed to the old snapshot must
+    * reproduce the new one). Both inputs must share a schema; `key`
+    * identifies rows. */
+  def changeDataFeed(oldDf: DataFrame, newDf: DataFrame,
+                     key: Seq[String]): DataFrame = {
+    val valCols = oldDf.columns.filterNot(key.contains).toSeq
+    require(valCols.toSet == newDf.columns.filterNot(key.contains).toSet,
+      "changeDataFeed requires both snapshots to share a schema")
+    val pre = struct(valCols.map(col): _*)
+    val post = struct(valCols.map(col): _*)
+    val o = oldDf.select(key.map(col) :+ pre.as("_pre"): _*)
+    val n = newDf.select(key.map(col) :+ post.as("_post"): _*)
+    val j = o.join(n, key, "full_outer")
+    def emit(src: String, tpe: String,
+             cond: org.apache.spark.sql.Column) =
+      j.where(cond).select(key.map(col) ++
+        valCols.map(c => col(s"$src.$c").as(c)) :+
+        lit(tpe).as("_change_type"): _*)
+    val changed = j("_pre").isNotNull && j("_post").isNotNull &&
+      !(j("_pre") <=> j("_post"))
+    val inserts = emit("_post", "insert",
+      j("_pre").isNull && j("_post").isNotNull)
+    val deletes = emit("_pre", "delete",
+      j("_post").isNull && j("_pre").isNotNull)
+    val updPre = emit("_pre", "update_preimage", changed)
+    val updPost = emit("_post", "update_postimage", changed)
+    inserts.unionByName(deletes).unionByName(updPre).unionByName(updPost)
+  }
+
+  /** e23: CHANGE DATA FEED over the version log — e22 reads two
+    * snapshots; this emits what happened BETWEEN them. Same setup (the
+    * customer snapshot bootstraps v1, the q68 change batch merges as v2,
+    * vacuum deferred), then [[tableChanges]](v1→v2) serves the row-level
+    * feed: inserts are the re-keyed arrivals, deletes the retired keys,
+    * updates both images. The oracle re-derives both states from the raw
+    * table and diffs them in SQL, so a hash match proves the read-side
+    * CDF is exactly the write batch's net effect — including
+    * same-key collisions where a later delete beats an earlier update.
+    * At 100 TB this is the incremental-consumer feed (e18's consumption
+    * pattern) without any write-path instrumentation. */
+  private def e23(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_cdf", d)
+    withScratchCleanup(out) {
+      val snapDir = s"$out/snap"
+      Tables(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_nationkey").as("p"))
+        .write.partitionBy("p").parquet(snapDir)
+      TxTable.bootstrapIfNeeded(s, snapDir) // v1
+      Relational.mergePartitioned(s, snapDir,
+        Relational.q68Changes(s, d), Seq("name", "bal"),
+        vacuumNow = false) // v2
+      val feed = tableChanges(s, snapDir, 1L, 2L, Seq("k"))
+        .withColumn("p", col("p").cast("int"))
+      localizeAndDrop(feed, out, "k", "_change_type")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e22_tx_time_travel" -> e22 _,
+    "e23_change_data_feed" -> e23 _,
     "e17_audited_publish" -> e17 _, "e18_incremental_consume" -> e18 _,
     "e19_xml_roundtrip" -> e19 _, "e20_vacuum" -> e20 _,
     "e21_layout_migration" -> e21 _,
@@ -1318,6 +1396,50 @@ object ExportOps {
         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // e23: both snapshots re-derived from the raw table, diffed in SQL
+    // with the same Delta-CDF contract (updates emit both images)
+    "e23_change_data_feed" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+        |         CAST(c_nationkey AS INT) AS p
+        |  FROM customer),
+        |changes AS (
+        |  SELECT c_custkey AS k, c_name AS name, c_acctbal + 100 AS bal,
+        |         CAST(c_nationkey AS INT) AS p, 1 AS seq, 'U' AS op
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, NULL, CAST(c_nationkey AS INT), 2, 'D'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, 'new-' || c_name, c_acctbal,
+        |         CAST(c_nationkey AS INT), 1, 'I'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 13 = 0),
+        |with_base AS (
+        |  SELECT k, name, bal, p, 0 AS seq, 'S' AS op FROM v1
+        |  UNION ALL SELECT * FROM changes),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM with_base),
+        |v2 AS (SELECT k, name, bal, p FROM latest WHERE rn = 1 AND op <> 'D'),
+        |feed AS (
+        |  SELECT v2.k, v2.name, v2.bal, v2.p, 'insert' AS _change_type
+        |  FROM v2 LEFT JOIN v1 ON v2.k = v1.k WHERE v1.k IS NULL
+        |  UNION ALL
+        |  SELECT v1.k, v1.name, v1.bal, v1.p, 'delete'
+        |  FROM v1 LEFT JOIN v2 ON v1.k = v2.k WHERE v2.k IS NULL
+        |  UNION ALL
+        |  SELECT v1.k, v1.name, v1.bal, v1.p, 'update_preimage'
+        |  FROM v1 JOIN v2 ON v1.k = v2.k
+        |  WHERE v1.name IS DISTINCT FROM v2.name
+        |     OR v1.bal IS DISTINCT FROM v2.bal OR v1.p IS DISTINCT FROM v2.p
+        |  UNION ALL
+        |  SELECT v2.k, v2.name, v2.bal, v2.p, 'update_postimage'
+        |  FROM v1 JOIN v2 ON v1.k = v2.k
+        |  WHERE v1.name IS DISTINCT FROM v2.name
+        |     OR v1.bal IS DISTINCT FROM v2.bal OR v1.p IS DISTINCT FROM v2.p)
+        |SELECT k, name, bal, p, _change_type,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM feed ORDER BY k, _change_type""".stripMargin,
     // both snapshots recomputed from the raw table: version 1 is the
     // customer base, version 2 replays the q68 CDC merge (latest-per-key,
     // tombstones drop); a time-travel read that leaked files across
