@@ -1192,6 +1192,44 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
+  /** The t32 term dictionary — in production this is the C4/CCNet-style
+    * blocklist (profanity, boilerplate markers, policy terms) loaded from
+    * a curated file; here a fixed set of corpus-present terms so the gate
+    * exercises both hit and miss paths at every SF. */
+  private[ops] val BlocklistTerms = Seq("slow", "vector", "merge")
+
+  /** t32: dictionary-based document screening (the C4 "bad words" filter
+    * generalized): every document is scored against a term blocklist —
+    * total flagged-token occurrences, the distinct flagged terms, and the
+    * keep/drop verdict (C4 drops a page on ANY hit). The Spark-first
+    * shape is tokenize → explode → BROADCAST hash join against the
+    * dictionary → per-doc aggregate, then a left join back so clean
+    * documents keep an explicit zero row: at 100 TB the dictionary is
+    * KB-scale metadata shipped to every executor, the corpus is touched
+    * exactly once, and no LIKE/regex alternation scan ever runs (a
+    * 1000-term regex alternation is quadratic in practice; a hash probe
+    * per token is O(1)). The same join shape scales to a million-term
+    * dictionary by dropping the broadcast hint and letting AQE pick. */
+  private def t32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dict = BlocklistTerms.toDF("term")
+    val hits = docs(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokenize(col("text"), "ws")).as("term"))
+      .join(broadcast(dict), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged"),
+        array_join(array_sort(collect_set(col("term"))), ",")
+          .as("flagged_terms"))
+    docs(s, d).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("flagged_terms"), lit("")).as("flagged_terms"),
+        col("n_flagged").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** c07: SQL-DEFINED functions as the extension surface — Spark 4's
     * `CREATE FUNCTION ... RETURN` scalar UDFs and
     * `RETURNS TABLE ... RETURN SELECT` table functions, the declarative
@@ -1322,7 +1360,8 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_source_prune" -> t27 _, "t28_privacy_release" -> t28 _,
     "t29_sketch_prune" -> t29 _, "t30_rag_index_append" -> t30 _,
-    "t31_langid_ngram" -> t31 _, "c07_sql_udf_pipeline" -> c07 _,
+    "t31_langid_ngram" -> t31 _, "t32_blocklist_screen" -> t32 _,
+    "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
@@ -1390,6 +1429,24 @@ object TextOps {
         |ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t32: same dictionary inlined; empty tokens from the regex split
+    // can never match a dictionary term, so split-semantics drift between
+    // the engines is immaterial
+    "t32_blocklist_screen" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, count(1) AS n_flagged,
+        |    string_agg(DISTINCT term, ',' ORDER BY term) AS flagged_terms
+        |  FROM toks WHERE term IN ('slow', 'vector', 'merge')
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(h.n_flagged, 0) AS n_flagged,
+        |  COALESCE(h.flagged_terms, '') AS flagged_terms,
+        |  h.doc_id IS NULL AS keep
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // same key, same hash, same suppression rule — the release tables
     // must be identical or the tokenization isn't deterministic
     "t28_privacy_release" ->

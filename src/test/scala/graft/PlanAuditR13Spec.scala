@@ -157,6 +157,15 @@ class PlanAuditR13Spec extends SparkSpec {
     }
   }
 
+  test("t32: the dictionary probe is a broadcast hash join, never a shuffle or regex scan") {
+    val plan = ops.TextOps.queries("t32_blocklist_screen")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dictionary must broadcast:\n$plan")
+    assert(!plan.contains("RLike") && !plan.contains("rlike"),
+      "screening must probe tokens, not regex-scan the text")
+  }
+
   test("q109: registration is scoped — after unregister the base serves again") {
     withCube { _ => () } // withCube unregisters in finally
     val roots = scannedRoots(covered)
