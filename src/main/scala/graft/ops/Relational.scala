@@ -335,6 +335,37 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** q110: Tukey-fence outlier screening — the data-quality gate every
+    * telemetry/metrics pipeline runs before training on a column: per
+    * group, exact quartiles (on the q104 cents grid, so both engines
+    * interpolate identical rationals — quarters and eighths are exact in
+    * binary doubles, making the fence comparisons bit-deterministic),
+    * fences at 1.5·IQR, then one pass counting low/high outliers. Two
+    * aggregations over ONE scan lineage: the fence table is
+    * groups-sized metadata BROADCAST back onto the events — at 100 TB
+    * the fact table shuffles once on the group key for the quartile
+    * pass and streams map-side through the fence join; nothing sorts
+    * globally and nothing collects. */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val cents = t(s, d, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val fences = cents.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.25D)").as("q1"),
+        expr("percentile(cents, 0.75D)").as("q3"))
+      .select(col("event_type"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    cents.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count_if(col("cents") < col("lo")).as("n_low"),
+        count_if(col("cents") > col("hi")).as("n_high"),
+        count(lit(1)).as("n"),
+        round(min(col("lo")), 6).as("lo"),
+        round(min(col("hi")), 6).as("hi"))
+      .orderBy("event_type")
+  }
+
   private def q96(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy(window(col("ts"), "15 minutes", "5 minutes"),
@@ -1922,7 +1953,7 @@ object Relational {
     "q78_overlap_join" -> q78 _, "q79_time_weighted_avg" -> q79 _,
     "q80_dynamic_pruning" -> q80 _, "q81_snapshot_diff" -> q81 _,
     "q82_share_of_total" -> q82 _, "q83_cube_serving" -> q83 _,
-    "q109_matview_rewrite" -> q109 _,
+    "q109_matview_rewrite" -> q109 _, "q110_outlier_fences" -> q110 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -2100,6 +2131,28 @@ object Relational {
     // exact quantiles over pre-scaled integer cents: interpolation at
     // exact-binary fractions is bit-exact; the .9 leg's position math is
     // the same IEEE expression in both engines, rounded far above ulp
+    // q110: same cents grid as q104; quantile interpolation lands on
+    // quarter-integers and the 1.5*IQR fences on eighths — all exact in
+    // binary doubles, so the outlier comparisons are bit-deterministic
+    // cross-engine
+    "q110_outlier_fences" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, quantile_cont(cents, 0.25) AS q1,
+        |         quantile_cont(cents, 0.75) AS q3
+        |  FROM c GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+        |         q3 + 1.5 * (q3 - q1) AS hi FROM b)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  count(1) AS n, round(min(lo), 6) AS lo, round(min(hi), 6) AS hi
+        |FROM c JOIN f USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q104_exact_percentiles" ->
       """WITH c AS (
         |  SELECT event_type,
