@@ -534,6 +534,85 @@ object SimilarityOps {
     }
   }
 
+  /** v21: IVF-PQ — the composition v14's scaladoc promises and every
+    * FAISS-style serving index actually ships: the coarse IVF layer
+    * (v05's data-independent hyperplane cells + exact-mean centroids)
+    * prunes the candidate set to each query's nProbe cells FIRST, and
+    * the PQ/ADC fine layer scores ONLY those candidates from 4-byte
+    * codes, followed by the standard exact-vector refine of the ADC
+    * shortlist. Individually gated rungs (v05 routing, v14 ADC, v19
+    * persisted codes) compose without modification because each is a
+    * keyed join/agg over the same (vec_id)-keyed frames.
+    *
+    * Scale arithmetic (the reason this is THE production shape): at a
+    * billion vectors with 1024 cells and nProbe=4, ADC touches ~0.4% of
+    * the code table per query — and the codes are 64× smaller than the
+    * floats, so the scored bytes are ~6e-5 of the raw corpus; only the
+    * |Q|·4K refine rows ever read a full vector. Rows-only for v14's
+    * engine-hash reason; IvfPqRecallSpec pins recall against the exact
+    * v01 answer, and the unpruned v14 twin carries the ADC accuracy
+    * specs. */
+  private def v21(s: SparkSession, d: String): DataFrame = {
+    val nProbe = 4
+    val cells = emb(s, d).withColumn("cell",
+      VectorFunctions.hyperplaneSignature(col("embedding"))
+        .bitwiseAND(lit(0xFL)))
+    // coarse layer: exact-mean centroids per cell (the v05 aggregation)
+    val centroids = cells
+      .select(col("cell"), posexplode(VectorFunctions.toDouble(col("embedding"))))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        e => e.getField("v")).as("centroid"))
+    val queries = cells.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("cell"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("centroid")).as("cell_sim"))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    // fine layer: PQ codes, ADC restricted to the probed cells
+    val vecs = DedupOps.cachedShared(cells.select(col("vec_id"), col("cell"),
+      VectorFunctions.toDouble(col("embedding")).as("v")))
+    val codebook = pqCodebook(s, vecs.select(col("vec_id"), col("v")))
+    val codes = pqEncode(vecs.select(col("vec_id"), col("v")), codebook)
+      .join(vecs.select(col("vec_id"), col("cell")), "vec_id")
+    val qTables = pqSubvecs(vecs.select(col("vec_id"), col("v")), 8)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qv"))
+      .join(broadcast(codebook), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        pqL2sq(col("qv"), col("cent")).as("qdist"))
+    val adc = codes.join(broadcast(probed), Seq("cell"))
+      .join(broadcast(qTables), Seq("q_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adc"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val shortlist = adc.withColumn("sr", row_number().over(wAdc))
+      .filter(col("sr") <= 4 * K)
+      .select(col("q_id"), col("vec_id"), col("adc"))
+    val qFull = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val reranked = shortlist
+      .join(vecs.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(qFull), "q_id")
+      .select(col("q_id"), col("vec_id"), col("adc"),
+        pqL2sq(col("v"), col("qv")).as("dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("dist"), 4).as("dist"), round(col("adc"), 4).as("adc"))
+      .orderBy("q_id", "rank")
+  }
+
   /** v15: k-NN label propagation (pseudo-labeling) — every vector in the
     * unlabeled slice (vec_id % 7 == 3) takes the majority label of its
     * [[K]] nearest LABELED neighbors by exact cosine, ties broken by
@@ -883,6 +962,9 @@ object SimilarityOps {
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
     "v14_pq_adc" -> v14 _, "v15_knn_labels" -> v15 _,
     "v19_pq_index_serve" -> v19 _, "v20_hamming_ann" -> v20 _,
+    // rows-only (v14's engine-hash reason): IvfPqRecallSpec pins recall
+    // vs the exact v01 answer; v14 carries the ADC accuracy specs
+    "v21_ivf_pq" -> v21 _,
     "v16_jl_projection" -> v16 _, "v17_matryoshka_rerank" -> v17 _,
     "v18_kmeans_step" -> v18 _,
     "v01_knn_brute" -> v01 _, "v02_knn_lsh" -> v02 _,
