@@ -109,6 +109,40 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** q111: NOT IN with nulls — the null-aware anti join, a DIFFERENT
+    * operator from q07's `left_anti` (NOT EXISTS): under SQL
+    * three-valued logic `x NOT IN (set)` is never true when the set
+    * contains a NULL, and a NULL probe never qualifies. Silently
+    * compiling NOT IN to a plain anti join is the classic correctness
+    * bug (it returns rows 3VL says to drop), so the gate pins all three
+    * regimes — null-free set (= anti join), a set with planted NULLs
+    * (result must collapse to zero), and a nullable probe (NULL probes
+    * drop). Spark plans the null-aware case as a broadcast null-aware
+    * anti join (spec-pinned), which stays a broadcast probe at 100 TB
+    * as long as the set side is dimension-sized; with a fact-sized set
+    * Spark falls back to nested-loop — the documented reason production
+    * SQL rewrites NOT IN to NOT EXISTS when nulls are impossible. */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("g_customer")
+    t(s, d, "orders").createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT 'null_free' AS variant, count(1) AS n FROM g_customer
+        |  WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM g_orders WHERE o_custkey < 500)
+        |UNION ALL
+        |SELECT 'null_in_set', count(1) FROM g_customer
+        |  WHERE c_custkey NOT IN
+        |    (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |                 ELSE o_custkey END
+        |     FROM g_orders WHERE o_custkey < 500)
+        |UNION ALL
+        |SELECT 'null_probe', count(1) FROM g_customer
+        |  WHERE (CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |              ELSE c_custkey END) NOT IN
+        |    (SELECT o_custkey FROM g_orders WHERE o_custkey < 500)
+        |ORDER BY variant""".stripMargin)
+  }
+
   // ------------------------------------------------------------ agg variants
 
   /** Exact distinct aggregation alongside plain aggregates. */
@@ -1954,6 +1988,7 @@ object Relational {
     "q80_dynamic_pruning" -> q80 _, "q81_snapshot_diff" -> q81 _,
     "q82_share_of_total" -> q82 _, "q83_cube_serving" -> q83 _,
     "q109_matview_rewrite" -> q109 _, "q110_outlier_fences" -> q110 _,
+    "q111_not_in_null_aware" -> q111 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -2131,6 +2166,25 @@ object Relational {
     // exact quantiles over pre-scaled integer cents: interpolation at
     // exact-binary fractions is bit-exact; the .9 leg's position math is
     // the same IEEE expression in both engines, rounded far above ulp
+    // q111: DuckDB implements the same 3VL NOT IN semantics natively —
+    // a hash match proves Spark's null-aware anti join agrees in all
+    // three regimes
+    "q111_not_in_null_aware" ->
+      """SELECT 'null_free' AS variant, count(1) AS n FROM customer
+        |  WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM orders WHERE o_custkey < 500)
+        |UNION ALL
+        |SELECT 'null_in_set', count(1) FROM customer
+        |  WHERE c_custkey NOT IN
+        |    (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |                 ELSE o_custkey END
+        |     FROM orders WHERE o_custkey < 500)
+        |UNION ALL
+        |SELECT 'null_probe', count(1) FROM customer
+        |  WHERE (CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |              ELSE c_custkey END) NOT IN
+        |    (SELECT o_custkey FROM orders WHERE o_custkey < 500)
+        |ORDER BY variant""".stripMargin,
     // q110: same cents grid as q104; quantile interpolation lands on
     // quarter-integers and the 1.5*IQR fences on eighths — all exact in
     // binary doubles, so the outlier comparisons are bit-deterministic

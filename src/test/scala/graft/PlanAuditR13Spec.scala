@@ -166,6 +166,28 @@ class PlanAuditR13Spec extends SparkSpec {
       "screening must probe tokens, not regex-scan the text")
   }
 
+  test("q111: the nullable-set NOT IN plans a null-aware anti join, not a plain anti") {
+    val df = ops.Relational.queries("q111_not_in_null_aware")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // Spark compiles the nullable-set variant to a BroadcastHashJoin with
+    // isNullAwareAntiJoin=true — printed as the bare trailing flag
+    // 'LeftAnti, BuildRight, true' (plain anti joins print no flag). A
+    // silent plain LeftAnti for ALL THREE variants would be the classic
+    // 3VL bug; BroadcastNestedLoopJoin is the can't-hash fallback.
+    assert(plan.contains("LeftAnti, BuildRight, true") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"no null-aware anti join in the plan:\n$plan")
+    // and the correctness story itself: nulls-in-set collapses to zero
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("null_in_set") === 0L,
+      s"NOT IN over a null-bearing set must be empty: $rows")
+    // null probes can only DROP qualifiers (strict inequality needs keys
+    // beyond the set bound, which sf0.001's ~150 customers don't have —
+    // the sf0.01 driver gate pins the three-way distinct counts)
+    assert(rows("null_free") >= rows("null_probe"),
+      s"a NULL probe must never qualify: $rows")
+  }
+
   test("q109: registration is scoped — after unregister the base serves again") {
     withCube { _ => () } // withCube unregisters in finally
     val roots = scannedRoots(covered)
