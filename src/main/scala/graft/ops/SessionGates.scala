@@ -233,6 +233,64 @@ object SessionGates {
     }
   }
 
+  /** q112: COMPLETE output mode — the last cell of the streaming
+    * output-mode matrix (append: q58 and the join/sessionization gates;
+    * update: q98's serving sink; complete: here), and the ONLY mode in
+    * which a streaming query may ORDER BY and LIMIT: because every
+    * trigger rewrites the ENTIRE result, a global sort over it is
+    * well-defined — the live-dashboard contract. Complete mode is only
+    * affordable when the aggregate is small-cardinality (event-type
+    * grain, never event grain: the sink rewrites |result| rows per
+    * trigger forever — at 100 TB that's fine for a 5-row leaderboard
+    * and catastrophic for anything keyed by user). The corpus arrives
+    * as two time-split files processed one per trigger
+    * (maxFilesPerTrigger=1), so the final table must reflect
+    * aggregation state CARRIED across triggers, reranked and rewritten
+    * whole each time; it hash-matches the batch oracle's top-3 from
+    * the raw table. Returns the served frame + the non-empty trigger
+    * count (spec pins >= 2 — a single-trigger run wouldn't prove the
+    * rewrite-every-trigger contract). */
+  private[ops] def q112Harness(s: SparkSession, d: String): (DataFrame, Int) = {
+    val out = ExportOps.scratchDir("graft_complete", d)
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val mid = eventTsStats(s, d)._3.toLong
+      val now = System.currentTimeMillis()
+      Seq(unix_micros(col("ts")) <= mid, unix_micros(col("ts")) > mid)
+        .zipWithIndex.foreach { case (cond, i) =>
+          arriveAs(onePartFile(ev.filter(cond), out, s"f$i"), out, s"f$i",
+            now - (2 - i) * 60000L)
+        }
+      val ranked = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .as("sum_cents"))
+        .orderBy(col("n").desc, col("event_type").asc)
+        .limit(3)
+      var triggers = 0
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
+        val q = ranked.writeStream.format("memory").queryName("graft_q112")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          q.processAllAvailable()
+          triggers = q.recentProgress.count(_.numInputRows > 0)
+        } finally q.stop()
+      }
+      (ExportOps.localize(s.sql(
+        "SELECT event_type, n, sum_cents FROM graft_q112 " +
+          "ORDER BY n DESC, event_type")), triggers)
+    }
+  }
+
+  private def q112(s: SparkSession, d: String): DataFrame =
+    q112Harness(s, d)._1
+
   /** q62: stream-stream INTERVAL JOIN under real multi-batch streaming —
     * the one streaming operator family the other gates don't cover. Each
     * purchase picks up the same user's clicks from the preceding 30
@@ -1339,6 +1397,7 @@ object SessionGates {
     "q100_stream_state_bootstrap" -> q100 _,
     "q107_stream_list_state" -> q107 _,
     "q108_state_schema_evolution" -> q108 _,
+    "q112_stream_complete_topk" -> q112 _,
     "q102_state_source_read" -> q102 _,
     "q103_late_redelivery_screen" -> q103 _,
     "q105_stream_observe" -> q105 _,
@@ -1491,6 +1550,14 @@ object SessionGates {
     // LIFETIME totals (v1 state carried through the upgrade) plus the
     // new field folded over run-2 events only — a dropped field,
     // misdecoded v1 row, or lost carry each move a different column
+    // q112: the complete-mode leaderboard equals the batch top-3 over
+    // the whole corpus (n desc, event_type tie-break)
+    "q112_stream_complete_topk" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
     "q108_state_schema_evolution" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tsu,
