@@ -894,6 +894,104 @@ object SessionGates {
     }
   }
 
+  /** q113: STREAM-STATIC join — the one Structured Streaming join leg the
+    * q62/q67/q95/q99 stream-stream matrix never touches: a streaming fact
+    * (events) inner-joined to a STATIC dimension (a customer-derived tier
+    * table) via an explicit `broadcast()`. The join is STATELESS — no
+    * watermark, no join state store; each micro-batch hash-probes the
+    * broadcast dim and emits immediately, which is why at 100 TB/day this
+    * is the default enrichment shape (state cost O(dim), not O(stream)).
+    *
+    * The defining stream-static semantic — the static side is re-bound to
+    * CURRENT dim contents at each query (re)start, not frozen at first
+    * start — is exercised the only honest way a path-based parquet dim
+    * allows: two runs over one checkpoint (the q108/q90 restart pattern;
+    * within one run a parquet DataFrame pins its file listing in its
+    * InMemoryFileIndex, so mid-run dim edits are invisible by design).
+    * Run 1 joins batch-1 events against dim v1 (tier = raw c_mktsegment);
+    * run 2 resumes the SAME checkpoint with dim v2 — MACHINERY rebranded
+    * AUTOMATION and every `c_custkey % 10 = 3` customer DELETED — so
+    * run-2 joined rows carry v2 tiers and run-2 events of deleted
+    * customers drop (the inner join's filter effect, observable in
+    * n_events). The landed per-event join rows batch-aggregate to per
+    * (dimv, tier, event_type) counts; a frozen static side, a stale file
+    * listing, or a non-rebound dim each move the hash. */
+  private def q113(s: SparkSession, d: String): DataFrame =
+    streamStaticHarness(s, d)
+
+  /** The q113 harness, public-in-package so the spec can inspect what the
+    * driver's hash gate can't: `inspect` runs after both streaming runs
+    * with (scratch root, run-2's last executed micro-batch plan) while the
+    * checkpoint and sink still exist on disk. */
+  private[ops] def streamStaticHarness(
+      s: SparkSession, d: String,
+      inspect: (java.io.File, String) => Unit = (_, _) => ()): DataFrame = {
+    val out = ExportOps.scratchDir("graft_streamstatic", d)
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val mid = { val st = eventTsStats(s, d); (st._1 + st._2) / 2 }
+      val now = System.currentTimeMillis()
+      def dim(v: Int): DataFrame = {
+        val base = Tables(s, d, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("tier"))
+        val versioned =
+          if (v == 1) base
+          else base
+            .withColumn("tier", when(col("tier") === "MACHINERY",
+              lit("AUTOMATION")).otherwise(col("tier")))
+            .filter(col("user_id") % 10 =!= 3)
+        versioned.withColumn("dimv", lit(v))
+      }
+      def runOnce(v: Int): String =
+        ExportOps.withConf(s, "spark.sql.shuffle.partitions",
+          StreamShuffleParts) {
+          val stream = s.readStream.schema(ev.schema).parquet(s"$out/in")
+            .select(col("event_id"), col("user_id"), col("event_type"))
+          val q = stream
+            .join(broadcast(dim(v)), Seq("user_id"), "inner")
+            .writeStream.format("parquet")
+            .option("path", s"$out/data")
+            .option("checkpointLocation", s"$out/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try { q.processAllAvailable(); lastMicroBatchPlan(q) }
+          finally q.stop()
+        }
+      arriveAs(onePartFile(ev.filter(unix_micros(col("ts")) <= mid), out,
+        "f0"), out, "f0", now - 120000L)
+      runOnce(1)
+      arriveAs(onePartFile(ev.filter(unix_micros(col("ts")) > mid), out,
+        "f1"), out, "f1", now - 60000L)
+      val plan2 = runOnce(2)
+      val landed = s.read.parquet(s"$out/data")
+        .groupBy(col("dimv"), col("tier"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).cast("long").as("sum_event_id"))
+      val result = ExportOps.localize(landed)
+      inspect(out, plan2)
+      ExportOps.deleteRecursively(out)
+      result.orderBy("dimv", "tier", "event_type")
+    }
+  }
+
+  /** The last micro-batch's executed physical plan, via reflection across
+    * the `private[sql]` StreamingQueryWrapper → StreamExecution →
+    * IncrementalExecution chain (the same objects `q.explain()` prints —
+    * this returns them as a string instead of printing). Best-effort: a
+    * query that ran no batch yields "". */
+  private def lastMicroBatchPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    try {
+      val se = q.getClass.getMethod("streamingQuery").invoke(q)
+      val le = se.getClass.getMethod("lastExecution").invoke(se)
+      if (le == null) ""
+      else le.getClass.getMethod("executedPlan").invoke(le).toString
+    } catch { case _: ReflectiveOperationException => "" }
+
   /** q100: `transformWithState` INITIAL-STATE bootstrap — the standard
     * batch→streaming migration path none of q74/q84/q89/q90 touch: a
     * user's history arrives ONCE as batch-computed state
@@ -1398,6 +1496,7 @@ object SessionGates {
     "q107_stream_list_state" -> q107 _,
     "q108_state_schema_evolution" -> q108 _,
     "q112_stream_complete_topk" -> q112 _,
+    "q113_stream_static_join" -> q113 _,
     "q102_state_source_read" -> q102 _,
     "q103_late_redelivery_screen" -> q103 _,
     "q105_stream_observe" -> q105 _,
@@ -1558,6 +1657,32 @@ object SessionGates {
         |    AS sum_cents
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
+    // each run's batch membership recomputed from scratch against the dim
+    // VERSION that run was bound to: batch-1 (tsu <= m) joins v1 (raw
+    // segments), batch-2 joins v2 (MACHINERY→AUTOMATION, custkey%10=3
+    // deleted) — a frozen or stale static side moves dimv/tier/n_events
+    "q113_stream_static_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+        |  FROM events),
+        |b AS (SELECT (min(tsu) + max(tsu)) // 2 AS m FROM e),
+        |d1 AS (SELECT c_custkey AS user_id, c_mktsegment AS tier,
+        |         1 AS dimv FROM customer),
+        |d2 AS (SELECT c_custkey AS user_id,
+        |         CASE WHEN c_mktsegment = 'MACHINERY' THEN 'AUTOMATION'
+        |              ELSE c_mktsegment END AS tier,
+        |         2 AS dimv FROM customer WHERE c_custkey % 10 <> 3),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.event_type, d.tier, d.dimv
+        |  FROM e CROSS JOIN b JOIN d1 d USING (user_id) WHERE e.tsu <= m
+        |  UNION ALL
+        |  SELECT e.event_id, e.user_id, e.event_type, d.tier, d.dimv
+        |  FROM e CROSS JOIN b JOIN d2 d USING (user_id) WHERE e.tsu > m)
+        |SELECT dimv, tier, event_type, count(1) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        |FROM j GROUP BY dimv, tier, event_type
+        |ORDER BY dimv, tier, event_type""".stripMargin,
     "q108_state_schema_evolution" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tsu,
