@@ -400,6 +400,51 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q114: GLOBAL dense row numbering — the id-assignment step every
+    * training-data export runs (stable example ids, shard-file offsets) —
+    * WITHOUT the `row_number() OVER (ORDER BY key)` single-partition
+    * window the naive SQL implies (which funnels the whole corpus through
+    * one task; a non-starter at 100 TB). Shape: one range shuffle on the
+    * key + in-partition sorts (ranges are ordered across partitions, so
+    * (partition, local position) IS the total order), then a driver-side
+    * cumulative sum over the O(P) per-partition COUNTS — partition-count
+    * metadata, never rows — broadcast back as offsets:
+    * `id = offset(partition) + local position`. The count pass and the
+    * id pass share the range exchange (the second job skips the shuffle
+    * stage), and `monotonically_increasing_id` above the in-partition
+    * sort encodes (partition << 33 | position) without any second pass
+    * over the data. Partition boundaries (sampled) only decide which
+    * range a row lands in, never its final id, so the output is exactly
+    * the dense rank regardless of sampling. */
+  private[graft] def globalRowNumbers(df: DataFrame, key: String): DataFrame = {
+    val s = df.sparkSession
+    // explicit partition count: an AQE-coalesced exchange could legally
+    // re-plan between the counts job and the id job; a user-specified N
+    // is exempt from coalescing, making the (pid, local) encoding stable
+    // across the two jobs that share this shuffle
+    val p = s.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(p, col(key)).sortWithinPartitions(key)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
+      .withColumn("_local", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    var acc = 0L
+    val offsets = (0 to maxPid).map { pid =>
+      val off = acc; acc += counts.getOrElse(pid, 0L); (pid, off)
+    }
+    import s.implicits._
+    val offDf = offsets.toDF("_pid", "_off")
+    sorted.join(broadcast(offDf), Seq("_pid"))
+      .select(df.columns.map(col) :+
+        (col("_off") + col("_local")).as("global_id"): _*)
+  }
+
+  private def q114(s: SparkSession, d: String): DataFrame =
+    globalRowNumbers(t(s, d, "documents").select(col("doc_id")), "doc_id")
+      .orderBy("doc_id")
+
   private def q96(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy(window(col("ts"), "15 minutes", "5 minutes"),
@@ -1989,6 +2034,7 @@ object Relational {
     "q82_share_of_total" -> q82 _, "q83_cube_serving" -> q83 _,
     "q109_matview_rewrite" -> q109 _, "q110_outlier_fences" -> q110 _,
     "q111_not_in_null_aware" -> q111 _,
+    "q114_global_row_number" -> q114 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -2185,6 +2231,13 @@ object Relational {
         |              ELSE c_custkey END) NOT IN
         |    (SELECT o_custkey FROM orders WHERE o_custkey < 500)
         |ORDER BY variant""".stripMargin,
+    // q114: the naive single-window formulation IS the oracle — the
+    // engine's two-job range-shuffle assignment must equal the dense
+    // rank exactly, for every row
+    "q114_global_row_number" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q110: same cents grid as q104; quantile interpolation lands on
     // quarter-integers and the 1.5*IQR fences on eighths — all exact in
     // binary doubles, so the outlier comparisons are bit-deterministic

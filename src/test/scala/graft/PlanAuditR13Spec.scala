@@ -188,6 +188,34 @@ class PlanAuditR13Spec extends SparkSpec {
       s"a NULL probe must never qualify: $rows")
   }
 
+  test("q114: global row numbering plans no global sort and no window") {
+    val df = ops.Relational.globalRowNumbers(
+      Tables(spark, d, "documents").select(col("doc_id")), "doc_id")
+    val plan = df.queryExecution.optimizedPlan
+    // the naive formulation is row_number() OVER (ORDER BY key): a Window
+    // with an empty partition spec above a GLOBAL sort — one task owns
+    // the whole corpus. The engine's plan must have NEITHER.
+    val globalSorts = plan.collect {
+      case s0: org.apache.spark.sql.catalyst.plans.logical.Sort
+        if s0.global => s0
+    }
+    assert(globalSorts.isEmpty,
+      s"global row numbering must not globally sort:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      s"global row numbering must not use a window operator:\n$plan")
+    // in-partition sorts over the range exchange ARE the mechanism
+    assert(plan.collect {
+      case s0: org.apache.spark.sql.catalyst.plans.logical.Sort => s0
+    }.nonEmpty, "expected the in-partition sort above the range exchange")
+    // and the ids equal the dense rank the naive window computes
+    val got = df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = got.map(_._1).sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("q109: registration is scoped — after unregister the base serves again") {
     withCube { _ => () } // withCube unregisters in finally
     val roots = scannedRoots(covered)
