@@ -757,6 +757,95 @@ object ExportOps {
     }
   }
 
+  // ------------------------------------ e24: Bloom-filter file skipping
+
+  /** Per-file Bloom index over a key column: one manifest row per data
+    * file with its row count and a Bloom filter of `xxhash64(key)` —
+    * built by ONE grouped aggregation (`graft_bloom_agg`, the same
+    * Catalyst BloomFilterAggregate the d18 runtime screen uses, here
+    * grouped by `input_file_name`). This is the skipping index zone maps
+    * can't be: e14's min/max manifest prunes range predicates on a SORTED
+    * layout, but a point lookup on a key the layout scatters (hash-
+    * partitioned files → every file's [min,max] spans the whole domain)
+    * passes every zone check and scans the table. The Bloom answers
+    * "might this file contain THIS key" — at 100 TB a point lookup
+    * consults KB-sized manifest metadata and opens ~1 file instead of
+    * all of them. False positives only ever ADD candidate files (the
+    * probe re-filters exactly); absence proofs are exact. */
+  def bloomManifest(s: SparkSession, dataDir: String, key: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val data = s.read.parquet(dataDir)
+    val files = data.select(input_file_name()).distinct().count()
+    val perFile = math.max(64L, data.count() / math.max(files, 1L))
+    // optimal bits for fpp=0.01 at the per-file row count
+    val nBits = math.max(64L, math.ceil(
+      -perFile * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
+    data.withColumn("file", input_file_name())
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("graft_bloom_agg", xxhash64(col(key)),
+          lit(perFile), lit(nBits)).as("bloom"))
+  }
+
+  /** Point-lookup read planned from the Bloom manifest: tests each probe
+    * key's xxhash64 against each file's filter (manifest-sized driver
+    * work — the planner metadata read, same size contract as e14), reads
+    * ONLY the candidate files, and re-applies the exact predicate. */
+  /** The files whose Bloom filter might contain ANY of `hashes` —
+    * manifest-sized driver work, exposed for the spec's skip pins. */
+  def bloomCandidates(manifest: DataFrame, hashes: Seq[Long]): Array[String] =
+    manifest.select(col("file"), col("bloom")).collect()
+      .filter { r =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        hashes.exists(bf.mightContainLong)
+      }.map(_.getString(0))
+
+  def bloomProbe(s: SparkSession, dataDir: String, manifest: DataFrame,
+                 key: String, keys: Seq[Long]): DataFrame = {
+    import s.implicits._
+    // probe hashes computed by the ENGINE's xxhash64 — the same function
+    // the build side aggregated, never a reimplementation
+    val hashes = keys.toDF(key).select(xxhash64(col(key))).collect()
+      .map(_.getLong(0))
+    val candidates = bloomCandidates(manifest, hashes)
+    if (candidates.isEmpty)
+      // every filter said no: an EXACT absence proof — zero files opened
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        s.read.parquet(dataDir).schema)
+    else
+      s.read.parquet(candidates.toIndexedSeq: _*)
+        .filter(col(key).isin(keys: _*))
+  }
+
+  /** e24: the Bloom index gated end-to-end — documents exported as a
+    * hash-scattered layout (8 files keyed by `hash(doc_id)`, the shape
+    * ingest naturally produces and the one zone maps are blind on), a
+    * Bloom manifest built over it, then five deterministic probe keys
+    * (the quartile grid of the id domain) served through the pruned
+    * read. Must hash-match the oracle's plain lookup on the raw table;
+    * the actual skip (candidate files ≪ total, zone maps unable to
+    * prune) is spec-pinned in [[graft.ops.BloomIndexSpec]]. */
+  private def e24(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_bloomidx", d)
+    withScratchCleanup(out) {
+      val dataDir = s"$out/data"
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(8, col("doc_id"))
+        .write.parquet(dataDir)
+      bloomManifest(s, dataDir, "doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/manifest")
+      val bounds = s.read.parquet(dataDir)
+        .agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val keys = (0 to 4).map(i => mn + (mx - mn) * i / 4).distinct
+      val hit = bloomProbe(s, dataDir, s.read.parquet(s"$out/manifest"),
+        "doc_id", keys)
+      localizeAndDrop(hit, out, "doc_id")
+    }
+  }
+
   /** e15: retention + targeted erasure maintenance — the two delete
     * shapes every compliant lake runs, gated end-to-end on a day-
     * partitioned events table:
@@ -1372,6 +1461,7 @@ object ExportOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e22_tx_time_travel" -> e22 _,
     "e23_change_data_feed" -> e23 _,
+    "e24_bloom_skipping" -> e24 _,
     "e17_audited_publish" -> e17 _, "e18_incremental_consume" -> e18 _,
     "e19_xml_roundtrip" -> e19 _, "e20_vacuum" -> e20 _,
     "e21_layout_migration" -> e21 _,
@@ -1575,6 +1665,17 @@ object ExportOps {
       raw"""SELECT doc_id, lang,
         |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // e24: the Bloom-pruned point lookup must land exactly the rows a
+    // full-table IN-filter finds — the probe grid is the id-domain
+    // quartiles, derived with the same integer arithmetic
+    "e24_bloom_skipping" ->
+      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+        |           FROM documents),
+        |k AS (SELECT DISTINCT mn + (mx - mn) * i // 4 AS doc_id
+        |      FROM b, range(5) t(i))
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // the manifest-pruned read must land exactly the rows a full-table
     // filter finds — file skipping may never change the answer
     "e14_manifest_skipping" ->
