@@ -445,6 +445,34 @@ object Relational {
     globalRowNumbers(t(s, d, "documents").select(col("doc_id")), "doc_id")
       .orderBy("doc_id")
 
+  /** q115: WEIGHTED sampling without replacement — Efraimidis–Spirtakis
+    * exponential keys (A-ES, "Weighted random sampling with a reservoir",
+    * IPL 2006), the standard for draw-k-proportional-to-weight over data
+    * too big to materialize: each row gets priority `u^(1/w)` (ranked
+    * equivalently by `ln(u)/w`), and the global top-k by priority IS the
+    * weighted sample. Fully deterministic: u comes from 52 md5 bits of
+    * the row key ((m + 0.5) / 2^52 — exact in doubles, m < 2^52, both
+    * engines see identical values), weight = n_chars (longer docs drawn
+    * more). Scale shape: a TakeOrdered top-k — O(n log k) per partition,
+    * then a k·P driver merge; no global sort, no RNG state, no
+    * reservoir coordination across executors (the sort-based
+    * formulation of the same estimator the sequential reservoir
+    * computes). The priority itself never lands in the output (its `ln`
+    * is 1-ulp engine-dependent); selection flips only if two priorities
+    * collide within a ulp — vanishing at any k ≪ corpus. */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val m = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("_key",
+        log((m.cast("double") + lit(0.5)) / lit(4503599627370496.0))
+          / col("n_chars"))
+      .orderBy(col("_key").desc, col("doc_id"))
+      .select("doc_id", "lang", "n_chars")
+      .limit(20)
+  }
+
   private def q96(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy(window(col("ts"), "15 minutes", "5 minutes"),
@@ -2035,6 +2063,7 @@ object Relational {
     "q109_matview_rewrite" -> q109 _, "q110_outlier_fences" -> q110 _,
     "q111_not_in_null_aware" -> q111 _,
     "q114_global_row_number" -> q114 _,
+    "q115_weighted_sample" -> q115 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -2238,6 +2267,19 @@ object Relational {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q115: identical A-ES keys in DuckDB — same 52 md5 bits, same
+    // (m+0.5)/2^52 uniform (exact in doubles), same ln(u)/w ranking; the
+    // priority stays out of the output so a 1-ulp ln difference can
+    // only matter on a within-ulp priority collision
+    "q115_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |      AS m
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM w
+        |ORDER BY ln((m + 0.5) / 4503599627370496.0) / n_chars DESC, doc_id
+        |LIMIT 20""".stripMargin,
     // q110: same cents grid as q104; quantile interpolation lands on
     // quarter-integers and the 1.5*IQR fences on eighths — all exact in
     // binary doubles, so the outlier comparisons are bit-deterministic

@@ -216,6 +216,21 @@ class PlanAuditR13Spec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("q115: the weighted sample is a top-k, never a global sort, and skews heavy") {
+    val df = ops.Relational.queries("q115_weighted_sample")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-ES selection must plan a top-k, not a global sort:\n$plan")
+    // the estimator's point: higher weight -> higher inclusion odds. On
+    // the fixed fixture the 20 drawn docs average well above the corpus
+    // mean length (deterministic, so pin it).
+    val sampleAvg = df.agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpusAvg = Tables(spark, d, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleAvg > corpusAvg,
+      s"length-weighted draw must skew long: $sampleAvg vs $corpusAvg")
+  }
+
   test("q109: registration is scoped — after unregister the base serves again") {
     withCube { _ => () } // withCube unregisters in finally
     val roots = scannedRoots(covered)
