@@ -143,6 +143,59 @@ object Relational {
         |ORDER BY variant""".stripMargin)
   }
 
+  /** q116: the CORRELATED SUBQUERY family — EXISTS / NOT EXISTS /
+    * correlated scalar / uncorrelated scalar, the four decorrelation
+    * shapes every migrated SQL workload leans on. Spark never executes
+    * a subquery per outer row: EXISTS/NOT EXISTS decorrelate to
+    * left-semi/left-anti joins, the correlated scalar to an aggregate
+    * + left-outer join on the correlation key, and the uncorrelated
+    * scalar runs ONCE and ships as a literal — so each variant costs
+    * one keyed join at 100 TB, not a quadratic probe loop. Thresholds
+    * use max() (exact over doubles) and IEEE divisions both engines
+    * round identically; the no-orders customer exercises the
+    * correlated scalar's NULL (3VL: comparison unknown → row drops). */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("g_customer")
+    t(s, d, "orders").createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT 'exists' AS variant, count(1) AS n FROM g_customer c
+        |  WHERE EXISTS (SELECT 1 FROM g_orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |UNION ALL
+        |SELECT 'not_exists', count(1) FROM g_customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM g_orders o
+        |    WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'corr_scalar', count(1) FROM g_customer c
+        |  WHERE c.c_acctbal > (SELECT max(o.o_totalprice) / 100
+        |    FROM g_orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'uncorr_scalar', count(1) FROM g_customer c
+        |  WHERE c.c_acctbal > (SELECT max(c2.c_acctbal) / 2
+        |    FROM g_customer c2)
+        |ORDER BY variant""".stripMargin)
+  }
+
+  /** q117: LATERAL correlated subquery with ORDER BY + LIMIT — top-2
+    * orders per customer written the way application SQL writes it (a
+    * per-row dependent subquery), NOT as the window the engine turns it
+    * into. The decorrelation is the operator: Spark rewrites the lateral
+    * limit into a partitioned rank filter, so the plan is one shuffle on
+    * the correlation key — semantically a per-outer-row subquery, priced
+    * like q17's top-k window. Inner-join semantics: order-less customers
+    * vanish (the LATERAL analog of CROSS APPLY). */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("g_customer")
+    t(s, d, "orders").createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM g_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM g_orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
   // ------------------------------------------------------------ agg variants
 
   /** Exact distinct aggregation alongside plain aggregates. */
@@ -2064,6 +2117,8 @@ object Relational {
     "q111_not_in_null_aware" -> q111 _,
     "q114_global_row_number" -> q114 _,
     "q115_weighted_sample" -> q115 _,
+    "q116_correlated_subqueries" -> q116 _,
+    "q117_lateral_topn" -> q117 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
     "q40_unpivot" -> q40 _, "q41_approx_percentile" -> q41 _,
@@ -2267,6 +2322,35 @@ object Relational {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q116: DuckDB runs the identical four-variant SQL (views aside) —
+    // a hash match proves the decorrelated joins agree with direct
+    // subquery semantics, including the correlated scalar's NULL drop
+    "q116_correlated_subqueries" ->
+      """SELECT 'exists' AS variant, count(1) AS n FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |UNION ALL
+        |SELECT 'not_exists', count(1) FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'corr_scalar', count(1) FROM customer c
+        |  WHERE c.c_acctbal > (SELECT max(o.o_totalprice) / 100
+        |    FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'uncorr_scalar', count(1) FROM customer c
+        |  WHERE c.c_acctbal > (SELECT max(c2.c_acctbal) / 2
+        |    FROM customer c2)
+        |ORDER BY variant""".stripMargin,
+    // q117: the same lateral text runs natively in DuckDB; o_totalprice
+    // passes through raw (identical parquet bits on both sides)
+    "q117_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
     // q115: identical A-ES keys in DuckDB — same 52 md5 bits, same
     // (m+0.5)/2^52 uniform (exact in doubles), same ln(u)/w ranking; the
     // priority stays out of the output so a 1-ulp ln difference can

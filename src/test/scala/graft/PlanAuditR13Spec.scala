@@ -231,6 +231,24 @@ class PlanAuditR13Spec extends SparkSpec {
       s"length-weighted draw must skew long: $sampleAvg vs $corpusAvg")
   }
 
+  test("q116/q117: subqueries decorrelate — keyed joins and a rank filter, never a per-row probe") {
+    val ex = ops.Relational.queries("q116_correlated_subqueries")(spark, d)
+    val exPlan = ex.queryExecution.executedPlan.toString
+    assert(exPlan.contains("LeftSemi"),
+      s"EXISTS must decorrelate to a left-semi join:\n$exPlan")
+    assert(exPlan.contains("LeftAnti"),
+      s"NOT EXISTS must decorrelate to a left-anti join:\n$exPlan")
+    assert(!exPlan.contains("CartesianProduct"),
+      s"no variant may plan a cartesian probe:\n$exPlan")
+    val lat = ops.Relational.queries("q117_lateral_topn")(spark, d)
+    val latPlan = lat.queryExecution.executedPlan.toString
+    assert(latPlan.contains("Window") || latPlan.contains("rank"),
+      s"the lateral LIMIT must decorrelate to a partitioned rank:\n$latPlan")
+    assert(!latPlan.contains("CartesianProduct") &&
+      !latPlan.contains("BroadcastNestedLoopJoin"),
+      s"lateral top-n must not plan a per-outer-row join:\n$latPlan")
+  }
+
   test("q109: registration is scoped — after unregister the base serves again") {
     withCube { _ => () } // withCube unregisters in finally
     val roots = scannedRoots(covered)
