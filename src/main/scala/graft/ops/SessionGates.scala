@@ -175,6 +175,31 @@ object SessionGates {
     }
   }
 
+  /** q118: DYNAMIC-GAP session windows — `session_window`'s expression-
+    * gap form, the policy surface the fixed-gap gates (q57/q58) never
+    * touch: each EVENT carries its own inactivity allowance (purchases
+    * hold the session open 10 minutes, everything else 5), so a session's
+    * extent depends on WHAT happened, not just when. Same merge
+    * semantics as the fixed gap — event window `[ts, ts+gap(event))`,
+    * overlapping windows merge, end = max end — and the same 100 TB
+    * shape: one hash shuffle on user_id, per-partition merge, the gap
+    * evaluated per-row inside the scan (a codegen'd CASE, no second
+    * pass). The oracle recomputes the interval merge with a running-max
+    * window over explicit per-event gap millis. */
+  private def q118(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        timestamp_millis(unix_millis(col("ts"))).as("tsm"))
+      .groupBy(session_window(col("tsm"),
+        when(col("event_type") === "purchase", "10 minutes")
+          .otherwise("5 minutes")), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+
   /** q85: CHAINED stateful aggregations in ONE streaming query — Spark
     * 4's multiple-stateful-operators-in-append surface, which none of the
     * other gates touch: per-user 1-minute tumbling counts feed a second
@@ -1497,6 +1522,7 @@ object SessionGates {
     "q108_state_schema_evolution" -> q108 _,
     "q112_stream_complete_topk" -> q112 _,
     "q113_stream_static_join" -> q113 _,
+    "q118_dynamic_gap_sessions" -> q118 _,
     "q102_state_source_read" -> q102 _,
     "q103_late_redelivery_screen" -> q103 _,
     "q105_stream_observe" -> q105 _,
@@ -1657,6 +1683,32 @@ object SessionGates {
         |    AS sum_cents
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
+    // q118: per-event gap millis made explicit, then the interval merge
+    // recomputed with a running max of window ends — break when the
+    // event's start reaches the furthest prior end (strict, matching
+    // the engine's start < end merge test); session end = max end
+    "q118_dynamic_gap_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 600000
+        |         ELSE 300000 END AS g
+        |  FROM events
+        |), x AS (
+        |  SELECT *, max(t + g) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR t >= prev_end
+        |            THEN 1 ELSE 0 END AS brk
+        |  FROM x
+        |), sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(t) AS session_start_ms,
+        |  max(t + g) AS session_end_ms, count(1) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
     // each run's batch membership recomputed from scratch against the dim
     // VERSION that run was bound to: batch-1 (tsu <= m) joins v1 (raw
     // segments), batch-2 joins v2 (MACHINERY→AUTOMATION, custkey%10=3

@@ -249,6 +249,23 @@ class PlanAuditR13Spec extends SparkSpec {
       s"lateral top-n must not plan a per-outer-row join:\n$latPlan")
   }
 
+  test("q118: the dynamic gap is live — purchase-extended sessions differ from the fixed gap") {
+    val dyn = ops.SessionGates.queries("q118_dynamic_gap_sessions")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fixed = ops.SessionGates.queries("q57_session_window")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a 10-minute purchase allowance can only merge or extend sessions:
+    // never more sessions than fixed-gap, and at least one must differ
+    assert(dyn.length <= fixed.length,
+      s"longer gaps can only merge sessions: ${dyn.length} vs ${fixed.length}")
+    assert(dyn.toSet != fixed.toSet,
+      "the gap expression must be observable: dynamic == fixed output")
+    // every dynamic session end sits at least the base gap past its last
+    // event; purchase-terminated sessions sit exactly 10 minutes past
+    assert(dyn.forall { case (_, st, en) => en - st >= 300000L },
+      "every session spans at least the base allowance")
+  }
+
   test("q109: registration is scoped — after unregister the base serves again") {
     withCube { _ => () } // withCube unregisters in finally
     val roots = scannedRoots(covered)
