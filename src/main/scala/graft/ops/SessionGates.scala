@@ -200,6 +200,57 @@ object SessionGates {
         col("n_events"))
       .orderBy("user_id", "session_start_ms")
 
+  /** q119: STREAMING quantile-sketch maintenance
+    * ([[graft.streaming.QuantileSketchProcessor]]) — the t29 mergeable
+    * histogram carried as `MapState[bin, count]` across micro-batches:
+    * per event_type, each batch emits the RUNNING p50/p90 cents-bin
+    * cutoffs over everything seen so far, without storing or sorting a
+    * single event. Two file-fed batches (ts mid-split under
+    * `maxFilesPerTrigger=1`); batch-2 emissions must reflect batch-1
+    * counts folded through the state store — the oracle recomputes
+    * batch-1 rows from pre-mid events and batch-2 rows from ALL events,
+    * with the identical integer bin (`cents div 64`) and cutoff
+    * (`k·cum >= m·n`) arithmetic, so a dropped or double-merged bin
+    * moves the hash. */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_streamquant", d)
+    ExportOps.withConf(s, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    ExportOps.withScratchCleanup(out) {
+      new java.io.File(out, "in").mkdirs()
+      val ev = Tables(s, d, "events")
+      val mid = { val st = eventTsStats(s, d); (st._1 + st._2) / 2 }
+      val now = System.currentTimeMillis()
+      Seq(unix_micros(col("ts")) <= mid, unix_micros(col("ts")) > mid)
+        .zipWithIndex.foreach { case (cond, i) =>
+          arriveAs(onePartFile(ev.filter(cond), out, s"f$i"), out, s"f$i",
+            now - (2 - i) * 60000L)
+        }
+      import s.implicits._
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .as[graft.streaming.TypedCents]
+      val emits = stream.groupByKey(_.event_type)
+        .transformWithState(new graft.streaming.QuantileSketchProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions", StreamShuffleParts) {
+        val q = emits.toDF().writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val landed = s.read.parquet(s"$out/data")
+      ExportOps.localizeAndDrop(landed, out, "event_type", "n_total")
+    }
+    }
+  }
+
   /** q85: CHAINED stateful aggregations in ONE streaming query — Spark
     * 4's multiple-stateful-operators-in-append surface, which none of the
     * other gates touch: per-user 1-minute tumbling counts feed a second
@@ -1523,6 +1574,7 @@ object SessionGates {
     "q112_stream_complete_topk" -> q112 _,
     "q113_stream_static_join" -> q113 _,
     "q118_dynamic_gap_sessions" -> q118 _,
+    "q119_stream_quantile_sketch" -> q119 _,
     "q102_state_source_read" -> q102 _,
     "q103_late_redelivery_screen" -> q103 _,
     "q105_stream_observe" -> q105 _,
@@ -1683,6 +1735,47 @@ object SessionGates {
         |    AS sum_cents
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
+    // q119: per-batch membership recomputed from scratch — batch-1 rows
+    // cover pre-mid events, batch-2 rows cover ALL events (the carried
+    // histogram); identical integer bin and ceil-free cutoff arithmetic
+    "q119_stream_quantile_sketch" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tsu,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |mid AS (SELECT (min(tsu) + max(tsu)) // 2 AS m FROM e),
+        |h1 AS (
+        |  SELECT event_type, cents // 64 AS bin, count(1) AS c
+        |  FROM e CROSS JOIN mid WHERE tsu <= m GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin)
+        |    AS cum, sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h1),
+        |r1 AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+        |    CAST(min(CASE WHEN 2 * cum >= n THEN bin END) AS BIGINT)
+        |      AS p50_bin,
+        |    CAST(min(CASE WHEN 10 * cum >= 9 * n THEN bin END) AS BIGINT)
+        |      AS p90_bin
+        |  FROM c1 GROUP BY event_type),
+        |b2t AS (SELECT DISTINCT event_type FROM e CROSS JOIN mid
+        |        WHERE tsu > m),
+        |h2 AS (
+        |  SELECT e.event_type, cents // 64 AS bin, count(1) AS c
+        |  FROM e JOIN b2t USING (event_type) GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin)
+        |    AS cum, sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h2),
+        |r2 AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+        |    CAST(min(CASE WHEN 2 * cum >= n THEN bin END) AS BIGINT)
+        |      AS p50_bin,
+        |    CAST(min(CASE WHEN 10 * cum >= 9 * n THEN bin END) AS BIGINT)
+        |      AS p90_bin
+        |  FROM c2 GROUP BY event_type)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY event_type, n_total""".stripMargin,
     // q118: per-event gap millis made explicit, then the interval merge
     // recomputed with a running max of window ends — break when the
     // event's start reaches the furthest prior end (strict, matching

@@ -238,3 +238,56 @@ class EvolvedTotalsProcessor
     Iterator.single(UserCumulativeV2(key, n, c, Some(mx)))
   }
 }
+
+/** q119's shapes: per-event-type cents feed a MERGEABLE histogram
+  * sketch; each batch the processor emits the type's running quantile
+  * cutoffs derived from the whole carried histogram. */
+case class TypedCents(event_type: String, cents: Long)
+case class QuantileEmit(event_type: String, n_total: Long, p50_bin: Long,
+                        p90_bin: Long)
+
+/** Streaming QUANTILE-SKETCH maintenance — t29's bit-exact mergeable
+  * histogram (power-of-2 bin width, integer counts) carried as
+  * `MapState[bin, count]` on `transformWithState`: the production way to
+  * serve "current p50/p90 score cutoff per source" over an unbounded
+  * stream without ever storing or sorting events. The update is a
+  * commutative integer merge (bin-count sums), so within-batch row order
+  * can't move the emission, and the cutoff rule (smallest bin whose
+  * ascending cumulative count reaches ⌈q·n⌉, tested as `k·cum >= m·n`
+  * in integers) is bit-exact cross-engine — the same discipline that
+  * makes t29 oracle-able, here proven to survive a state-store batch
+  * boundary.
+  *
+  * Scale shape: state per key is O(bins) (score domain / bin width —
+  * metadata, not events), partitioned by the grouping key; emission cost
+  * is one sorted pass over the key's own bins per batch. */
+class QuantileSketchProcessor
+    extends StatefulProcessor[String, TypedCents, QuantileEmit] {
+
+  @transient private var bins: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    bins = getHandle.getMapState[Long, Long]("bins",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[TypedCents],
+      timerValues: TimerValues): Iterator[QuantileEmit] = {
+    rows.foreach { e =>
+      val b = Math.floorDiv(e.cents, 64L)
+      val cur = if (bins.containsKey(b)) bins.getValue(b) else 0L
+      bins.updateValue(b, cur + 1L)
+    }
+    val hist = bins.keys().map(b => (b, bins.getValue(b))).toArray
+      .sortBy(_._1)
+    val n = hist.map(_._2).sum
+    var cum = 0L
+    var p50 = -1L
+    var p90 = -1L
+    hist.foreach { case (b, c) =>
+      cum += c
+      if (p50 < 0 && 2L * cum >= n) p50 = b
+      if (p90 < 0 && 10L * cum >= 9L * n) p90 = b
+    }
+    Iterator.single(QuantileEmit(key, n, p50, p90))
+  }
+}

@@ -266,6 +266,31 @@ class PlanAuditR13Spec extends SparkSpec {
       "every session spans at least the base allowance")
   }
 
+  test("q119: the carried sketch's cutoff bins bracket the exact order statistics") {
+    val emits = ops.SessionGates.queries("q119_stream_quantile_sketch")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cents = Tables(spark, d, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val full = emits.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    full.foreach { case (tpe, (_, n, p50, p90)) =>
+      val sortedCents = cents(tpe)
+      assert(n === sortedCents.length.toLong,
+        s"$tpe: batch-2 emission must cover the whole corpus")
+      // smallest bin with cum >= ceil(q*n) CONTAINS the ceil(q*n)-th
+      // order statistic: the sketch's one-bin accuracy contract
+      def orderStat(k: Int) = sortedCents(k - 1)
+      val k50 = (sortedCents.length + 1) / 2
+      val k90 = (9 * sortedCents.length + 9) / 10
+      assert(p50 === Math.floorDiv(orderStat(k50), 64L),
+        s"$tpe: p50 bin must contain the median")
+      assert(p90 === Math.floorDiv(orderStat(k90), 64L),
+        s"$tpe: p90 bin must contain the 90th-percentile order stat")
+    }
+  }
+
   test("q109: registration is scoped — after unregister the base serves again") {
     withCube { _ => () } // withCube unregisters in finally
     val roots = scannedRoots(covered)
