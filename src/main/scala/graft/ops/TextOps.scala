@@ -1243,6 +1243,34 @@ object TextOps {
     * (PlanAuditR11Spec pins the inlining; a JVM UDF black-boxes the
     * optimizer at exactly this spot). The TVF erases to the same
     * explode-the-sequence generator the t-family writes by hand. */
+  /** t33: SEQUENCE PACKING — the GPT-style concat-then-chunk step that
+    * turns a curated corpus into fixed-budget training sequences: within
+    * each lang shard, documents concatenate in deterministic (doc_id)
+    * order and chunk at a 256-token budget. Each doc's pack is pure
+    * window arithmetic — `pack = (cumsum - n_toks) div B` for the pack
+    * it STARTS in, with a boundary-crossing flag when its last token
+    * lands in a later pack (`(cumsum - 1) div B`) — so the whole
+    * operator is one window + one aggregation, no iterative bin-packing
+    * loop and nothing driver-side. Scale note: the window partitions by
+    * the shard key; a real export shards by (lang, shard_id) — e.g. a
+    * q114 global-numbering pass bucketed by position — so window
+    * parallelism scales with shard count, not language count. */
+  private def t33(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokenize(col("text"), "space-raw")).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("pack_id", expr("(cum - n_toks) div 256"))
+      .withColumn("crosses",
+        (expr("(cum - 1) div 256") > col("pack_id")).cast("long"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("sum_toks"),
+        sum(col("crosses")).cast("long").as("n_crossing"))
+      .orderBy("lang", "pack_id")
+  }
+
   private def c07(s: SparkSession, d: String): DataFrame = {
     docs(s, d).createOrReplaceTempView("documents")
     registerSqlUdfs(s)
@@ -1361,6 +1389,7 @@ object TextOps {
     "t27_source_prune" -> t27 _, "t28_privacy_release" -> t28 _,
     "t29_sketch_prune" -> t29 _, "t30_rag_index_append" -> t30 _,
     "t31_langid_ngram" -> t31 _, "t32_blocklist_screen" -> t32 _,
+    "t33_sequence_packing" -> t33 _,
     "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
@@ -1432,6 +1461,23 @@ object TextOps {
     // t32: same dictionary inlined; empty tokens from the regex split
     // can never match a dictionary term, so split-semantics drift between
     // the engines is immaterial
+    // t33: identical window arithmetic over the same space-raw token
+    // counts — integer cumsums and divs, exact in both engines
+    "t33_sequence_packing" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id)
+        |    AS cum
+        |  FROM tk)
+        |SELECT lang, CAST((cum - n_toks) // 256 AS BIGINT) AS pack_id,
+        |  count(1) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+        |  CAST(sum(CASE WHEN (cum - 1) // 256 > (cum - n_toks) // 256
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+        |FROM c GROUP BY lang, pack_id
+        |ORDER BY lang, pack_id""".stripMargin,
     "t32_blocklist_screen" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
