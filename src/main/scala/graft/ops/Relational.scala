@@ -1119,6 +1119,35 @@ object Relational {
     * still hash-match the DuckDB oracle — the re-plan is allowed to
     * change the schedule, never the answer. Materializes inside the conf
     * scope (AQE decisions happen at action time). */
+  /** q120: AQE partition COALESCING — the other half of the adaptive
+    * story q101's skew-split gate opened: a 64-partition shuffle whose
+    * post-shuffle data is tiny gets its reducer partitions merged at
+    * RUNTIME to match actual bytes (advisory target), not the static
+    * `spark.sql.shuffle.partitions` guess. This is the knob that makes
+    * one cluster-wide partition setting livable at 100 TB — big stages
+    * keep their parallelism, small aggregation tails stop paying
+    * 64-task scheduling overhead for kilobytes. The result is
+    * value-identical either way (coalescing moves partition boundaries,
+    * never rows-to-groups); the runtime merge itself is spec-pinned
+    * from the executed adaptive plan, with a coalescing-disabled
+    * control. */
+  private[graft] def aqeCoalesceRun(s: SparkSession, d: String)
+      : (DataFrame, String) =
+    ExportOps.withConf(s, "spark.sql.shuffle.partitions", "64") {
+      val df = t(s, d, "events")
+        .select(col("event_type"), hour(col("ts")).as("hr"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy("event_type", "hr")
+      val local = ExportOps.localize(df) // execute while confs held
+      (local, df.queryExecution.executedPlan.toString)
+    }
+
+  private def q120(s: SparkSession, d: String): DataFrame =
+    aqeCoalesceRun(s, d)._1
+
   private def q101(s: SparkSession, d: String): DataFrame =
     withSkewConfs(s) {
       ExportOps.localize(
@@ -2118,6 +2147,7 @@ object Relational {
     "q114_global_row_number" -> q114 _,
     "q115_weighted_sample" -> q115 _,
     "q116_correlated_subqueries" -> q116 _,
+    "q120_aqe_coalesce" -> q120 _,
     "q117_lateral_topn" -> q117 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
@@ -2322,6 +2352,15 @@ object Relational {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q120: coalescing moves partition boundaries, never rows-to-groups —
+    // the value check is a plain aggregation; the runtime merge is the
+    // spec's job
+    "q120_aqe_coalesce" ->
+      """SELECT event_type, hour(ts) AS hr, count(1) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY event_type, hr
+        |ORDER BY event_type, hr""".stripMargin,
     // q116: DuckDB runs the identical four-variant SQL (views aside) —
     // a hash match proves the decorrelated joins agree with direct
     // subquery semantics, including the correlated scalar's NULL drop

@@ -291,6 +291,18 @@ class PlanAuditR13Spec extends SparkSpec {
     }
   }
 
+  test("q120: AQE merges the 64-partition shuffle at runtime; the control keeps it static") {
+    val (_, plan) = ops.Relational.aqeCoalesceRun(spark, d)
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"tiny post-shuffle data must coalesce at runtime:\n$plan")
+    ExportOps.withConf(spark,
+      "spark.sql.adaptive.coalescePartitions.enabled", "false") {
+      val (_, control) = ops.Relational.aqeCoalesceRun(spark, d)
+      assert(!control.contains("coalesced"),
+        s"the disabled control must keep static partitions:\n$control")
+    }
+  }
+
   test("q109: registration is scoped — after unregister the base serves again") {
     withCube { _ => () } // withCube unregisters in finally
     val roots = scannedRoots(covered)
