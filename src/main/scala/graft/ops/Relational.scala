@@ -1119,6 +1119,35 @@ object Relational {
     * still hash-match the DuckDB oracle — the re-plan is allowed to
     * change the schedule, never the answer. Materializes inside the conf
     * scope (AQE decisions happen at action time). */
+  /** q121: the NATIVE as-of join ([[graft.plans.AsOfJoin]] — custom
+    * LogicalPlan + SparkStrategy + SparkPlan, the whole-operator
+    * extension rung): every click paired with the user's latest purchase
+    * at-or-before it, left-outer. q33 gates the as-of COMPOSITION
+    * (union + window-fill); this gates the operator Spark lacks natively
+    * — one exchange and one local sort per side (planner-inserted via
+    * the exec's required distribution/ordering), then an O(1)-state
+    * forward merge per partition. Missing purchases surface as -1 (both
+    * engines), keeping the nullable columns off the pandas null-coercion
+    * path. Oracle: DuckDB's native ASOF LEFT JOIN — two independent
+    * implementations of the same semantics. */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("p_cents"))
+    graft.plans.AsOfJoin(clicks, purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "ts", rightTime = "p_ts")
+      .select(col("click_id"), col("user_id"),
+        unix_millis(col("ts")).as("click_ms"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("p_cents"), lit(-1L)).as("purchase_cents"))
+      .orderBy("click_id")
+  }
+
   /** q120: AQE partition COALESCING — the other half of the adaptive
     * story q101's skew-split gate opened: a 64-partition shuffle whose
     * post-shuffle data is tiny gets its reducer partitions merged at
@@ -2148,6 +2177,7 @@ object Relational {
     "q115_weighted_sample" -> q115 _,
     "q116_correlated_subqueries" -> q116 _,
     "q120_aqe_coalesce" -> q120 _,
+    "q121_asof_native" -> q121 _,
     "q117_lateral_topn" -> q117 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
@@ -2352,6 +2382,20 @@ object Relational {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q121: DuckDB's native ASOF LEFT JOIN — an independent
+    // implementation of the latest-at-or-before semantics (inclusive
+    // ties), misses coalesced to -1 on both sides
+    "q121_asof_native" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  epoch_ms(c.ts) AS click_ms,
+        |  COALESCE(p.event_id, -1) AS purchase_id,
+        |  COALESCE(CAST(floor(p.value * 100 + 0.5) AS BIGINT), -1)
+        |    AS purchase_cents
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
     // q120: coalescing moves partition boundaries, never rows-to-groups —
     // the value check is a plain aggregation; the runtime merge is the
     // spec's job

@@ -21,4 +21,12 @@ object GraftColumnBridge {
     * from a FunctionRegistry builder. */
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** DataFrame from a custom LogicalPlan (`classic.Dataset.ofRows` is
+    * `private[sql]`) — the front door for library-defined logical
+    * operators like [[graft.plans.AsOfJoinPlan]], planned by a strategy
+    * registered through `experimental.extraStrategies`. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
