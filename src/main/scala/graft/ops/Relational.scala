@@ -1148,6 +1148,48 @@ object Relational {
       .orderBy("click_id")
   }
 
+  /** c09: POINT-IN-TIME-CORRECT training-set assembly — the feature-store
+    * composite q121's operator exists for. Features are VERSIONED by
+    * event time (after every purchase, the user's running purchase count
+    * and cents total form a new feature version); labels (clicks) must
+    * join the feature version current AT LABEL TIME — a plain left join
+    * to "latest features" leaks the future into training (the classic
+    * feature-store bug), while the as-of join is leakage-free by
+    * construction. Click without purchase history gets the zero vector.
+    * The assembled set then takes the q51 md5 split and aggregates per
+    * (split, purchase-count) cell. Scale shape: the feature build is one
+    * per-user window over purchases; the as-of is q121's one-exchange-
+    * per-side merge; the split is a per-row hash — no stage touches
+    * anything driver-sized. */
+  private def c09(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val features = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("n_purchases",
+        count(lit(1)).over(Window.partitionBy(col("f_user"))
+          .orderBy(col("f_ts"))))
+      .withColumn("cents_total",
+        sum(col("cents")).over(Window.partitionBy(col("f_user"))
+          .orderBy(col("f_ts"))).cast("long"))
+      .drop("cents")
+    val labels = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoin(labels, features,
+        leftKey = "user_id", rightKey = "f_user",
+        leftTime = "ts", rightTime = "f_ts")
+      .select(col("click_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("cents_total"), lit(0L)).as("cents_total"))
+      .withColumn("split",
+        when(Hashing.md5Bucket100(col("click_id")) < 80, "train")
+          .otherwise("eval"))
+      .groupBy(col("split"), col("n_purchases"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("cents_total")).cast("long").as("sum_cents_total"))
+      .orderBy("split", "n_purchases")
+  }
+
   /** q120: AQE partition COALESCING — the other half of the adaptive
     * story q101's skew-split gate opened: a 64-partition shuffle whose
     * post-shuffle data is tiny gets its reducer partitions merged at
@@ -2178,6 +2220,7 @@ object Relational {
     "q116_correlated_subqueries" -> q116 _,
     "q120_aqe_coalesce" -> q120 _,
     "q121_asof_native" -> q121 _,
+    "c09_point_in_time_features" -> c09 _,
     "q117_lateral_topn" -> q117 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
     "q38_array_funcs" -> q38 _, "q39_regexp_funcs" -> q39 _,
@@ -2382,6 +2425,35 @@ object Relational {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // c09: features re-derived as running windows, the point-in-time
+    // join as DuckDB's native ASOF, the split as the shared md5 bucket —
+    // a future-leaking join moves n_purchases/cents for every late click
+    "c09_point_in_time_features" ->
+      """WITH f AS (
+        |  SELECT user_id AS f_user, ts AS f_ts,
+        |    count(1) OVER w AS n_purchases,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+        |      AS BIGINT) AS cents_total
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), l AS (
+        |  SELECT event_id AS click_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT l.click_id,
+        |    COALESCE(f.n_purchases, 0) AS n_purchases,
+        |    COALESCE(f.cents_total, 0) AS cents_total,
+        |    CASE WHEN ('0x' || substr(md5(CAST(l.click_id AS VARCHAR)),
+        |      1, 7))::BIGINT % 100 < 80 THEN 'train' ELSE 'eval' END
+        |      AS split
+        |  FROM l ASOF LEFT JOIN f
+        |    ON l.user_id = f.f_user AND f.f_ts <= l.ts)
+        |SELECT split, CAST(n_purchases AS BIGINT) AS n_purchases,
+        |  count(1) AS n_clicks,
+        |  CAST(sum(cents_total) AS BIGINT) AS sum_cents_total
+        |FROM j GROUP BY split, n_purchases
+        |ORDER BY split, n_purchases""".stripMargin,
     // q121: DuckDB's native ASOF LEFT JOIN — an independent
     // implementation of the latest-at-or-before semantics (inclusive
     // ties), misses coalesced to -1 on both sides

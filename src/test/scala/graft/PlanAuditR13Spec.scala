@@ -303,6 +303,34 @@ class PlanAuditR13Spec extends SparkSpec {
     }
   }
 
+  test("c09: the point-in-time join is leakage-free — the future-leaking join differs") {
+    val correct = ops.Relational.queries("c09_point_in_time_features")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the classic bug: join every click to the user's FINAL feature state
+    val ev = Tables(spark, d, "events")
+    val finalFeatures = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .cast("long").as("cents_total"))
+    val leaky = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"))
+      .join(finalFeatures, Seq("user_id"), "left")
+      .select(col("click_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("cents_total"), lit(0L)).as("cents_total"))
+      .withColumn("split",
+        when(ops.Hashing.md5Bucket100(col("click_id")) < 80, "train")
+          .otherwise("eval"))
+      .groupBy(col("split"), col("n_purchases"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("cents_total")).cast("long").as("sum_cents_total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(correct.toSet != leaky.toSet,
+      "a future-leaking feature join must be distinguishable from the " +
+        "point-in-time assembly, or the gate is vacuous")
+  }
+
   test("q109: registration is scoped — after unregister the base serves again") {
     withCube { _ => () } // withCube unregisters in finally
     val roots = scannedRoots(covered)
