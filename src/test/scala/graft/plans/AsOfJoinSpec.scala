@@ -84,6 +84,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Map(1L -> Some(70L), 2L -> None, 3L -> Some(71L)))
   }
 
+  test("pre-bucketed inputs drop the exchanges: zero shuffles in the as-of plan") {
+    val pid = ProcessHandle.current().pid()
+    val (lT, rT) = (s"graft_asof_l_$pid", s"graft_asof_r_$pid")
+    try {
+      graft.ops.ExportOps.writeBucketed(
+        left((1L, 10L, 100L), (2L, 11L, 200L), (3L, 10L, 300L)), lT, 4, "key")
+      graft.ops.ExportOps.writeBucketed(
+        right((70L, 10L, 50L), (71L, 11L, 150L)), rT, 4, "rkey")
+      val df = join(spark.table(lT), spark.table(rT))
+      df.collect()
+      val s0 = df.queryExecution.executedPlan.toString
+      assert(!s0.contains("Exchange"),
+        s"bucketed co-located as-of must plan no shuffle:\n$s0")
+      val got = df.select($"id", $"rid").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+      assert(got === Map(1L -> Some(70L), 2L -> Some(71L), 3L -> Some(70L)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $lT")
+      spark.sql(s"DROP TABLE IF EXISTS $rT")
+    }
+  }
+
   test("matches the q33-style brute-force on the fixture") {
     val d = "/root/testdata/sf0.001"
     val ev = graft.Tables(spark, d, "events")
