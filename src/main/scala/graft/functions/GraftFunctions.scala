@@ -56,6 +56,35 @@ object GraftFunctions {
           s"graft_might_contain takes 2 args (filter, value), got ${exprs.length}")
         BloomFilterMightContain(exprs(0), exprs(1))
       }),
+    // graft_hist(value, binWidth) — the TypedImperativeAggregate rung: a
+    // mergeable fixed-grid histogram whose intermediate state is a binary
+    // buffer (q125 gate). binWidth is a plan-time literal, like a format
+    // string.
+    (FunctionIdentifier("graft_hist"),
+      new ExpressionInfo(classOf[HistogramAgg].getName, "graft_hist"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_hist takes 2 args (value, binWidth), got ${exprs.length}")
+        val bw = exprs(1) match {
+          case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v
+          case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) =>
+            v.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_hist binWidth must be an integer literal, got $other")
+        }
+        HistogramAgg(exprs.head, bw)
+      }),
+    // graft_normalize(text) — NFD accent-strip + ROOT-locale casefold,
+    // the canonicalization pass text dedup keys on (t34 gate); a native
+    // codegen'd Expression, independently implemented by DuckDB's
+    // lower(strip_accents(...)) in the oracle.
+    (FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_normalize takes 1 arg, got ${exprs.length}")
+        NormalizeText(exprs.head)
+      }),
     // Portable text/dedup kernels, registered by BRIDGING the Column
     // definitions (classic ExpressionUtils wraps incoming Expressions as
     // Columns, builds the same tree the DataFrame surface builds, unwraps)

@@ -1121,6 +1121,40 @@ object ExportOps {
     }
   }
 
+  /** e25: NATIVE dynamic partition overwrite —
+    * `partitionOverwriteMode=dynamic` makes `INSERT OVERWRITE` replace
+    * ONLY the partitions present in the incoming batch; every other
+    * partition survives the write untouched. This is Spark's built-in
+    * partition-grain recomputation (the Hive-style backfill idiom: "re-
+    * run day X, leave the year alone"), complementing q68's ROW-grain
+    * merge through TxTable — here whole partitions are recomputed
+    * upstream and swapped wholesale, no change log needed. At 100 TB the
+    * write's I/O scales with touched partitions, not the table; under
+    * the STATIC default the same write would clobber all 25 partitions
+    * (the spec pins both the untouched-file byte-identity under dynamic
+    * and the clobber under static). The gate recomputes nations {3, 7}
+    * with +100 balances, overwrites dynamically, and reads the whole
+    * snapshot back against an oracle recomputing it from the source. */
+  private def e25(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_dynover", d)
+    withScratchCleanup(out) {
+      val snap = s"$out/snap"
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_nationkey").as("p"))
+      c.write.partitionBy("p").parquet(snap)
+      val rewrite = c.filter(col("p").isin(3, 7))
+        .withColumn("bal", col("bal") + 100)
+      withConf(s, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+        rewrite.write.mode("overwrite").partitionBy("p").parquet(snap)
+      }
+      val back = s.read.parquet(snap)
+        .select(col("k"), col("name"), col("bal"),
+          col("p").cast("int").as("p"))
+      localizeAndDrop(back, out, "k")
+    }
+  }
+
   private def e17(s: SparkSession, d: String): DataFrame = {
     val out = scratchDir("graft_wap", d)
     withScratchCleanup(out) {
@@ -1462,6 +1496,7 @@ object ExportOps {
     "e22_tx_time_travel" -> e22 _,
     "e23_change_data_feed" -> e23 _,
     "e24_bloom_skipping" -> e24 _,
+    "e25_dynamic_overwrite" -> e25 _,
     "e17_audited_publish" -> e17 _, "e18_incremental_consume" -> e18 _,
     "e19_xml_roundtrip" -> e19 _, "e20_vacuum" -> e20 _,
     "e21_layout_migration" -> e21 _,
@@ -1486,6 +1521,15 @@ object ExportOps {
         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // e25: the post-overwrite snapshot recomputed from the source — the
+    // touched nations carry the +100 recompute, every other row is the
+    // original (byte-identity of the untouched files is the spec's job)
+    "e25_dynamic_overwrite" ->
+      """SELECT c_custkey AS k, c_name AS name,
+        |  CASE WHEN c_nationkey IN (3, 7) THEN c_acctbal + 100
+        |       ELSE c_acctbal END AS bal,
+        |  CAST(c_nationkey AS INT) AS p
+        |FROM customer ORDER BY k""".stripMargin,
     // e23: both snapshots re-derived from the raw table, diffed in SQL
     // with the same Delta-CDF contract (updates emit both images)
     "e23_change_data_feed" ->

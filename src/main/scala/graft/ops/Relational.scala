@@ -422,6 +422,135 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** q126: COST-BASED join reordering — the optimizer leg that needs
+    * STATISTICS, closing the matrix (q80 DPP, q101/q120/q123 the AQE
+    * trio, q122 runtime filters, q124 exchange reuse; those all work
+    * from runtime or structural signals — this one replans from
+    * ANALYZE'd table + column stats BEFORE execution). The query is
+    * written in a deliberately bad order (fact first:
+    * lineitem⋈orders⋈customer⋈nation, with the selective filter on the
+    * LAST-joined nation); with `spark.sql.cbo.joinReorder` and per-table
+    * `ANALYZE ... FOR ALL COLUMNS`, the DP planner re-roots the join
+    * tree so the selective dims reduce early — at 100 TB the difference
+    * between shuffling the whole fact table through two joins and
+    * shuffling the 20%-reduced stream. Catalog tables are EXTERNAL over
+    * the fixture parquet (ANALYZE writes stats to the session catalog,
+    * never the files) and dropped in finally. Values are
+    * order-independent (the hash gate); the reorder itself is the spec's
+    * job (leaf order changes vs the CBO-off control). */
+  private[graft] def cboReorderRun(s: SparkSession, d: String,
+      cbo: Boolean = true): (DataFrame, Seq[String]) = {
+    val sfx = java.lang.Long.toHexString(System.nanoTime())
+    val names = Seq("lineitem", "orders", "customer", "nation")
+      .map(t0 => t0 -> s"cbo_${t0}_$sfx").toMap
+    names.foreach { case (t0, cat) =>
+      s.sql(s"CREATE TABLE $cat USING parquet LOCATION '$d/$t0.parquet'")
+      s.sql(s"ANALYZE TABLE $cat COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    try {
+      ExportOps.withConf(s, "spark.sql.cbo.enabled", cbo.toString) {
+        ExportOps.withConf(s, "spark.sql.cbo.joinReorder.enabled", cbo.toString) {
+          val df = s.sql(
+            s"""SELECT n.n_name, count(1) AS n_items,
+               |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               |    AS BIGINT) AS sum_cents
+               |FROM ${names("lineitem")} l
+               |JOIN ${names("orders")} o ON l.l_orderkey = o.o_orderkey
+               |JOIN ${names("customer")} c ON o.o_custkey = c.c_custkey
+               |JOIN ${names("nation")} n ON c.c_nationkey = n.n_nationkey
+               |WHERE n.n_regionkey = 2
+               |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+          val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+            .map(_.toString.linesIterator.next())
+          (ExportOps.localize(df), leaves)
+        }
+      }
+    } finally names.values.foreach(cat => s.sql(s"DROP TABLE IF EXISTS $cat"))
+  }
+
+  private def q126(s: SparkSession, d: String): DataFrame =
+    cboReorderRun(s, d)._1
+
+  /** q127: NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM) — the
+    * third null-join regime after q43's outer joins (nulls preserved,
+    * never matched) and q111's NOT IN (nulls poison the set): here NULL
+    * IS a join key that matches NULL, the semantics surrogate-key
+    * pipelines want when "unknown" buckets must reconcile across two
+    * aggregated feeds. Spark plans EqualNullSafe as a NORMAL hash-join
+    * key (internally coalescing the null to a sentinel struct), NOT a
+    * nested-loop theta join — spec-pinned, because the naive
+    * `a.k = b.k OR (a.k IS NULL AND b.k IS NULL)` formulation degrades
+    * to BroadcastNestedLoopJoin, which is quadratic at 100 TB. Both
+    * sides pre-aggregate per key (the NULL bucket collapses to one row
+    * per side, so the null-null match is 1×1, never a cross product). */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    def side(tpe: String, cnt: String) = ev
+      .filter(col("event_type") === tpe)
+      .select(when(col("user_id") % 5 === 0, lit(null))
+        .otherwise(col("user_id")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as(cnt))
+    val clicks = side("click", "n_clicks")
+    val purchases = side("purchase", "n_purchases")
+      .withColumnRenamed("k", "pk")
+    clicks.join(purchases, clicks("k") <=> purchases("pk"), "full_outer")
+      .select(coalesce(clicks("k"), purchases("pk"), lit(-1L)).as("k"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("k")
+  }
+
+  /** q128: SCHEMA-EVOLUTION UNION (`unionByName` with
+    * allowMissingColumns) — reading two table VINTAGES whose schemas
+    * drifted (v2 added `quality`, dropped `lang`) as one frame, with
+    * each side's missing columns null-filled BY NAME, not by position —
+    * positional union (q18) silently mismatches columns the moment a
+    * schema evolves, the classic multi-vintage lake bug. Aggregates per
+    * vintage count the null-filled columns to pin the fill semantics in
+    * the values themselves. */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val v1 = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"), lit("v1").as("vintage"))
+    val v2 = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") % 100).as("quality"), lit("v2").as("vintage"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(col("vintage"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("lang")).as("n_with_lang"),
+        count(col("quality")).as("n_with_quality"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        coalesce(sum(col("quality")), lit(0L)).cast("long").as("sum_quality"))
+      .orderBy("vintage")
+  }
+
+  /** q125: the engine's NATIVE IMPERATIVE AGGREGATE
+    * ([[graft.functions.HistogramAgg]] — `TypedImperativeAggregate`, the
+    * extension rung for aggregates whose state is an arbitrary JVM object
+    * in a binary buffer): a mergeable fixed-grid histogram of the cents
+    * column per event type, exploded back to (bin, count) rows. Unlike
+    * t29's histogram (a groupBy composition) this runs inside Spark's own
+    * aggregation machinery — ObjectHashAggregate, map-side partial
+    * update, O(bins) buffer shuffle, reduce-side merge — the same plan
+    * `percentile_approx` gets, which is what makes it the 100 TB shape:
+    * the shuffle carries one small buffer per partition per group, never
+    * the rows. Bit-exact by construction (integer floor-division bins),
+    * so the full DuckDB GROUP-BY oracle hash-matches; the spec pins the
+    * ObjectHashAggregate plan, partial aggregation, and partitioning
+    * invariance. */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s) // idempotent
+    t(s, d, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(call_function("graft_hist", col("cents"), lit(64L)).as("hist"))
+      .select(col("event_type"), explode(col("hist")).as("h"))
+      .select(col("event_type"), col("h.bin").as("bin"), col("h.n").as("n"))
+      .orderBy("event_type", "bin")
+  }
+
   /** q110: Tukey-fence outlier screening — the data-quality gate every
     * telemetry/metrics pipeline runs before training on a column: per
     * group, exact quartiles (on the q104 cents grid, so both engines
@@ -1218,6 +1347,122 @@ object Relational {
 
   private def q120(s: SparkSession, d: String): DataFrame =
     aqeCoalesceRun(s, d)._1
+
+  /** The q122 conf scope: Spark's own runtime-filter injection
+    * (`InjectRuntimeFilter`), scaled to fixture bytes. Broadcast is
+    * disabled on both the static and adaptive paths so the join stays a
+    * shuffle join — the shape runtime bloom filters exist for (a
+    * broadcast join already has the dim rows on every executor; a
+    * shuffle join ships EVERY fact row to a reducer before the join can
+    * drop it). The application-side size floor is lowered to fixture
+    * scale; at 100 TB it stays at its 10 GB default and the same plan
+    * falls out naturally. */
+  private def withRuntimeFilterConfs[T](s: SparkSession, enabled: Boolean)
+      (body: => T): T =
+    ExportOps.withConf(s,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled", enabled.toString) {
+      ExportOps.withConf(s,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0") {
+        ExportOps.withConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+          ExportOps.withConf(s,
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1") {
+            body
+          }
+        }
+      }
+    }
+
+  /** q122: RUNTIME BLOOM-FILTER join pruning — Catalyst's
+    * `InjectRuntimeFilter` plants a `BloomFilterAggregate` subquery on
+    * the join's selective (filtered-dim) side and a `might_contain`
+    * probe directly above the FACT SCAN, so fact rows that cannot
+    * possibly join are dropped BEFORE the shuffle instead of after it.
+    * This is the engine-automated twin of d18's hand-built Bloom screen,
+    * and the single biggest shuffle-bytes lever on a selective
+    * fact⋈filtered-dim join at 100 TB (only ~5% of parts survive the
+    * brand filter, so ~95% of the fact shuffle is wasted without the
+    * filter). Value-identical by construction — a Bloom filter has no
+    * false negatives, so pruning can only remove rows the join would
+    * drop anyway; the hash gate pins that, the spec pins the probe's
+    * presence and its absence under the disabled control. */
+  private[graft] def runtimeBloomRun(s: SparkSession, d: String,
+      enabled: Boolean = true): (DataFrame, String) =
+    withRuntimeFilterConfs(s, enabled) {
+      val l = t(s, d, "lineitem")
+      val p = t(s, d, "part").filter(col("p_brand") === "Brand#13")
+      val df = l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long").as("sum_cents"))
+        .orderBy("p_size")
+      val local = ExportOps.localize(df) // execute while confs held
+      (local, df.queryExecution.executedPlan.toString)
+    }
+
+  private def q122(s: SparkSession, d: String): DataFrame =
+    runtimeBloomRun(s, d)._1
+
+  /** q123: AQE runtime JOIN-STRATEGY SWITCH — the third adaptive leg
+    * (q101 splits skew, q120 coalesces partitions, this one replans the
+    * join algorithm). The static planner must pick a sort-merge join
+    * (static broadcast threshold −1: at planning time a 100 TB input's
+    * post-filter size is a guess, and guessing small risks OOM), but
+    * once the dim's shuffle stage MATERIALIZES and its true byte size is
+    * known, AQE's logical re-optimization converts the join to a
+    * broadcast hash join — skipping the fact-side sort and the reducer
+    * exchange. The adaptive threshold is what production sets; the
+    * result is value-identical (the hash gate), and the spec pins
+    * SortMergeJoin in the initial plan + BroadcastHashJoin in the final
+    * plan, with a switch-disabled control keeping the merge join. */
+  private[graft] def aqeJoinSwitchRun(s: SparkSession, d: String,
+      runtimeBroadcast: Boolean = true): (DataFrame, String) =
+    ExportOps.withConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+      ExportOps.withConf(s, "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        if (runtimeBroadcast) "10m" else "-1") {
+        val l = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        val df = l.join(p, l("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+              .cast("long").as("sum_cents"))
+          .orderBy("p_brand")
+        val local = ExportOps.localize(df)
+        (local, df.queryExecution.executedPlan.toString)
+      }
+    }
+
+  private def q123(s: SparkSession, d: String): DataFrame =
+    aqeJoinSwitchRun(s, d)._1
+
+  /** q124: EXCHANGE REUSE — one aggregate subplan consumed twice. The
+    * per-part revenue rollup feeds both the high band (≥ 2,000,000.00)
+    * and the low band (< 1,200,000.00) of a banded report; a naive
+    * engine scans and shuffles the fact table once PER CONSUMER. Spark's
+    * exchange-reuse pass (stage reuse under AQE) recognizes the two
+    * shuffle subtrees as canonically identical and computes the scan +
+    * shuffle + partial aggregate ONCE, wiring the second consumer to a
+    * `ReusedExchange` leaf — at 100 TB that halves the dominant cost of
+    * every self-referencing report (share-of-total, banding, top-vs-
+    * bottom comparisons). The spec pins exactly one lineitem scan in the
+    * executed plan and the reuse marker; the hash gate pins the values
+    * against a DuckDB CTE consumed twice. */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val perPart = t(s, d, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .cast("long").as("rev_cents"),
+        count(lit(1)).as("n_items"))
+    val hi = perPart.filter(col("rev_cents") >= 200000000L)
+      .withColumn("band", lit("hi"))
+    val lo = perPart.filter(col("rev_cents") < 120000000L)
+      .withColumn("band", lit("lo"))
+    hi.union(lo)
+      .select(col("band"), col("l_partkey"), col("rev_cents"), col("n_items"))
+      .orderBy("band", "l_partkey")
+  }
 
   private def q101(s: SparkSession, d: String): DataFrame =
     withSkewConfs(s) {
@@ -2220,6 +2465,13 @@ object Relational {
     "q116_correlated_subqueries" -> q116 _,
     "q120_aqe_coalesce" -> q120 _,
     "q121_asof_native" -> q121 _,
+    "q122_runtime_bloom_filter" -> q122 _,
+    "q123_aqe_join_switch" -> q123 _,
+    "q124_exchange_reuse" -> q124 _,
+    "q125_native_hist_agg" -> q125 _,
+    "q126_cbo_join_reorder" -> q126 _,
+    "q127_null_safe_join" -> q127 _,
+    "q128_union_by_name" -> q128 _,
     "c09_point_in_time_features" -> c09 _,
     "q117_lateral_topn" -> q117 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
@@ -2477,6 +2729,97 @@ object Relational {
         |    AS sum_cents
         |FROM events GROUP BY event_type, hr
         |ORDER BY event_type, hr""".stripMargin,
+    // q122: the bloom probe has no false negatives — pruning can only
+    // drop rows the join drops anyway, so the filtered-join aggregate is
+    // value-identical to the plain join; the probe itself is the spec's
+    // job
+    "q122_runtime_bloom_filter" ->
+      """SELECT p.p_size, count(1) AS n,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#13'
+        |GROUP BY p.p_size ORDER BY p.p_size""".stripMargin,
+    // q123: the runtime strategy switch replans the algorithm, never the
+    // answer — a plain join aggregate checks the values; initial-vs-final
+    // plan shape is the spec's job
+    "q123_aqe_join_switch" ->
+      """SELECT p.p_brand, count(1) AS n,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    // q124: the same CTE consumed twice — DuckDB computes it once per
+    // reference or not, but the VALUES are band membership; the
+    // single-scan reuse is the spec's job
+    "q124_exchange_reuse" ->
+      """WITH r AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_cents,
+        |    count(1) AS n_items
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT 'hi' AS band, l_partkey, rev_cents, n_items FROM r
+        |  WHERE rev_cents >= 200000000
+        |UNION ALL
+        |SELECT 'lo', l_partkey, rev_cents, n_items FROM r
+        |  WHERE rev_cents < 120000000
+        |ORDER BY band, l_partkey""".stripMargin,
+    // q126: join order never changes join RESULTS — the oracle is the
+    // same star query over the plain views; the reorder is the spec's job
+    "q126_cbo_join_reorder" ->
+      """SELECT n.n_name, count(1) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_regionkey = 2
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    // q127: DuckDB's IS NOT DISTINCT FROM is the same three-valued-
+    // logic-free equality — the NULL bucket must reconcile (one row),
+    // nulls coalesced to -1 in the output key
+    "q127_null_safe_join" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS k,
+        |    count(1) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS k,
+        |    count(1) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(c.k, p.k, -1) AS k,
+        |  COALESCE(n_clicks, 0) AS n_clicks,
+        |  COALESCE(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.k IS NOT DISTINCT FROM p.k
+        |ORDER BY k""".stripMargin,
+    // q128: the by-name fill semantics recomputed with explicit NULL
+    // columns — v1 has no quality, v2 has no lang; counts of the filled
+    // columns pin the alignment in the values
+    "q128_union_by_name" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality,
+        |    'v1' AS vintage
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL, n_chars, n_chars % 100, 'v2'
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT vintage, count(1) AS n_docs, count(lang) AS n_with_lang,
+        |  count(quality) AS n_with_quality,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
+        |FROM u GROUP BY vintage ORDER BY vintage""".stripMargin,
+    // q125: the native histogram's bins are integer floor division — the
+    // oracle recomputes the identical grid as a plain GROUP BY (DuckDB's
+    // // operator floors like Math.floorDiv), proving the imperative
+    // buffer's update/merge/eval path is exactly a distributed count
+    "q125_native_hist_agg" ->
+      """SELECT event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) // 64 AS bin,
+        |  count(1) AS n
+        |FROM events GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
     // q116: DuckDB runs the identical four-variant SQL (views aside) —
     // a hash match proves the decorrelated joins agree with direct
     // subquery semantics, including the correlated scalar's NULL drop

@@ -1271,6 +1271,36 @@ object TextOps {
       .orderBy("lang", "pack_id")
   }
 
+  /** t34: UNICODE NORMALIZATION before dedup
+    * ([[graft.functions.NormalizeText]] — NFD accent-strip + ROOT
+    * casefold as a native codegen'd Expression): the canonicalization
+    * pass web-scale text dedup keys on, because the same title arrives
+    * composed ("Éclair"), decomposed, re-cased and accent-dropped — and
+    * hash-grain dedup (d01) treats each spelling as a distinct document.
+    * Each doc carries a deterministic accent-variant title (6 raw
+    * spellings → 3 canonical forms); grouping on the NORMALIZED form must
+    * merge the variants, counting docs and surviving raw spellings per
+    * form. The oracle recomputes the canonicalization independently with
+    * DuckDB's `lower(strip_accents(...))` (utf8proc vs JDK Unicode
+    * tables — two implementations, hash-matched). Scale shape: the
+    * normalize is a per-row codegen'd map over the scan; the dedup is the
+    * usual hash shuffle on the (now canonical) key. */
+  private def t34(s: SparkSession, d: String): DataFrame = {
+    val variants = array(
+      lit("Éclair Menu"), lit("eclair menu"),
+      lit("ÜBER Prüfung"), lit("uber prufung"),
+      lit("Crème Brûlée"), lit("creme brulee"))
+    docs(s, d)
+      .select(col("doc_id"),
+        element_at(variants, (col("doc_id") % 6 + 1).cast("int")).as("title"))
+      .withColumn("norm",
+        graft.functions.NormalizeText.normalizeText(s, col("title")))
+      .groupBy(col("norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("title")).as("n_spellings"))
+      .orderBy("norm")
+  }
+
   private def c07(s: SparkSession, d: String): DataFrame = {
     docs(s, d).createOrReplaceTempView("documents")
     registerSqlUdfs(s)
@@ -1390,6 +1420,7 @@ object TextOps {
     "t29_sketch_prune" -> t29 _, "t30_rag_index_append" -> t30 _,
     "t31_langid_ngram" -> t31 _, "t32_blocklist_screen" -> t32 _,
     "t33_sequence_packing" -> t33 _,
+    "t34_normalize_dedup" -> t34 _,
     "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
@@ -1478,6 +1509,20 @@ object TextOps {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
         |FROM c GROUP BY lang, pack_id
         |ORDER BY lang, pack_id""".stripMargin,
+    // t34: the canonicalization recomputed INDEPENDENTLY — DuckDB's
+    // utf8proc strip_accents + lower vs the engine's JDK NFD/Mn-strip/
+    // ROOT-casefold; a hash match proves the two Unicode pipelines agree
+    // on the planted composed/decomposed/re-cased spellings
+    "t34_normalize_dedup" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    (['Éclair Menu', 'eclair menu', 'ÜBER Prüfung', 'uber prufung',
+        |      'Crème Brûlée', 'creme brulee'])[CAST(doc_id % 6 AS INT) + 1]
+        |      AS title
+        |  FROM documents)
+        |SELECT lower(strip_accents(title)) AS norm, count(1) AS n_docs,
+        |  CAST(count(DISTINCT title) AS BIGINT) AS n_spellings
+        |FROM v GROUP BY norm ORDER BY norm""".stripMargin,
     "t32_blocklist_screen" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term

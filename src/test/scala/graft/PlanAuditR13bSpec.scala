@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.{ExportOps, Relational}
+import org.apache.spark.sql.functions._
+
+/** Round-13 plan pins, second batch — the three engine-automation gates
+  * whose VALUE the driver hash-checks but whose PLAN is the point:
+  *
+  *  - q122: `InjectRuntimeFilter` plants a bloom probe (`might_contain`)
+  *    on the fact side of a selective shuffle join, and the disabled
+  *    control does not;
+  *  - q123: AQE replans a statically-chosen sort-merge join into a
+  *    broadcast hash join once the dim's true (runtime) size is known,
+  *    and the switch-disabled control keeps the merge join;
+  *  - q124: the twice-consumed aggregate subplan is computed once — the
+  *    executed plan carries a reuse marker and exactly one lineitem
+  *    scan. */
+class PlanAuditR13bSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q122: the runtime bloom probe guards the fact scan; the control has none") {
+    val (_, plan) = Relational.runtimeBloomRun(spark, d)
+    assert(plan.contains("might_contain"),
+      s"InjectRuntimeFilter must plant a bloom probe on the fact side:\n$plan")
+    val (_, control) = Relational.runtimeBloomRun(spark, d, enabled = false)
+    assert(!control.contains("might_contain"),
+      s"the disabled control must carry no bloom probe:\n$control")
+  }
+
+  test("q122: the bloom filter prunes fact rows BEFORE the shuffle (fewer shuffle records)") {
+    // the probe sits BELOW the fact exchange, so the filtered run must
+    // shuffle strictly fewer records than the control (only ~1/25 of
+    // parts survive the brand filter). BenchMetrics accumulates
+    // shuffle-records-written per attribution window from task metrics —
+    // the same noise-free fingerprint the bench artifact records.
+    val m = new BenchMetrics
+    spark.sparkContext.addSparkListener(m)
+    try {
+      m.start("pruned")
+      Relational.runtimeBloomRun(spark, d, enabled = true)
+      m.finish()
+      m.start("control")
+      Relational.runtimeBloomRun(spark, d, enabled = false)
+      m.finish()
+      val pruned = m.shuffleRecords("pruned")
+      val control = m.shuffleRecords("control")
+      assert(pruned < control,
+        s"bloom pruning must shuffle fewer records: pruned=$pruned control=$control")
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
+  test("q123: initial plan sort-merge, final plan broadcast; the control keeps the merge join") {
+    val (_, plan) = Relational.aqeJoinSwitchRun(spark, d)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE must convert the join to broadcast at runtime:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"the INITIAL plan section must show the static sort-merge choice:\n$plan")
+    val (_, control) = Relational.aqeJoinSwitchRun(spark, d,
+      runtimeBroadcast = false)
+    assert(!control.contains("BroadcastHashJoin"),
+      s"the switch-disabled control must keep the sort-merge join:\n$control")
+  }
+
+  test("q126: ANALYZE'd stats + CBO re-root the join tree; the control keeps the written fact-first order") {
+    val (_, cboLeaves) = Relational.cboReorderRun(spark, d)
+    val (_, controlLeaves) = Relational.cboReorderRun(spark, d, cbo = false)
+    // leaf order = left-to-right join order of the optimized (left-deep)
+    // tree; the lineitem leaf is the one scanning l_extendedprice
+    def factIdx(leaves: Seq[String]) =
+      leaves.indexWhere(_.contains("l_extendedprice"))
+    assert(factIdx(controlLeaves) == 0,
+      s"the control must keep the written fact-first order:\n$controlLeaves")
+    assert(factIdx(cboLeaves) > 0,
+      s"CBO must pull the fact table off the first join (selective dims " +
+        s"reduce first):\n$cboLeaves")
+  }
+
+  test("q127: EqualNullSafe plans a hash-family join (never nested-loop), and NULL reconciles") {
+    val df = Relational.queries("q127_null_safe_join")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"<=> must stay a hash/merge join key, not degrade to nested-loop:\n$plan")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nullBucket = rows.filter(_._1 == -1L)
+    assert(nullBucket.length === 1, s"NULL must reconcile to ONE row: ${nullBucket.toSeq}")
+    assert(nullBucket.head._2 > 0 && nullBucket.head._3 > 0,
+      s"the null-null match must carry both sides' counts: ${nullBucket.head}")
+  }
+
+  test("q124: the twice-consumed aggregate reuses its exchange — one lineitem scan") {
+    val df = Relational.queries("q124_exchange_reuse")(spark, d)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"the second band must consume a ReusedExchange, not recompute:\n$plan")
+    // count scans in the FINAL plan only — AdaptiveSparkPlan's toString
+    // appends the initial (pre-reuse) plan, which legitimately shows one
+    // scan per consumer
+    val finalSection = plan.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans == 1,
+      s"exactly one lineitem scan expected in the final plan, got $scans:\n$plan")
+  }
+}
