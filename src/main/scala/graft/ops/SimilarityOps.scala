@@ -483,13 +483,23 @@ object SimilarityOps {
     * (recall 0.94/0.90 @5 at sf0.001/sf0.01 — HammingRecallSpec pins the
     * floor; the 1-bit codes trade that recall for a 32× smaller scan).
     * HammingRecallSpec measures recall against the exact v01 answer. */
-  private def v20(s: SparkSession, d: String): DataFrame = {
-    val corpus = emb(s, d)
+  /** The v20 sign-bit packing: (vec_id, blo, bhi) — two 32-bit halves in
+    * longs (off bit 63: overflow-free, bit-identical in any engine).
+    * Shared by v20 (in-memory) and v22 (persisted + tombstoned). */
+  private[ops] def signCodes(corpus: DataFrame): DataFrame = {
     val lo = expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
       "IF(element_at(embedding, i + 1) > CAST(0.0 AS FLOAT), shiftleft(1L, i), 0L))")
     val hi = expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
       "IF(element_at(embedding, i + 33) > CAST(0.0 AS FLOAT), shiftleft(1L, i), 0L))")
-    val codes = corpus.select(col("vec_id"), lo.as("blo"), hi.as("bhi"))
+    corpus.select(col("vec_id"), lo.as("blo"), hi.as("bhi"))
+  }
+
+  /** The v20 two-phase serve over LIVE frames: Hamming shortlist (top-128
+    * per query, distance-then-id — integer-exact) → exact-cosine rerank →
+    * top-[[K]]. `codes` and `vecs` must cover the same live vector set —
+    * v22's deletion semantics reduce to restricting both. */
+  private def hammingServe(s: SparkSession, codes: DataFrame,
+      vecs: DataFrame): DataFrame = {
     val qCodes = codes.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("blo").as("q_lo"), col("bhi").as("q_hi"))
     val ham = codes.crossJoin(broadcast(qCodes))
@@ -501,7 +511,6 @@ object SimilarityOps {
       .orderBy(col("ham").asc, col("n_id").asc)
     val shortlist = ham.withColumn("sr", row_number().over(wShort))
       .filter(col("sr") <= 128).drop("sr")
-    val vecs = emb(s, d)
     val reranked = shortlist
       .join(broadcast(vecs.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))), "q_id")
@@ -517,6 +526,68 @@ object SimilarityOps {
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("cos"), 4).as("cos"), col("ham").cast("long").as("ham"))
       .orderBy("q_id", "rank")
+  }
+
+  private def v20(s: SparkSession, d: String): DataFrame =
+    hammingServe(s, signCodes(emb(s, d)), emb(s, d))
+
+  /** v22's deterministic delete set: every 7th vector outside the query
+    * prefix. Public for the spec and the oracle. */
+  private[graft] def v22Tombstones(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"))
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") >= NumQueries)
+
+  /** Serve the persisted v22 index UNDER its tombstone set: codes and
+    * float vectors both anti-joined against tombstones before the
+    * standard two-phase serve. Public for the spec's equal-to-rebuild
+    * and compaction pins. */
+  private[graft] def v22ServeFrom(s: SparkSession, root: String,
+      d: String): DataFrame = {
+    val codes = s.read.parquet(s"$root/codes")
+    val tomb = s.read.parquet(s"$root/tombstones")
+    hammingServe(s,
+      codes.join(tomb, Seq("vec_id"), "left_anti"),
+      emb(s, d).join(tomb, Seq("vec_id"), "left_anti"))
+  }
+
+  /** Fold the tombstones into the codes (rewrite without deleted rows,
+    * empty the tombstone set) — the periodic compaction that keeps the
+    * anti-join side from growing unboundedly. Staged-then-swap like
+    * every artifact rewrite. */
+  private[graft] def v22Compact(s: SparkSession, root: String): Unit = {
+    val live = s.read.parquet(s"$root/codes")
+      .join(s.read.parquet(s"$root/tombstones"), Seq("vec_id"), "left_anti")
+    live.write.parquet(s"$root/codes.next")
+    val dir = new java.io.File(root)
+    ExportOps.deleteRecursively(new java.io.File(dir, "codes"))
+    require(new java.io.File(dir, "codes.next")
+      .renameTo(new java.io.File(dir, "codes")), "v22 compaction swap failed")
+    val empty = s.read.parquet(s"$root/tombstones").limit(0)
+    empty.write.mode("overwrite").parquet(s"$root/tombstones")
+  }
+
+  /** v22: DELETION maintenance for the serving ANN index — the lifecycle
+    * leg the append gates (t30 postings, e07 centroids, d25 signatures)
+    * don't cover: GDPR erasure / content takedown must propagate to the
+    * index WITHOUT a rebuild. The v20 binary-code index persists once;
+    * a delete is an O(deletes) tombstone write (the code files never
+    * move — spec-pinned byte-identity); the serve anti-joins tombstones
+    * on both the code and vector sides, so deleted vectors can neither
+    * be returned NOR rerank-displace a live neighbor. Equal by
+    * construction to rebuilding the index without the deleted vectors
+    * (spec-pinned bit-for-bit, plus compaction folding the tombstones
+    * in). Fully hash-oracled like v20 — DuckDB recomputes the serve over
+    * the tombstone-filtered corpus. At 100 TB: deletes cost KBs/day of
+    * tombstones + one anti-join broadcast at serve; the rebuild they
+    * replace costs a full corpus scan + re-encode. */
+  private def v22(s: SparkSession, d: String): DataFrame = {
+    val out = ExportOps.scratchDir("graft_annts", d)
+    ExportOps.withScratchCleanup(out) {
+      val root = out.getAbsolutePath
+      signCodes(emb(s, d)).write.parquet(s"$root/codes")
+      v22Tombstones(s, d).write.parquet(s"$root/tombstones")
+      ExportOps.localizeAndDrop(v22ServeFrom(s, root, d), out, "q_id", "rank")
+    }
   }
 
   private def v19(s: SparkSession, d: String): DataFrame = {
@@ -962,6 +1033,7 @@ object SimilarityOps {
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
     "v14_pq_adc" -> v14 _, "v15_knn_labels" -> v15 _,
     "v19_pq_index_serve" -> v19 _, "v20_hamming_ann" -> v20 _,
+    "v22_ann_tombstone_delete" -> v22 _,
     // rows-only (v14's engine-hash reason): IvfPqRecallSpec pins recall
     // vs the exact v01 answer; v14 carries the ADC accuracy specs
     "v21_ivf_pq" -> v21 _,
@@ -1198,6 +1270,45 @@ object SimilarityOps {
          |  FROM short s
          |  JOIN embeddings qe ON qe.vec_id = s.q_id
          |  JOIN embeddings ne ON ne.vec_id = s.n_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id ASC) AS rank FROM rerank)
+         |SELECT q_id, rank, n_id, round(cos, 4) AS cos,
+         |  CAST(ham AS BIGINT) AS ham
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // v22: the identical two-phase serve over the tombstone-filtered
+    // corpus — deletions must fall out of BOTH the shortlist and the
+    // rerank, which the single live CTE encodes
+    "v22_ann_tombstone_delete" ->
+      s"""WITH live AS (
+         |  SELECT * FROM embeddings
+         |  WHERE NOT (vec_id % 7 = 0 AND vec_id >= $NumQueries)),
+         |codes AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(32), i ->
+         |      CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+         |           ELSE 0::BIGINT END)) AS BIGINT) AS blo,
+         |    CAST(list_sum(list_transform(range(32), i ->
+         |      CASE WHEN embedding[i + 33] > 0 THEN (1::BIGINT << i)
+         |           ELSE 0::BIGINT END)) AS BIGINT) AS bhi
+         |  FROM live),
+         |q AS (SELECT vec_id AS q_id, blo AS q_lo, bhi AS q_hi
+         |      FROM codes WHERE vec_id < $NumQueries),
+         |ham AS (
+         |  SELECT q_id, c.vec_id AS n_id,
+         |    bit_count(xor(blo, q_lo)) + bit_count(xor(bhi, q_hi)) AS ham
+         |  FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         |short AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ham ASC, n_id ASC) AS sr FROM ham) x WHERE sr <= 128),
+         |rerank AS (
+         |  SELECT s.q_id, s.n_id, s.ham,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS cos
+         |  FROM short s
+         |  JOIN live qe ON qe.vec_id = s.q_id
+         |  JOIN live ne ON ne.vec_id = s.n_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id ASC) AS rank FROM rerank)
