@@ -74,6 +74,24 @@ object GraftFunctions {
         }
         HistogramAgg(exprs.head, bw)
       }),
+    // graft_topk(value, id, k) — bounded per-group top-k as a mergeable
+    // imperative aggregate (q129 gate): the map side reduces each
+    // partition to k pairs before the shuffle, where the window
+    // formulation shuffles every row. k is a plan-time literal.
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_topk takes 3 args (value, id, k), got ${exprs.length}")
+        val k = exprs(2) match {
+          case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v
+          case Literal(v: Long, _: org.apache.spark.sql.types.LongType) =>
+            v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an integer literal, got $other")
+        }
+        TopKAgg(exprs(0), exprs(1), k)
+      }),
     // graft_normalize(text) — NFD accent-strip + ROOT-locale casefold,
     // the canonicalization pass text dedup keys on (t34 gate); a native
     // codegen'd Expression, independently implemented by DuckDB's

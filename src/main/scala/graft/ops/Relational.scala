@@ -535,6 +535,34 @@ object Relational {
       .orderBy("vintage")
   }
 
+  /** q129: NATIVE BOUNDED TOP-K aggregate
+    * ([[graft.functions.TopKAgg]]) — top-3 orders per customer computed
+    * as a MERGEABLE k-element aggregate instead of q17's window: the
+    * `row_number() OVER (PARTITION BY ... ORDER BY ...)` formulation
+    * shuffles and sorts EVERY order before the rank filter drops all but
+    * three; here the map side reduces each partition to a 3-pair buffer
+    * first, so the exchange carries O(k) per (group, partition) — the
+    * TakeOrderedAndProject asymmetry (q17's global LIMIT path), made
+    * available PER GROUP. Exploded back to rank rows via posexplode
+    * (rank = position + 1: the buffer is already in rank order).
+    * Spec pins the partial ObjectHashAggregate, strictly fewer shuffle
+    * records than the window twin on identical input, and value
+    * equality; the DuckDB window oracle hash-matches the content. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s) // idempotent
+    t(s, d, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(call_function("graft_topk",
+        col("cents"), col("o_orderkey"), lit(3)).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("o_orderkey"), col("e.v").as("cents"))
+      .orderBy("o_custkey", "rank")
+  }
+
   /** q125: the engine's NATIVE IMPERATIVE AGGREGATE
     * ([[graft.functions.HistogramAgg]] — `TypedImperativeAggregate`, the
     * extension rung for aggregates whose state is an arbitrary JVM object
@@ -2482,6 +2510,7 @@ object Relational {
     "q126_cbo_join_reorder" -> q126 _,
     "q127_null_safe_join" -> q127 _,
     "q128_union_by_name" -> q128 _,
+    "q129_native_topk_agg" -> q129 _,
     "c09_point_in_time_features" -> c09 _,
     "q117_lateral_topn" -> q117 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
@@ -2820,6 +2849,20 @@ object Relational {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
         |FROM u GROUP BY vintage ORDER BY vintage""".stripMargin,
+    // q129: the bounded aggregate's content recomputed as the window it
+    // replaces — same total order (cents DESC, orderkey ASC), exact
+    // integer grid
+    "q129_native_topk_agg" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+        |               o_orderkey ASC) AS rank
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, cents
+        |FROM r WHERE rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
     // q125: the native histogram's bins are integer floor division — the
     // oracle recomputes the identical grid as a plain GROUP BY (DuckDB's
     // // operator floors like Math.floorDiv), proving the imperative

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.{SparkSpec, Tables}
+import graft.{BenchMetrics, SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 /** Pins for the two round-13 native-function additions the driver's hash
@@ -83,6 +83,57 @@ class NativeAggSpec extends SparkSpec {
       .orderBy(col("event_type"), col("h.bin"))
       .collect().toSeq
     assert(viaSql === viaColumn)
+  }
+
+  test("graft_topk: buffer keeps the best k under (v DESC, id ASC), merge included") {
+    val b = new TopKAgg.Buffer(3)
+    Seq((5L, 10L), (7L, 2L), (5L, 3L), (1L, 1L), (7L, 9L), (6L, 4L))
+      .foreach { case (v, i) => b.offer(v, i) }
+    assert(b.sorted.toSeq === Seq((7L, 2L), (7L, 9L), (6L, 4L)))
+    val c = new TopKAgg.Buffer(3)
+    Seq((8L, 5L), (2L, 6L)).foreach { case (v, i) => c.offer(v, i) }
+    c.foreach((v, i) => b.offer(v, i)) // merge c into b
+    assert(b.sorted.toSeq === Seq((8L, 5L), (7L, 2L), (7L, 9L)))
+  }
+
+  test("graft_topk shuffles strictly fewer records than the window twin, same answer") {
+    GraftFunctions.registerAll(spark)
+    val orders = Tables(spark, d, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("o_orderkey"))
+    def viaAgg = orders.groupBy(col("o_custkey"))
+      .agg(call_function("graft_topk",
+        col("cents"), col("o_orderkey"), lit(3)).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("o_orderkey"), col("e.v").as("cents"))
+    def viaWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("cents").desc, col("o_orderkey").asc)
+      orders.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("cents"))
+    }
+    // the plan shape claim: partial (map-side) ObjectHashAggregate
+    val aggPlan = viaAgg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("ObjectHashAggregate") &&
+      aggPlan.contains("partial_graft_topk"),
+      s"bounded top-k must partial-aggregate before the shuffle:\n$aggPlan")
+    // the byte claim: fewer records cross the exchange than the window's
+    // shuffle-everything — measured from task metrics on fresh runs
+    val m = new BenchMetrics
+    spark.sparkContext.addSparkListener(m)
+    val (aggRows, winRows) =
+      try {
+        m.start("agg"); val a = viaAgg.orderBy("o_custkey", "rank").collect(); m.finish()
+        m.start("win"); val w0 = viaWindow.orderBy("o_custkey", "rank").collect(); m.finish()
+        assert(a.toSeq === w0.toSeq, "aggregate and window answers must agree")
+        (m.shuffleRecords("agg"), m.shuffleRecords("win"))
+      } finally spark.sparkContext.removeSparkListener(m)
+    assert(aggRows < winRows,
+      s"bounded buffers must shuffle fewer records: agg=$aggRows window=$winRows")
   }
 
   test("graft_normalize: idempotent, composed==decomposed, null-safe, SQL-served") {
