@@ -535,6 +535,41 @@ object Relational {
       .orderBy("vintage")
   }
 
+  /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
+    * q124's single-plan exchange reuse can't express: a shared expensive
+    * frame is `.cache()`d, a FIRST action materializes it into the
+    * columnar in-memory store, and every LATER action (a different plan
+    * entirely) serves from `InMemoryTableScan` without re-reading the
+    * source — zero input rows on the warm pass, spec-pinned from task
+    * metrics. This is the ML-loop / multi-report pattern: pay the scan
+    * once, iterate on memory. The gate's output folds the first action's
+    * result in as a literal column so BOTH consumers' values sit in the
+    * hash-matched result; unpersist in finally (a leaked cache would
+    * shadow the source for every later gate in the session). Scale note:
+    * at 100 TB you cache the AGGREGATE (groups-sized), never the scan —
+    * exactly what this does. */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val perPart = t(s, d, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .cast("long").as("rev_cents"),
+        count(lit(1)).as("n_items"))
+      .cache()
+    try {
+      // action 1: warm the cache (a scalar consumer)
+      val nHot = perPart.filter(col("rev_cents") >= 200000000L).count()
+      // action 2: a different shape over the SAME cached frame
+      ExportOps.localize(
+        perPart
+          .groupBy((col("l_partkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev_cents")).cast("long").as("sum_rev_cents"),
+            max(col("n_items")).as("max_items"))
+          .withColumn("n_hot_parts", lit(nHot))
+          .orderBy("bucket"))
+    } finally perPart.unpersist()
+  }
+
   /** q129: NATIVE BOUNDED TOP-K aggregate
     * ([[graft.functions.TopKAgg]]) — top-3 orders per customer computed
     * as a MERGEABLE k-element aggregate instead of q17's window: the
@@ -2511,6 +2546,7 @@ object Relational {
     "q127_null_safe_join" -> q127 _,
     "q128_union_by_name" -> q128 _,
     "q129_native_topk_agg" -> q129 _,
+    "q130_cache_reuse" -> q130 _,
     "c09_point_in_time_features" -> c09 _,
     "q117_lateral_topn" -> q117 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
@@ -2849,6 +2885,23 @@ object Relational {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
         |FROM u GROUP BY vintage ORDER BY vintage""".stripMargin,
+    // q130: caching never changes values — the oracle recomputes both
+    // consumers from one CTE (the scalar folded in as a cross join);
+    // the zero-rows-read warm serve is the spec's job
+    "q130_cache_reuse" ->
+      """WITH base AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_cents,
+        |    count(1) AS n_items
+        |  FROM lineitem GROUP BY l_partkey),
+        |hot AS (SELECT count(1) AS n_hot_parts FROM base
+        |        WHERE rev_cents >= 200000000)
+        |SELECT l_partkey % 10 AS bucket, count(1) AS n_parts,
+        |  CAST(sum(rev_cents) AS BIGINT) AS sum_rev_cents,
+        |  max(n_items) AS max_items, n_hot_parts
+        |FROM base CROSS JOIN hot
+        |GROUP BY bucket, n_hot_parts ORDER BY bucket""".stripMargin,
     // q129: the bounded aggregate's content recomputed as the window it
     // replaces — same total order (cents DESC, orderkey ASC), exact
     // integer grid

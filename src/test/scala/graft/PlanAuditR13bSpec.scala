@@ -76,6 +76,44 @@ class PlanAuditR13bSpec extends SparkSpec {
         s"reduce first):\n$cboLeaves")
   }
 
+  test("q130: the warm cached frame serves from memory, never re-reading the source") {
+    val perPart = Tables(spark, d, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .cast("long").as("rev_cents"),
+        count(lit(1)).as("n_items"))
+      .cache()
+    try {
+      perPart.count() // warm
+      val consumer = perPart.groupBy((col("l_partkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_parts"))
+      val plan = consumer.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"the warm consumer must scan the cache, not the source:\n$plan")
+      val m = new BenchMetrics
+      spark.sparkContext.addSparkListener(m)
+      try {
+        m.start("warm")
+        consumer.collect()
+        m.finish()
+        // cache-block reads surface in inputMetrics too (a handful of
+        // records per cached partition), so the honest pin is "orders of
+        // magnitude below the source": the cold path reads every
+        // lineitem row (~6k at sf0.001), the warm path only the cached
+        // 200-part frame
+        val warm = m.rowsRead("warm")
+        val sourceRows = Tables(spark, d, "lineitem").count()
+        assert(warm < sourceRows / 10,
+          s"warm serve must not re-read the source: read $warm of $sourceRows")
+      } finally spark.sparkContext.removeSparkListener(m)
+    } finally perPart.unpersist()
+    // after unpersist the same shape scans the source again
+    val cold = Tables(spark, d, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    assert(!cold.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "unpersist must restore the source scan")
+  }
+
   test("q127: EqualNullSafe plans a hash-family join (never nested-loop), and NULL reconciles") {
     val df = Relational.queries("q127_null_safe_join")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
