@@ -1301,6 +1301,40 @@ object TextOps {
       .orderBy("norm")
   }
 
+  /** c10: SQL SCRIPTING — the last SQL front door after plain SQL (c03),
+    * SQL-defined functions (c07), and pipe syntax + named parameters
+    * (c08): a multi-statement script with session VARIABLES and a WHILE
+    * loop, the procedural surface migrated warehouse workloads arrive
+    * in. The script runs an iterative threshold refinement (3 rounds of
+    * "cutoff := floor(avg length) of docs above the cutoff" — each round
+    * tightens toward the long tail) entirely inside the engine: DECLARE
+    * holds scalar state, each SET runs a full aggregation query, the
+    * final SELECT serves the report at the converged cutoff. The DuckDB
+    * oracle UNROLLS the loop into three chained CTEs — a hash match
+    * proves the script's control flow executed exactly 3 iterations with
+    * the same per-round aggregates. Determinism: integer-exact floor of
+    * an IEEE-exact mean (sums ≪ 2^53). Scale: each iteration is one
+    * distributed aggregate; the loop carries 16 bytes of driver state. */
+  private def c10(s: SparkSession, d: String): DataFrame = {
+    docs(s, d).createOrReplaceTempView("documents")
+    ExportOps.withConf(s, "spark.sql.scripting.enabled", "true") {
+      ExportOps.localize(s.sql(
+        """BEGIN
+          |  DECLARE mc BIGINT DEFAULT 0;
+          |  DECLARE i INT DEFAULT 0;
+          |  WHILE i < 3 DO
+          |    SET mc = (SELECT CAST(floor(avg(n_chars)) AS BIGINT)
+          |              FROM documents WHERE n_chars >= mc);
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  SELECT lang, count(1) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS sum_chars, mc AS cutoff
+          |  FROM documents WHERE n_chars >= mc
+          |  GROUP BY lang ORDER BY lang;
+          |END""".stripMargin))
+    }
+  }
+
   private def c07(s: SparkSession, d: String): DataFrame = {
     docs(s, d).createOrReplaceTempView("documents")
     registerSqlUdfs(s)
@@ -1423,6 +1457,7 @@ object TextOps {
     "t34_normalize_dedup" -> t34 _,
     "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
+    "c10_sql_scripting" -> c10 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
@@ -1509,6 +1544,24 @@ object TextOps {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
         |FROM c GROUP BY lang, pack_id
         |ORDER BY lang, pack_id""".stripMargin,
+    // c10: the WHILE loop unrolled into three chained CTEs — a hash
+    // match proves the script ran exactly 3 refinement rounds with the
+    // same per-round aggregates (floor of an IEEE-exact mean, integer
+    // grid)
+    "c10_sql_scripting" ->
+      """WITH m1 AS (
+        |  SELECT CAST(floor(avg(n_chars)) AS BIGINT) AS v FROM documents),
+        |m2 AS (
+        |  SELECT CAST(floor(avg(n_chars)) AS BIGINT) AS v FROM documents
+        |  WHERE n_chars >= (SELECT v FROM m1)),
+        |m3 AS (
+        |  SELECT CAST(floor(avg(n_chars)) AS BIGINT) AS v FROM documents
+        |  WHERE n_chars >= (SELECT v FROM m2))
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT v FROM m3) AS cutoff
+        |FROM documents WHERE n_chars >= (SELECT v FROM m3)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // t34: the canonicalization recomputed INDEPENDENTLY — DuckDB's
     // utf8proc strip_accents + lower vs the engine's JDK NFD/Mn-strip/
     // ROOT-casefold; a hash match proves the two Unicode pipelines agree

@@ -76,6 +76,22 @@ class PlanAuditR13bSpec extends SparkSpec {
         s"reduce first):\n$cboLeaves")
   }
 
+  test("c10: the WHILE loop is live — the 3-round cutoff strictly tightens past round 1") {
+    val out = ops.TextOps.queries("c10_sql_scripting")(spark, d)
+      .select(col("cutoff")).head().getLong(0)
+    val docs = Tables(spark, d, "documents")
+    val r1 = docs.agg(expr("CAST(floor(avg(n_chars)) AS BIGINT)"))
+      .head().getLong(0)
+    assert(out > r1,
+      s"three refinement rounds must tighten past round 1 ($r1), got $out — " +
+        "equal would mean the loop body ran once (or converged trivially)")
+    // and the served rows really sit above the converged cutoff
+    val minServed = ops.TextOps.queries("c10_sql_scripting")(spark, d)
+      .agg(min(col("sum_chars") / col("n_docs"))).head().getDouble(0)
+    assert(minServed >= out,
+      s"every served lang's mean length must clear the cutoff: $minServed < $out")
+  }
+
   test("q130: the warm cached frame serves from memory, never re-reading the source") {
     val perPart = Tables(spark, d, "lineitem")
       .groupBy(col("l_partkey"))
