@@ -535,6 +535,36 @@ object Relational {
       .orderBy("vintage")
   }
 
+  /** q131: WINDOW GROUP-LIMIT pushdown — the optimizer leg q129's
+    * measurement surfaced: a `row_number()/rank()` window followed by a
+    * `rank <= k` filter is rewritten by `InferWindowGroupLimit` into a
+    * WindowGroupLimit BELOW the exchange (per-partition top-k pre-
+    * filter) plus the final one above it — so the shuffle carries ~k
+    * rows per (group, partition) instead of the whole corpus. This is
+    * what makes the ubiquitous top-n-per-group WINDOW IDIOM survive
+    * 100 TB without rewriting user queries; the threshold conf
+    * (`windowGroupLimitThreshold`) disables it for the control. Spec
+    * pins the WindowGroupLimit node present/absent and STRICTLY FEWER
+    * shuffle records with the rule on, same answer. */
+  private[graft] def windowGroupLimitRun(s: SparkSession, d: String,
+      pushdown: Boolean = true): (DataFrame, String) =
+    ExportOps.withConf(s, "spark.sql.optimizer.windowGroupLimitThreshold",
+      if (pushdown) "1000" else "-1") {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").asc)
+      val df = t(s, d, "events")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+        .select(col("user_id"), col("rank"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .orderBy("user_id", "rank")
+      val local = ExportOps.localize(df)
+      (local, df.queryExecution.executedPlan.toString)
+    }
+
+  private def q131(s: SparkSession, d: String): DataFrame =
+    windowGroupLimitRun(s, d)._1
+
   /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
     * q124's single-plan exchange reuse can't express: a shared expensive
     * frame is `.cache()`d, a FIRST action materializes it into the
@@ -572,17 +602,20 @@ object Relational {
 
   /** q129: NATIVE BOUNDED TOP-K aggregate
     * ([[graft.functions.TopKAgg]]) — top-3 orders per customer computed
-    * as a MERGEABLE k-element aggregate instead of q17's window: the
-    * `row_number() OVER (PARTITION BY ... ORDER BY ...)` formulation
-    * shuffles and sorts EVERY order before the rank filter drops all but
-    * three; here the map side reduces each partition to a 3-pair buffer
-    * first, so the exchange carries O(k) per (group, partition) — the
-    * TakeOrderedAndProject asymmetry (q17's global LIMIT path), made
-    * available PER GROUP. Exploded back to rank rows via posexplode
-    * (rank = position + 1: the buffer is already in rank order).
-    * Spec pins the partial ObjectHashAggregate, strictly fewer shuffle
-    * records than the window twin on identical input, and value
-    * equality; the DuckDB window oracle hash-matches the content. */
+    * as a MERGEABLE k-element aggregate instead of q17's window. The
+    * honest comparison (measured, ScaleSmokeSpec): Spark's own
+    * `InferWindowGroupLimit` (q131's gate) already pushes a rank filter
+    * below the exchange, so the window twin shuffles ~k per (group,
+    * partition) too — but it still SORTS each map partition and carries
+    * per-row shuffle entries, where the aggregate carries ONE k-pair
+    * buffer per (group, partition) with no sort (151 vs 451 shuffle
+    * records at ×20 fixture scale) and, unlike a window, composes inside
+    * any aggregation (one pass can compute top-k NEXT TO sums/counts).
+    * Exploded back to rank rows via posexplode (the buffer is already in
+    * rank order). Spec pins the partial ObjectHashAggregate, strictly
+    * fewer shuffle records than the (group-limited) window twin, and
+    * value equality; the DuckDB window oracle hash-matches the
+    * content. */
   private def q129(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s) // idempotent
     t(s, d, "orders")
@@ -2547,6 +2580,7 @@ object Relational {
     "q128_union_by_name" -> q128 _,
     "q129_native_topk_agg" -> q129 _,
     "q130_cache_reuse" -> q130 _,
+    "q131_window_group_limit" -> q131 _,
     "c09_point_in_time_features" -> c09 _,
     "q117_lateral_topn" -> q117 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
@@ -2885,6 +2919,19 @@ object Relational {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
         |FROM u GROUP BY vintage ORDER BY vintage""".stripMargin,
+    // q131: the pushdown moves work below the exchange, never changes
+    // which rows survive — a plain window oracle checks the values; the
+    // WindowGroupLimit node and the shuffle-records drop are the spec's
+    // job
+    "q131_window_group_limit" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id ASC) AS rank
+        |  FROM events)
+        |SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id, ts_ms
+        |FROM r WHERE rank <= 2
+        |ORDER BY user_id, rank""".stripMargin,
     // q130: caching never changes values — the oracle recomputes both
     // consumers from one CTE (the scalar folded in as a cross join);
     // the zero-rows-read warm serve is the spec's job

@@ -76,6 +76,25 @@ class PlanAuditR13bSpec extends SparkSpec {
         s"reduce first):\n$cboLeaves")
   }
 
+  test("q131: the rank filter pushes a WindowGroupLimit below the exchange; control shuffles more") {
+    val (_, plan) = Relational.windowGroupLimitRun(spark, d)
+    assert(plan.contains("WindowGroupLimit"),
+      s"InferWindowGroupLimit must rewrite the rank filter:\n$plan")
+    val (_, control) = Relational.windowGroupLimitRun(spark, d, pushdown = false)
+    assert(!control.contains("WindowGroupLimit"),
+      s"the disabled control must keep the plain window:\n$control")
+    val m = new BenchMetrics
+    spark.sparkContext.addSparkListener(m)
+    try {
+      m.start("pushed"); Relational.windowGroupLimitRun(spark, d); m.finish()
+      m.start("plain")
+      Relational.windowGroupLimitRun(spark, d, pushdown = false); m.finish()
+      assert(m.shuffleRecords("pushed") < m.shuffleRecords("plain"),
+        s"group limit must shuffle fewer records: " +
+          s"pushed=${m.shuffleRecords("pushed")} plain=${m.shuffleRecords("plain")}")
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
   test("c10: the WHILE loop is live — the 3-round cutoff strictly tightens past round 1") {
     val out = ops.TextOps.queries("c10_sql_scripting")(spark, d)
       .select(col("cutoff")).head().getLong(0)
