@@ -565,6 +565,70 @@ object Relational {
   private def q131(s: SparkSession, d: String): DataFrame =
     windowGroupLimitRun(s, d)._1
 
+  /** q132: SCALAR-SUBQUERY MERGING — two scalar subqueries over the
+    * same table (corpus mean and corpus max, the classic "compare each
+    * group to global stats" report) are fused by Catalyst's
+    * `MergeScalarSubqueries` into ONE aggregate producing a struct; the
+    * second subquery becomes a `ReusedSubquery` of the first — one
+    * corpus scan instead of two. q124 reuses identical exchanges; this
+    * merges DIFFERENT aggregates over the same source — the other half
+    * of the "never scan twice for one report" story. Spec pins
+    * ReusedSubquery present, absent under the rule-excluded control,
+    * same answer. */
+  private[graft] def mergedScalarSubqueriesRun(s: SparkSession, d: String,
+      merge: Boolean = true): (DataFrame, String) = {
+    val excluded =
+      if (merge) graft.GraftSession.ExcludedOptimizerRules
+      else graft.GraftSession.ExcludedOptimizerRules +
+        ",org.apache.spark.sql.catalyst.optimizer.MergeScalarSubqueries"
+    ExportOps.withConf(s, "spark.sql.optimizer.excludedRules", excluded) {
+      t(s, d, "orders").createOrReplaceTempView("q132_orders")
+      t(s, d, "customer").createOrReplaceTempView("q132_customer")
+      val df = s.sql(
+        """SELECT c_mktsegment, count(1) AS n_cust,
+          |  (SELECT CAST(floor(avg(o_totalprice)) AS BIGINT)
+          |   FROM q132_orders) AS avg_price_floor,
+          |  (SELECT CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT)
+          |   FROM q132_orders) AS max_cents
+          |FROM q132_customer
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      (ExportOps.localize(df), df.queryExecution.executedPlan.toString)
+    }
+  }
+
+  private def q132(s: SparkSession, d: String): DataFrame =
+    mergedScalarSubqueriesRun(s, d)._1
+
+  /** q133: PARQUET AGGREGATE PUSHDOWN — COUNT/MIN/MAX answered from the
+    * parquet FOOTERS (row-group statistics), never decoding a row: the
+    * DSv2 scan advertises `PushedAggregation` and returns the aggregate
+    * from metadata. At 100 TB this turns full-corpus stats queries
+    * (row counts, value ranges — the first query every pipeline runs)
+    * into a listing-plus-footers operation, I/O proportional to file
+    * COUNT, not data volume. Requires the v2 parquet path and no
+    * filters/grouping on non-partition columns (outside that envelope
+    * Spark silently falls back to a real scan — the spec pins BOTH the
+    * pushed plan and the ~zero rows-read, plus the disabled control's
+    * full-corpus read). */
+  private[graft] def parquetAggPushdownRun(s: SparkSession, d: String,
+      pushdown: Boolean = true): (DataFrame, String) =
+    ExportOps.withConf(s, "spark.sql.parquet.aggregatePushdown",
+      pushdown.toString) {
+      ExportOps.withConf(s, "spark.sql.sources.useV1SourceList",
+        if (pushdown) "" else "parquet") {
+        val df = s.read.parquet(s"$d/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+        (ExportOps.localize(df), df.queryExecution.executedPlan.toString)
+      }
+    }
+
+  private def q133(s: SparkSession, d: String): DataFrame =
+    parquetAggPushdownRun(s, d)._1
+
   /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
     * q124's single-plan exchange reuse can't express: a shared expensive
     * frame is `.cache()`d, a FIRST action materializes it into the
@@ -2581,6 +2645,8 @@ object Relational {
     "q129_native_topk_agg" -> q129 _,
     "q130_cache_reuse" -> q130 _,
     "q131_window_group_limit" -> q131 _,
+    "q132_merged_scalar_subqueries" -> q132 _,
+    "q133_parquet_agg_pushdown" -> q133 _,
     "c09_point_in_time_features" -> c09 _,
     "q117_lateral_topn" -> q117 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
@@ -2919,6 +2985,26 @@ object Relational {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
         |FROM u GROUP BY vintage ORDER BY vintage""".stripMargin,
+    // q132: merging computes the same two scalars — DuckDB runs the
+    // identical two-subquery SQL; the single-scan fusion is the spec's
+    // job. floor() keeps both engines on the integer grid
+    "q132_merged_scalar_subqueries" ->
+      """SELECT c_mktsegment, count(1) AS n_cust,
+        |  (SELECT CAST(floor(avg(o_totalprice)) AS BIGINT) FROM orders)
+        |    AS avg_price_floor,
+        |  (SELECT CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT)
+        |   FROM orders) AS max_cents
+        |FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q133: footer-served aggregates equal row-served aggregates by
+    // parquet's own statistics contract; the metadata-only read is the
+    // spec's job. min/max of doubles are the exact stored bits
+    "q133_parquet_agg_pushdown" ->
+      """SELECT count(1) AS n_rows,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
     // q131: the pushdown moves work below the exchange, never changes
     // which rows survive — a plain window oracle checks the values; the
     // WindowGroupLimit node and the shuffle-records drop are the spec's

@@ -95,6 +95,35 @@ class PlanAuditR13bSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(m)
   }
 
+  test("q132: the two scalar subqueries fuse — ReusedSubquery present, absent in the control") {
+    val (_, plan) = Relational.mergedScalarSubqueriesRun(spark, d)
+    assert(plan.contains("ReusedSubquery"),
+      s"MergeScalarSubqueries must fuse the two corpus scalars:\n$plan")
+    val (_, control) = Relational.mergedScalarSubqueriesRun(spark, d,
+      merge = false)
+    assert(!control.contains("ReusedSubquery"),
+      s"the rule-excluded control must keep two independent subqueries:\n$control")
+  }
+
+  test("q133: pushed aggregates serve from footers — near-zero rows read; control scans") {
+    val (_, plan) = Relational.parquetAggPushdownRun(spark, d)
+    assert(plan.contains("PushedAggregation: [COUNT(*)"),
+      s"the v2 parquet scan must advertise the pushed aggregates:\n$plan")
+    val m = new BenchMetrics
+    spark.sparkContext.addSparkListener(m)
+    try {
+      m.start("pushed"); Relational.parquetAggPushdownRun(spark, d); m.finish()
+      m.start("scan")
+      Relational.parquetAggPushdownRun(spark, d, pushdown = false); m.finish()
+      val sourceRows = Tables(spark, d, "lineitem").count()
+      assert(m.rowsRead("pushed") < sourceRows / 100,
+        s"footer serve must not decode the corpus: read ${m.rowsRead("pushed")} " +
+          s"of $sourceRows")
+      assert(m.rowsRead("scan") >= sourceRows,
+        s"the disabled control must pay the full read: ${m.rowsRead("scan")}")
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
   test("c10: the WHILE loop is live — the 3-round cutoff strictly tightens past round 1") {
     val out = ops.TextOps.queries("c10_sql_scripting")(spark, d)
       .select(col("cutoff")).head().getLong(0)
