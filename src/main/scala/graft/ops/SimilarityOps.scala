@@ -552,18 +552,27 @@ object SimilarityOps {
 
   /** Fold the tombstones into the codes (rewrite without deleted rows,
     * empty the tombstone set) — the periodic compaction that keeps the
-    * anti-join side from growing unboundedly. Staged-then-swap like
-    * every artifact rewrite. */
+    * anti-join side from growing unboundedly. Swap is rename-old-first
+    * (the r11 verdict's crash discipline): stage `codes.next`, retire
+    * the old dir to `codes.trash`, promote, then vacuum the trash — both
+    * versions exist on disk at every instant, so a crash anywhere leaves
+    * either the old codes (plus a stale stage/trash to sweep) or the new
+    * ones, never a missing table. Tombstones are only emptied AFTER the
+    * promote: replaying compaction on the old codes is idempotent. */
   private[graft] def v22Compact(s: SparkSession, root: String): Unit = {
     val live = s.read.parquet(s"$root/codes")
       .join(s.read.parquet(s"$root/tombstones"), Seq("vec_id"), "left_anti")
-    live.write.parquet(s"$root/codes.next")
+    live.write.mode("overwrite").parquet(s"$root/codes.next")
     val dir = new java.io.File(root)
-    ExportOps.deleteRecursively(new java.io.File(dir, "codes"))
-    require(new java.io.File(dir, "codes.next")
-      .renameTo(new java.io.File(dir, "codes")), "v22 compaction swap failed")
+    val old = new java.io.File(dir, "codes")
+    val trash = new java.io.File(dir, "codes.trash")
+    ExportOps.deleteRecursively(trash) // sweep a previous crash's leftovers
+    require(old.renameTo(trash), "v22 compaction: retire of old codes failed")
+    require(new java.io.File(dir, "codes.next").renameTo(old),
+      "v22 compaction: promote failed — old codes intact in codes.trash")
     val empty = s.read.parquet(s"$root/tombstones").limit(0)
     empty.write.mode("overwrite").parquet(s"$root/tombstones")
+    ExportOps.deleteRecursively(trash)
   }
 
   /** v22: DELETION maintenance for the serving ANN index — the lifecycle

@@ -77,6 +77,15 @@ class TombstoneDeleteSpec extends SparkSpec {
       val after = SimilarityOps.v22ServeFrom(spark, root, d)
         .collect().map(_.toString).toSeq
       assert(after === before, "compaction must not change the serve")
+      // idempotent re-run (empty tombstones fold to a no-op rewrite),
+      // including the sweep of a stale trash dir from a simulated crash
+      new java.io.File(out, "codes.trash").mkdirs()
+      SimilarityOps.v22Compact(spark, root)
+      assert(!new java.io.File(out, "codes.trash").exists(),
+        "compaction must sweep a previous crash's trash")
+      val again = SimilarityOps.v22ServeFrom(spark, root, d)
+        .collect().map(_.toString).toSeq
+      assert(again === before, "re-compaction must be a no-op on the serve")
     }
   }
 }
