@@ -92,6 +92,17 @@ object GraftFunctions {
         }
         TopKAgg(exprs(0), exprs(1), k)
       }),
+    // graft_ngrams(text, n) — native table-generating function (the
+    // Generator rung, t35 gate): explodes a document into word n-grams as
+    // (pos, gram) rows through ONE Generate node, no per-row gram array
+    // materialized. n is a plan-time literal.
+    (FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGramsGenerator].getName, "graft_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_ngrams takes 2 args (text, n), got ${exprs.length}")
+        NGramsGenerator(exprs(0), exprs(1))
+      }),
     // graft_normalize(text) — NFD accent-strip + ROOT-locale casefold,
     // the canonicalization pass text dedup keys on (t34 gate); a native
     // codegen'd Expression, independently implemented by DuckDB's

@@ -540,6 +540,48 @@ object ExportOps {
     }
   }
 
+  /** e26: the ORC format leg — the last columnar interchange format next
+    * to parquet (native), CSV (e16), JSONL (e09) and XML (e19). Some
+    * upstream lakes land ORC (classic Hive estates); the engine must
+    * read them WITH the same scan economy parquet gets, not via convert-
+    * to-parquet-first. The gate exports events as ORC clustered by
+    * user_id (repartition + sortWithinPartitions, so ORC's stripe-level
+    * min/max indexes are actually selective — the e08 sorted-export
+    * discipline applied to the other format), reads it back through a
+    * selective predicate + 3-column projection, and aggregates; the
+    * oracle computes the same report from the PARQUET source, so a hash
+    * match proves the ORC round trip is value-lossless (timestamps
+    * carried as epoch-µs longs — ORC timestamp semantics differ from
+    * parquet's, so the export pins the encoding exactly as e16 does).
+    * PlanAuditR14Spec pins the scan economy: the ORC scan must show the
+    * pushed predicate and the pruned 4-column ReadSchema. */
+  private def e26(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_orc", d)
+    withScratchCleanup(out) {
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      ev.repartition(4, col("user_id")).sortWithinPartitions("user_id")
+        .write.mode(SaveMode.Overwrite).orc(s"$out/orc")
+      val back = s.read.orc(s"$out/orc")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,2)")).cast("double")
+            .as("sum_value"),
+          min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      localizeAndDrop(back, out, "user_id")
+    }
+  }
+
+  /** The e26 read-back plan over an existing ORC directory — shared with
+    * the PlanAuditR14Spec pushdown pin so the spec audits exactly the
+    * gate's plan. */
+  private[graft] def orcReadBack(s: SparkSession, dir: String): DataFrame =
+    s.read.orc(dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("value"))
+
   // ------------------------------------------- e10: bucketed co-located join
 
   /** Writes `df` as a Spark-native bucketed parquet table: rows hash-route
@@ -1507,7 +1549,7 @@ object ExportOps {
     "e10_bucketed_join" -> e10 _, "e11_bucketed_append" -> e11 _,
     "e12_versioned_publish" -> e12 _, "e13_zorder_layout" -> e13 _,
     "e14_manifest_skipping" -> e14 _, "e15_retention_erasure" -> e15 _,
-    "e16_csv_roundtrip" -> e16 _)
+    "e16_csv_roundtrip" -> e16 _, "e26_orc_roundtrip" -> e26 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -1630,6 +1672,14 @@ object ExportOps {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |  md5(props) AS props_md5
         |FROM events ORDER BY event_id""".stripMargin,
+    // e26: the same report computed from the PARQUET source — a hash
+    // match proves the ORC round trip lost no values
+    "e26_orc_roundtrip" ->
+      """SELECT user_id, count(1) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the migrated (day, event_type) layout must aggregate to exactly
     // the source events — partition values recovered from directories,
     // so a re-layout that lost or invented rows moves this hash

@@ -629,6 +629,83 @@ object Relational {
   private def q133(s: SparkSession, d: String): DataFrame =
     parquetAggPushdownRun(s, d)._1
 
+  /** q135: TYPED COGROUP — the `KeyValueGroupedDataset.cogroup` leg of the
+    * Dataset API (the typed sibling of flatMapGroups/mapGroupsWithState,
+    * both gated elsewhere): both sides' groups for one key arrive in ONE
+    * function call, for per-key logic that needs to interleave the two
+    * sequences — here "how many of this user's clicks happened before
+    * their first purchase" (the conversion-funnel cut), which a join
+    * would compute by replicating clicks against purchases. Plan shape:
+    * one hash shuffle per side on the key, then a per-key merge; per-key
+    * memory is that key's rows (the flatMapGroups contract), never the
+    * corpus. Hash-matched against a DuckDB oracle deriving the same
+    * three counters relationally. */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long)]
+    val clicks = ev.filter(_._2 == "click").map(e => (e._1, e._3))
+    val purchases = ev.filter(_._2 == "purchase").map(e => (e._1, e._3))
+    clicks.groupByKey(_._1).cogroup(purchases.groupByKey(_._1)) {
+      (uid, cs, ps) =>
+        val clickTs = cs.map(_._2).toArray
+        var nP = 0L; var firstP = Long.MaxValue
+        ps.foreach { p => nP += 1; if (p._2 < firstP) firstP = p._2 }
+        Iterator((uid, clickTs.length.toLong, nP,
+          clickTs.count(_ < firstP).toLong))
+    }.toDF("user_id", "n_clicks", "n_purchases",
+        "clicks_before_first_purchase")
+      .orderBy("user_id")
+  }
+
+  /** q136: TIMEZONE-AWARE LOCAL-TIME ROLLUP — the reporting cut every
+    * global pipeline needs: events land as UTC instants, the business
+    * reads calendar days in a civil timezone, and the two disagree for
+    * 4-5 hours around every midnight (plus the DST jumps). Events are
+    * deterministically spread across Jan-Apr 2024 (integer-µs day shift
+    * from user_id — bit-exact on both engines) so the rollup CROSSES the
+    * 2024-03-10 US spring-forward; the engine converts with
+    * `from_utc_timestamp` (IANA tzdb), while the oracle hand-codes the
+    * 2024 America/New_York transition instants as pure interval
+    * arithmetic — two independent implementations of the same civil-time
+    * rule, hash-matched. Scale shape: the conversion is a per-row
+    * codegen'd map; the rollup is an ordinary hash aggregate on the
+    * derived day. */
+  private def q136(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("ts2", timestamp_micros(
+        unix_micros(col("ts")) + (col("user_id") % 90) * lit(86400000000L)))
+      .withColumn("local_day", date_format(
+        from_utc_timestamp(col("ts2"), "America/New_York"), "yyyy-MM-dd"))
+      .groupBy(col("local_day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_cents"))
+      .orderBy("local_day")
+
+  /** q137: GROUP BY ALL / ORDER BY ALL — the analyst-SQL sugar both
+    * engines resolve the same way (group on every non-aggregate select
+    * item; order on every output column): one SQL text runs VERBATIM on
+    * Spark and DuckDB, so the gate pins that the engine's resolution of
+    * the implicit grouping/ordering lists matches the reference
+    * semantics, not just that some grouping happened. */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(GroupByAllSql)
+  }
+
+  /** Verbatim-shared q137 text: identical bytes go to both engines. */
+  private val GroupByAllSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(1) AS n,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS sum_price_cents
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
     * q124's single-plan exchange reuse can't express: a shared expensive
     * frame is `.cache()`d, a FIRST action materializes it into the
@@ -2647,6 +2724,9 @@ object Relational {
     "q131_window_group_limit" -> q131 _,
     "q132_merged_scalar_subqueries" -> q132 _,
     "q133_parquet_agg_pushdown" -> q133 _,
+    "q135_typed_cogroup" -> q135 _,
+    "q136_local_time_rollup" -> q136 _,
+    "q137_group_by_all" -> q137 _,
     "c09_point_in_time_features" -> c09 _,
     "q117_lateral_topn" -> q117 _,
     "q34_range_join" -> q34 _, "q35_pivot" -> q35 _, "q37_stats_agg" -> q37 _,
@@ -3005,6 +3085,52 @@ object Relational {
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
+    // q135: the cogroup's three counters re-derived relationally —
+    // per-side counts plus a first-purchase cutoff join; users with no
+    // purchase count every click as pre-conversion (firstP = +inf)
+    "q135_typed_cogroup" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase'),
+        |cc AS (SELECT user_id, count(1) AS n_clicks FROM c GROUP BY user_id),
+        |pc AS (SELECT user_id, count(1) AS n_purchases,
+        |              min(ts_us) AS first_p FROM p GROUP BY user_id),
+        |u AS (SELECT user_id FROM cc UNION SELECT user_id FROM pc),
+        |eb AS (SELECT c.user_id, count(1) AS early
+        |       FROM c LEFT JOIN pc ON c.user_id = pc.user_id
+        |       WHERE pc.user_id IS NULL OR c.ts_us < pc.first_p
+        |       GROUP BY c.user_id)
+        |SELECT u.user_id,
+        |  COALESCE(cc.n_clicks, 0) AS n_clicks,
+        |  COALESCE(pc.n_purchases, 0) AS n_purchases,
+        |  COALESCE(eb.early, 0) AS clicks_before_first_purchase
+        |FROM u LEFT JOIN cc ON u.user_id = cc.user_id
+        |LEFT JOIN pc ON u.user_id = pc.user_id
+        |LEFT JOIN eb ON u.user_id = eb.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    // q136: the engine's IANA-tzdb conversion vs the 2024 America/New_York
+    // rule HAND-CODED as interval arithmetic (EST until 2024-03-10
+    // 07:00 UTC, EDT until 2024-11-03 06:00 UTC) — two independent
+    // implementations of the same civil-time mapping
+    "q136_local_time_rollup" ->
+      """WITH e AS (
+        |  SELECT make_timestamp(epoch_us(ts)
+        |           + (user_id % 90) * 86400000000) AS ts2, value
+        |  FROM events),
+        |loc AS (
+        |  SELECT ts2 - CASE WHEN ts2 >= TIMESTAMP '2024-03-10 07:00:00'
+        |                     AND ts2 <  TIMESTAMP '2024-11-03 06:00:00'
+        |               THEN INTERVAL 4 HOUR ELSE INTERVAL 5 HOUR END AS lt,
+        |         value
+        |  FROM e)
+        |SELECT strftime(lt, '%Y-%m-%d') AS local_day, count(1) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM loc GROUP BY local_day ORDER BY local_day""".stripMargin,
+    // q137: the IDENTICAL text runs on both engines — the gate is the
+    // resolution of the implicit grouping/ordering lists
+    "q137_group_by_all" -> GroupByAllSql,
     // q131: the pushdown moves work below the exchange, never changes
     // which rows survive — a plain window oracle checks the values; the
     // WindowGroupLimit node and the shuffle-records drop are the spec's

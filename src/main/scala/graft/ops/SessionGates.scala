@@ -548,8 +548,11 @@ object SessionGates {
   private[ops] def streamOuterJoinGate(s: SparkSession, d: String,
                                        sentinel: Boolean,
                                        joinType: String = "left_outer"): DataFrame = {
-    val prefix = (if (joinType == "full_outer") "graft_ssfj" else "graft_ssoj") +
-      (if (sentinel) "" else "_ns")
+    val prefix = (joinType match {
+      case "full_outer"  => "graft_ssfj"
+      case "right_outer" => "graft_ssrj"
+      case _             => "graft_ssoj"
+    }) + (if (sentinel) "" else "_ns")
     val out = ExportOps.scratchDir(prefix, d)
     ExportOps.withScratchCleanup(out) {
       new java.io.File(out, "in").mkdirs()
@@ -621,6 +624,21 @@ object SessionGates {
     * emission on eviction, not retention. */
   private def q99(s: SparkSession, d: String): DataFrame =
     streamOuterJoinGate(s, d, sentinel = true, joinType = "full_outer")
+
+  /** q134: the RIGHT-outer leg — the mirror of q67 that closes the
+    * stream-stream join-type matrix for good (q62 inner / q67 left-outer /
+    * q95 left-semi / q99 full-outer / q134 right-outer). Every click lands;
+    * a click no purchase claimed emits a null-purchase row once the
+    * watermark passes the point where a claiming purchase could still
+    * arrive (click_ts + the 30-min horizon — the same symmetric eviction
+    * bound as q99's click leg). Semantically right-outer is left-outer with
+    * the build/probe roles swapped, but the STATE math is not symmetric
+    * here: the time-range condition bounds click_ts by purchase_ts from
+    * both sides, so the unmatched-click flush waits on the PURCHASE
+    * watermark, which q67's sentinel batch advances. Hash-matches a DuckDB
+    * RIGHT JOIN oracle. */
+  private def q134(s: SparkSession, d: String): DataFrame =
+    streamOuterJoinGate(s, d, sentinel = true, joinType = "right_outer")
 
   /** q65: stateful streaming dedup under at-least-once redelivery — the
     * ingest-side screen every streaming pipeline runs before anything
@@ -1578,7 +1596,8 @@ object SessionGates {
     "q102_state_source_read" -> q102 _,
     "q103_late_redelivery_screen" -> q103 _,
     "q105_stream_observe" -> q105 _,
-    "q106_stream_join_agg" -> q106 _)
+    "q106_stream_join_agg" -> q106 _,
+    "q134_stream_right_outer_join" -> q134 _)
 
   /** Both gates share one oracle: ms-truncated event times, strict-gap
     * sessions (break on diff >= 5 min), end = last event + gap. */
@@ -1976,6 +1995,22 @@ object SessionGates {
         |       c.event_id AS click_id, c.ts_ms AS click_ms
         |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
         |FULL JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts_ms >= p.ts_ms - 1800000 AND c.ts_ms <= p.ts_ms
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // the RIGHT leg: every click survives; unmatched clicks carry null
+    // purchase columns, uid coalesced (non-null from exactly one side)
+    "q134_stream_right_outer_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |)
+        |SELECT p.event_id AS purchase_id,
+        |       COALESCE(p.user_id, c.user_id) AS uid,
+        |       p.ts_ms AS purchase_ms,
+        |       c.event_id AS click_id, c.ts_ms AS click_ms
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        |RIGHT JOIN (SELECT * FROM e WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts_ms >= p.ts_ms - 1800000 AND c.ts_ms <= p.ts_ms
         |ORDER BY purchase_id, click_id""".stripMargin)

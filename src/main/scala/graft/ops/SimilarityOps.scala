@@ -1036,7 +1036,44 @@ object SimilarityOps {
       v06(s, d).select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .orderBy("vec_id")
 
+  /** v23: METADATA-FILTERED ANN — the production retrieval shape the
+    * v-family's unfiltered rungs never gate: "nearest neighbours of this
+    * query AMONG vectors satisfying a metadata predicate" (same language,
+    * same tenant, same licence tier). Two strategies exist at scale and
+    * they are NOT equivalent: post-filtering an unfiltered shortlist
+    * loses recall whenever the predicate is selective (an unfiltered
+    * top-k may contain 0 qualifying rows — FilteredAnnSpec pins a query
+    * where it demonstrably does), while PRE-filtering scores only
+    * qualifying vectors and is exact. The engine takes the pre-filter
+    * leg, expressed so the predicate IS the join key: corpus ⋈ broadcast
+    * queries ON label — a BroadcastHashJoin that scores exactly the
+    * qualifying (query, candidate) pairs, no cross join, no scan of
+    * non-qualifying vectors past the join (plan-pinned). At 100 TB with a
+    * label-partitioned layout the same predicate prunes partitions at
+    * the scan; the shape here is the post-pruning compute. Exact cosine
+    * + per-query top-[[K]], hash-matched against a DuckDB oracle running
+    * the identical filtered brute force. */
+  private def v23(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+    val queries = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_vec"))
+    val sims = corpus.join(broadcast(queries),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v23_filtered_ann" -> v23 _,
     "v11_semantic_dedup" -> v11 _,
     "v10_mmr_select" -> v10 _,
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
@@ -1323,6 +1360,24 @@ object SimilarityOps {
          |    ORDER BY cos DESC, n_id ASC) AS rank FROM rerank)
          |SELECT q_id, rank, n_id, round(cos, 4) AS cos,
          |  CAST(ham AS BIGINT) AS ham
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // v23: the filtered brute force re-run natively — the label predicate
+    // applied BEFORE scoring on both engines, so a hash match proves the
+    // pre-filter leg is exact (no shortlist recall loss to hide)
+    "v23_filtered_ann" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+         |                  embedding AS q_vec
+         |           FROM embeddings WHERE vec_id < $NumQueries),
+         |sims AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    list_cosine_similarity(CAST(q_vec AS DOUBLE[]),
+         |                           CAST(e.embedding AS DOUBLE[])) AS cos
+         |  FROM embeddings e JOIN q
+         |    ON e.label = q.q_label AND e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id ASC) AS rank FROM sims)
+         |SELECT q_id, rank, n_id, round(cos, 4) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

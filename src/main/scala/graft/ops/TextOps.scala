@@ -1301,6 +1301,34 @@ object TextOps {
       .orderBy("norm")
   }
 
+  /** t35: NATIVE TABLE-GENERATING FUNCTION
+    * ([[graft.functions.NGramsGenerator]] — the Generator rung of the
+    * extension-point matrix): `graft_ngrams(text, 3)` explodes each
+    * document into its word trigrams as (pos, gram) rows through ONE
+    * `Generate` node over the scan — per-partition streaming fan-out, no
+    * shuffle, no UDF, and no per-document gram ARRAY materialized (the
+    * builtin composition `posexplode(transform(sequence(...), ...))`
+    * allocates every document's full gram list before exploding it; at
+    * 100 TB of web text that's n× the corpus size of transient garbage).
+    * The gate aggregates the exploded stream to the corpus's top-50
+    * trigrams (count, doc frequency, earliest position — full tie-break
+    * on gram) and hash-matches a DuckDB oracle that re-derives the grams
+    * independently via `list_slice` over `generate_series`. The plan pin
+    * (PlanAuditR14Spec) holds the `Generate graft_ngrams` node and the
+    * absence of any ScalaUDF/ArrayTransform in the gram path. */
+  private def t35(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s) // idempotent
+    docs(s, d).createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT gram, count(1) AS n, count(DISTINCT doc_id) AS n_docs,
+        |       min(pos) AS first_pos
+        |FROM documents
+        |LATERAL VIEW graft_ngrams(text, 3) g AS pos, gram
+        |GROUP BY gram
+        |ORDER BY n DESC, gram ASC
+        |LIMIT 50""".stripMargin)
+  }
+
   /** c10: SQL SCRIPTING — the last SQL front door after plain SQL (c03),
     * SQL-defined functions (c07), and pipe syntax + named parameters
     * (c08): a multi-statement script with session VARIABLES and a WHILE
@@ -1455,6 +1483,7 @@ object TextOps {
     "t31_langid_ngram" -> t31 _, "t32_blocklist_screen" -> t32 _,
     "t33_sequence_packing" -> t33 _,
     "t34_normalize_dedup" -> t34 _,
+    "t35_ngram_generator" -> t35 _,
     "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
     "c10_sql_scripting" -> c10 _,
@@ -1576,6 +1605,22 @@ object TextOps {
         |SELECT lower(strip_accents(title)) AS norm, count(1) AS n_docs,
         |  CAST(count(DISTINCT title) AS BIGINT) AS n_spellings
         |FROM v GROUP BY norm ORDER BY norm""".stripMargin,
+    // t35: the native generator's grams re-derived independently —
+    // list_slice over generate_series vs the engine's Generate node; same
+    // single-space/empty-drop tokenization as the rest of the t-family
+    "t35_ngram_generator" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |                             t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |         array_to_string(list_slice(tk, i, i + 2), ' ') AS gram
+        |  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i))
+        |SELECT gram, count(1) AS n, count(DISTINCT doc_id) AS n_docs,
+        |       min(pos) AS first_pos
+        |FROM grams GROUP BY gram
+        |ORDER BY n DESC, gram ASC LIMIT 50""".stripMargin,
     "t32_blocklist_screen" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term

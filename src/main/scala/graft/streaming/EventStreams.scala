@@ -98,7 +98,10 @@ object EventStreams {
     if (joinType == "left_semi")
       joined.select(col("purchase_id"), col("p_user").as("uid"),
         col("purchase_ts"))
-    else if (joinType == "full_outer")
+    else if (joinType == "full_outer" || joinType == "right_outer")
+      // an unmatched row carries only one side's user column, so the uid
+      // must coalesce across sides (right-outer: null purchase columns on
+      // a click no purchase claimed)
       joined.select(col("purchase_id"),
         coalesce(col("p_user"), col("user_id")).as("uid"),
         col("purchase_ts"), col("click_id"), col("click_ts"))
