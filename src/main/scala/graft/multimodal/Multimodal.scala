@@ -347,13 +347,76 @@ object Multimodal {
       .orderBy("status", "lang")
   }
 
+  /** m08: MODALITY-BALANCED INTERLEAVING — the batch-assembly step after
+    * curation: a mixed corpus (here 60% text / 30% image / 10% audio,
+    * derived deterministically from doc_id) must feed training in a
+    * stable interleave that honors the mix ratio at every prefix, not
+    * just in aggregate — the property that keeps per-batch modality
+    * balance when the stream is cut into consecutive batches. The
+    * interleave is stride scheduling (weighted-fair-queueing virtual
+    * time): the r-th item of a modality with weight w serves at
+    * vt = (2r−1)·(W/w) (W = 6, the weight LCM — so strides are the
+    * integers 1/2/6 and every vt is exact), items serve in vt order,
+    * ties broken (modality, doc_id). Pure integer arithmetic — the
+    * DuckDB oracle recomputes it verbatim, hash-matched on the first
+    * [[InterleaveK]] positions. Scale shape: the per-modality rank is a
+    * 3-partition window HERE (fixture grain); at corpus scale it is
+    * q114's global dense numbering per modality (range shuffle + O(P)
+    * offsets), and the head-of-stream cut is a TakeOrdered top-k on vt,
+    * never a global sort. */
+  private def m08(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 10 <= 5, "text")
+        .when(col("doc_id") % 10 <= 8, "image")
+        .otherwise("audio").as("modality"))
+    val stride = when(col("modality") === "text", 1L)
+      .when(col("modality") === "image", 2L).otherwise(6L)
+    val ranked = m.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("modality")).orderBy(col("doc_id"))))
+      .withColumn("vt", ((lit(2) * col("rnk") - 1).cast("long") * stride))
+    val head = ranked.orderBy(col("vt"), col("modality"), col("doc_id"))
+      .limit(InterleaveK)
+    head.withColumn("pos", row_number().over(
+        Window.orderBy(col("vt"), col("modality"), col("doc_id"))))
+      .select(col("pos"), col("modality"), col("doc_id"), col("vt"))
+      .orderBy("pos")
+  }
+
+  /** Interleave head length m08 pins (the first two “training batches”
+    * at a 60-item batch grain). */
+  private val InterleaveK = 120
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01 _, "m02_media_decode" -> m02 _,
     "m03_frame_sample" -> m03 _, "m04_frame_dedup" -> m04 _,
     "m05_payload_integrity" -> m05 _, "m06_frame_neardup" -> m06 _,
-    "m07_clip_filter" -> m07 _, "c06_media_curation" -> c06 _)
+    "m07_clip_filter" -> m07 _, "m08_modality_interleave" -> m08 _,
+    "c06_media_curation" -> c06 _)
 
   val oracle: Map[String, String] = Map(
+    // m08: the stride-scheduling arithmetic recomputed verbatim — same
+    // modality rule, same integer virtual times, same tie-break
+    "m08_modality_interleave" ->
+      """WITH m AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 <= 5 THEN 'text'
+        |                      WHEN doc_id % 10 <= 8 THEN 'image'
+        |                      ELSE 'audio' END AS modality
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, modality,
+        |    row_number() OVER (PARTITION BY modality ORDER BY doc_id)
+        |      AS rnk,
+        |    CASE WHEN doc_id % 10 <= 5 THEN 1
+        |         WHEN doc_id % 10 <= 8 THEN 2 ELSE 6 END AS stride
+        |  FROM m),
+        |v AS (SELECT doc_id, modality,
+        |        CAST((2 * rnk - 1) * stride AS BIGINT) AS vt FROM r),
+        |h AS (SELECT * FROM v ORDER BY vt, modality, doc_id LIMIT 120)
+        |SELECT CAST(row_number() OVER (ORDER BY vt, modality, doc_id)
+        |         AS INT) AS pos,
+        |  modality, doc_id, vt
+        |FROM h ORDER BY pos""".stripMargin,
     // the whole media-curation composition replayed from documents.text
     // (the stub decode recovers the payload byte-for-byte): integrity
     // plant, frame fan-out + min-id keeper election over CLEAN docs only,

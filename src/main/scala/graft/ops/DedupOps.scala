@@ -390,6 +390,58 @@ object DedupOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** d34: SORTED-NEIGHBORHOOD fuzzy-candidate generation — the third
+    * blocking topology next to d23's quadratic blocks and d26's
+    * multi-pass union: deduplicate exact titles first (the documented
+    * production order — d01's job), SORT the distinct titles, and verify
+    * each title only against its next [[SnmWindow]] neighbors in sort
+    * order. Cost is O(titles · w) levenshtein calls instead of d23's
+    * per-block quadratic — the shape that stays affordable when a block
+    * collapses (one hot prefix holding 10^6 titles costs d23 10^12
+    * pairs and d34 3·10^6). Recall is positional: a 1-2-edit pair is
+    * found iff fewer than w other titles sort between them — tail edits
+    * (this fixture's) sort adjacent to their base and are caught; a
+    * FIRST-char edit teleports across the sort order and needs d26's
+    * multi-key passes. The sort key is the title itself within a prefix
+    * block (the window partitions by block, orders by title — one hash
+    * shuffle + in-partition sort; at corpus scale the same neighborhood
+    * runs over a RANGE shuffle, q114's machinery, with w-row partition
+    * overlap). Fully oracled: DuckDB re-derives the identical
+    * neighborhoods with `lead` and the same integer levenshtein. */
+  private def d34(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val base = concat(col("source"), lit("-"), (id % 50).cast("string"),
+      lit(" report"))
+    val title = when(id % 20 === 7,
+        expr("substring(title_base, 1, length(title_base) - 1)"))
+      .when(id % 10 === 7, concat(col("title_base"), lit("x")))
+      .otherwise(col("title_base"))
+    val reps = docs(s, d)
+      .select(id, base.as("title_base"))
+      .select(id, title.as("title"))
+      .groupBy(col("title")).agg(min(col("doc_id")).as("rep"))
+      .withColumn("pfx", substring(col("title"), 1, 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pfx"))
+      .orderBy(col("title"), col("rep"))
+    val nbrs = (1 to SnmWindow).map { i =>
+      reps.select(col("rep").as("id_x"), col("title").as("title_x"),
+        lead(col("rep"), i).over(w).as("id_y"),
+        lead(col("title"), i).over(w).as("title_y"))
+    }.reduce(_ unionByName _)
+    nbrs.filter(col("id_y").isNotNull)
+      .withColumn("dist", levenshtein(col("title_x"), col("title_y")))
+      .filter(col("dist").between(1, 2))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SNM neighborhood width: each title verifies against its next 3
+    * sort-order neighbors. */
+  private val SnmWindow = 3
+
   /** d32: near-dup-cluster-aware train/test split — the PREVENTION half
     * of what d24 audits: assigning splits per DOCUMENT (q51) lets two
     * near-duplicate docs land on opposite sides of the train/eval fence,
@@ -1605,7 +1657,7 @@ object DedupOps {
     "d27_dup_span_removal" -> d27 _, "d28_cluster_keep_best" -> d28 _,
     "d29_pagerank" -> d29 _, "d30_containment" -> d30 _,
     "d31_tokensort_dedup" -> d31 _, "d32_cluster_split" -> d32 _,
-    "d33_source_overlap" -> d33 _,
+    "d33_source_overlap" -> d33 _, "d34_sorted_neighborhood" -> d34 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -2078,6 +2130,40 @@ object DedupOps {
         |FROM blocked a JOIN blocked b
         |  ON a.pfx = b.pfx AND a.lenb = b.lenb AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.title, b.title) BETWEEN 1 AND 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // d34: the identical neighborhoods re-derived with lead() — same
+    // exact-title collapse, same prefix block, same (title, rep) sort,
+    // same integer levenshtein; pair normalized least/greatest
+    "d34_sorted_neighborhood" ->
+      """WITH titled AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 7 THEN substring(tb, 1, length(tb) - 1)
+        |         WHEN doc_id % 10 = 7 THEN tb || 'x'
+        |         ELSE tb END AS title
+        |  FROM (SELECT doc_id,
+        |          source || '-' || (doc_id % 50) || ' report' AS tb
+        |        FROM documents) x),
+        |reps AS (
+        |  SELECT title, min(doc_id) AS rep, substring(title, 1, 6) AS pfx
+        |  FROM titled GROUP BY title),
+        |nbr AS (
+        |  SELECT rep AS id_x, title AS title_x,
+        |    lead(rep, 1) OVER w AS r1, lead(title, 1) OVER w AS t1,
+        |    lead(rep, 2) OVER w AS r2, lead(title, 2) OVER w AS t2,
+        |    lead(rep, 3) OVER w AS r3, lead(title, 3) OVER w AS t3
+        |  FROM reps WINDOW w AS (PARTITION BY pfx ORDER BY title, rep)),
+        |pairs AS (
+        |  SELECT id_x, r1 AS id_y, levenshtein(title_x, t1) AS dist
+        |    FROM nbr WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT id_x, r2, levenshtein(title_x, t2)
+        |    FROM nbr WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT id_x, r3, levenshtein(title_x, t3)
+        |    FROM nbr WHERE t3 IS NOT NULL)
+        |SELECT least(id_x, id_y) AS id_a, greatest(id_x, id_y) AS id_b,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM pairs WHERE dist BETWEEN 1 AND 2
         |ORDER BY id_a, id_b""".stripMargin,
     "d15_url_dedup" ->
       raw"""WITH u AS (
