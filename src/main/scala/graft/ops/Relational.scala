@@ -706,6 +706,35 @@ object Relational {
       |GROUP BY ALL
       |ORDER BY ALL""".stripMargin
 
+  /** q138: JOIN-STRATEGY HINTS — the escape hatch every production plan
+    * eventually needs: the optimizer's size estimate is wrong (stale
+    * stats, exploding UDF, remote table) and the operator must FORCE a
+    * strategy. At this fixture size Spark broadcasts `customer`
+    * unprompted; the gate's `/*+ MERGE(c) */` hint overrides it into a
+    * sort-merge join — the direction that matters at 100 TB, where a
+    * mis-estimated "small" side OOMs every executor and the hint is the
+    * fix. Hints change the PLAN, never the answer: the hinted run is the
+    * gate's hash-matched output (DuckDB parses the hint as a plain
+    * comment and runs the identical text), and PlanAuditR14bSpec pins
+    * SortMergeJoin under the hint vs BroadcastHashJoin without it. */
+  private[graft] def joinHintRun(s: SparkSession, d: String,
+      hint: Boolean = true): (DataFrame, String) = {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    val h = if (hint) "/*+ MERGE(c) */ " else ""
+    val df = s.sql(
+      s"""SELECT ${h}c.c_mktsegment AS segment, count(1) AS n,
+         |  CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS sum_cents
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment
+         |ORDER BY segment""".stripMargin)
+    (df, df.queryExecution.executedPlan.toString)
+  }
+
+  private def q138(s: SparkSession, d: String): DataFrame =
+    joinHintRun(s, d)._1
+
   /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
     * q124's single-plan exchange reuse can't express: a shared expensive
     * frame is `.cache()`d, a FIRST action materializes it into the
@@ -2725,6 +2754,7 @@ object Relational {
     "q132_merged_scalar_subqueries" -> q132 _,
     "q133_parquet_agg_pushdown" -> q133 _,
     "q135_typed_cogroup" -> q135 _,
+    "q138_join_hints" -> q138 _,
     "q136_local_time_rollup" -> q136 _,
     "q137_group_by_all" -> q137 _,
     "c09_point_in_time_features" -> c09 _,
@@ -3131,6 +3161,15 @@ object Relational {
     // q137: the IDENTICAL text runs on both engines — the gate is the
     // resolution of the implicit grouping/ordering lists
     "q137_group_by_all" -> GroupByAllSql,
+    // q138: DuckDB parses /*+ MERGE(c) */ as a comment — one text, two
+    // engines; the hint moves the Spark plan, never the values
+    "q138_join_hints" ->
+      """SELECT /*+ MERGE(c) */ c.c_mktsegment AS segment, count(1) AS n,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY segment""".stripMargin,
     // q131: the pushdown moves work below the exchange, never changes
     // which rows survive — a plain window oracle checks the values; the
     // WindowGroupLimit node and the shuffle-records drop are the spec's

@@ -1072,8 +1072,40 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** v24: RADIUS (threshold) SEARCH — the second retrieval contract next
+    * to top-k: ALL neighbours with cos ≥ [[RadiusTau]], however many
+    * there are (near-dup sweeps, recall-critical screens — where top-k's
+    * fixed k either truncates a dense neighbourhood or pads a sparse
+    * one). The exact leg is the same broadcast-queries × corpus scoring
+    * as v01 with the rank replaced by a FILTER — which is exactly why it
+    * scales differently: no per-query window/sort at all, just a scan-
+    * side predicate, and at corpus scale the threshold composes with
+    * LSH banding (v02's topology) because high-cosine pairs share a band
+    * with high probability, so the scored candidate set shrinks to the
+    * buckets. τ sits ≥1e-4 from every corpus cosine at both gated SFs
+    * (probed), so the boundary is bit-stable cross-engine; hash-matched
+    * against the identical filtered scoring in DuckDB. */
+  private def v24(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+    val queries = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("embedding")).as("cos"))
+      .filter(col("cos") >= RadiusTau)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "n_id")
+  }
+
+  /** v24 similarity floor — probed to sit ≥1e-4 away from every corpus
+    * cosine at sf0.001 and sf0.01, so threshold membership can't flip on
+    * summation-order ulps. */
+  private val RadiusTau = 0.30
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "v23_filtered_ann" -> v23 _,
+    "v23_filtered_ann" -> v23 _, "v24_radius_search" -> v24 _,
     "v11_semantic_dedup" -> v11 _,
     "v10_mmr_select" -> v10 _,
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
@@ -1379,6 +1411,17 @@ object SimilarityOps {
          |    ORDER BY cos DESC, n_id ASC) AS rank FROM sims)
          |SELECT q_id, rank, n_id, round(cos, 4) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // v24: the identical filtered scoring — no rank, just the threshold
+    "v24_radius_search" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id < $NumQueries),
+         |sims AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    list_cosine_similarity(CAST(q_vec AS DOUBLE[]),
+         |                           CAST(e.embedding AS DOUBLE[])) AS cos
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, n_id, round(cos, 4) AS cos
+         |FROM sims WHERE cos >= $RadiusTau ORDER BY q_id, n_id""".stripMargin,
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
          |           FROM embeddings WHERE vec_id < $NumQueries),
