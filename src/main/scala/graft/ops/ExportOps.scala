@@ -1457,6 +1457,70 @@ object ExportOps {
     }
   }
 
+  /** c11: INCREMENTAL CORPUS REFRESH — the daily steady-state composite
+    * the lake-maintenance gates exist for, run end-to-end: a corpus
+    * table is BUILT (day-1 docs exact-deduped on content signature,
+    * committed through [[TxTable]]), a day-2 arrival batch is SCREENED
+    * against the served table (intra-batch dedup keep-min-id, then
+    * left-anti against the live signatures — the d16/d22 discipline, but
+    * against the versioned artifact), survivors APPEND as one manifest
+    * commit (old files untouched), and the read-side change feed
+    * ([[tableChanges]], e23's kernel) between the two versions drives
+    * the refresh report: per source — arrivals, inserts, screened-out,
+    * and the post-refresh corpus totals. At 100 TB this is the nightly
+    * loop: the corpus is never rescanned (the screen probes the served
+    * state), the append moves only new bytes, and downstream consumers
+    * read the CDF instead of diffing snapshots. Everything is md5/
+    * integer-deterministic, so the WHOLE composite — both dedup tiers,
+    * the version diff, the accounting — hash-matches one DuckDB oracle
+    * that re-derives both days relationally. CdfRefreshSpec pins the
+    * append-only contract (the feed carries inserts ONLY), day-1-file
+    * byte-identity across the append, and refresh idempotence (a re-run
+    * of the same arrivals inserts zero rows). */
+  private def c11(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_refresh", d)
+    withScratchCleanup(out) {
+      val dir = s"$out/corpus"
+      val docsT = graft.Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text")).as("sig"))
+      val day1 = docsT.filter(col("doc_id") % 5 =!= 0)
+      val day2 = docsT.filter(col("doc_id") % 5 === 0)
+      def keepMin(df: DataFrame): DataFrame = df.groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          expr("min_by(source, doc_id)").as("source"),
+          expr("min_by(n_chars, doc_id)").as("n_chars"))
+        .select(col("doc_id"), col("sig"), col("source"), col("n_chars"))
+      TxTable.stageAndCommit(keepMin(day1), dir, append = false,
+        vacuumNow = false)
+      val v1 = TxTable.currentVersion(s, dir)
+      val inserts = keepMin(day2)
+        .join(TxTable.read(s, dir).select(col("sig")), Seq("sig"),
+          "left_anti")
+      TxTable.stageAndCommit(inserts, dir, append = true,
+        vacuumNow = false)
+      val v2 = TxTable.currentVersion(s, dir)
+      val feed = tableChanges(s, dir, v1, v2, Seq("doc_id"))
+      val insCounts = feed.filter(col("_change_type") === "insert")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_inserted"))
+      val arrivals = day2.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_arrived"))
+      val state = TxTable.readVersion(s, dir, v2).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("n_chars")).as("sum_chars"))
+      val report = state
+        .join(arrivals, Seq("source"), "left")
+        .join(insCounts, Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
+          coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+          (coalesce(col("n_arrived"), lit(0L)) -
+            coalesce(col("n_inserted"), lit(0L))).as("n_screened"),
+          col("n_total"), col("sum_chars"))
+      localizeAndDrop(report, out, "source")
+    }
+  }
+
   /** Row-level change feed between two committed [[TxTable]] versions —
     * Delta/Iceberg's `table_changes()` recovered READ-SIDE from the
     * manifest log (no write-time change capture needed): full-outer join
@@ -1549,7 +1613,8 @@ object ExportOps {
     "e10_bucketed_join" -> e10 _, "e11_bucketed_append" -> e11 _,
     "e12_versioned_publish" -> e12 _, "e13_zorder_layout" -> e13 _,
     "e14_manifest_skipping" -> e14 _, "e15_retention_erasure" -> e15 _,
-    "e16_csv_roundtrip" -> e16 _, "e26_orc_roundtrip" -> e26 _)
+    "e16_csv_roundtrip" -> e16 _, "e26_orc_roundtrip" -> e26 _,
+    "c11_incremental_refresh" -> c11 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -1672,6 +1737,42 @@ object ExportOps {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |  md5(props) AS props_md5
         |FROM events ORDER BY event_id""".stripMargin,
+    // c11: both days re-derived relationally — same signature, same
+    // keep-min-id rule on both tiers, same anti-join screen, same
+    // per-source accounting; a hash match proves the versioned-artifact
+    // path (commit -> serve -> screen -> append -> CDF) computes exactly
+    // the set-theoretic refresh
+    "c11_incremental_refresh" ->
+      """WITH d AS (SELECT doc_id, source, n_chars, md5(text) AS sig
+        |           FROM documents),
+        |day1 AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |day2 AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |k1 AS (SELECT sig, min(doc_id) AS doc_id,
+        |         min_by(source, doc_id) AS source,
+        |         min_by(n_chars, doc_id) AS n_chars
+        |       FROM day1 GROUP BY sig),
+        |k2 AS (SELECT sig, min(doc_id) AS doc_id,
+        |         min_by(source, doc_id) AS source,
+        |         min_by(n_chars, doc_id) AS n_chars
+        |       FROM day2 GROUP BY sig),
+        |ins AS (SELECT k2.* FROM k2 LEFT JOIN k1 ON k2.sig = k1.sig
+        |        WHERE k1.sig IS NULL),
+        |state AS (SELECT * FROM k1 UNION ALL SELECT * FROM ins),
+        |arr AS (SELECT source, count(1) AS n_arrived FROM day2
+        |        GROUP BY source),
+        |insc AS (SELECT source, count(1) AS n_inserted FROM ins
+        |         GROUP BY source),
+        |st AS (SELECT source, count(1) AS n_total,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |       FROM state GROUP BY source)
+        |SELECT st.source, COALESCE(arr.n_arrived, 0) AS n_arrived,
+        |  COALESCE(insc.n_inserted, 0) AS n_inserted,
+        |  COALESCE(arr.n_arrived, 0) - COALESCE(insc.n_inserted, 0)
+        |    AS n_screened,
+        |  st.n_total, st.sum_chars
+        |FROM st LEFT JOIN arr ON st.source = arr.source
+        |LEFT JOIN insc ON st.source = insc.source
+        |ORDER BY st.source""".stripMargin,
     // e26: the same report computed from the PARQUET source — a hash
     // match proves the ORC round trip lost no values
     "e26_orc_roundtrip" ->
