@@ -735,6 +735,43 @@ object Relational {
   private def q138(s: SparkSession, d: String): DataFrame =
     joinHintRun(s, d)._1
 
+  /** q139: SECONDARY SORT — `flatMapSortedGroups`, the typed-API pattern
+    * for per-key logic that needs its rows IN ORDER without
+    * materializing the group: the sort expressions ride the groupBy
+    * exchange's in-partition sort, and the function receives a STREAMED
+    * ts-ordered iterator — per-key memory is O(1) here (a running
+    * first/last/gap scan), where the naive "toSeq.sortBy inside
+    * mapGroups" buffers every row of the key (the 100 TB hot-user OOM).
+    * The same numbers via windows would pay first_value + last_value +
+    * lag over the same shuffle — fine, but three window evaluations;
+    * this is one streamed pass. Computes per user: event count, first
+    * and last event type, and the longest inter-event gap (µs), on a
+    * (ts, event_id) total order; hash-matched against a DuckDB window
+    * oracle. */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapSortedGroups(col("ts_us"), col("event_id")) { (uid, it) =>
+        var n = 0L; var first: String = null; var last: String = null
+        var prev = Long.MinValue; var maxGap = 0L
+        it.foreach { e =>
+          n += 1
+          if (first == null) first = e._2
+          last = e._2
+          if (prev != Long.MinValue && e._3 - prev > maxGap)
+            maxGap = e._3 - prev
+          prev = e._3
+        }
+        Iterator((uid, n, first, last, maxGap))
+      }
+      .toDF("user_id", "n_events", "first_type", "last_type", "max_gap_us")
+      .orderBy("user_id")
+  }
+
   /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
     * q124's single-plan exchange reuse can't express: a shared expensive
     * frame is `.cache()`d, a FIRST action materializes it into the
@@ -2755,6 +2792,7 @@ object Relational {
     "q133_parquet_agg_pushdown" -> q133 _,
     "q135_typed_cogroup" -> q135 _,
     "q138_join_hints" -> q138 _,
+    "q139_secondary_sort" -> q139 _,
     "q136_local_time_rollup" -> q136 _,
     "q137_group_by_all" -> q137 _,
     "c09_point_in_time_features" -> c09 _,
@@ -3170,6 +3208,25 @@ object Relational {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment
         |ORDER BY segment""".stripMargin,
+    // q139: the one-pass sorted-iterator numbers re-derived with three
+    // window evaluations over the same (ts, event_id) total order
+    "q139_secondary_sort" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |                  event_id FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    first_value(event_type) OVER win AS first_type,
+        |    last_value(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND UNBOUNDED FOLLOWING) AS last_type,
+        |    ts_us - lag(ts_us) OVER win AS gap
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, count(1) AS n_events,
+        |  min(first_type) AS first_type, min(last_type) AS last_type,
+        |  CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q131: the pushdown moves work below the exchange, never changes
     // which rows survive — a plain window oracle checks the values; the
     // WindowGroupLimit node and the shuffle-records drop are the spec's

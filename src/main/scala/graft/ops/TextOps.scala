@@ -1329,6 +1329,40 @@ object TextOps {
         |LIMIT 50""".stripMargin)
   }
 
+  /** t36: OUTER generate — the null-preserving leg of the t35 generator
+    * (`LATERAL VIEW OUTER`): a document too short to yield any n-gram
+    * must SURVIVE the explode as one null-gram row, because the explode
+    * usually feeds a per-doc aggregate and inner generate silently drops
+    * short docs from the denominator (the classic fan-out accounting
+    * bug: "average grams per doc" computed only over docs WITH grams).
+    * Docs are length-bucketed so both regimes exist; the gate counts
+    * per-bucket docs and grams through ONE outer generate and
+    * hash-matches a DuckDB oracle deriving the same accounting with a
+    * LEFT JOIN. Plan: the same single Generate node as t35, `outer=true`
+    * — the engine's `Generate ... false, [pos, gram]` vs `true` flag is
+    * the only difference, pinned in the spec. */
+  private def t36(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s) // idempotent
+    // shorten every 3rd doc below the trigram threshold so the outer
+    // regime is populated: two tokens keep no trigram
+    docs(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 2)))
+          .otherwise(col("text")).as("text"))
+      .createOrReplaceTempView("t36_docs")
+    s.sql(
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'short' ELSE 'long' END
+        |         AS bucket,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       count(gram) AS n_grams,
+        |       count(1) - count(gram) AS n_gramless_rows
+        |FROM t36_docs
+        |LATERAL VIEW OUTER graft_ngrams(text, 3) g AS pos, gram
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin)
+  }
+
   /** c10: SQL SCRIPTING — the last SQL front door after plain SQL (c03),
     * SQL-defined functions (c07), and pipe syntax + named parameters
     * (c08): a multi-statement script with session VARIABLES and a WHILE
@@ -1484,6 +1518,7 @@ object TextOps {
     "t33_sequence_packing" -> t33 _,
     "t34_normalize_dedup" -> t34 _,
     "t35_ngram_generator" -> t35 _,
+    "t36_outer_generate" -> t36 _,
     "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
     "c10_sql_scripting" -> c10 _,
@@ -1621,6 +1656,34 @@ object TextOps {
         |       min(pos) AS first_pos
         |FROM grams GROUP BY gram
         |ORDER BY n DESC, gram ASC LIMIT 50""".stripMargin,
+    // t36: the outer-generate accounting re-derived with a LEFT JOIN —
+    // short docs contribute one gramless row, long docs their gram count
+    "t36_outer_generate" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN array_to_string(list_slice(
+        |        list_filter(string_split(text, ' '), t -> len(t) > 0),
+        |        1, 2), ' ')
+        |      ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |                             t -> len(t) > 0) AS tk
+        |  FROM docs2),
+        |grams AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(tk, i, i + 2), ' ') AS gram
+        |  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)),
+        |joined AS (
+        |  SELECT t.doc_id, g.gram
+        |  FROM toks t LEFT JOIN grams g ON t.doc_id = g.doc_id)
+        |SELECT CASE WHEN doc_id % 3 = 0 THEN 'short' ELSE 'long' END
+        |         AS bucket,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       count(gram) AS n_grams,
+        |       count(1) - count(gram) AS n_gramless_rows
+        |FROM joined GROUP BY 1 ORDER BY bucket""".stripMargin,
     "t32_blocklist_screen" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term

@@ -20,6 +20,26 @@ class PlanAuditR14bSpec extends SparkSpec {
         s"(the size estimate the hint exists to override):\n$free")
   }
 
+  test("t36: outer generate keeps gramless docs — same Generate node, outer flag on") {
+    val inner = ops.TextOps.queries("t35_ngram_generator")(spark, d)
+      .queryExecution.executedPlan.toString
+    val outer = ops.TextOps.queries("t36_outer_generate")(spark, d)
+      .queryExecution.executedPlan.toString
+    // plan strings render Generate as: Generate <gen>, <requiredChildOutput>,
+    // <outer>, ... — the outer leg must carry the true flag, the t35 inner
+    // leg false
+    assert(outer.contains("Generate graft_ngrams") && outer.contains("true"),
+      s"t36 must plan an OUTER Generate:\n$outer")
+    assert(inner.contains("Generate graft_ngrams"),
+      s"t35 must plan the same Generate node:\n$inner")
+    // semantics: every document survives the outer explode
+    val total = Tables(spark, d, "documents").count()
+    val kept = ops.TextOps.queries("t36_outer_generate")(spark, d)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()(0).getLong(0)
+    assert(kept == total,
+      s"outer generate must keep all $total docs, kept $kept")
+  }
+
   test("v24: radius search plans no per-query window — a filter, not a rank") {
     val radius = SimilarityOps.queries("v24_radius_search")(spark, d)
       .queryExecution.executedPlan.toString
