@@ -772,6 +772,27 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q140: TRANSPOSE — `Dataset.transpose` (new in Spark 4), the
+    * report-grain pivot of a whole frame: metric columns become rows
+    * ("key") and the index column's values become columns. Legitimate
+    * ONLY at report grain — the output schema is data-dependent (one
+    * column per index value) and the operator collects the index values
+    * to the driver to name them, so the input must already be an
+    * aggregate; this gate transposes a 3×4 pricing summary. All metrics
+    * share BIGINT so the least-common-type cast is lossless. The oracle
+    * builds the transposed table explicitly (one scalar subquery per
+    * cell over the 3-row aggregate) — a hash match pins the orientation,
+    * the column naming, and the values. */
+  private def q140(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("sum_qty"),
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .as("sum_cents"))
+      .transpose(col("l_returnflag"))
+      .orderBy("key")
+
   /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
     * q124's single-plan exchange reuse can't express: a shared expensive
     * frame is `.cache()`d, a FIRST action materializes it into the
@@ -2793,6 +2814,7 @@ object Relational {
     "q135_typed_cogroup" -> q135 _,
     "q138_join_hints" -> q138 _,
     "q139_secondary_sort" -> q139 _,
+    "q140_transpose" -> q140 _,
     "q136_local_time_rollup" -> q136 _,
     "q137_group_by_all" -> q137 _,
     "c09_point_in_time_features" -> c09 _,
@@ -3227,6 +3249,30 @@ object Relational {
         |  min(first_type) AS first_type, min(last_type) AS last_type,
         |  CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q140: the transposed report built explicitly, one scalar per cell
+    "q140_transpose" ->
+      """WITH a AS (
+        |  SELECT l_returnflag AS f, count(1) AS n_rows,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sum_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT 'n_rows' AS key,
+        |  (SELECT n_rows FROM a WHERE f = 'A') AS "A",
+        |  (SELECT n_rows FROM a WHERE f = 'N') AS "N",
+        |  (SELECT n_rows FROM a WHERE f = 'R') AS "R"
+        |UNION ALL
+        |SELECT 'sum_cents',
+        |  (SELECT sum_cents FROM a WHERE f = 'A'),
+        |  (SELECT sum_cents FROM a WHERE f = 'N'),
+        |  (SELECT sum_cents FROM a WHERE f = 'R')
+        |UNION ALL
+        |SELECT 'sum_qty',
+        |  (SELECT sum_qty FROM a WHERE f = 'A'),
+        |  (SELECT sum_qty FROM a WHERE f = 'N'),
+        |  (SELECT sum_qty FROM a WHERE f = 'R')
+        |ORDER BY key""".stripMargin,
     // q131: the pushdown moves work below the exchange, never changes
     // which rows survive — a plain window oracle checks the values; the
     // WindowGroupLimit node and the shuffle-records drop are the spec's

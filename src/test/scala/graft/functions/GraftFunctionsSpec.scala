@@ -57,7 +57,8 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.descriptions.map(_._1.funcName).sorted ===
       Seq("graft_bloom_agg", "graft_cosine_sim", "graft_gopher_quality",
         "graft_haversine_km", "graft_hist", "graft_md5_minhash",
-        "graft_might_contain", "graft_minhash64", "graft_normalize",
+        "graft_might_contain", "graft_minhash64", "graft_ngrams",
+        "graft_normalize",
         "graft_shingle_hashes", "graft_simhash64", "graft_tokenize",
         "graft_topk", "graft_winnow"))
     new graft.GraftExtensions() // constructible for spark.sql.extensions
