@@ -1521,6 +1521,55 @@ object ExportOps {
     }
   }
 
+  /** c12: SQL DDL/DML front door — the surface a migrated warehouse
+    * workload actually arrives through: `CREATE TABLE ... USING parquet
+    * LOCATION ...` (external table over an explicit path — no managed
+    * warehouse directory, no Hive metastore; the in-memory catalog holds
+    * only the mapping), `INSERT INTO` (append), `INSERT OVERWRITE`
+    * (replace), then plain SELECT against the catalog name. The gate
+    * runs the full lifecycle: CTAS-equivalent seed of purchases, INSERT
+    * INTO of the click rows, INSERT OVERWRITE of a small correction
+    * slice is deliberately NOT used here (e25 gates overwrite modes) —
+    * instead the final SELECT aggregates the appended table and must
+    * hash-match an oracle re-deriving the same union from the source.
+    * DROP TABLE in finally — catalog entries are session-global and a
+    * leaked name would shadow later gates. Scale: the DDL is metadata;
+    * every DML plans the same scan/insert as the path-based API. */
+  private def c12(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_ddl", d)
+    withScratchCleanup(out) {
+      val loc = s"$out/events_ext"
+      graft.Tables(s, d, "events").createOrReplaceTempView("events_src")
+      s.sql("DROP TABLE IF EXISTS graft_c12_events")
+      s.sql(
+        s"""CREATE TABLE graft_c12_events
+           |  (event_id BIGINT, user_id BIGINT, event_type STRING,
+           |   cents BIGINT)
+           |USING parquet LOCATION '$loc'""".stripMargin)
+      try {
+        s.sql(
+          """INSERT INTO graft_c12_events
+            |SELECT event_id, user_id, event_type,
+            |  CAST(floor(value * 100 + 0.5) AS BIGINT)
+            |FROM events_src WHERE event_type = 'purchase'""".stripMargin)
+        s.sql(
+          """INSERT INTO graft_c12_events
+            |SELECT event_id, user_id, event_type,
+            |  CAST(floor(value * 100 + 0.5) AS BIGINT)
+            |FROM events_src WHERE event_type = 'click'""".stripMargin)
+        val report = s.sql(
+          """SELECT event_type, count(1) AS n,
+            |  count(DISTINCT user_id) AS n_users,
+            |  CAST(sum(cents) AS BIGINT) AS sum_cents
+            |FROM graft_c12_events
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        localizeAndDrop(report, out, "event_type")
+      } finally {
+        s.sql("DROP TABLE IF EXISTS graft_c12_events"); ()
+      }
+    }
+  }
+
   /** Row-level change feed between two committed [[TxTable]] versions —
     * Delta/Iceberg's `table_changes()` recovered READ-SIDE from the
     * manifest log (no write-time change capture needed): full-outer join
@@ -1614,7 +1663,7 @@ object ExportOps {
     "e12_versioned_publish" -> e12 _, "e13_zorder_layout" -> e13 _,
     "e14_manifest_skipping" -> e14 _, "e15_retention_erasure" -> e15 _,
     "e16_csv_roundtrip" -> e16 _, "e26_orc_roundtrip" -> e26 _,
-    "c11_incremental_refresh" -> c11 _)
+    "c11_incremental_refresh" -> c11 _, "c12_sql_ddl" -> c12 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -1737,6 +1786,15 @@ object ExportOps {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |  md5(props) AS props_md5
         |FROM events ORDER BY event_id""".stripMargin,
+    // c12: the DDL lifecycle's final state re-derived from the source —
+    // the catalog table must hold exactly the two inserted slices
+    "c12_sql_ddl" ->
+      """SELECT event_type, count(1) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // c11: both days re-derived relationally — same signature, same
     // keep-min-id rule on both tiers, same anti-join screen, same
     // per-source accounting; a hash match proves the versioned-artifact
