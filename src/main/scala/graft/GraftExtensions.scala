@@ -12,5 +12,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregate navigation: rewrite covered aggregates onto registered
     // materialized views (no-op until a view is registered)
     e.injectOptimizerRule(_ => plans.MatviewRewrite)
+    // syntax extension: the DEDUP statement, desugar-and-delegate — every
+    // other statement parses through the stock parser verbatim
+    e.injectParser((_, delegate) => new plans.GraftSqlParser(delegate))
   }
 }

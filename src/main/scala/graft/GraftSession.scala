@@ -56,4 +56,42 @@ object GraftSession {
     functions.GraftFunctions.registerAll(spark)
     spark
   }
+
+  @volatile private var extCache: SparkSession = _
+
+  /** A SparkSession on the SAME SparkContext as `base` with
+    * [[GraftExtensions]] applied (functions + optimizer rule + the
+    * GraftSqlParser syntax extension). Extensions bind at session
+    * CONSTRUCTION, so a pre-existing session can't gain a parser; this
+    * clears the active/default session registration, lets getOrCreate
+    * build a fresh session over the existing context, and restores
+    * `base` — callers keep their session, the returned one carries the
+    * extensions. Cached per JVM (sessions are not free: each holds a
+    * SessionState); the cache is re-keyed if the context was stopped.
+    * Session-scoped SQL confs do NOT inherit across sessions, so the
+    * tuned shuffle/timeZone/excludedRules are copied from `base`. */
+  def extensionSession(base: SparkSession): SparkSession = synchronized {
+    if (extCache != null && !extCache.sparkContext.isStopped &&
+        (extCache.sparkContext eq base.sparkContext)) return extCache
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext =
+      // withExtensions, not the spark.sql.extensions conf: the conf is
+      // STATIC (read from the SparkContext at session build), so it can't
+      // take effect on a pre-existing context — the programmatic hook can
+      try SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_))
+        .config("spark.sql.shuffle.partitions",
+          base.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone",
+          base.conf.get("spark.sql.session.timeZone"))
+        .config("spark.sql.optimizer.excludedRules", ExcludedOptimizerRules)
+        .getOrCreate()
+      finally {
+        SparkSession.setDefaultSession(base)
+        SparkSession.setActiveSession(base)
+      }
+    extCache = ext
+    ext
+  }
 }

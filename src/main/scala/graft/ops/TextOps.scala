@@ -1363,6 +1363,29 @@ object TextOps {
         |ORDER BY bucket""".stripMargin)
   }
 
+  /** c13: SQL SYNTAX EXTENSION — the parser rung of the extension-point
+    * matrix ([[graft.plans.GraftSqlParser]] via
+    * `SparkSessionExtensions.injectParser`): the engine's own
+    * `DEDUP <table> BY <key> KEEP MIN <id>` statement, the keep-lowest-id
+    * exact-dedup idiom as first-class grammar. The parser DESUGARS the
+    * statement to standard SQL and delegates — analysis, optimization
+    * and planning are stock, so the custom syntax can never plan worse
+    * than the hand-written equivalent. Extensions bind at session
+    * construction, so the gate runs on [[graft.GraftSession
+    * .extensionSession]] (same SparkContext, fresh SessionState with the
+    * extensions applied). The deduped per-source summary hash-matches a
+    * DuckDB oracle of the desugared semantics; ParserExtensionSpec pins
+    * the passthrough (ordinary SQL parses bit-identically through the
+    * wrapped parser) and custom-vs-desugared equality on one session. */
+  private def c13(s: SparkSession, d: String): DataFrame = {
+    val ext = graft.GraftSession.extensionSession(s)
+    docs(ext, d).createOrReplaceTempView("documents_c13")
+    ext.sql("DEDUP documents_c13 BY md5(text) KEEP MIN doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** c10: SQL SCRIPTING — the last SQL front door after plain SQL (c03),
     * SQL-defined functions (c07), and pipe syntax + named parameters
     * (c08): a multi-statement script with session VARIABLES and a WHILE
@@ -1522,6 +1545,7 @@ object TextOps {
     "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
     "c10_sql_scripting" -> c10 _,
+    "c13_parser_extension" -> c13 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
@@ -1640,6 +1664,16 @@ object TextOps {
         |SELECT lower(strip_accents(title)) AS norm, count(1) AS n_docs,
         |  CAST(count(DISTINCT title) AS BIGINT) AS n_spellings
         |FROM v GROUP BY norm ORDER BY norm""".stripMargin,
+    // c13: the desugared dedup semantics re-derived — keep the min
+    // doc_id of every identical-text group, then the per-source summary
+    "c13_parser_extension" ->
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents
+        |           GROUP BY md5(text)),
+        |d AS (SELECT * FROM documents
+        |      WHERE doc_id IN (SELECT doc_id FROM k))
+        |SELECT source, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     // t35: the native generator's grams re-derived independently —
     // list_slice over generate_series vs the engine's Generate node; same
     // single-space/empty-drop tokenization as the rest of the t-family
