@@ -793,6 +793,31 @@ object Relational {
       .transpose(col("l_returnflag"))
       .orderBy("key")
 
+  /** q141: EXACT DISTINCT VIA MERGEABLE BITMAPS — the warehouse idiom
+    * between q30's exact `count(DISTINCT)` (shuffles raw ids) and q31's
+    * HLL (approximate): bucket the id space
+    * (`bitmap_bucket_number`), build one fixed-size bitmap per
+    * (group, bucket) with `bitmap_construct_agg`, and count bits. Each
+    * id lives in exactly one bucket, so Σ per-bucket `bitmap_count` is
+    * the EXACT distinct count — hash-matched against a plain
+    * `count(DISTINCT)` oracle. Why it matters at 100 TB: the shuffle
+    * carries fixed-size binary buffers with map-side partial merges
+    * (bitmap OR is associative/commutative) instead of every raw id,
+    * and the per-bucket bitmaps are PERSISTABLE segment artifacts — an
+    * arrival batch ORs into them (`bitmap_or_agg`) without rescanning
+    * history, the same incremental posture as q63's HLL but exact. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("ev_q141")
+    s.sql(
+      """WITH b AS (
+        |  SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+        |         bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+        |  FROM ev_q141 GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
     * q124's single-plan exchange reuse can't express: a shared expensive
     * frame is `.cache()`d, a FIRST action materializes it into the
@@ -2815,6 +2840,7 @@ object Relational {
     "q138_join_hints" -> q138 _,
     "q139_secondary_sort" -> q139 _,
     "q140_transpose" -> q140 _,
+    "q141_bitmap_distinct" -> q141 _,
     "q136_local_time_rollup" -> q136 _,
     "q137_group_by_all" -> q137 _,
     "c09_point_in_time_features" -> c09 _,
@@ -3249,6 +3275,11 @@ object Relational {
         |  min(first_type) AS first_type, min(last_type) AS last_type,
         |  CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q141: the bitmap route must land EXACTLY the distinct counts
+    "q141_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q140: the transposed report built explicitly, one scalar per cell
     "q140_transpose" ->
       """WITH a AS (
