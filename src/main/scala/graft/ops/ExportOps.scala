@@ -1570,6 +1570,80 @@ object ExportOps {
     }
   }
 
+  /** e27: SHALLOW CLONE — Delta's zero-copy table fork, recovered from
+    * the manifest protocol: [[TxTable.shallowClone]] commits ONE manifest
+    * at the clone root referencing the source's current data files; the
+    * clone then evolves independently (here: a correction batch appends
+    * to the CLONE only) while the source never changes. At 100 TB this
+    * is how dev/test forks and what-if pipelines exist at all — a fork
+    * costs a manifest write, not a corpus copy. The gate reports both
+    * tables' per-nation summaries after the divergence; the oracle
+    * re-derives each side relationally. CloneRestoreSpec pins the
+    * zero-copy facts: no data file exists under the clone root before
+    * the append, and the source's files are byte-identical after it. */
+  private def e27(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_clone", d)
+    withScratchCleanup(out) {
+      val src = s"$out/src"; val cln = s"$out/clone"
+      graft.Tables(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_nationkey").as("p"))
+        .write.parquet(src)
+      TxTable.bootstrapIfNeeded(s, src)
+      TxTable.shallowClone(s, src, cln)
+      val corrections = graft.Tables(s, d, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"),
+          col("c_name").as("name"), (col("c_acctbal") + lit(1.0)).as("bal"),
+          col("c_nationkey").as("p"))
+      TxTable.stageAndCommit(corrections, cln, append = true,
+        vacuumNow = false)
+      def summarize(df: DataFrame, tag: String): DataFrame =
+        df.groupBy(col("p").cast("int").as("p"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(bal * 100 + 0.5) AS BIGINT)"))
+              .as("sum_bal_cents"))
+          .withColumn("side", lit(tag))
+      val both = summarize(TxTable.read(s, src), "source")
+        .unionByName(summarize(TxTable.read(s, cln), "clone"))
+      localizeAndDrop(both, out, "side", "p")
+    }
+  }
+
+  /** e28: RESTORE — roll the table back to an earlier version AS A NEW
+    * COMMIT ([[TxTable.restore]]): the bad deploy's versions stay in
+    * history (still resolvable until vacuum — audit needs them), the
+    * restore itself is one manifest write referencing the old files,
+    * zero data moved. The gate builds v1, applies the q68 correction
+    * merge (v2), restores to v1 (v3), and reports the summaries of the
+    * corrupted version and the restored head — which must equal v1's.
+    * The oracle re-derives both states. */
+  private def e28(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_restore", d)
+    withScratchCleanup(out) {
+      val snap = s"$out/snap"
+      graft.Tables(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_nationkey").as("p"))
+        .write.partitionBy("p").parquet(snap)
+      TxTable.bootstrapIfNeeded(s, snap) // v1
+      Relational.mergePartitioned(s, snap,
+        Relational.q68Changes(s, d), Seq("name", "bal"),
+        vacuumNow = false) // v2 — the "bad deploy"
+      val v3 = TxTable.restore(s, snap, 1L) // rollback, history intact
+      require(v3 == 3L, s"restore must be a NEW version, got $v3")
+      def summarize(df: DataFrame, tag: String): DataFrame =
+        df.groupBy(col("p").cast("int").as("p"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(bal * 100 + 0.5) AS BIGINT)"))
+              .as("sum_bal_cents"))
+          .withColumn("state", lit(tag))
+      val both = summarize(TxTable.readVersion(s, snap, 2L), "corrupted")
+        .unionByName(summarize(TxTable.read(s, snap), "restored"))
+      localizeAndDrop(both, out, "state", "p")
+    }
+  }
+
   /** Row-level change feed between two committed [[TxTable]] versions —
     * Delta/Iceberg's `table_changes()` recovered READ-SIDE from the
     * manifest log (no write-time change capture needed): full-outer join
@@ -1663,7 +1737,8 @@ object ExportOps {
     "e12_versioned_publish" -> e12 _, "e13_zorder_layout" -> e13 _,
     "e14_manifest_skipping" -> e14 _, "e15_retention_erasure" -> e15 _,
     "e16_csv_roundtrip" -> e16 _, "e26_orc_roundtrip" -> e26 _,
-    "c11_incremental_refresh" -> c11 _, "c12_sql_ddl" -> c12 _)
+    "c11_incremental_refresh" -> c11 _, "c12_sql_ddl" -> c12 _,
+    "e27_shallow_clone" -> e27 _, "e28_restore" -> e28 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -1734,6 +1809,64 @@ object ExportOps {
     // customer base, version 2 replays the q68 CDC merge (latest-per-key,
     // tombstones drop); a time-travel read that leaked files across
     // versions moves either half
+    // e27: source = the untouched snapshot; clone = snapshot + the
+    // correction batch — a hash match proves the fork diverged and the
+    // source did not
+    "e27_shallow_clone" ->
+      """WITH src AS (
+        |  SELECT CAST(c_nationkey AS INT) AS p, count(1) AS n_rows,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_bal_cents, 'source' AS side
+        |  FROM customer GROUP BY 1),
+        |cl AS (
+        |  SELECT CAST(p AS INT) AS p, count(1) AS n_rows,
+        |    CAST(sum(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_bal_cents, 'clone' AS side
+        |  FROM (
+        |    SELECT c_acctbal AS bal, c_nationkey AS p FROM customer
+        |    UNION ALL
+        |    SELECT c_acctbal + 1.0, c_nationkey FROM customer
+        |    WHERE c_custkey % 10 = 0) x
+        |  GROUP BY 1)
+        |SELECT side, p, n_rows, sum_bal_cents FROM src
+        |UNION ALL
+        |SELECT side, p, n_rows, sum_bal_cents FROM cl
+        |ORDER BY side, p""".stripMargin,
+    // e28: the corrupted state is e22's v2 merge result; the restored
+    // head must equal the pristine v1
+    "e28_restore" ->
+      """WITH changes AS (
+        |  SELECT c_custkey AS k, c_acctbal AS bal,
+        |         CAST(c_nationkey AS INT) AS p,
+        |         CAST(0 AS BIGINT) AS seq, 'S' AS op
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 100, CAST(c_nationkey AS INT), 1, 'U'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, CAST(c_nationkey AS INT), 2, 'D'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, c_acctbal, CAST(c_nationkey AS INT), 1, 'I'
+        |  FROM customer WHERE c_nationkey IN (3, 7) AND c_custkey % 13 = 0),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM changes),
+        |v2 AS (SELECT bal, p FROM latest WHERE rn = 1 AND op <> 'D'),
+        |a2 AS (
+        |  SELECT p, count(1) AS n_rows,
+        |    CAST(sum(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_bal_cents, 'corrupted' AS state
+        |  FROM v2 GROUP BY 1),
+        |a1 AS (
+        |  SELECT CAST(c_nationkey AS INT) AS p, count(1) AS n_rows,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_bal_cents, 'restored' AS state
+        |  FROM customer GROUP BY 1)
+        |SELECT state, p, n_rows, sum_bal_cents FROM a2
+        |UNION ALL
+        |SELECT state, p, n_rows, sum_bal_cents FROM a1
+        |ORDER BY state, p""".stripMargin,
     "e22_tx_time_travel" ->
       """WITH changes AS (
         |  SELECT c_custkey AS k, c_acctbal AS bal,

@@ -818,6 +818,24 @@ object Relational {
         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** q142: MULTI-COLUMN IN SUBQUERY — `(a, b) IN (SELECT a, b ...)`, the
+    * composite-key membership idiom migrated SQL writes instead of an
+    * explicit join: Spark decorrelates it to ONE left-semi hash join on
+    * BOTH columns (no row-constructor comparison per outer row, no
+    * nested loop — the same decorrelation family as q116). Identical
+    * text runs natively in DuckDB (row-value IN) → full hash oracle. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, count(1) AS n
+        |FROM orders
+        |WHERE (o_custkey, o_orderstatus) IN
+        |  (SELECT o_custkey, o_orderstatus FROM orders
+        |   WHERE o_totalprice > 400000)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
     * q124's single-plan exchange reuse can't express: a shared expensive
     * frame is `.cache()`d, a FIRST action materializes it into the
@@ -2841,6 +2859,7 @@ object Relational {
     "q139_secondary_sort" -> q139 _,
     "q140_transpose" -> q140 _,
     "q141_bitmap_distinct" -> q141 _,
+    "q142_multi_col_in" -> q142 _,
     "q136_local_time_rollup" -> q136 _,
     "q137_group_by_all" -> q137 _,
     "c09_point_in_time_features" -> c09 _,
@@ -3280,6 +3299,15 @@ object Relational {
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q142: identical text — DuckDB evaluates the row-value IN natively
+    "q142_multi_col_in" ->
+      """SELECT o_orderpriority, count(1) AS n
+        |FROM orders
+        |WHERE (o_custkey, o_orderstatus) IN
+        |  (SELECT o_custkey, o_orderstatus FROM orders
+        |   WHERE o_totalprice > 400000)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // q140: the transposed report built explicitly, one scalar per cell
     "q140_transpose" ->
       """WITH a AS (

@@ -195,9 +195,24 @@ object TxTable {
     * crashed maintenance. Partition-column predicates still prune at
     * the file-index level (spec-pinned). */
   def read(s: SparkSession, root: String): DataFrame = {
-    val files = liveFiles(s, root).map(f => s"$root/$f")
-    if (files.isEmpty) return emptySnapshot(s, root, currentVersion(s, root))
-    s.read.option("basePath", root).parquet(files: _*)
+    val rels = liveFiles(s, root)
+    if (rels.isEmpty) return emptySnapshot(s, root, currentVersion(s, root))
+    readResolved(s, root, rels)
+  }
+
+  /** Resolves manifest lines against the root and reads them. basePath
+    * (directory-encoded partition recovery) is only passed when every
+    * reference lives UNDER the root: a shallow clone's manifest points
+    * outside its root (`../source/...`), which basePath rejects — such
+    * tables read their partition columns from the data itself (the e27
+    * gate clones an unpartitioned layout; a partitioned clone at scale
+    * would use absolute-URI references the same way Delta does). */
+  private def readResolved(s: SparkSession, root: String,
+                           rels: Seq[String]): DataFrame = {
+    val files = rels.map(f => s"$root/$f")
+    if (rels.forall(f => !f.contains("..")))
+      s.read.option("basePath", root).parquet(files: _*)
+    else s.read.parquet(files: _*)
   }
 
   /** Snapshot-as-of read: the table exactly as version `version` served
@@ -219,7 +234,7 @@ object TxTable {
         s"version's data files survive a vacuum; retained older manifests " +
         s"are commit history, not readable snapshots). First missing: " +
         missing.head)
-    s.read.option("basePath", root).parquet(files: _*)
+    readResolved(s, root, filesOfVersion(s, root, version))
   }
 
   /** An empty-but-legal snapshot (a manifest that commits zero files —
@@ -304,6 +319,46 @@ object TxTable {
     fs.delete(stage, true)
     commit(s, dir, (if (append) liveFiles(s, dir) else Nil) ++ moved)
     if (vacuumNow) vacuum(s, dir)
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): a new table
+    * at `cloneRoot` whose v1 manifest REFERENCES the source's current
+    * data files — zero bytes copied, the clone is one manifest write.
+    * References are stored root-relative to the CLONE (`../source/...`),
+    * so the clone root stays relocatable together with its source; a
+    * production object store would store absolute URIs instead — the
+    * protocol (manifest references outside the table root) is the same.
+    * Writes to the clone land under the clone's own root and commit as
+    * later clone versions; the source is never touched (its files are
+    * outside the clone's [[vacuum]] sweep by construction — vacuum only
+    * lists under the table root). Returns the clone's version (1). */
+  def shallowClone(s: SparkSession, sourceRoot: String,
+                   cloneRoot: String): Long = {
+    val (fs, clonePath) = fsOf(s, cloneRoot)
+    if (!fs.exists(clonePath)) fs.mkdirs(clonePath)
+    require(currentVersion(s, cloneRoot) == 0L,
+      s"shallow clone target $cloneRoot already has a committed table")
+    val src = new Path(fsOf(s, sourceRoot)._2.toUri.getPath)
+    val dst = new Path(clonePath.toUri.getPath)
+    val rel = java.nio.file.Paths.get(dst.toString)
+      .relativize(java.nio.file.Paths.get(src.toString)).toString
+    commit(s, cloneRoot, liveFiles(s, sourceRoot).map(f => s"$rel/$f"))
+  }
+
+  /** RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`): roll the table
+    * back to `toVersion` AS A NEW COMMIT — history is preserved (the
+    * rolled-back versions stay resolvable until vacuum), and the restore
+    * itself is one manifest write referencing the old version's files,
+    * zero data copied. Fails with the readVersion story if vacuum
+    * already retired the target version's files. */
+  def restore(s: SparkSession, root: String, toVersion: Long): Long = {
+    val files = filesOfVersion(s, root, toVersion)
+    val (fs, rootPath) = fsOf(s, root)
+    val missing = files.filterNot(f => fs.exists(new Path(rootPath, f)))
+    require(missing.isEmpty,
+      s"cannot restore $root to v$toVersion: ${missing.size} data files " +
+        s"were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    commit(s, root, files)
   }
 
   /** e20-style maintenance: delete visible parquet files the latest
