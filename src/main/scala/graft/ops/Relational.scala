@@ -822,8 +822,10 @@ object Relational {
     * composite-key membership idiom migrated SQL writes instead of an
     * explicit join: Spark decorrelates it to ONE left-semi hash join on
     * BOTH columns (no row-constructor comparison per outer row, no
-    * nested loop — the same decorrelation family as q116). Identical
-    * text runs natively in DuckDB (row-value IN) → full hash oracle. */
+    * nested loop — the same decorrelation family as q116). DuckDB's binder
+    * has no tuple-IN over a multi-column subquery, so the oracle states
+    * the identical membership as a correlated EXISTS (equivalent on
+    * null-free keys) → full hash oracle. */
   private def q142(s: SparkSession, d: String): DataFrame = {
     t(s, d, "orders").createOrReplaceTempView("orders")
     s.sql(
@@ -3299,15 +3301,19 @@ object Relational {
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // q142: identical text — DuckDB evaluates the row-value IN natively
+    // q142: DuckDB's binder rejects tuple-IN over a 2-column subquery,
+    // so the oracle states the same membership as a correlated EXISTS —
+    // equivalent on these null-free keys
     "q142_multi_col_in" ->
-      """SELECT o_orderpriority, count(1) AS n
-        |FROM orders
-        |WHERE (o_custkey, o_orderstatus) IN
-        |  (SELECT o_custkey, o_orderstatus FROM orders
-        |   WHERE o_totalprice > 400000)
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+      """SELECT o.o_orderpriority, count(1) AS n
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders h
+        |  WHERE h.o_totalprice > 400000
+        |    AND h.o_custkey = o.o_custkey
+        |    AND h.o_orderstatus = o.o_orderstatus)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
     // q140: the transposed report built explicitly, one scalar per cell
     "q140_transpose" ->
       """WITH a AS (
