@@ -178,6 +178,58 @@ class ScaleSmokeSpec extends SparkSpec {
         s"window's ${mWin.shuffleRecords} — the buffer asymmetry collapsed at x$X")
   }
 
+  test("q141 at x20: bitmap distinct shuffles group-bucket buffers, not raw ids") {
+    assume(enabled, "set GRAFT_SCALE_SMOKE=1 to run the amplified-scale smoke")
+    // the record economy needs REAL id cardinality (the sf0.001 fixture
+    // has 15 users — both routes fit a handful of records): amplify the
+    // events ×X and synthesize a 20 000-user id space (one bitmap bucket:
+    // ids < 32 768) over 8 map partitions, the shape where the raw-id
+    // route's shuffle grows with cardinality and the bitmap route's
+    // stays at maps × groups × buckets
+    // materialized to scratch (8 files): a lazy amplification view would
+    // re-run its repartition exchange inside BOTH measurements and swamp
+    // the aggregate shuffles under test
+    val evOut = ExportOps.scratchDir("graft_scale_bitmap", "spec")
+    try {
+      spark.read.parquet(s"$base/events.parquet")
+        .select(col("*"), explode(expr(s"sequence(0L, ${X - 1}L)")).as("rep"))
+        .withColumn("event_id", col("event_id") + col("rep") * 100000000L)
+        .withColumn("user_id", pmod(xxhash64(col("event_id")), lit(20000L)))
+        .drop("rep")
+        .repartition(8)
+        .write.parquet(s"$evOut/events")
+      spark.read.parquet(s"$evOut/events").createOrReplaceTempView("ev_scale")
+    val mBitmap = measure {
+      spark.sql(
+        """WITH b AS (
+          |  SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+          |         bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          |  FROM ev_scale GROUP BY 1, 2)
+          |SELECT event_type, sum(bitmap_count(bm)) FROM b GROUP BY 1"""
+          .stripMargin).collect(); () // collect: .count() would let the
+      // optimizer prune the aggregate itself (counting groups needs no
+      // distinct work) and both routes degenerate to the same plan
+    }
+    val mDistinct = measure {
+      spark.sql(
+        """SELECT event_type, count(DISTINCT user_id)
+          |FROM ev_scale GROUP BY 1""".stripMargin).collect(); ()
+    }
+    info(fmt("q141 bitmap x20", mBitmap))
+    info(fmt("count distinct x20", mDistinct))
+    // count(DISTINCT) shuffles one record per surviving (type, user) pair
+    // per map partition; the bitmap route shuffles one fixed-size buffer
+    // per (type, BUCKET) per map partition — buckets ≪ users (measured
+    // 46 records / 54 KB vs 19 771 / 204 KB at 20 000 users ×20 rows:
+    // the record economy is ~430× and even the bytes win 3.8× once
+    // cardinality outgrows a single bitmap's fixed cost).
+    assert(mBitmap.shuffleRecords < mDistinct.shuffleRecords / 2,
+      s"bitmap route shuffled ${mBitmap.shuffleRecords} records vs " +
+        s"count-distinct's ${mDistinct.shuffleRecords} — the bucket " +
+        s"economy collapsed at x$X")
+    } finally ExportOps.deleteRecursively(evOut)
+  }
+
   test("t27 vs t29 at x20: the sketch cutoff still plans no corpus rank") {
     assume(enabled, "set GRAFT_SCALE_SMOKE=1 to run the amplified-scale smoke")
     val t27df = SparkEntry.queries("t27_source_prune")(spark, ampDir)
