@@ -1386,6 +1386,36 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t37: RANKING AUC — evaluating a quality classifier at corpus scale:
+    * the exact Mann-Whitney AUC from rank sums,
+    * `AUC = (Σ rank(pos) − n⁺(n⁺+1)/2) / (n⁺·n⁻)` — the metric every
+    * filter model (quality, toxicity, language) is judged by before its
+    * threshold gets to drop terabytes. The global rank is the q114
+    * problem and rides the SAME machinery ([[Relational
+    * .globalRowNumbers]]: one range shuffle + in-partition sorts + O(P)
+    * offset metadata — no single-partition window over the corpus, the
+    * trap the naive `row_number() OVER (ORDER BY score)` formulation
+    * is). Scores are engineered strictly unique (score = n_chars·10⁵ +
+    * doc_id), so there are no tie-ranks and the rank sum is
+    * integer-exact; the one division to a double is identical
+    * cross-engine. Label = (lang = 'en'), score correlates through
+    * n_chars — the AUC is a real mid-range number, not a degenerate 0/1.
+    * Hash-matches a DuckDB oracle computing the same rank sums. */
+  private def t37(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d).select(col("doc_id"),
+      (col("lang") === "en").cast("int").as("label"),
+      (col("n_chars") * 100000L + col("doc_id")).as("score"))
+    graft.ops.Relational.globalRowNumbers(scored, "score")
+      .withColumn("rank", col("global_id") + 1L)
+      .agg(
+        sum(when(col("label") === 1, col("rank"))).as("prs"),
+        sum(col("label").cast("long")).as("n_pos"),
+        count(lit(1)).as("n"))
+      .select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        (expr("CAST(prs - (n_pos * (n_pos + 1)) DIV 2 AS DOUBLE)") /
+          expr("CAST(n_pos * (n - n_pos) AS DOUBLE)")).as("auc"))
+  }
+
   /** c10: SQL SCRIPTING — the last SQL front door after plain SQL (c03),
     * SQL-defined functions (c07), and pipe syntax + named parameters
     * (c08): a multi-statement script with session VARIABLES and a WHILE
@@ -1542,6 +1572,7 @@ object TextOps {
     "t34_normalize_dedup" -> t34 _,
     "t35_ngram_generator" -> t35 _,
     "t36_outer_generate" -> t36 _,
+    "t37_ranking_auc" -> t37 _,
     "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
     "c10_sql_scripting" -> c10 _,
@@ -1664,6 +1695,21 @@ object TextOps {
         |SELECT lower(strip_accents(title)) AS norm, count(1) AS n_docs,
         |  CAST(count(DISTINCT title) AS BIGINT) AS n_spellings
         |FROM v GROUP BY norm ORDER BY norm""".stripMargin,
+    // t37: the same rank sums over the same unique scores — the single
+    // integer-exact division lands the identical double
+    "t37_ranking_auc" ->
+      """WITH sc AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+        |         n_chars * 100000 + doc_id AS score
+        |  FROM documents),
+        |r AS (SELECT label,
+        |        row_number() OVER (ORDER BY score) AS rank FROM sc)
+        |SELECT CAST(sum(label) AS BIGINT) AS n_pos,
+        |  CAST(count(1) - sum(label) AS BIGINT) AS n_neg,
+        |  CAST(sum(CASE WHEN label = 1 THEN rank END)
+        |         - (sum(label) * (sum(label) + 1)) // 2 AS DOUBLE)
+        |    / CAST(sum(label) * (count(1) - sum(label)) AS DOUBLE) AS auc
+        |FROM r""".stripMargin,
     // c13: the desugared dedup semantics re-derived — keep the min
     // doc_id of every identical-text group, then the per-source summary
     "c13_parser_extension" ->
