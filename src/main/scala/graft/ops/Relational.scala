@@ -838,6 +838,66 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q143: SPEARMAN RANK CORRELATION — the monotone-association check
+    * between two per-document metrics (does the cheap quality proxy
+    * track the expensive one?), exact: both rank vectors come from
+    * [[globalRowNumbers]] over engineered strictly-unique sort keys
+    * (metric·10⁵ + doc_id — no ties, so rank assignment is a total
+    * order, not an averaging convention), Σd² accumulates in integers,
+    * and ρ = 1 − 6Σd²/(n(n²−1)) is one exact-integer division to a
+    * double. Two range shuffles + one doc_id join — never a
+    * single-partition sort. The second metric is the first plus bounded
+    * md5 noise, so ρ is a real mid-range value. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val m = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val base = t(s, d, "documents").select(col("doc_id"),
+      (col("n_chars") * 100000L + col("doc_id")).as("sk1"),
+      ((col("n_chars") + m % 200L) * 100000L + col("doc_id")).as("sk2"))
+    def ranks(key: String, as: String) =
+      globalRowNumbers(base.select(col("doc_id"), col(key)), key)
+        .select(col("doc_id"), (col("global_id") + 1L).as(as))
+    ranks("sk1", "r1").join(ranks("sk2", "r2"), "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        (lit(1.0) - expr("CAST(6 * sum_d2 AS DOUBLE)") /
+          expr("CAST(n * (n * n - 1) AS DOUBLE)")).as("rho"))
+  }
+
+  /** q144: KOLMOGOROV-SMIRNOV DRIFT STATISTIC — "did this week's corpus
+    * shift?": the exact two-sample KS distance between the n_chars
+    * distributions of two document populations (doc_id % 3 = 0 vs the
+    * rest). Exact in integers: per distinct VALUE, cumulative counts of
+    * each sample ride one window over the value domain (report grain —
+    * distinct metric values, not corpus rows), and the sup statistic
+    * maximizes |cumA·n_B − cumB·n_A| BEFORE any division, so the only
+    * double is the final d_num/(n_A·n_B). At 100 TB the per-value count
+    * table is the only aggregate over data; everything after is
+    * value-domain-sized. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val docsT = t(s, d, "documents")
+      .select(col("n_chars"), (col("doc_id") % 3 === 0).as("in_a"))
+    val perVal = docsT.groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perVal.agg(sum(col("ca")).as("n_a"),
+      sum(col("cb")).as("n_b"))
+    perVal
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).as("dnum"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("dnum")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
   /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
     * q124's single-plan exchange reuse can't express: a shared expensive
     * frame is `.cache()`d, a FIRST action materializes it into the
@@ -2862,6 +2922,8 @@ object Relational {
     "q140_transpose" -> q140 _,
     "q141_bitmap_distinct" -> q141 _,
     "q142_multi_col_in" -> q142 _,
+    "q143_spearman_rank" -> q143 _,
+    "q144_ks_drift" -> q144 _,
     "q136_local_time_rollup" -> q136 _,
     "q137_group_by_all" -> q137 _,
     "c09_point_in_time_features" -> c09 _,
@@ -3314,6 +3376,47 @@ object Relational {
         |    AND h.o_orderstatus = o.o_orderstatus)
         |GROUP BY o.o_orderpriority
         |ORDER BY o.o_orderpriority""".stripMargin,
+    // q143: identical rank assignment (unique engineered keys) and the
+    // same exact-integer formula
+    "q143_spearman_rank" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    n_chars * 100000 + doc_id AS sk1,
+        |    (n_chars + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |       ::BIGINT % 200) * 100000 + doc_id AS sk2
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY sk1) AS r1 FROM base),
+        |r2 AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY sk2) AS r2 FROM base),
+        |j AS (SELECT r1.r1, r2.r2 FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id)
+        |SELECT CAST(count(1) AS BIGINT) AS n,
+        |  CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+        |  1.0 - CAST(6 * sum((r1 - r2) * (r1 - r2)) AS DOUBLE)
+        |      / CAST(count(1) * (count(1) * count(1) - 1) AS DOUBLE) AS rho
+        |FROM j""".stripMargin,
+    // q144: the same per-value cumulative counts and the same
+    // integer-maximized sup statistic
+    "q144_ks_drift" ->
+      """WITH perval AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS cb
+        |  FROM documents GROUP BY n_chars),
+        |cum AS (
+        |  SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+        |  FROM perval
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |               CAST(sum(cb) AS BIGINT) AS n_b FROM perval)
+        |SELECT n_a, n_b,
+        |  CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cuma * n_b - cumb * n_a)) AS DOUBLE)
+        |    / CAST(n_a * n_b AS DOUBLE) AS ks
+        |FROM cum, tot GROUP BY n_a, n_b""".stripMargin,
     // q140: the transposed report built explicitly, one scalar per cell
     "q140_transpose" ->
       """WITH a AS (
