@@ -1416,6 +1416,39 @@ object TextOps {
           expr("CAST(n_pos * (n - n_pos) AS DOUBLE)")).as("auc"))
   }
 
+  /** t38: CALIBRATION BINS — the reliability table behind ECE, the
+    * second half of classifier evaluation next to t37's AUC: a ranking
+    * metric can be perfect while the probabilities are junk, and it's
+    * the PROBABILITY a filtering threshold consumes. Scores are
+    * md5-derived integer millis; labels are drawn so P(label | score) ≈
+    * score (a calibrated-by-construction synthetic — per-bin gaps are
+    * then genuine small numbers, not zeros). Per score-decile: count,
+    * mean confidence, positive rate, |gap| — all integer sums with one
+    * division each, rounded at 6 (far below the noise floor of an
+    * exact-integer ratio). One hash aggregate over the corpus; the bin
+    * table is report-grain. */
+  private def t38(s: SparkSession, d: String): DataFrame = {
+    def m(salt: String) = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 13), 16, 10)
+      .cast("long") % 1000L
+    docs(s, d)
+      .select(col("doc_id"), m("").as("conf_milli"),
+        (m("s") < m("")).cast("long").as("label"))
+      .groupBy((col("conf_milli") / 100L).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("conf_milli")).as("sum_conf"),
+        sum(col("label")).as("n_pos"))
+      .select(col("bin"), col("n"),
+        round(col("sum_conf").cast("double") /
+          (col("n") * 1000L).cast("double"), 6).as("confidence"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"),
+        round(abs(col("sum_conf").cast("double") /
+            (col("n") * 1000L).cast("double") -
+          col("n_pos").cast("double") / col("n").cast("double")), 6)
+          .as("gap"))
+      .orderBy("bin")
+  }
+
   /** c10: SQL SCRIPTING — the last SQL front door after plain SQL (c03),
     * SQL-defined functions (c07), and pipe syntax + named parameters
     * (c08): a multi-statement script with session VARIABLES and a WHILE
@@ -1573,6 +1606,7 @@ object TextOps {
     "t35_ngram_generator" -> t35 _,
     "t36_outer_generate" -> t36 _,
     "t37_ranking_auc" -> t37 _,
+    "t38_calibration_bins" -> t38 _,
     "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
     "c10_sql_scripting" -> c10 _,
@@ -1710,6 +1744,32 @@ object TextOps {
         |         - (sum(label) * (sum(label) + 1)) // 2 AS DOUBLE)
         |    / CAST(sum(label) * (count(1) - sum(label)) AS DOUBLE) AS auc
         |FROM r""".stripMargin,
+    // t38: identical md5-derived millis, identical integer sums, the
+    // same one-division-per-cell ratios rounded below the noise floor
+    "t38_calibration_bins" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |      % 1000 AS conf_milli,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's'),
+        |                1, 13))::BIGINT % 1000
+        |           < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |               ::BIGINT % 1000
+        |         THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(conf_milli // 100 AS INT) AS bin,
+        |    CAST(count(1) AS BIGINT) AS n,
+        |    CAST(sum(conf_milli) AS BIGINT) AS sum_conf,
+        |    CAST(sum(label) AS BIGINT) AS n_pos
+        |  FROM sc GROUP BY 1)
+        |SELECT bin, n,
+        |  round(CAST(sum_conf AS DOUBLE) / CAST(n * 1000 AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+        |  round(abs(CAST(sum_conf AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
+        |        - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
+        |FROM b ORDER BY bin""".stripMargin,
     // c13: the desugared dedup semantics re-derived — keep the min
     // doc_id of every identical-text group, then the per-source summary
     "c13_parser_extension" ->
