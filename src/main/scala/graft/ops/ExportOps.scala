@@ -1644,6 +1644,49 @@ object ExportOps {
     }
   }
 
+  /** e29: TRANSACTIONAL COMPACTION (OPTIMIZE) — e04's small-file
+    * maintenance routed through the manifest protocol, which is how it
+    * actually runs against a LIVE table: a 64-fragment landing (the
+    * streaming sink's natural output) bin-packs into few coalesced
+    * files staged beside the originals, ONE manifest commit flips
+    * visibility, and the pre-compaction version stays readable until
+    * vacuum — readers concurrent with the compaction see old or new,
+    * never a mix (the e12 pointer guarantee, now for layout
+    * maintenance). In-gate requires pin the mechanics: ≥32 files
+    * before, ≤8 after, both versions serving identical row counts.
+    * The oracle pins content invariance — compaction may change layout,
+    * never values. Coalesce is shuffle-free: every byte moves once. */
+  private def e29(s: SparkSession, d: String): DataFrame = {
+    val out = scratchDir("graft_optimize", d)
+    withScratchCleanup(out) {
+      val tbl = s"$out/events"
+      val ev = graft.Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      ev.repartition(64).write.parquet(tbl)
+      TxTable.bootstrapIfNeeded(s, tbl) // v1: the fragmented landing
+      val nBefore = TxTable.liveFiles(s, tbl).size
+      require(nBefore >= 32, s"fixture must fragment: $nBefore files")
+      val rows = TxTable.read(s, tbl).count()
+      // OPTIMIZE: rewrite the live set into few files, commit as v2;
+      // vacuumNow=false keeps v1 readable (concurrent readers, e22)
+      TxTable.stageAndCommit(TxTable.read(s, tbl).coalesce(4), tbl,
+        append = false, vacuumNow = false)
+      val nAfter = TxTable.liveFiles(s, tbl).size
+      require(nAfter <= 8, s"compaction must shrink the file set: $nAfter")
+      require(TxTable.read(s, tbl).count() == rows &&
+        TxTable.readVersion(s, tbl, 1L).count() == rows,
+        "both versions must serve every row during the maintenance window")
+      val report = TxTable.read(s, tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,2)")).cast("double")
+            .as("sum_value"),
+          min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      localizeAndDrop(report, out, "event_type")
+    }
+  }
+
   /** Row-level change feed between two committed [[TxTable]] versions —
     * Delta/Iceberg's `table_changes()` recovered READ-SIDE from the
     * manifest log (no write-time change capture needed): full-outer join
@@ -1738,7 +1781,8 @@ object ExportOps {
     "e14_manifest_skipping" -> e14 _, "e15_retention_erasure" -> e15 _,
     "e16_csv_roundtrip" -> e16 _, "e26_orc_roundtrip" -> e26 _,
     "c11_incremental_refresh" -> c11 _, "c12_sql_ddl" -> c12 _,
-    "e27_shallow_clone" -> e27 _, "e28_restore" -> e28 _)
+    "e27_shallow_clone" -> e27 _, "e28_restore" -> e28 _,
+    "e29_transactional_optimize" -> e29 _)
 
   /** e03 shares e01's oracle verbatim: the streaming landing must produce
     * the identical summary the batch export does. */
@@ -1809,6 +1853,13 @@ object ExportOps {
     // customer base, version 2 replays the q68 CDC merge (latest-per-key,
     // tombstones drop); a time-travel read that leaked files across
     // versions moves either half
+    // e29: compaction may change layout, never values — the served
+    // summary must equal the source's
+    "e29_transactional_optimize" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // e27: source = the untouched snapshot; clone = snapshot + the
     // correction batch — a hash match proves the fork diverged and the
     // source did not

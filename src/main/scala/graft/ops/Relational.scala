@@ -898,6 +898,44 @@ object Relational {
           (col("n_a") * col("n_b")).cast("double")).as("ks"))
   }
 
+  /** q145: POPULATION STABILITY INDEX — the monitoring-dashboard drift
+    * metric next to q144's KS (PSI is what model-risk teams actually
+    * threshold at 0.1/0.25): Σ (p_a − p_b)·ln(p_a/p_b) over ten
+    * fixed-width n_chars bins, comparing the doc_id%3 population split.
+    * Counts are exact integers; proportions are Laplace-smoothed
+    * ((c+1)/(n+B) — a zero bin would make the log undefined, and the
+    * smoothing is part of the metric's stated definition here, not a
+    * fudge); each engine computes the identical doubles up to the
+    * 1-ulp `ln` divergence, so every emitted number rounds at 6 — far
+    * above that floor. One hash aggregate over the corpus; the bin
+    * table is report-grain. */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val bins = 10
+    val docsT = t(s, d, "documents")
+      .select(col("n_chars"), (col("doc_id") % 3 === 0).as("in_a"))
+    val rng = docsT.agg(min(col("n_chars")).as("lo"),
+      (max(col("n_chars")) + 1L).as("hi"))
+    val binned = docsT.crossJoin(broadcast(rng))
+      // explicit floor: Spark's double→int cast truncates but DuckDB's
+      // ROUNDS — floor() is the one spelling both engines agree on
+      .select(least(lit(bins - 1), floor((col("n_chars") - col("lo")) * bins /
+        (col("hi") - col("lo"))).cast("int")).as("bin"), col("in_a"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+    val tot = binned.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("ca"), col("cb"),
+        ((col("ca") + 1L).cast("double") /
+          (col("n_a") + lit(bins.toLong)).cast("double")).as("pa"),
+        ((col("cb") + 1L).cast("double") /
+          (col("n_b") + lit(bins.toLong)).cast("double")).as("pb"))
+      .select(col("bin"), col("ca"), col("cb"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6)
+          .as("term"))
+      .orderBy("bin")
+  }
+
   /** q130: CACHE REUSE ACROSS ACTIONS — the iterative-workload primitive
     * q124's single-plan exchange reuse can't express: a shared expensive
     * frame is `.cache()`d, a FIRST action materializes it into the
@@ -2924,6 +2962,7 @@ object Relational {
     "q142_multi_col_in" -> q142 _,
     "q143_spearman_rank" -> q143 _,
     "q144_ks_drift" -> q144 _,
+    "q145_psi_drift" -> q145 _,
     "q136_local_time_rollup" -> q136 _,
     "q137_group_by_all" -> q137 _,
     "c09_point_in_time_features" -> c09 _,
@@ -3417,6 +3456,27 @@ object Relational {
         |  CAST(max(abs(cuma * n_b - cumb * n_a)) AS DOUBLE)
         |    / CAST(n_a * n_b AS DOUBLE) AS ks
         |FROM cum, tot GROUP BY n_a, n_b""".stripMargin,
+    // q145: identical bins (shared floor spelling), identical smoothed
+    // proportions, terms rounded above the 1-ulp ln divergence
+    "q145_psi_drift" ->
+      """WITH d AS (
+        |  SELECT n_chars, doc_id % 3 = 0 AS in_a FROM documents),
+        |rng AS (SELECT min(n_chars) AS lo, max(n_chars) + 1 AS hi FROM d),
+        |binned AS (
+        |  SELECT least(9, CAST(floor((n_chars - lo) * 10 / (hi - lo))
+        |           AS INT)) AS bin,
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM d, rng GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |               CAST(sum(cb) AS BIGINT) AS n_b FROM binned)
+        |SELECT bin, ca, cb,
+        |  round((CAST(ca + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE)
+        |       - CAST(cb + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE))
+        |    * ln((CAST(ca + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE))
+        |       / (CAST(cb + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE))), 6)
+        |    AS term
+        |FROM binned, tot ORDER BY bin""".stripMargin,
     // q140: the transposed report built explicitly, one scalar per cell
     "q140_transpose" ->
       """WITH a AS (

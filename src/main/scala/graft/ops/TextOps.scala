@@ -1449,6 +1449,42 @@ object TextOps {
       .orderBy("bin")
   }
 
+  /** t39: COHEN'S KAPPA — chance-corrected inter-annotator agreement,
+    * the number a labeling campaign (quality raters, toxicity reviewers,
+    * two model versions judging the same corpus) is accepted or rejected
+    * on. Two deterministic md5-derived annotators with engineered ~85%
+    * raw agreement: κ = (p_o − p_e)/(1 − p_e) from the four confusion
+    * counts — every input to the doubles is an exact integer, the two
+    * divisions are identical cross-engine, and the emitted values round
+    * at 6 above any conceivable noise. One hash aggregate; output is a
+    * single report row (confusion counts + p_o + κ). */
+  private def t39(s: SparkSession, d: String): DataFrame = {
+    def m(salt: String) = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 13), 16, 10)
+      .cast("long") % 100L
+    val ann = docs(s, d).select(
+      (m("") < 60L).cast("int").as("a1"),
+      // annotator 2 flips annotator 1's call 15% of the time
+      ((m("") < 60L) =!= (m("x") < 15L)).cast("int").as("a2"))
+    ann.agg(
+      sum(when(col("a1") === 1 && col("a2") === 1, 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a1") === 1 && col("a2") === 0, 1L).otherwise(0L)).as("n10"),
+      sum(when(col("a1") === 0 && col("a2") === 1, 1L).otherwise(0L)).as("n01"),
+      sum(when(col("a1") === 0 && col("a2") === 0, 1L).otherwise(0L)).as("n00"),
+      count(lit(1)).as("n"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        round(expr("CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)"), 6)
+          .as("p_o"),
+        round(expr(
+          """(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+            | - (CAST((n11 + n10) * (n11 + n01)
+            |        + (n01 + n00) * (n10 + n00) AS DOUBLE)
+            |    / CAST(n * n AS DOUBLE)))
+            |/ (1.0 - CAST((n11 + n10) * (n11 + n01)
+            |        + (n01 + n00) * (n10 + n00) AS DOUBLE)
+            |    / CAST(n * n AS DOUBLE))""".stripMargin), 6).as("kappa"))
+  }
+
   /** c10: SQL SCRIPTING — the last SQL front door after plain SQL (c03),
     * SQL-defined functions (c07), and pipe syntax + named parameters
     * (c08): a multi-statement script with session VARIABLES and a WHILE
@@ -1607,6 +1643,7 @@ object TextOps {
     "t36_outer_generate" -> t36 _,
     "t37_ranking_auc" -> t37 _,
     "t38_calibration_bins" -> t38 _,
+    "t39_cohens_kappa" -> t39 _,
     "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
     "c10_sql_scripting" -> c10 _,
@@ -1770,6 +1807,41 @@ object TextOps {
         |  round(abs(CAST(sum_conf AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
         |        - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
         |FROM b ORDER BY bin""".stripMargin,
+    // t39: identical annotators, identical confusion counts, the same
+    // two exact-integer divisions
+    "t39_cohens_kappa" ->
+      """WITH ann AS (
+        |  SELECT
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |           ::BIGINT % 100 < 60 THEN 1 ELSE 0 END AS a1,
+        |    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |           ::BIGINT % 100 < 60)
+        |         <> (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'x'),
+        |               1, 13))::BIGINT % 100 < 15)
+        |         THEN 1 ELSE 0 END AS a2
+        |  FROM documents),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a1 = 1 AND a2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN a1 = 0 AND a2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN a1 = 0 AND a2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00,
+        |    CAST(count(1) AS BIGINT) AS n
+        |  FROM ann)
+        |SELECT n11, n10, n01, n00,
+        |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_o,
+        |  round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+        |       - CAST((n11 + n10) * (n11 + n01)
+        |             + (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |         / CAST(n * n AS DOUBLE))
+        |    / (1.0 - CAST((n11 + n10) * (n11 + n01)
+        |             + (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |         / CAST(n * n AS DOUBLE)), 6) AS kappa
+        |FROM c""".stripMargin,
     // c13: the desugared dedup semantics re-derived — keep the min
     // doc_id of every identical-text group, then the per-source summary
     "c13_parser_extension" ->
