@@ -109,62 +109,70 @@ object DedupOps {
       .distinct()
   }
 
-  /** MinHash near-dup candidates with estimated Jaccard (matching-signature
-    * fraction), thresholded. Rows-only oracle: the hash family is
-    * engine-specific, but the output is fully deterministic. */
+  /** MinHash near-dup candidates with ESTIMATED Jaccard — the
+    * matching-signature-slot fraction, the sketch-only screen a pipeline
+    * runs when it can't afford the exact set verify (d10's job). Re-keyed
+    * (r14) onto the md5-portable 8-slot signature family, so the estimate
+    * — not just the candidate set — is oracle-checked in DuckDB; the
+    * xxhash64 kernel ([[minhashSignatures]]/[[lshCandidates]]) remains the
+    * documented fast in-engine path. Estimates are exact multiples of
+    * 1/8: no float-comparison hazard at the 0.5 cut. */
   private def d03(s: SparkSession, d: String): DataFrame = {
-    val sigs = cached(minhashSignatures(s, docs(s, d)))
-    val pairs = lshCandidates(sigs)
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("minhash").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("minhash").as("sig_b"))
-    pairs.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / 64.0)
+    val matched = (0 until 8).map(i =>
+      when(array_min(transform(col("hv_a"), affine(i))) ===
+        array_min(transform(col("hv_b"), affine(i))), 1).otherwise(0))
+      .reduce(_ + _)
+    bandedPairSides(s, d)
+      .select(col("doc_a"), col("doc_b"),
+        (matched.cast("double") / 8.0).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash signatures via the custom codegen'd Catalyst expression. */
+  /** SimHash signatures via the custom codegen'd Catalyst expression
+    * ([[graft.functions.SimHash64]] — native `doGenCode`, the tight
+    * primitive vote loop), fed 60-bit md5 SHINGLE hashes (r14 re-key):
+    * shingle-grain SimHash is the classic Charikar web-dedup sketch, and
+    * the md5 keying makes the signature — including the expression's
+    * strict-majority vote rule — reproducible bit-for-bit by the DuckDB
+    * oracle. d11 stays the token-grain sibling built from composed column
+    * expressions; this gate pins the native expression against an
+    * independent engine. */
   private def d04(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"),
-        simhash64(s, transform(TextFunctions.tokens(col("text")), t => xxhash64(t)))
+        simhash64(s, transform(array_distinct(TextFunctions.shingles(col("text"))),
+          x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
           .as("simhash"))
       .orderBy("doc_id")
 
-  /** Exact n-gram Jaccard verification of the MinHash candidates: join the
-    * shingle sets back in and compute |A∩B| / |A∪B| exactly. Sets are
-    * carried as 64-bit shingle hashes (set semantics identical up to
-    * negligible 64-bit collisions) — long-array intersects are far cheaper
-    * to shuffle and compare than the shingle strings. */
-  private def d05(s: SparkSession, d: String): DataFrame = {
-    val dd = docs(s, d)
-    val sigs = minhashSignatures(s, dd)
-    val pairs = lshCandidates(sigs)
-    val sh = dd.select(col("doc_id"),
-      graft.functions.ShingleHashes.shingleHashes(s, col("text")).as("sh"))
-      .pipe(cached) // consumed by both sides of the pair join
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    pairs.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", col("inter") / col("uni"))
-      .filter(col("jaccard") >= 0.7)
-      .select("doc_a", "doc_b", "jaccard")
+  /** Exact n-gram Jaccard verification of MinHash candidates at the
+    * 4-GRAM grain (r14 re-key onto the md5 path): same band-block →
+    * exact-verify topology as d10, but over 4-word shingles with a 0.6
+    * cut — the longer window is stricter about local word order, the
+    * standard knob a pipeline tunes per corpus (d10 keeps the 3-gram/0.7
+    * operating point). Exercises the shingle-width parameterization of
+    * the shared kernel end-to-end against the oracle. */
+  private def d05(s: SparkSession, d: String): DataFrame =
+    bandedPairSidesOf(cached(shingleHashFrame4(docs(s, d))))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+          size(array_union(col("hv_a"), col("hv_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
       .orderBy("doc_a", "doc_b")
-  }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
-    * chunks (a pair within Hamming distance 3 must agree on ≥1 chunk —
-    * pigeonhole), join per chunk, verify with bit_count(xor). */
+  /** SimHash near-dup pairs: band d04's 60-bit md5-shingle signature into
+    * four 15-bit chunks (a pair within Hamming distance 3 must agree on
+    * ≥1 chunk — pigeonhole, complete by construction), join per chunk,
+    * verify with bit_count(xor). Fully oracled since the r14 re-key: the
+    * chunk buckets, the Hamming verify, and the ≤3 cut are all integer
+    * math DuckDB replays exactly. */
   private def d06(s: SparkSession, d: String): DataFrame = {
     val sigs = d04(s, d)
     val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until 4).map(i =>
-        shiftright(col("simhash"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("simhash"), 15 * i).bitwiseAND(lit(0x7FFFL))): _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
     val a = chunked.select(col("chunk_idx"), col("chunk"),
@@ -193,27 +201,26 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** End-to-end corpus dedup: duplicate clusters (exact AND near, jaccard
-    * >= 0.7 via MinHash LSH -> exact verify) collapse to their lowest
-    * doc_id. Exact duplicates need no separate pass: identical texts have
-    * identical signatures, so every band collides and their pair verifies
-    * at jaccard 1.0 — a higher-id member of any cluster appears as doc_b of
-    * some verified pair and is dropped. Returns the surviving ids — the
-    * operator a training-data pipeline actually runs. */
+  /** End-to-end TWO-STAGE corpus dedup (r14 re-key, oracled): stage 1
+    * collapses byte-identical texts to their min-id keeper on a cheap
+    * md5(text) group — the pass every production pipeline runs first,
+    * because it shrinks the expensive near-dup stage's input for free;
+    * stage 2 runs the md5-MinHash band → exact-verify → drop-doc_b pass
+    * over the exact survivors only. Distinct from d12 (near-only over the
+    * whole corpus): here exact dupes never reach the shingle kernel.
+    * Returns the surviving ids. */
   private def d08(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
-    val sigs = minhashSignatures(s, dd)
-    val pairs = lshCandidates(sigs)
-    val sh = dd.select(col("doc_id"),
-      graft.functions.ShingleHashes.shingleHashes(s, col("text")).as("sh"))
-      .pipe(cached) // consumed by both sides of the pair join
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val losers = pairs.join(a, "doc_a").join(b, "doc_b")
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.7)
+    val exactKeep = dd
+      .groupBy(md5(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val survivors = dd.join(exactKeep, Seq("doc_id"), "left_semi")
+    val losers = bandedPairSidesOf(cached(shingleHashFrame(survivors)))
+      .filter(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+        size(array_union(col("hv_a"), col("hv_b"))).cast("double") >= 0.7)
       .select(col("doc_b").as("doc_id")).distinct()
-    dd.select("doc_id").join(losers, Seq("doc_id"), "left_anti")
+    survivors.select("doc_id").join(losers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
@@ -232,6 +239,13 @@ object DedupOps {
     * exact kernel. */
   def shingleHashFrame(df: DataFrame): DataFrame =
     df.select(col("doc_id"), TextFunctions.md5ShingleHashes(col("text")).as("hv"))
+
+  /** The 4-gram-grain twin of [[shingleHashFrame]] (d05's operating
+    * point): same 28-bit md5 identities over 4-word shingles. */
+  private def shingleHashFrame4(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      transform(array_distinct(TextFunctions.shingles(col("text"), 4)),
+        x => conv(substring(md5(x), 1, 7), 16, 10).cast("long")).as("hv"))
 
   private def withShingleHashes(s: SparkSession, d: String): DataFrame =
     shingleHashFrame(docs(s, d))
@@ -273,10 +287,15 @@ object DedupOps {
           size(array_union(col("hv_a"), col("hv_b"))).cast("double")).as("jaccard"))
 
   /** Band-blocked candidate pairs with both hashed shingle sets attached —
-    * the shared verify input of [[md5VerifiedPairs]] (resemblance) and
-    * d30 (containment). */
-  private def bandedPairSides(s: SparkSession, d: String): DataFrame = {
-    val base = cached(withShingleHashes(s, d)) // banding + both verify sides
+    * the shared verify input of [[md5VerifiedPairs]] (resemblance), d30
+    * (containment), d03 (sketch estimate), and — over their own base
+    * frames — d05 (4-gram grain) and d08 (exact-survivor stage 2). */
+  private def bandedPairSides(s: SparkSession, d: String): DataFrame =
+    bandedPairSidesOf(cached(withShingleHashes(s, d)))
+
+  /** [[bandedPairSides]] over an arbitrary pre-cached (doc_id, hv) frame
+    * (the caller caches: banding + both verify sides consume it). */
+  private def bandedPairSidesOf(base: DataFrame): DataFrame = {
     val banded = bandFrame(base)
     val pairs = banded.select(col("band_idx"), col("band"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band_idx"), col("band"), col("doc_id").as("doc_b")),
@@ -1668,26 +1687,30 @@ object DedupOps {
     "d05_ngram_jaccard_verify" -> d05 _, "d06_simhash_pairs" -> d06 _,
     "d07_anti_dedup" -> d07 _, "d08_dedup_corpus" -> d08 _)
 
-  /** Shared shingle CTE for the md5-MinHash oracles — mirrors
-    * TextFunctions.shingles exactly (3-token windows; whole doc when
-    * shorter than 3 tokens; distinct set). */
-  private val ShingleCte =
-    raw"""WITH base AS (
+  /** Shared shingle CTE chain for the md5-MinHash oracles — mirrors
+    * TextFunctions.shingles exactly (k-token windows; whole doc when
+    * shorter than k tokens; distinct set), over an arbitrary source
+    * relation (d08 runs it over its exact-survivor CTE). No leading
+    * WITH so callers can prepend their own CTEs. */
+  private def shingleChain(src: String, k: Int): String =
+    raw"""base AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
-      |  FROM documents
+      |  FROM $src
       |), shs AS (
       |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(toks) >= 3
-      |      THEN list_transform(range(1, len(toks) - 1), i ->
-      |        array_to_string(list_slice(toks, i, i + 2), ' '))
+      |    list_distinct(CASE WHEN len(toks) >= $k
+      |      THEN list_transform(range(1, len(toks) - ${k - 2}), i ->
+      |        array_to_string(list_slice(toks, i, i + ${k - 1}), ' '))
       |      ELSE [array_to_string(toks, ' ')] END) AS sh
       |  FROM base)""".stripMargin
 
-  /** ShingleCte + one-md5-per-shingle base hashes + the 8 affine-mixed
+  private val ShingleCte = "WITH " + shingleChain("documents", 3)
+
+  /** shingleChain + one-md5-per-shingle base hashes + the 8 affine-mixed
     * signature mins (mirrors [[affine]] / [[withShingleHashes]]). */
-  private val SigsCte =
-    ShingleCte + raw""",
+  private def sigsChain(src: String, k: Int): String =
+    shingleChain(src, k) + raw""",
       |hv AS (
       |  SELECT doc_id, sh,
       |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hv
@@ -1701,10 +1724,13 @@ object DedupOps {
         .mkString(",\n") +
       "\n  FROM hv)"
 
-  /** SigsCte + banding + deduped candidate pairs + exact-Jaccard
-    * verification — the shared tail of the d10/d12 oracles. */
-  private val BandedPairsCte =
-    SigsCte + ",\n" + """banded AS (
+  private val SigsCte = "WITH " + sigsChain("documents", 3)
+
+  /** sigsChain + banding + deduped candidate pairs + exact-Jaccard
+    * verification — the shared tail of the d10/d12 oracles, over an
+    * arbitrary source at an arbitrary shingle width (d05 runs k=4). */
+  private def bandChain(src: String, k: Int): String =
+    sigsChain(src, k) + ",\n" + """banded AS (
       |  SELECT doc_id, 0 AS band_idx, sig0 * 536870912 + sig1 AS band FROM sigs
       |  UNION ALL SELECT doc_id, 1, sig2 * 536870912 + sig3 FROM sigs
       |  UNION ALL SELECT doc_id, 2, sig4 * 536870912 + sig5 FROM sigs
@@ -1720,6 +1746,29 @@ object DedupOps {
       |    CAST(len(list_distinct(ha.hv || hb.hv)) AS DOUBLE) AS jaccard
       |  FROM cpairs JOIN hv ha ON ha.doc_id = cpairs.doc_a
       |              JOIN hv hb ON hb.doc_id = cpairs.doc_b)""".stripMargin
+
+  private val BandedPairsCte = "WITH " + bandChain("documents", 3)
+
+  /** d04/d06's 60-bit md5-shingle SimHash as CTEs: hs = the 15-hex-char
+    * md5 prefix per distinct shingle, signature bit j set iff a strict
+    * majority of shingle hashes set bit j — the exact
+    * [[graft.functions.SimHash64]] vote rule (votes > 0 ⟺ ones·2 > n;
+    * bits 60-63 of the 64-bit expression output are always clear because
+    * no 60-bit input hash sets them). */
+  private val SimhashShingleCte =
+    "WITH " + shingleChain("documents", 3) + raw""",
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+      |  FROM shs),
+      |simsigs AS (
+      |  SELECT doc_id, CAST(
+      |""".stripMargin +
+      (0 until 60).map(j =>
+        s"  CASE WHEN len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) * 2" +
+          s" > len(hs) THEN ${1L << j} ELSE 0 END")
+        .mkString("\n  + ") +
+      "\n  AS BIGINT) AS simhash\n  FROM hs)"
 
   /** Shared by d16 (recompute-per-arrival) and d22 (persisted-index serve):
     * the same arrival batch must screen to the same statuses whichever way
@@ -2195,6 +2244,57 @@ object DedupOps {
         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "d09_minhash_md5" ->
       (SigsCte + "\nSELECT * FROM sigs ORDER BY doc_id"),
+    // d03: the sketch-side estimate — matching-slot fraction over the
+    // banded candidates; exact multiples of 1/8, no float hazard at 0.5
+    "d03_minhash_candidates" ->
+      (BandedPairsCte + ",\n" +
+        """est AS (
+          |  SELECT doc_a, doc_b, CAST(""".stripMargin +
+        (0 until 8).map(i =>
+          s"    (CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END)")
+          .mkString("\n  + ") +
+        """ AS DOUBLE) / 8 AS est_jaccard
+          |  FROM cpairs JOIN sigs sa ON sa.doc_id = cpairs.doc_a
+          |              JOIN sigs sb ON sb.doc_id = cpairs.doc_b)
+          |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    // d04: the native SimHash64 expression replayed shingle-for-shingle
+    "d04_simhash_signatures" ->
+      (SimhashShingleCte +
+        "\nSELECT doc_id, simhash FROM simsigs ORDER BY doc_id"),
+    // d06: 15-bit chunk banding + integer Hamming verify over the same
+    // signatures — pigeonhole-complete for the <=3 cut
+    "d06_simhash_pairs" ->
+      (SimhashShingleCte + ",\n" +
+        """chunks AS (
+          |  SELECT doc_id, simhash, i AS chunk_idx,
+          |         (simhash >> (15 * i)) & 32767 AS chunk
+          |  FROM simsigs, (SELECT unnest([0, 1, 2, 3]) AS i)),
+          |spairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          |  FROM chunks a JOIN chunks b
+          |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+          |  WHERE a.doc_id < b.doc_id)
+          |SELECT doc_a, doc_b, hamming FROM spairs WHERE hamming <= 3
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    // d05: the identical band->verify chain at the 4-gram/0.6 point
+    "d05_ngram_jaccard_verify" ->
+      ("WITH " + bandChain("documents", 4) +
+        "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6" +
+        "\nORDER BY doc_a, doc_b"),
+    // d08: exact stage first (min-id keeper per md5(text)), then the
+    // band->verify->drop-doc_b pass over the exact survivors only
+    "d08_dedup_corpus" ->
+      ("""WITH exact_keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |sdocs AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN exact_keep USING (doc_id)),
+        |""".stripMargin + bandChain("sdocs", 3) + """
+        |SELECT doc_id FROM sdocs
+        |WHERE doc_id NOT IN (
+        |  SELECT DISTINCT doc_b FROM verified WHERE jaccard >= 0.7)
+        |ORDER BY doc_id""".stripMargin),
     "d10_jaccard_blocked" ->
       (BandedPairsCte +
         "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.7" +

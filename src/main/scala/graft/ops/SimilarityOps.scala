@@ -47,7 +47,11 @@ object SimilarityOps {
   /** LSH-bucketed ANN: bucket corpus and queries by 16-bit hyperplane
     * signature bands (4 bands of 4 bits — a near neighbour agrees on at
     * least one band with high probability), rank candidates by exact cosine.
-    * Rows-only check; the spec test measures recall against v01.
+    * Fully oracled: the signature is the DECIMAL-exact hyperplane family
+    * ([[VectorFunctions.hyperplaneSignatureExact]]) whose ±1 plane matrix
+    * is a compile-time constant embedded in the oracle SQL as literals, so
+    * DuckDB reproduces every candidate bucket bit-for-bit; the recall spec
+    * vs v01 still pins approximation quality.
     *
     * Candidates form through a band-exploded EQUI-join (same topology as
     * [[v03]]): each side emits one (band_idx, band) row per band, the join
@@ -58,7 +62,7 @@ object SimilarityOps {
     * plan a hash join for any query-set size. */
   private def v02(s: SparkSession, d: String): DataFrame = {
     val corpus = emb(s, d)
-      .withColumn("sig", VectorFunctions.hyperplaneSignature(col("embedding")))
+      .withColumn("sig", VectorFunctions.hyperplaneSignatureExact(col("embedding")))
     val banded = corpus.select(col("vec_id"), posexplode(
       array((0 until 4).map(b =>
         shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)))
@@ -90,10 +94,14 @@ object SimilarityOps {
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
     * Implemented with the hyperplane-signature bucketing (exact verify on
-    * candidates) so the pair space never materializes n². */
+    * candidates) so the pair space never materializes n². Oracled: the
+    * exact-decimal signature makes the candidate blocks engine-portable
+    * (same plane-literal discipline as v02), and the threshold decision is
+    * taken on the 4dp-rounded cosine (v06's rule) so membership can't flip
+    * on summation-order ulps. */
   private def v03(s: SparkSession, d: String): DataFrame = {
     val vecs = emb(s, d)
-      .withColumn("sig", VectorFunctions.hyperplaneSignature(col("embedding")))
+      .withColumn("sig", VectorFunctions.hyperplaneSignatureExact(col("embedding")))
     val banded = vecs.select(col("vec_id"), col("embedding"), posexplode(
       array((0 until 4).map(b =>
         shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)))
@@ -115,12 +123,11 @@ object SimilarityOps {
     val vb = vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     pairs.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
-        graft.functions.VectorExpressions.cosineSim(
-          s, col("v_a"), col("v_b")).as("cos"))
+        round(graft.functions.VectorExpressions.cosineSim(
+          s, col("v_a"), col("v_b")), 4).as("cos"))
       .filter(col("cos") >= 0.4) // fixtures are random unit-ish vectors: the
       // max pairwise cosine is ~0.48-0.60 across SFs, so 0.4 marks the
       // "suspiciously similar" tail while keeping output non-empty
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
   }
 
@@ -172,11 +179,17 @@ object SimilarityOps {
     val nProbe = 4
     val vecs = emb(s, d)
       .withColumn("cell",
-        VectorFunctions.hyperplaneSignature(col("embedding")).bitwiseAND(lit(0xFL)))
-    // distributed centroid: explode dims, average per (cell, pos), reassemble
+        VectorFunctions.hyperplaneSignatureExact(col("embedding"))
+          .bitwiseAND(lit(0xFL)))
+    // distributed centroid: explode dims, average per (cell, pos),
+    // reassemble. The mean is a DECIMAL(30,12) sum over count (v18's
+    // discipline): order-independent, so the oracle's centroid is
+    // bit-identical and the routing decisions can't drift cross-engine.
     val centroids = vecs
       .select(col("cell"), posexplode(VectorFunctions.toDouble(col("embedding"))))
-      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("col").cast("decimal(30,12)")).cast("double") /
+        count(lit(1))).as("v"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         e => e.getField("v")).as("centroid"))
@@ -232,22 +245,59 @@ object SimilarityOps {
     * query probes only its nProbe closest cells. Deterministic under the
     * fixed seed; rows-only check (the codebook is engine-specific), with
     * the spec measuring recall against v01. */
+  /** v07 training rounds: two distributed Lloyd updates from the
+    * deterministic seed centroids, then one final assignment pass. A
+    * constant, never data-sized — recall quality is the nProbe/K trade,
+    * not trainer convergence (IvfPqRecallSpec pins the floor). */
+  private val IvfTrainIters = 2
+
+  /** One Lloyd step as two DataFrame stages (shared by the [[v07]]
+    * training loop and its final assignment): nearest-centroid assignment
+    * (max cosine, cell-asc tie-break — a partial-aggregatable struct-min,
+    * NOT a window, so no per-vector global sort at corpus scale) and the
+    * decimal-exact per-(cell, dim) mean update (v18's DECIMAL(30,12)
+    * discipline — order-independent, so any engine recomputes the
+    * identical centroid bytes). */
+  private def assignCells(s: SparkSession, vecs: DataFrame,
+                          centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("embedding"), col("centroid")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("cos")).as("nc"), col("cell"))).getField("cell")
+        .as("cell"))
+
+  private def lloydCentroids(assigned: DataFrame, vecs: DataFrame): DataFrame =
+    vecs.join(assigned, "vec_id")
+      .select(col("cell"), posexplode(VectorFunctions.toDouble(col("embedding"))))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(col("x").cast("decimal(30,12)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        e => e.getField("c")).as("centroid"))
+
+  /** IVF with a TRAINED coarse quantizer — v05's "at real scale this is a
+    * trained codebook" made real, and since this round fully
+    * oracle-checkable: the trainer is a deterministic distributed Lloyd
+    * (seed centroids = the first 16 corpus vectors, [[IvfTrainIters]]
+    * update rounds with decimal-exact means), so DuckDB replays the exact
+    * same training run CTE by CTE — no engine-private RNG or float
+    * reduction order anywhere in the model. Serving topology unchanged:
+    * corpus assigned once, queries probe their nProbe nearest cells. */
   private def v07(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val nProbe = 4
-    val vecs = emb(s, d).withColumn("fv", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(vecs)
-    val assigned = model.transform(vecs)
+    val vecs = emb(s, d)
+    var centroids = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"),
+        VectorFunctions.toDouble(col("embedding")).as("centroid"))
+    for (_ <- 1 to IvfTrainIters)
+      centroids = lloydCentroids(assignCells(s, vecs, centroids), vecs)
+    val assigned = vecs
+      .join(assignCells(s, vecs, centroids), "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
-    // 16 x 64 doubles — a literal dimension table, broadcast everywhere
-    val centroids = {
-      import s.implicits._
-      model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray) }.toSeq
-        .toDF("cell", "centroid")
-    }
     val queries = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val routing = queries.crossJoin(broadcast(centroids))
@@ -1155,10 +1205,156 @@ object SimilarityOps {
       s"\nSELECT rank, vec_id, round(score, 4) AS score FROM ($union) ORDER BY rank"
   }
 
-  /** v01's exact-cosine oracle via DuckDB list functions; v02/v03 depend on
-    * the engine hash family (rows-only). v04's norm is a per-row sequential
-    * fold — stable, oracle-able. */
+  /** Shared head of the v02/v03/v05 oracles: the exact-decimal hyperplane
+    * signature CTEs (plane literals program-generated from the SAME
+    * constants the engine compiles in — the two can't drift) plus the
+    * 4-bit band explosion. */
+  private def hpBandsCtes: String =
+    VectorFunctions.hyperplaneSignatureExactCtes() + s""",
+      |bands AS (
+      |  SELECT vec_id, b AS band_idx, (sig >> (b * 4)) & 15 AS band
+      |  FROM hp_sigs, (SELECT unnest([0, 1, 2, 3]) AS b))""".stripMargin
+
+  private def v02OracleSql: String =
+    s"""WITH $hpBandsCtes,
+       |qb AS (SELECT band_idx, band, vec_id AS q_id FROM bands
+       |       WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT qb.q_id, c.vec_id AS n_id
+       |  FROM bands c JOIN qb USING (band_idx, band)
+       |  WHERE c.vec_id <> qb.q_id),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                           CAST(ne.embedding AS DOUBLE[])) AS cos
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+       |            JOIN embeddings ne ON ne.vec_id = cand.n_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+       |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  private def v03OracleSql: String =
+    s"""WITH $hpBandsCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a JOIN bands b USING (band_idx, band)
+       |  WHERE a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                 CAST(eb.embedding AS DOUBLE[])), 4)
+       |      AS cos
+       |  FROM pairs JOIN embeddings ea ON ea.vec_id = pairs.id_a
+       |             JOIN embeddings eb ON eb.vec_id = pairs.id_b)
+       |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private def v05OracleSql: String =
+    s"""WITH $hpBandsCtes,
+       |cells AS (SELECT vec_id, sig & 15 AS cell FROM hp_sigs),
+       |cmeans AS (
+       |  SELECT c.cell, d.j AS dim,
+       |    CAST(sum(CAST(d.x AS DECIMAL(30,12))) AS DOUBLE) / count(1) AS c
+       |  FROM cells c JOIN hp_dims d USING (vec_id)
+       |  GROUP BY c.cell, d.j),
+       |centroids AS (
+       |  SELECT cell, array_agg(c ORDER BY dim) AS centroid
+       |  FROM cmeans GROUP BY cell),
+       |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |      FROM embeddings WHERE vec_id < $NumQueries),
+       |routing AS (
+       |  SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(q_vec, centroid) DESC, cell ASC)
+       |    AS cr
+       |  FROM q CROSS JOIN centroids),
+       |probed AS (SELECT q_id, cell FROM routing WHERE cr <= 4),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id AS n_id
+       |  FROM probed p JOIN cells c USING (cell)
+       |  WHERE c.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                           CAST(ne.embedding AS DOUBLE[])) AS cos
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+       |            JOIN embeddings ne ON ne.vec_id = cand.n_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+       |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  /** v07's oracle: the deterministic Lloyd trainer unrolled CTE by CTE —
+    * assignment k (max cosine vs centroids k-1, cell-asc tie-break) and
+    * the decimal-exact centroid update, [[IvfTrainIters]] times, then the
+    * final assignment, routing, and probed search. MATERIALIZED per the
+    * mmr precedent: each assignment references the previous centroid CTE
+    * once per corpus row. */
+  private def v07OracleSql: String = {
+    val assign = (k: Int) =>
+      s"""a$k AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                        c.centroid) DESC,
+         |                 c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c${k - 1} c) x WHERE rn = 1)"""
+        .stripMargin
+    val update = (k: Int) =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT cell, array_agg(c ORDER BY dim) AS centroid FROM (
+         |    SELECT a.cell, d.dim,
+         |      CAST(sum(CAST(d.x AS DECIMAL(30,12))) AS DOUBLE) / count(1) AS c
+         |    FROM a$k a JOIN kdims d USING (vec_id)
+         |    GROUP BY a.cell, d.dim) g GROUP BY cell)""".stripMargin
+    val iters = (1 to IvfTrainIters).map(k => assign(k) + ",\n" + update(k))
+    val fin = IvfTrainIters + 1
+    s"""WITH kdims AS MATERIALIZED (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |         generate_subscripts(embedding, 1) AS dim
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |         CAST(embedding AS DOUBLE[]) AS centroid
+       |  FROM embeddings WHERE vec_id < 16),
+       |${iters.mkString(",\n")},
+       |${assign(fin)},
+       |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |      FROM embeddings WHERE vec_id < $NumQueries),
+       |routing AS (
+       |  SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(q_vec, centroid) DESC, cell ASC)
+       |    AS cr
+       |  FROM q CROSS JOIN c$IvfTrainIters),
+       |probed AS (SELECT q_id, cell FROM routing WHERE cr <= 4),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS n_id
+       |  FROM probed p JOIN a$fin a USING (cell)
+       |  WHERE a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                           CAST(ne.embedding AS DOUBLE[])) AS cos
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+       |            JOIN embeddings ne ON ne.vec_id = cand.n_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+       |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Exact-cosine oracles via DuckDB list functions; since this round the
+    * LSH/IVF candidate generation (v02/v03/v05/v07) is oracled too — the
+    * signature/trainer determinism is engine-portable by construction. */
   val oracle: Map[String, String] = Map(
+    "v02_knn_lsh" -> v02OracleSql,
+    "v03_embed_neardup" -> v03OracleSql,
+    "v05_knn_ivf" -> v05OracleSql,
+    "v07_knn_ivf_trained" -> v07OracleSql,
     "v10_mmr_select" -> mmrOracleSql,
     // the projection recomputed from scratch: same md5-parity sign
     // matrix, same 9dp-decimal contribution sums, same 0.25 scale
