@@ -56,6 +56,18 @@ object GraftFunctions {
           s"graft_might_contain takes 2 args (filter, value), got ${exprs.length}")
         BloomFilterMightContain(exprs(0), exprs(1))
       }),
+    // graft_bloom_probe(bloomColumn, xxhash64(k)) — the transpose of
+    // graft_might_contain: a PER-ROW filter column probed by a hash, for
+    // distributed manifest scans (e24) where the filters must stay on
+    // executors
+    (FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(
+        classOf[BloomMightContainAny].getName, "graft_bloom_probe"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_bloom_probe takes 2 args (filter, value), got ${exprs.length}")
+        BloomMightContainAny(exprs(0), exprs(1))
+      }),
     // graft_hist(value, binWidth) — the TypedImperativeAggregate rung: a
     // mergeable fixed-grid histogram whose intermediate state is a binary
     // buffer (q125 gate). binWidth is a plan-time literal, like a format

@@ -1485,6 +1485,85 @@ object TextOps {
             |    / CAST(n * n AS DOUBLE))""".stripMargin), 6).as("kappa"))
   }
 
+  /** c14: FILTER-DEPLOYMENT EVALUATION LOOP — the composite a real
+    * quality-filter rollout runs as ONE job, chaining the individually
+    * gated eval kernels verbatim: score the corpus (t37's engineered
+    * classifier), rank globally ([[graft.ops.Relational.globalRowNumbers]]
+    * — one range shuffle + O(P) offsets, never a single-partition window),
+    * compute the exact Mann-Whitney AUC (t37), pick the deployment
+    * threshold as the exact 80th-percentile rank (integer DIV — no float
+    * quantile), measure what the cut bought (kept count / min kept score /
+    * kept positive rate), then drift-check the deployed population:
+    * 10-bin Laplace-smoothed PSI of kept-vs-corpus n_chars (q145's
+    * binning) and the exact integer-crossproduct KS of kept-vs-dropped
+    * (q144's machinery). One report row, every input to a double an exact
+    * integer, one DuckDB oracle across the whole loop.
+    *
+    * Scale shape: the ranked frame is cached and re-consumed (AUC, cut,
+    * PSI, KS); every stage is a hash/range-partitioned agg over the
+    * corpus or a value-grain (≤ distinct n_chars) window — no new
+    * topology beyond the gated kernels it composes. */
+  private def c14(s: SparkSession, d: String): DataFrame = {
+    val bins = 10
+    val scored = docs(s, d).select(col("doc_id"), col("n_chars"),
+      (col("lang") === "en").cast("int").as("label"),
+      (col("n_chars") * 100000L + col("doc_id")).as("score"))
+    val ranked = DedupOps.cachedShared(
+      graft.ops.Relational.globalRowNumbers(scored, "score")
+        .withColumn("rank", col("global_id") + 1L).drop("global_id"))
+    val head = ranked.agg(
+        sum(when(col("label") === 1, col("rank"))).as("prs"),
+        sum(col("label").cast("long")).as("n_pos"),
+        count(lit(1)).as("n"))
+      .select(col("n"), col("n_pos"),
+        (expr("CAST(prs - (n_pos * (n_pos + 1)) DIV 2 AS DOUBLE)") /
+          expr("CAST(n_pos * (n - n_pos) AS DOUBLE)")).as("auc"),
+        expr("n * 8 DIV 10").as("cut_rank"))
+    val tagged = ranked
+      .crossJoin(broadcast(head.select(col("cut_rank"))))
+      .withColumn("in_kept", col("rank") > col("cut_rank"))
+    val keptAgg = tagged.filter(col("in_kept"))
+      .agg(count(lit(1)).as("kept_n"), min(col("score")).as("threshold_score"),
+        sum(col("label").cast("long")).as("kept_pos"))
+      .select(col("kept_n"), col("threshold_score"),
+        round(col("kept_pos").cast("double") / col("kept_n").cast("double"), 6)
+          .as("kept_pos_rate"))
+    val rng = ranked.agg(min(col("n_chars")).as("lo"),
+      (max(col("n_chars")) + 1L).as("hi"))
+    val binned = tagged.crossJoin(broadcast(rng))
+      .select(least(lit(bins - 1), floor((col("n_chars") - col("lo")) * bins /
+        (col("hi") - col("lo"))).cast("int")).as("bin"), col("in_kept"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("in_kept"), 1L).otherwise(0L)).as("ca"),
+        count(lit(1)).as("cb"))
+    val btot = binned.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val psi = binned.crossJoin(broadcast(btot))
+      .select(
+        ((col("ca") + 1L).cast("double") /
+          (col("n_a") + lit(bins.toLong)).cast("double")).as("pa"),
+        ((col("cb") + 1L).cast("double") /
+          (col("n_b") + lit(bins.toLong)).cast("double")).as("pb"))
+      .agg(round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 6)
+        .as("psi"))
+    val perVal = tagged.groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("in_kept"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_kept"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ktot = perVal.agg(sum(col("ca")).as("ka"), sum(col("cb")).as("kb"))
+    val ks = perVal
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(ktot))
+      .select(col("ka"), col("kb"),
+        abs(col("cuma") * col("kb") - col("cumb") * col("ka")).as("dnum"))
+      .groupBy(col("ka"), col("kb"))
+      .agg(max(col("dnum")).as("d_num"))
+      .select((col("d_num").cast("double") /
+        (col("ka") * col("kb")).cast("double")).as("ks"))
+    head.crossJoin(keptAgg).crossJoin(psi).crossJoin(ks)
+  }
+
   /** c10: SQL SCRIPTING — the last SQL front door after plain SQL (c03),
     * SQL-defined functions (c07), and pipe syntax + named parameters
     * (c08): a multi-statement script with session VARIABLES and a WHILE
@@ -1648,6 +1727,7 @@ object TextOps {
     "c08_sql_pipe_pipeline" -> c08 _,
     "c10_sql_scripting" -> c10 _,
     "c13_parser_extension" -> c13 _,
+    "c14_eval_monitoring" -> c14 _,
     "t15_repetition_gopher" -> t15 _, "t18_temperature_resample" -> t18 _,
     "t19_bigram_logprob" -> t19 _,
     "t16_quality_buckets" -> t16 _, "t17_domain_mix" -> t17 _,
@@ -1768,6 +1848,68 @@ object TextOps {
         |FROM v GROUP BY norm ORDER BY norm""".stripMargin,
     // t37: the same rank sums over the same unique scores — the single
     // integer-exact division lands the identical double
+    // c14: the whole deployment loop replayed — same rank sums, same
+    // integer cut, same smoothed PSI bins, same integer-crossproduct KS
+    "c14_eval_monitoring" ->
+      """WITH sc AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+        |    n_chars * 100000 + doc_id AS score
+        |  FROM documents),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY score) AS rank
+        |           FROM sc),
+        |head2 AS (
+        |  SELECT CAST(count(1) AS BIGINT) AS n,
+        |    CAST(sum(label) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN label = 1 THEN rank END)
+        |           - (sum(label) * (sum(label) + 1)) // 2 AS DOUBLE)
+        |      / CAST(sum(label) * (count(1) - sum(label)) AS DOUBLE) AS auc,
+        |    CAST((count(1) * 8) // 10 AS BIGINT) AS cut_rank
+        |  FROM ranked),
+        |tagged AS (
+        |  SELECT r.*, r.rank > h.cut_rank AS in_kept
+        |  FROM ranked r CROSS JOIN head2 h),
+        |kept AS (
+        |  SELECT CAST(count(1) AS BIGINT) AS kept_n,
+        |    CAST(min(score) AS BIGINT) AS threshold_score,
+        |    round(CAST(sum(label) AS DOUBLE) / CAST(count(1) AS DOUBLE), 6)
+        |      AS kept_pos_rate
+        |  FROM tagged WHERE in_kept),
+        |rng AS (SELECT min(n_chars) AS lo, max(n_chars) + 1 AS hi
+        |        FROM tagged),
+        |binned AS (
+        |  SELECT least(9, CAST(floor((n_chars - lo) * 10 / (hi - lo))
+        |           AS INT)) AS bin,
+        |    CAST(sum(CASE WHEN in_kept THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(count(1) AS BIGINT) AS cb
+        |  FROM tagged CROSS JOIN rng GROUP BY 1),
+        |btot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |                CAST(sum(cb) AS BIGINT) AS n_b FROM binned),
+        |psi AS (
+        |  SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi FROM (
+        |    SELECT CAST(ca + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE) AS pa,
+        |           CAST(cb + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE) AS pb
+        |    FROM binned CROSS JOIN btot) x),
+        |perval AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN in_kept THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN in_kept THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM tagged GROUP BY 1),
+        |cum AS (
+        |  SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+        |  FROM perval
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ktot AS (SELECT CAST(sum(ca) AS BIGINT) AS ka,
+        |                CAST(sum(cb) AS BIGINT) AS kb FROM perval),
+        |ksq AS (
+        |  SELECT CAST(max(abs(cuma * kb - cumb * ka)) AS DOUBLE) /
+        |      CAST(ka * kb AS DOUBLE) AS ks
+        |  FROM cum CROSS JOIN ktot GROUP BY ka, kb)
+        |SELECT h.n, h.n_pos, h.auc, h.cut_rank, k.kept_n,
+        |  k.threshold_score, k.kept_pos_rate, p.psi, s.ks
+        |FROM head2 h CROSS JOIN kept k CROSS JOIN psi p
+        |CROSS JOIN ksq s""".stripMargin,
     "t37_ranking_auc" ->
       """WITH sc AS (
         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,

@@ -67,6 +67,19 @@ class BloomIndexSpec extends SparkSpec {
     }
   }
 
+  test("e24: the candidate probe is a distributed semi-join — bloom bytes never reach the driver") {
+    withIndex { (_, manifest) =>
+      val frame = ExportOps.bloomCandidateFrame(manifest, Seq(engineHash(1L)))
+      assert(frame.columns === Array("file"),
+        "the probe result must carry file paths only, never filter bytes")
+      val p = frame.queryExecution.executedPlan.toString
+      assert(p.contains("graft_bloom_probe"),
+        s"probe must ride the per-row bloom expression:\n$p")
+      assert(p.contains("LeftSemi"),
+        s"candidates must form via a semi-join:\n$p")
+    }
+  }
+
   test("e24: an absent key proves absence without opening any file") {
     withIndex { (dataDir, manifest) =>
       val mx = spark.read.parquet(dataDir).agg(max(col("doc_id")))
