@@ -69,7 +69,19 @@ object GraftSession {
     * extensions. Cached per JVM (sessions are not free: each holds a
     * SessionState); the cache is re-keyed if the context was stopped.
     * Session-scoped SQL confs do NOT inherit across sessions, so the
-    * tuned shuffle/timeZone/excludedRules are copied from `base`. */
+    * tuned shuffle/timeZone/excludedRules are copied from `base`.
+    *
+    * CONCURRENCY CONTRACT: the clear→build→restore window is atomic only
+    * against other `extensionSession` callers (this lock). A concurrent
+    * thread resolving `SparkSession.active`/`builder().getOrCreate()`
+    * during the window can observe a missing or different default
+    * session — there is no public API to construct an extension-bearing
+    * session without going through the global builder (the constructor
+    * is private; `spark.sql.extensions` is static and can't bind to a
+    * live context). Callers must therefore not race this against
+    * concurrent session resolution; in practice the window opens at most
+    * once per JVM (the result is cached) and the gate harness runs
+    * queries sequentially. */
   def extensionSession(base: SparkSession): SparkSession = synchronized {
     if (extCache != null && !extCache.sparkContext.isStopped &&
         (extCache.sparkContext eq base.sparkContext)) return extCache

@@ -206,21 +206,40 @@ object TxTable {
     * outside its root (`../source/...`), which basePath rejects — such
     * tables read their partition columns from the data itself (the e27
     * gate clones an unpartitioned layout; a partitioned clone at scale
-    * would use absolute-URI references the same way Delta does). */
+    * would use absolute-URI references the same way Delta does).
+    *
+    * GUARD: if out-of-root references coexist with a directory-ENCODED
+    * partition layout (`col=value/` path segments), dropping basePath
+    * would silently read the table back WITHOUT its partition columns —
+    * a schema change, not a degraded read. That combination fails loudly
+    * here (and [[shallowClone]] rejects it at clone time, where the fix
+    * — absolute-URI references — belongs). */
   private def readResolved(s: SparkSession, root: String,
                            rels: Seq[String]): DataFrame = {
     val files = rels.map(f => s"$root/$f")
     if (rels.forall(f => !f.contains("..")))
       s.read.option("basePath", root).parquet(files: _*)
+    else if (rels.exists(hasPartitionDirs))
+      throw new IllegalStateException(
+        s"table $root mixes out-of-root manifest references with a " +
+          s"directory-encoded partition layout: reading it without " +
+          s"basePath would silently drop the partition columns. Re-clone " +
+          s"with absolute references or from an unpartitioned source.")
     else s.read.parquet(files: _*)
   }
+
+  /** A hive-style partition directory segment (`col=value/`) anywhere on
+    * the file's directory path. */
+  private def hasPartitionDirs(rel: String): Boolean =
+    rel.split('/').dropRight(1).exists(_.contains("="))
 
   /** Snapshot-as-of read: the table exactly as version `version` served
     * it. Valid for any version [[vacuum]] has not yet retired —
     * rollback, audit, and reproducible-training reads against a moving
     * table (e22 gates it end-to-end). */
   def readVersion(s: SparkSession, root: String, version: Long): DataFrame = {
-    val files = filesOfVersion(s, root, version).map(f => s"$root/$f")
+    val rels = filesOfVersion(s, root, version)
+    val files = rels.map(f => s"$root/$f")
     if (files.isEmpty) return emptySnapshot(s, root, version)
     // A manifest can outlive its data: vacuum keeps the last keepManifests
     // manifests as commit HISTORY but deletes every data file the latest
@@ -234,7 +253,7 @@ object TxTable {
         s"version's data files survive a vacuum; retained older manifests " +
         s"are commit history, not readable snapshots). First missing: " +
         missing.head)
-    readResolved(s, root, filesOfVersion(s, root, version))
+    readResolved(s, root, rels)
   }
 
   /** An empty-but-legal snapshot (a manifest that commits zero files —
@@ -342,7 +361,17 @@ object TxTable {
     val dst = new Path(clonePath.toUri.getPath)
     val rel = java.nio.file.Paths.get(dst.toString)
       .relativize(java.nio.file.Paths.get(src.toString)).toString
-    commit(s, cloneRoot, liveFiles(s, sourceRoot).map(f => s"$rel/$f"))
+    val srcFiles = liveFiles(s, sourceRoot)
+    // A clone's manifest references the source through `../`, which
+    // forfeits basePath partition recovery on read — silently changing
+    // the schema of a directory-partitioned source. Refuse HERE, where
+    // the caller can still choose a different layout (absolute-URI
+    // references are the scale fix, as in Delta's shallow clone).
+    require(!srcFiles.exists(hasPartitionDirs),
+      s"shallow clone of $sourceRoot: source uses a directory-encoded " +
+        s"partition layout, which relative clone references cannot " +
+        s"preserve (partition columns would vanish on read)")
+    commit(s, cloneRoot, srcFiles.map(f => s"$rel/$f"))
   }
 
   /** RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`): roll the table

@@ -29,8 +29,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * have written by hand, because it IS that SQL. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // Table/id accept backtick-quoted identifiers. The key group is GREEDY
+  // (.+), so the ` KEEP MIN ` anchor binds at its LAST occurrence — a key
+  // expression containing that token sequence (e.g. inside a string
+  // literal) stays inside the key instead of truncating it; only a
+  // pathological key ENDING in ` KEEP MIN <id>` would need parentheses.
   private val Dedup =
-    """(?is)\s*DEDUP\s+([\w.]+)\s+BY\s+(.+?)\s+KEEP\s+MIN\s+([\w.]+)\s*;?\s*""".r
+    """(?is)\s*DEDUP\s+([\w.]+|`[^`]+`)\s+BY\s+(.+)\s+KEEP\s+MIN\s+([\w.]+|`[^`]+`)\s*;?\s*""".r
 
   private def desugar(table: String, key: String, id: String): String =
     s"""SELECT * FROM $table WHERE $id IN

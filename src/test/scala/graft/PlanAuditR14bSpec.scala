@@ -25,13 +25,17 @@ class PlanAuditR14bSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val outer = ops.TextOps.queries("t36_outer_generate")(spark, d)
       .queryExecution.executedPlan.toString
-    // plan strings render Generate as: Generate <gen>, <requiredChildOutput>,
-    // <outer>, ... — the outer leg must carry the true flag, the t35 inner
-    // leg false
-    assert(outer.contains("Generate graft_ngrams") && outer.contains("true"),
-      s"t36 must plan an OUTER Generate:\n$outer")
-    assert(inner.contains("Generate graft_ngrams"),
-      s"t35 must plan the same Generate node:\n$inner")
+    // plan strings render Generate as: Generate <gen>(...), <required
+    // ChildOutput>, <outer>, ... — pin the flag ON THE GENERATE LINE
+    // (a bare contains("true") matches almost any executed plan)
+    val generateLine = """Generate graft_ngrams\([^)]*\), [^,]*, (\w+)""".r
+    def outerFlag(plan: String): Option[String] =
+      generateLine.findFirstMatchIn(plan).map(_.group(1))
+    assert(outerFlag(outer).contains("true"),
+      s"t36 must plan an OUTER Generate (flag=${outerFlag(outer)}):\n$outer")
+    assert(outerFlag(inner).contains("false"),
+      s"t35 must plan the same Generate node with outer OFF " +
+        s"(flag=${outerFlag(inner)}):\n$inner")
     // semantics: every document survives the outer explode
     val total = Tables(spark, d, "documents").count()
     val kept = ops.TextOps.queries("t36_outer_generate")(spark, d)
