@@ -536,15 +536,15 @@ object SessionGates {
     * different state-eviction semantics from the inner join: a purchase's
     * null-click row may only emit once the watermark passes its event time
     * (the point where a matching click can no longer arrive), so the gate
-    * feeds a THIRD micro-batch of watermark-advancing sentinel events
+    * feeds a SECOND micro-batch of watermark-advancing sentinel events
     * (user_id -1, 90/120 min past the corpus max — one purchase to move
     * the purchase-side watermark node, one later click to move the click
     * side; the global watermark is the min of both, so both must move).
     * The sentinels are filtered from the landed result; the remainder must
     * hash-match a DuckDB LEFT JOIN oracle. `sentinel = false` exists for
     * the spec that pins outer rows EMIT ONLY on watermark advance: without
-    * the third batch, purchases near the stream end must be missing their
-    * null rows. */
+    * the sentinel batch, purchases near the stream end must be missing
+    * their null rows. */
   private[ops] def streamOuterJoinGate(s: SparkSession, d: String,
                                        sentinel: Boolean,
                                        joinType: String = "left_outer"): DataFrame = {
@@ -557,7 +557,6 @@ object SessionGates {
     ExportOps.withScratchCleanup(out) {
       new java.io.File(out, "in").mkdirs()
       val ev = Tables(s, d, "events")
-      val mid = eventTsStats(s, d)._3.toLong
       val maxMicros = eventTsStats(s, d)._2
       val now = System.currentTimeMillis()
       def sentinelRow(id: Long, tsMicros: Long, eventType: String) =
@@ -566,9 +565,16 @@ object SessionGates {
           timestamp_micros(lit(tsMicros)).as("ts"),
           lit(-1L).as("user_id"), lit(eventType).as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
+      // ONE data batch + the sentinel batch (r14 diet): the outer legs'
+      // distinctive property is EVICTION emission on watermark close —
+      // cross-batch buffered-state matching is q62's (inner) and q95's
+      // (semi) pinned property, and the join result is batching-invariant
+      // (same data, time-ordered arrival, nothing late), so the third
+      // micro-batch bought commit overhead, not coverage. The sentinel
+      // batch still has to arrive AFTER the data for the flush to be a
+      // cross-batch watermark advance.
       val slices: Seq[DataFrame] =
-        Seq(ev.filter(unix_micros(col("ts")) <= mid),
-            ev.filter(unix_micros(col("ts")) > mid)) ++
+        Seq(ev) ++
           (if (sentinel)
             // purchase first, click 30 min later: the click arrives AFTER
             // the sentinel purchase so the two never pair — every uid -1
