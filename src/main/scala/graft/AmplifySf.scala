@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds an amplified sibling of a testdata scale-factor directory for
+  * larger-SF benchmarking (`bench_sf1_*.json`): ×X rows per scaling table
+  * with keys remapped so every foreign-key relationship stays intact
+  * INSIDE a replica and no artificial cross-replica duplicate structure
+  * appears. The remapping rules exist to keep every gate's work LINEAR in
+  * X — naive replication (same content under offset ids) makes the
+  * near-dup families superlinear as a pure fixture artifact:
+  *
+  *  - **Keys multiply, not offset**: `key*X + rep`. Offsets preserve
+  *    `key % k` residues, and several gates synthesize join/block keys
+  *    from id residues (d23/d26 titles use `doc_id % 50 / % 23`), so
+  *    offset replicas would collide into the same blocks and square the
+  *    per-block pair space. Multiplication shifts every replica's residue
+  *    classes, so block keys differ across replicas and the candidate
+  *    space scales ×X.
+  *  - **Document text is token-salted per replica** (every token gets a
+  *    `·r<rep>` suffix; rep 0 keeps the original corpus): MinHash/SimHash
+  *    band buckets merge on shared shingles, so verbatim replicas would
+  *    put X copies in every bucket and grow candidate pairs ~X²/2. Salted
+  *    tokens make replicas shingle-disjoint — each replica contributes
+  *    its own natural near-dup pairs and the total scales ×X.
+  *  - **Embedding dimensions rotate per replica** (`dim i ← dim
+  *    (i + 7·rep) mod d`): norm- and distribution-preserving, but
+  *    cross-replica cosine decorrelates to the vectors' autocorrelation
+  *    (≈0 for these), so LSH/IVF buckets don't collapse into ×X clumps.
+  *  - **Events keep their timestamps**: ×X density in the same window is
+  *    the realistic growth mode (more traffic, same day), and it keeps
+  *    every watermark/session/interval-join gate's time math unchanged
+  *    while scaling per-window state ×X.
+  *  - region/nation stay fixed (TPC-H's own scaling rule).
+  *
+  * Usage: `runMain graft.AmplifySf <srcSfDir> <dstDir> <factor>`; the
+  * bench then runs with `SPARK_GRAFT_SF_DIR=<dstDir>`. Place the dst as
+  * `<root>/sf1` next to a `sf0.001` (symlink is fine) so Bench's warm-up
+  * resolves the small sibling.
+  */
+object AmplifySf {
+
+  def amplify(s: SparkSession, src: String, dst: String, x: Int): Unit = {
+    val rep = explode(expr(s"sequence(0L, ${x - 1}L)")).as("rep")
+    def rk(c: String) = (col(c) * x + col("rep")).as(c)
+    def write(df: DataFrame, table: String): Unit =
+      df.drop("rep").write.mode("overwrite").parquet(s"$dst/$table.parquet")
+    def read(table: String) = s.read.parquet(s"$src/$table.parquet")
+
+    Seq("region", "nation").foreach(t => write(read(t), t))
+    write(read("customer").select(col("*"), rep)
+      .withColumn("c_custkey", rk("c_custkey")), "customer")
+    write(read("supplier").select(col("*"), rep)
+      .withColumn("s_suppkey", rk("s_suppkey")), "supplier")
+    write(read("part").select(col("*"), rep)
+      .withColumn("p_partkey", rk("p_partkey")), "part")
+    write(read("orders").select(col("*"), rep)
+      .withColumn("o_orderkey", rk("o_orderkey"))
+      .withColumn("o_custkey", rk("o_custkey")), "orders")
+    write(read("lineitem").select(col("*"), rep)
+      .withColumn("l_orderkey", rk("l_orderkey"))
+      .withColumn("l_partkey", rk("l_partkey"))
+      .withColumn("l_suppkey", rk("l_suppkey")), "lineitem")
+    write(read("events").select(col("*"), rep)
+      .withColumn("event_id", rk("event_id"))
+      .withColumn("user_id", rk("user_id")), "events")
+    // rep 0 keeps the original text so the base corpus' exact statistics
+    // survive in the amplified set; n_chars stays consistent with text
+    write(read("documents").select(col("*"), rep)
+      .withColumn("doc_id", rk("doc_id"))
+      .withColumn("text",
+        when(col("rep") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("·r"), col("rep"))), " ")))
+      .withColumn("n_chars", length(col("text"))), "documents")
+    write(read("embeddings").select(col("*"), rep)
+      .withColumn("vec_id", rk("vec_id"))
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding")).otherwise(
+          transform(sequence(lit(0), size(col("embedding")) - 1),
+            i => element_at(col("embedding"),
+              ((i + col("rep").cast("int") * 7) % size(col("embedding"))) + 1))
+            .cast("array<float>"))), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factor) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    amplify(spark, src, dst, factor.toInt)
+    Tables.all.foreach { t =>
+      println(s"[amplify] $t rows=" +
+        spark.read.parquet(s"$dst/$t.parquet").count())
+    }
+    spark.stop()
+  }
+}

@@ -55,7 +55,8 @@ class GraftFunctionsSpec extends SparkSpec {
 
   test("GraftExtensions exposes the same function set") {
     assert(GraftFunctions.descriptions.map(_._1.funcName).sorted ===
-      Seq("graft_bloom_agg", "graft_cosine_sim", "graft_gopher_quality",
+      Seq("graft_bloom_agg", "graft_bloom_probe", "graft_cosine_sim",
+        "graft_gopher_quality",
         "graft_haversine_km", "graft_hist", "graft_md5_minhash",
         "graft_might_contain", "graft_minhash64", "graft_ngrams",
         "graft_normalize",
