@@ -139,12 +139,18 @@ object DedupOps {
     * expressions; this gate pins the native expression against an
     * independent engine. */
   private def d04(s: SparkSession, d: String): DataFrame =
+    simhashFrame(s, d).orderBy("doc_id")
+
+  /** The (doc_id, simhash) frame d04 exposes and d06 self-joins: the
+    * native [[graft.functions.Md5ShingleHashes]] 60-bit kernel (identical
+    * to `conv(substring(md5(shingle), 1, 15), 16, 10)`, which the oracle
+    * replays) feeding the SimHash64 vote expression. */
+  private def simhashFrame(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"),
-        simhash64(s, transform(array_distinct(TextFunctions.shingles(col("text"))),
-          x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+        simhash64(s, graft.functions.Md5ShingleHashes
+          .md5ShingleHashes(s, col("text"), k = 3, hexChars = 15))
           .as("simhash"))
-      .orderBy("doc_id")
 
   /** Exact n-gram Jaccard verification of MinHash candidates at the
     * 4-GRAM grain (r14 re-key onto the md5 path): same band-block →
@@ -169,7 +175,9 @@ object DedupOps {
     * chunk buckets, the Hamming verify, and the ≤3 cut are all integer
     * math DuckDB replays exactly. */
   private def d06(s: SparkSession, d: String): DataFrame = {
-    val sigs = d04(s, d)
+    // cached: the self-join consumes the signature frame twice — without
+    // the cache each side recomputes the full corpus signature pass
+    val sigs = cached(simhashFrame(s, d))
     val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until 4).map(i =>
         shiftright(col("simhash"), 15 * i).bitwiseAND(lit(0x7FFFL))): _*)))
@@ -236,16 +244,22 @@ object DedupOps {
     * instead of 8 separate md5 passes, and downstream joins carry compact
     * long arrays, never the shingle strings. Public over any (doc_id,
     * text) frame so index builders (d22) and arrival batches share the
-    * exact kernel. */
+    * exact kernel. Computed by the native [[graft.functions.Md5ShingleHashes]]
+    * kernel — bit-identical to the compositional
+    * `TextFunctions.md5ShingleHashes` the oracles replay, without the
+    * per-shingle interpreted-lambda/hex-string cost (the r14 sf1 run
+    * measured the tree form at ~2 ms/doc, dominating the dedup scans). */
   def shingleHashFrame(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), TextFunctions.md5ShingleHashes(col("text")).as("hv"))
+    df.select(col("doc_id"),
+      graft.functions.Md5ShingleHashes
+        .md5ShingleHashes(df.sparkSession, col("text")).as("hv"))
 
   /** The 4-gram-grain twin of [[shingleHashFrame]] (d05's operating
     * point): same 28-bit md5 identities over 4-word shingles. */
   private def shingleHashFrame4(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
-      transform(array_distinct(TextFunctions.shingles(col("text"), 4)),
-        x => conv(substring(md5(x), 1, 7), 16, 10).cast("long")).as("hv"))
+      graft.functions.Md5ShingleHashes
+        .md5ShingleHashes(df.sparkSession, col("text"), k = 4).as("hv"))
 
   private def withShingleHashes(s: SparkSession, d: String): DataFrame =
     shingleHashFrame(docs(s, d))
@@ -1296,9 +1310,7 @@ object DedupOps {
     val out = ExportOps.scratchDir("graft_sdedup", d)
     ExportOps.withScratchCleanup(out) {
     new java.io.File(out, "in").mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/documents.parquet"),
-      out.toPath.resolve("in/documents.parquet"))
+    ExportOps.stageTable(d, "documents", new java.io.File(out, "in"))
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream.schema(schema).parquet(s"$out/in")
     val isNew = col("doc_id") % 5 === 4

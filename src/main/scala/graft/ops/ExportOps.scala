@@ -117,6 +117,30 @@ object ExportOps {
     f
   }
 
+  /** Stages a fixture table's parquet bytes into a streaming-source
+    * directory. The driver's testdata ships single-file tables, but any
+    * Spark/lakehouse-written table is a DIRECTORY of part files (the sf1
+    * amplified set, every TxTable snapshot) — a plain `Files.copy` of the
+    * directory path copies an empty dir entry and the file stream then
+    * fails analysis with nothing to infer. One staged file per part keeps
+    * the copy byte-identical either way; callers that need one
+    * micro-batch per logical table must not pass `maxFilesPerTrigger=1`
+    * with a multi-part source (the d20/e03 gates are batching-invariant:
+    * stateless stream-static join / per-row export). */
+  def stageTable(d: String, table: String, destDir: java.io.File): Unit = {
+    val src = new java.io.File(s"$d/$table.parquet")
+    if (src.isDirectory) {
+      src.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            destDir.toPath.resolve(s"${table}_$i.parquet"))
+        }
+    } else {
+      java.nio.file.Files.copy(src.toPath,
+        destDir.toPath.resolve(s"$table.parquet"))
+    }
+  }
+
   /** Runs a gate body, deleting its scratch directory if the body throws.
     * The success path's [[localizeAndDrop]] already deletes the dir; without
     * this, a failed streaming query or read-back leaks the PID-suffixed
@@ -239,9 +263,7 @@ object ExportOps {
     val out = scratchDir("graft_sexport", d)
     withScratchCleanup(out) {
     new java.io.File(out, "in").mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/documents.parquet"),
-      out.toPath.resolve("in/documents.parquet"))
+    stageTable(d, "documents", new java.io.File(out, "in"))
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream.schema(schema).parquet(s"$out/in")
     val q = streamingTrainingExport(stream, s"$out/data", s"$out/ckpt")
