@@ -41,14 +41,23 @@ import org.apache.spark.sql.functions._
   */
 object AmplifySf {
 
-  def amplify(s: SparkSession, src: String, dst: String, x: Int): Unit = {
+  def amplify(s: SparkSession, src: String, dst: String, x: Int,
+              parts: Int = 32): Unit = {
     val rep = explode(expr(s"sequence(0L, ${x - 1}L)")).as("rep")
     def rk(c: String) = (col(c) * x + col("rep")).as(c)
+    // repartition before write: the driver's testdata ships one file per
+    // table, and a small parquet file is ONE scan partition (row groups
+    // don't split), which serializes every map-side kernel onto a single
+    // thread — a layout artifact, not an engine property. A table 10×
+    // the size would be multi-file on any real lakehouse; writing `parts`
+    // part files makes the amplified set scan-parallel like one.
     def write(df: DataFrame, table: String): Unit =
-      df.drop("rep").write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      df.drop("rep").repartition(parts)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
     def read(table: String) = s.read.parquet(s"$src/$table.parquet")
 
-    Seq("region", "nation").foreach(t => write(read(t), t))
+    Seq("region", "nation").foreach(t =>
+      read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet"))
     write(read("customer").select(col("*"), rep)
       .withColumn("c_custkey", rk("c_custkey")), "customer")
     write(read("supplier").select(col("*"), rep)

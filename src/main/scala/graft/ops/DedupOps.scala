@@ -401,9 +401,8 @@ object DedupOps {
     // shuffle four times (measured 4.8 → ~1.4 s at sf0.1)
     val sh = cachedShared(docs(s, d)
       .select(col("source"),
-        explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("g"))
-      .select(col("source"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+        explode(graft.functions.Md5ShingleHashes
+          .md5ShingleHashes(s, col("text"), k = 3, hexChars = 15)).as("h"))
       .distinct())
     val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val shared = sh.as("a").join(sh.as("b"),
@@ -935,7 +934,14 @@ object DedupOps {
     * engine-exact, fully oracled. */
   private def d23(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
-    val base = concat(col("source"), lit("-"), (id % 50).cast("string"),
+    // SF-adaptive title universe: a real corpus' title space grows with
+    // the corpus, so the synthesized one must too or block density (and
+    // the per-block quadratic verify) grows linearly with SF as a pure
+    // fixture artifact — the r14 sf1 run measured exactly that. The
+    // modulus is unchanged at every driver-gated SF (max(50, n/100) = 50
+    // up to sf0.1) and both engines derive it from the same count.
+    val mod = math.max(50L, docs(s, d).count() / 100L)
+    val base = concat(col("source"), lit("-"), (id % mod).cast("string"),
       lit(" report"))
     // deterministic tail edits, past the blocking prefix: every 20th doc
     // drops its last char, every other 10th appends a stray one
@@ -1010,8 +1016,15 @@ object DedupOps {
 
   private def d26(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
-    val base = concat(col("source"), lit("-"), (id % 50).cast("string"),
-      lit(" item "), (id % 23).cast("string"))
+    // same SF-adaptive universe rule as d23 (see there); the item modulus
+    // scales on a slower ramp (max(23, n/500)) so the suffix-block space
+    // grows with the corpus too — at fixed 23 the sfx pass would collapse
+    // every SF's growth into 23 buckets and square the verify
+    val nDocs = docs(s, d).count()
+    val mod50 = math.max(50L, nDocs / 100L)
+    val mod23 = math.max(23L, nDocs / 500L)
+    val base = concat(col("source"), lit("-"), (id % mod50).cast("string"),
+      lit(" item "), (id % mod23).cast("string"))
     // deterministic corruptions at both ends; the head edits are the ones
     // d23's prefix-only blocking provably misses
     val title = when(id % 20 === 7,
@@ -2147,7 +2160,10 @@ object DedupOps {
         |         WHEN doc_id % 20 = 13 THEN 'q' || tb
         |         ELSE tb END AS title
         |  FROM (SELECT doc_id,
-        |          source || '-' || (doc_id % 50) || ' item ' || (doc_id % 23)
+        |          source || '-' ||
+        |            (doc_id % greatest(50, (SELECT count(*) FROM documents) // 100))
+        |            || ' item ' ||
+        |            (doc_id % greatest(23, (SELECT count(*) FROM documents) // 500))
         |            AS tb
         |        FROM documents) x),
         |blocked AS (
@@ -2180,7 +2196,9 @@ object DedupOps {
         |         WHEN doc_id % 10 = 7 THEN tb || 'x'
         |         ELSE tb END AS title
         |  FROM (SELECT doc_id,
-        |          source || '-' || (doc_id % 50) || ' report' AS tb
+        |          source || '-' ||
+        |            (doc_id % greatest(50, (SELECT count(*) FROM documents) // 100))
+        |            || ' report' AS tb
         |        FROM documents) x),
         |blocked AS (
         |  SELECT doc_id, title, substring(title, 1, 6) AS pfx,
