@@ -62,7 +62,7 @@ object SimilarityOps {
     * plan a hash join for any query-set size. */
   private def v02(s: SparkSession, d: String): DataFrame = {
     val corpus = emb(s, d)
-      .withColumn("sig", VectorFunctions.hyperplaneSignatureExact(col("embedding")))
+      .withColumn("sig", graft.functions.HyperplaneSigExact.hyperplaneSig(s, col("embedding")))
     val banded = corpus.select(col("vec_id"), posexplode(
       array((0 until 4).map(b =>
         shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)))
@@ -101,7 +101,7 @@ object SimilarityOps {
     * on summation-order ulps. */
   private def v03(s: SparkSession, d: String): DataFrame = {
     val vecs = emb(s, d)
-      .withColumn("sig", VectorFunctions.hyperplaneSignatureExact(col("embedding")))
+      .withColumn("sig", graft.functions.HyperplaneSigExact.hyperplaneSig(s, col("embedding")))
     val banded = vecs.select(col("vec_id"), col("embedding"), posexplode(
       array((0 until 4).map(b =>
         shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)))
@@ -179,7 +179,7 @@ object SimilarityOps {
     val nProbe = 4
     val vecs = emb(s, d)
       .withColumn("cell",
-        VectorFunctions.hyperplaneSignatureExact(col("embedding"))
+        graft.functions.HyperplaneSigExact.hyperplaneSig(s, col("embedding"))
           .bitwiseAND(lit(0xFL)))
     // distributed centroid: explode dims, average per (cell, pos),
     // reassemble. The mean is a DECIMAL(30,12) sum over count (v18's

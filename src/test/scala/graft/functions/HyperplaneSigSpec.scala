@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The native hyperplane-signature kernel must be BIT-IDENTICAL to the
+  * compositional decimal form the DuckDB oracles replay
+  * ([[VectorFunctions.hyperplaneSignatureExact]]): same 9dp HALF_UP
+  * rounding, same exact-decimal sum, same sign rule, same null-poisoning
+  * on length mismatch. A single diverging bit silently re-buckets the
+  * v02/v03/v05 candidate generation and breaks their oracles. */
+class HyperplaneSigSpec extends SparkSpec {
+
+  test("bit-identical to the compositional decimal form on the corpus") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val bad = df.select(
+        VectorFunctions.hyperplaneSignatureExact(col("embedding")).as("want"),
+        HyperplaneSigExact.hyperplaneSig(spark, col("embedding")).as("got"))
+      .filter(col("want") =!= col("got"))
+    assert(bad.count() === 0L,
+      s"diverged, e.g. ${bad.take(1).mkString}")
+  }
+
+  test("bit-identical on adversarial values (ties at the 10th decimal, negatives, zero)") {
+    import spark.implicits._
+    val rows = Seq(
+      Array.fill(64)(0.0f),
+      Array.fill(64)(-0.0f),
+      Array.tabulate(64)(j => (if (j % 2 == 0) 1 else -1) * 0.0000000005f),
+      Array.tabulate(64)(j => (j - 32) * 0.1f),
+      Array.tabulate(64)(j => math.sin(j * 1.7).toFloat * 1000f),
+      Array.tabulate(64)(j => java.lang.Float.MIN_VALUE * (j + 1)))
+    val df = rows.toDF("embedding")
+    val bad = df.select(
+        VectorFunctions.hyperplaneSignatureExact(col("embedding")).as("want"),
+        HyperplaneSigExact.hyperplaneSig(spark, col("embedding")).as("got"))
+      .filter(col("want") =!= col("got"))
+    assert(bad.count() === 0L, s"diverged: ${bad.take(1).mkString}")
+  }
+
+  test("length mismatch mirrors the composed form's null-poisoned zero") {
+    import spark.implicits._
+    val df = Seq(Array.fill(63)(1.0f), Array.fill(65)(1.0f)).toDF("embedding")
+    val got = df.select(
+      HyperplaneSigExact.hyperplaneSig(spark, col("embedding")).as("got"))
+      .collect().map(_.getLong(0))
+    val want = df.select(
+      VectorFunctions.hyperplaneSignatureExact(col("embedding")).as("want"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === want.toSeq)
+    assert(got.forall(_ == 0L))
+  }
+}
