@@ -180,10 +180,30 @@ object ExportOps {
     * re-lists the artifact directory at execution time, so a result
     * evaluated after the mutation would silently see the post-mutation
     * files. */
-  def localize(df: DataFrame): DataFrame = {
+  def localize(df: DataFrame): DataFrame = localize(df, LocalizeMaxRows)
+
+  /** The size contract, ENFORCED (it was prose until r15): localized
+    * gate results are fixture-batch/summary-sized. A result that grows
+    * with the corpus must write to durable storage instead — failing
+    * loudly here turns silent driver-heap pressure at a bigger SF into
+    * a named contract violation at the offending gate. */
+  private[ops] def localize(df: DataFrame, maxRows: Int): DataFrame = {
     import scala.jdk.CollectionConverters._
-    df.sparkSession.createDataFrame(df.collect().toList.asJava, df.schema)
+    val rows = df.collect()
+    if (rows.length > maxRows)
+      throw new IllegalStateException(
+        s"localize() size contract violated: ${rows.length} rows > " +
+          s"$maxRows — this gate's result scales with the corpus; " +
+          "write it to durable storage instead of localizing")
+    df.sparkSession.createDataFrame(rows.toList.asJava, df.schema)
   }
+
+  /** [[localize]]'s enforced ceiling: generous for every fixture-batch
+    * result (the largest localized landing at sf1, q65's full-corpus
+    * dedup echo, is ~1M rows) while still far below driver-heap risk. */
+  private[ops] val LocalizeMaxRows: Int =
+    sys.env.get("GRAFT_LOCALIZE_MAX_ROWS").flatMap(v =>
+      scala.util.Try(v.trim.toInt).toOption).getOrElse(4_000_000)
 
   /** e01: export + read-back partition summary. Gates the full
     * write→read cycle (assignment, partition layout, partition-column
