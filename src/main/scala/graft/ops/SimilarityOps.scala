@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -44,8 +44,35 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  /** LSH-bucketed ANN: bucket corpus and queries by 16-bit hyperplane
-    * signature bands (4 bands of 4 bits — a near neighbour agrees on at
+  /** Corpus-adaptive LSH band width (the v02/v03 bucketing): 4 bands of
+    * `w` bits each, w = 4 at the fixture SFs and +1 per corpus doubling
+    * beyond 2 000 vectors (clamped at 8). A FIXED band width is a
+    * constant bucket universe, so candidate pairs grow ∝ n²/2^w — the
+    * r15 sf1 run measured exactly that (v03 shuffle ×92 at ×10 rows);
+    * widening with log₂(n) keeps expected bucket occupancy — and the
+    * per-bucket quadratic verify — flat. Both engines derive w from the
+    * same count (integer-vs-double floor(log2) provably agree: n div
+    * 2000 ∈ [2^k, 2^(k+1)) iff n/2000.0 is). */
+  private def bandWidth(n: Long): Int = {
+    val q = n / 2000L
+    if (q <= 1L) 4
+    else math.min(8, 4 + (63 - java.lang.Long.numberOfLeadingZeros(q)))
+  }
+
+  /** The four band values of a 32-plane signature at width `w`: band b =
+    * planes [4b, 4b+4) (bit-compatible with the historical 16-plane
+    * bucketing, so driver-SF results are unchanged) plus, when w > 4,
+    * planes [16+4b, 16+4b+(w−4)) shifted above them. */
+  private def bandCols(sig: Column, w: Int): Seq[Column] =
+    (0 until 4).map { b =>
+      val low = shiftright(sig, b * 4).bitwiseAND(lit(0xFL))
+      if (w <= 4) low
+      else low.bitwiseOR(shiftleft(
+        shiftright(sig, 16 + b * 4).bitwiseAND(lit((1L << (w - 4)) - 1)), 4))
+    }
+
+  /** LSH-bucketed ANN: bucket corpus and queries by hyperplane-signature
+    * bands (4 bands of [[bandWidth]] bits — a near neighbour agrees on at
     * least one band with high probability), rank candidates by exact cosine.
     * Fully oracled: the signature is the DECIMAL-exact hyperplane family
     * ([[VectorFunctions.hyperplaneSignatureExact]]) whose ±1 plane matrix
@@ -61,11 +88,12 @@ object SimilarityOps {
     * scale-killer the moment the query side grows; the equi-join keeps the
     * plan a hash join for any query-set size. */
   private def v02(s: SparkSession, d: String): DataFrame = {
+    val bw = bandWidth(emb(s, d).count())
     val corpus = emb(s, d)
-      .withColumn("sig", graft.functions.HyperplaneSigExact.hyperplaneSig(s, col("embedding")))
-    val banded = corpus.select(col("vec_id"), posexplode(
-      array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+      .withColumn("sig", graft.functions.HyperplaneSigExact
+        .hyperplaneSig(s, col("embedding"), planes = 32))
+    val banded = corpus.select(col("vec_id"),
+      posexplode(array(bandCols(col("sig"), bw): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
     val queryBands = banded.filter(col("vec_id") < NumQueries)
       .select(col("band_idx"), col("band"), col("vec_id").as("q_id"))
@@ -100,11 +128,12 @@ object SimilarityOps {
     * taken on the 4dp-rounded cosine (v06's rule) so membership can't flip
     * on summation-order ulps. */
   private def v03(s: SparkSession, d: String): DataFrame = {
+    val bw = bandWidth(emb(s, d).count())
     val vecs = emb(s, d)
-      .withColumn("sig", graft.functions.HyperplaneSigExact.hyperplaneSig(s, col("embedding")))
-    val banded = vecs.select(col("vec_id"), col("embedding"), posexplode(
-      array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+      .withColumn("sig", graft.functions.HyperplaneSigExact
+        .hyperplaneSig(s, col("embedding"), planes = 32))
+    val banded = vecs.select(col("vec_id"), col("embedding"),
+      posexplode(array(bandCols(col("sig"), bw): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
     val a = banded.select(col("band_idx"), col("band"), col("vec_id").as("id_a"))
     val b = banded.select(col("band_idx"), col("band"), col("vec_id").as("id_b"))
@@ -1210,10 +1239,16 @@ object SimilarityOps {
     * constants the engine compiles in — the two can't drift) plus the
     * 4-bit band explosion. */
   private def hpBandsCtes: String =
-    VectorFunctions.hyperplaneSignatureExactCtes() + s""",
+    VectorFunctions.hyperplaneSignatureExactCtes(planes = 32) + s""",
+      |bw AS (
+      |  SELECT greatest(4, least(8,
+      |    4 + CAST(floor(log2(greatest(count(*), 1) / 2000.0)) AS INT))) AS w
+      |  FROM embeddings),
       |bands AS (
-      |  SELECT vec_id, b AS band_idx, (sig >> (b * 4)) & 15 AS band
-      |  FROM hp_sigs, (SELECT unnest([0, 1, 2, 3]) AS b))""".stripMargin
+      |  SELECT vec_id, b AS band_idx,
+      |    ((sig >> (b * 4)) & 15) |
+      |      (((sig >> (16 + b * 4)) & ((1 << (w - 4)) - 1)) << 4) AS band
+      |  FROM hp_sigs, (SELECT unnest([0, 1, 2, 3]) AS b), bw)""".stripMargin
 
   private def v02OracleSql: String =
     s"""WITH $hpBandsCtes,

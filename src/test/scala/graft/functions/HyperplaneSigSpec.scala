@@ -14,12 +14,29 @@ class HyperplaneSigSpec extends SparkSpec {
   test("bit-identical to the compositional decimal form on the corpus") {
     val df = spark.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for (planes <- Seq(16, 32)) {
+      val bad = df.select(
+          VectorFunctions.hyperplaneSignatureExact(col("embedding"), planes)
+            .as("want"),
+          HyperplaneSigExact.hyperplaneSig(spark, col("embedding"), planes)
+            .as("got"))
+        .filter(col("want") =!= col("got"))
+      assert(bad.count() === 0L,
+        s"planes=$planes diverged, e.g. ${bad.take(1).mkString}")
+    }
+  }
+
+  test("the 32-plane signature's low 16 bits ARE the 16-plane signature") {
+    // the adaptive band width reads planes 16-31 only beyond the fixture
+    // SFs; this is the invariance that keeps every driver-SF bucket (and
+    // so every v02/v03 oracle result) unchanged by the widening
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bad = df.select(
-        VectorFunctions.hyperplaneSignatureExact(col("embedding")).as("want"),
-        HyperplaneSigExact.hyperplaneSig(spark, col("embedding")).as("got"))
-      .filter(col("want") =!= col("got"))
-    assert(bad.count() === 0L,
-      s"diverged, e.g. ${bad.take(1).mkString}")
+        HyperplaneSigExact.hyperplaneSig(spark, col("embedding"), 16).as("s16"),
+        HyperplaneSigExact.hyperplaneSig(spark, col("embedding"), 32).as("s32"))
+      .filter(col("s16") =!= (col("s32").bitwiseAND(lit(0xFFFFL))))
+    assert(bad.count() === 0L)
   }
 
   test("bit-identical on adversarial values (ties at the 10th decimal, negatives, zero)") {
