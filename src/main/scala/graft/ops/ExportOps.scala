@@ -784,10 +784,22 @@ object ExportOps {
     val out = scratchDir("graft_zorder", d)
     withScratchCleanup(out) {
       zorderExport(s, d, out.getAbsolutePath + "/z")
+      // content invariance at REPORT grain (r15): the read-back aggregates
+      // to 1024 bucketed checksums instead of localizing the whole table —
+      // a corrupted/dropped/duplicated row flips its bucket's count or a
+      // column sum, but the gate result no longer scales with the corpus
+      // (the full-row localize tripped the enforced size contract at sf1,
+      // where the z-layout read-back is 6M rows).
       val back = s.read.parquet(out.getAbsolutePath + "/z")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), col("l_quantity"))
-      localizeAndDrop(back, out, "l_orderkey", "l_linenumber")
+        .groupBy((col("l_orderkey") % 1024).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber")).as("sum_ln"),
+          sum(col("l_partkey")).as("sum_pk"),
+          sum(col("l_suppkey")).as("sum_sk"),
+          sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"))
+            .as("sum_q100"))
+      localizeAndDrop(back, out, "bucket")
     }
   }
 
@@ -2184,8 +2196,14 @@ object ExportOps {
     // content invariance of the Z-ordered layout: the curve may only
     // reorder rows across files, never change them
     "e13_zorder_layout" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      """SELECT l_orderkey % 1024 AS bucket, count(1) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS sum_sk,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_q100
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     // byte-faithful JSON round-trip: the md5 of the decoded text must match
     // the md5 of the source text for every row
     "e09_jsonl_roundtrip" ->
