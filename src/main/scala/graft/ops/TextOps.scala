@@ -376,9 +376,10 @@ object TextOps {
     * broadcasts the centroid table (tiny by construction), collects only
     * the (query, cell) routing pairs (bounded by queries × nProbe), and
     * the postings scan prunes to probed cells at the DIRECTORY level —
-    * at a billion chunks each query still reads 6 cells. Rows-only in the
-    * driver gate (cell assignment is engine-hash territory, the v02/v05
-    * adjudication); t24 is the hash-matched twin. */
+    * at a billion chunks each query still reads 6 cells. Fully oracled
+    * since round 15: the cell signature is exact integer arithmetic over
+    * the slot counts, so [[t25OracleSql]] replays the whole lifecycle in
+    * DuckDB; t24 remains the brute-scan recall twin. */
   private def t25(s: SparkSession, d: String): DataFrame = {
     val out = ExportOps.scratchDir("graft_ragidx", d)
     ExportOps.withScratchCleanup(out) {
@@ -500,9 +501,8 @@ object TextOps {
     * the appended artifact. Because cell assignment is data-independent
     * and centroids are order-free exact means, the appended index serves
     * bit-identically to a from-scratch rebuild over the whole corpus
-    * (spec-pinned equality); rows-only in the driver gate for the same
-    * engine-hash reason as t25, whose twin relationship to t24 carries
-    * over verbatim. */
+    * (spec-pinned equality) — which is exactly why t25's full-corpus
+    * lifecycle oracle ([[t25OracleSql]]) hash-checks this gate too. */
   private def t30(s: SparkSession, d: String): DataFrame = {
     val out = ExportOps.scratchDir("graft_ragapp", d)
     ExportOps.withScratchCleanup(out) {
@@ -1743,10 +1743,12 @@ object TextOps {
     "t24_rag_retrieval" -> t24 _, "t25_rag_index_serve" -> t25 _,
     "t26_retrieval_metrics" -> t26 _)
 
-  /** The t24 oracle, a named val so t26's metrics oracle can wrap the
-    * whole ranking as a subquery without duplicating it. */
-  private val T24OracleSql: String =
-      raw"""WITH tk AS (
+  /** The shared chunk+embed CTE text (tk → qemb) — the SQL replay of
+    * [[ragChunkEmbeddings]]/[[ragQueryEmbeddings]], reused verbatim by the
+    * t24 brute oracle and the t25/t30 index-served oracle so the embedding
+    * model can never drift between the two gates. */
+  private val RagEmbedCtes: String =
+      raw"""tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
         |    len(string_split(text, ' ')) AS n
         |  FROM documents
@@ -1772,7 +1774,12 @@ object TextOps {
         |      len(list_filter(string_split(query_text, ' '),
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = i))) AS qv
         |  FROM qrows
-        |), scored AS (
+        |)""".stripMargin
+
+  /** The t24 oracle, a named val so t26's metrics oracle can wrap the
+    * whole ranking as a subquery without duplicating it. */
+  private val T24OracleSql: String =
+      raw"""WITH $RagEmbedCtes, scored AS (
         |  SELECT query_id, doc_id, chunk_start,
         |    CAST(list_sum(list_transform(generate_series(1, 16),
         |        i -> qv[i] * cv[i])) AS DOUBLE)
@@ -1792,6 +1799,74 @@ object TextOps {
         |SELECT query_id, rank, doc_id, chunk_start, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
+
+  /** Unrolled element-wise dot `a[1]*b[1] + … + a[n]*b[n]` — fixed
+    * left-to-right addition order, matching the engine's sequential
+    * `aggregate` fold bit-for-bit on doubles (0.0 + x = x exactly for the
+    * non-negative/finite terms involved). */
+  private def dotSql(a: String, b: String, n: Int = RagSlots): String =
+    (1 to n).map(k => s"$a[$k]*$b[$k]").mkString(" + ")
+
+  /** The t25/t30 oracle: the ENTIRE index lifecycle replayed in SQL —
+    * the same chunk+embed stage ([[RagEmbedCtes]]), the 4-plane hyperplane
+    * cell assignment (plane literals program-generated from
+    * [[graft.functions.VectorFunctions.plane]], the exact constants the
+    * engine compiles in), per-cell exact-integer-mean centroids, top-6
+    * cosine routing, probed-cell-only scoring, and t24's two-window
+    * rerank. Every sum the sign/rank decisions read is either exact
+    * integer arithmetic (cv/qv are slot counts — doubles are exact below
+    * 2^53) or a fixed-order unrolled fold, so the replay is
+    * bit-deterministic in both engines. t30's appended index serves
+    * bit-identically to a from-scratch rebuild (RagAppendSpec), so one
+    * oracle covers both gates. */
+  private def t25OracleSql: String = {
+    val planeVals = (0 until RagCellPlanes).map { i =>
+      val lst = graft.functions.VectorFunctions.plane(i, RagSlots)
+        .map(p => if (p < 0) "-1.0" else "1.0").mkString("[", ",", "]")
+      s"($i, $lst::DOUBLE[])"
+    }.mkString(",\n    ")
+    raw"""WITH $RagEmbedCtes, pl AS (SELECT * FROM (VALUES
+        |    $planeVals) p(i, sgns)
+        |), cells AS (
+        |  SELECT doc_id, chunk_start, cv,
+        |    CAST((SELECT sum(CASE WHEN ${dotSql("c.cv", "p.sgns")} >= 0
+        |            THEN 1 << p.i ELSE 0 END) FROM pl p) AS INT) AS cell
+        |  FROM cemb c
+        |), cdims AS (
+        |  SELECT cell, unnest(generate_series(1, $RagSlots)) AS k, cv
+        |  FROM cells
+        |), cents AS (
+        |  SELECT cell, array_agg(m ORDER BY k) AS centroid FROM (
+        |    SELECT cell, k, sum(cv[k]) / count(1) AS m
+        |    FROM cdims GROUP BY cell, k) g GROUP BY cell
+        |), routing AS (
+        |  SELECT query_id, cell, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY (${dotSql("q.qv", "c.centroid")})
+        |        / (sqrt(CAST(${dotSql("q.qv", "q.qv")} AS DOUBLE))
+        |           * sqrt(${dotSql("c.centroid", "c.centroid")})) DESC,
+        |      cell ASC) AS cr
+        |  FROM qemb q CROSS JOIN cents c
+        |), probed AS (SELECT query_id, cell FROM routing WHERE cr <= $RagNProbe
+        |), scored AS (
+        |  SELECT q.query_id, c.doc_id, c.chunk_start,
+        |    CAST(${dotSql("q.qv", "c.cv")} AS DOUBLE)
+        |      / (sqrt(CAST(${dotSql("q.qv", "q.qv")} AS DOUBLE))
+        |         * sqrt(CAST(${dotSql("c.cv", "c.cv")} AS DOUBLE))) AS sim
+        |  FROM probed p JOIN cells c USING (cell)
+        |       JOIN qemb q ON q.query_id = p.query_id
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |             ORDER BY sim DESC, chunk_start ASC) AS rb
+        |  FROM scored
+        |), ranked AS (
+        |  SELECT query_id, doc_id, chunk_start, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, doc_id ASC) AS rank
+        |  FROM best WHERE rb = 1)
+        |SELECT query_id, rank, doc_id, chunk_start, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= $RagTopK
+        |ORDER BY query_id, rank""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // t32: same dictionary inlined; empty tokens from the regex split
@@ -2186,6 +2261,11 @@ object TextOps {
     // t23 oracle, same md5-slot feature hashing, integer-exact dots and
     // norms (so the doubles agree bit-for-bit), same two-window ranking
     "t24_rag_retrieval" -> T24OracleSql,
+    // t25/t30: the index lifecycle (build → route → probed scan → rerank)
+    // replayed end-to-end; t30's appended index is spec-pinned
+    // bit-identical to a rebuild, so the same replay oracles both
+    "t25_rag_index_serve" -> t25OracleSql,
+    "t30_rag_index_append" -> t25OracleSql,
     // t26 wraps the t24 ranking verbatim and scores it against lexical
     // relevance labels; per-term DECIMAL truncation before the DCG sums
     // keeps the log2 arithmetic order-free and cross-engine exact
