@@ -380,8 +380,9 @@ object SimilarityOps {
     * intended |Q|·|corpus| scoring. At real scale the IVF router
     * (v05/v07) prunes the candidate set FIRST and ADC scores only the
     * probed cells — the composition every FAISS-style index ships.
-    * Rows-only like v07 (the codebook is engine-specific); the spec pins
-    * recall against the exact-L2 ranking and the ADC↔exact error bound. */
+    * Fully oracled since round 15 (the trainer replays CTE by CTE —
+    * [[pqTrainCtes]]); the spec additionally pins recall against the
+    * exact-L2 ranking and the ADC↔exact error bound. */
   def pqAdcTopK(s: SparkSession, corpus: DataFrame,
                 m: Int = 8, k: Int = 16): DataFrame = {
     val vecs = DedupOps.cachedShared(corpus.select(col("vec_id"),
@@ -390,10 +391,21 @@ object SimilarityOps {
     pqAdcServe(s, vecs, codebook, pqEncode(vecs, codebook, m))
   }
 
+  /** Lloyd rounds of the PQ codebook fit — a constant (like
+    * [[IvfTrainIters]]), never data-sized, and unrolled CTE-for-CTE by
+    * the v14/v19/v21 oracles. */
+  private[ops] val PqLloydIters = 10
+
   /** The trained PQ codebook as a (sub, code, cent) frame — m bounded
     * driver-side Lloyd fits on the md5-priority-capped sample (the v14
-    * discipline; see the scale rationale below). Deterministic:
-    * bit-identical on any host, any cluster size, any run. */
+    * discipline; see the scale rationale below). Deterministic AND
+    * engine-portable since round 15: assignment distances are raw-double
+    * sums in fixed dim order (the sequential-fold discipline every
+    * oracled cosine already relies on), centroid updates sum the
+    * DECIMAL(30,12)-quantized coordinates exactly (order-free) and
+    * divide once in double — so a SQL engine replays the identical
+    * codebook CTE by CTE ([[pqTrainCtes]]) and the whole PQ family is
+    * DuckDB-oracle-checkable. */
   def pqCodebook(s: SparkSession, vecs: DataFrame,
                  m: Int = 8, k: Int = 16): DataFrame = {
     import s.implicits._
@@ -415,32 +427,45 @@ object SimilarityOps {
     // constant while the encode/ADC serving path below still covers
     // every vector. At the oracle SFs the cap exceeds the corpus, so
     // training remains exact-full there.
-    val train: Array[Array[Double]] = vecs
+    // The quantized coordinates are produced by SPARK's own
+    // double→decimal(30,12) cast (not a JVM reimplementation), so the
+    // engine and the oracle's CAST(x AS DECIMAL(30,12)) can never drift.
+    val train: Array[(Array[Double], Array[java.math.BigDecimal])] = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(PqTrainCap)
-      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+      .select(col("v"),
+        transform(col("v"), x => x.cast("decimal(30,12)")).as("vq"))
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray,
+        r.getSeq[java.math.BigDecimal](1).toArray))
     // Deterministic Lloyd: init = the first k DISTINCT subvectors in
     // md5-priority order; assignment ties break to the lowest code; an
     // emptied cluster keeps its previous centroid. Sequential Scala —
-    // bit-identical on any host, any cluster size.
-    def lloyd(points: Array[Array[Double]]): Array[Array[Double]] = {
+    // bit-identical on any host, any cluster size — and every float
+    // decision replayable in SQL: d2 accumulates raw doubles in dim
+    // order (matches an unrolled `(a1-b1)*(a1-b1) + …` expression
+    // exactly), the mean is an exact decimal sum divided once.
+    def lloyd(points: Array[(Array[Double], Array[java.math.BigDecimal])])
+        : Array[Array[Double]] = {
       require(points.nonEmpty, "PQ codebook training needs a nonempty sample")
       val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
       val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
-      points.iterator.takeWhile(_ => init.length < k).foreach { p =>
+      points.iterator.takeWhile(_ => init.length < k).foreach { case (p, _) =>
         if (seen.add(p.toSeq)) init += p
       }
-      while (init.length < k) init += init(init.length % seen.size.max(1))
+      require(init.length == k,
+        s"PQ codebook needs >= $k distinct subvectors in the training " +
+          s"sample (got ${init.length}) — raise PqTrainCap or lower k")
       var cents = init.toArray
       def d2(a: Array[Double], b: Array[Double]): Double = {
         var acc = 0.0; var i = 0
         while (i < a.length) { val e = a(i) - b(i); acc += e * e; i += 1 }
         acc
       }
-      for (_ <- 0 until 10) {
-        val sums = Array.fill(k)(new Array[Double](dsub))
+      for (_ <- 0 until PqLloydIters) {
+        val sums = Array.fill(k, dsub)(java.math.BigDecimal.ZERO)
         val counts = new Array[Long](k)
-        points.foreach { p =>
+        points.foreach { case (p, pq) =>
           var best = 0; var bd = d2(p, cents(0)); var c = 1
           while (c < k) {
             val dd = d2(p, cents(c))
@@ -449,16 +474,18 @@ object SimilarityOps {
           }
           counts(best) += 1
           var i = 0
-          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+          while (i < dsub) { sums(best)(i) = sums(best)(i).add(pq(i)); i += 1 }
         }
         cents = Array.tabulate(k)(c =>
           if (counts(c) == 0) cents(c)
-          else sums(c).map(_ / counts(c)))
+          else Array.tabulate(dsub)(i => sums(c)(i).doubleValue / counts(c)))
       }
       cents
     }
     (0 until m).flatMap { j =>
-      val sub = train.map(_.slice(j * dsub, (j + 1) * dsub))
+      val sub = train.map { case (p, pq) =>
+        (p.slice(j * dsub, (j + 1) * dsub), pq.slice(j * dsub, (j + 1) * dsub))
+      }
       lloyd(sub).zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
     }.toDF("sub", "code", "cent")
   }
@@ -499,10 +526,13 @@ object SimilarityOps {
     val qTables = queries.join(broadcast(codebook), "sub")
       .select(col("q_id"), col("sub"), col("code"),
         l2sq(col("qv"), col("cent")).as("qdist"))
+    // the 8-term ADC sum is a hash agg whose row order is plan-dependent:
+    // 9dp-quantized decimal terms make it order-free and oracle-exact
+    // (the hyperplane/StableAgg discipline)
     val adc = codes.join(broadcast(qTables), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("qdist")).as("adc"))
+      .agg(sum(round(col("qdist"), 9).cast("decimal(20,9)")).as("adc"))
     // shortlist by ADC, then exact-L2 rerank of the shortlist — the
     // FAISS-style refine step: the compressed scan nominates 4K
     // candidates from codes alone, and only those 4K·|Q| rows ever touch
@@ -525,7 +555,8 @@ object SimilarityOps {
     reranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
-        round(col("dist"), 4).as("dist"), round(col("adc"), 4).as("adc"))
+        round(col("dist"), 4).as("dist"),
+        round(col("adc").cast("double"), 4).as("adc"))
       .orderBy("q_id", "rank")
   }
 
@@ -541,8 +572,8 @@ object SimilarityOps {
     * Because training and encoding are deterministic, serve-from-artifact
     * must equal the in-memory v14 bit-for-bit (spec-pinned, along with a
     * doctored-codes serve change proving the answer comes from the
-    * artifact). Rows-only in the driver gate for v14's engine-hash
-    * reason; v14 itself carries the family's accuracy specs. */
+    * artifact). Fully oracled since round 15: the reload bit-identity
+    * means v14's CTE-replay oracle hash-checks this gate verbatim. */
   /** v20: BINARY quantization + Hamming-distance ANN — the 1-bit rung of
     * the compression ladder (v08 int8 = 4×, v14 PQ = 64×, this = 32×
     * with SIMD-friendly distance): each 64-dim float vector collapses to
@@ -707,19 +738,25 @@ object SimilarityOps {
     * billion vectors with 1024 cells and nProbe=4, ADC touches ~0.4% of
     * the code table per query — and the codes are 64× smaller than the
     * floats, so the scored bytes are ~6e-5 of the raw corpus; only the
-    * |Q|·4K refine rows ever read a full vector. Rows-only for v14's
-    * engine-hash reason; IvfPqRecallSpec pins recall against the exact
+    * |Q|·4K refine rows ever read a full vector. Fully oracled since
+    * round 15 ([[v21OracleSql]] composes the v05 coarse replay with the
+    * PQ trainer replay); IvfPqRecallSpec pins recall against the exact
     * v01 answer, and the unpruned v14 twin carries the ADC accuracy
     * specs. */
   private def v21(s: SparkSession, d: String): DataFrame = {
     val nProbe = 4
+    // v05's exact-decimal signature kernel, so the coarse layer is the
+    // same oracle-replayable cell space the IVF gates already pin
     val cells = emb(s, d).withColumn("cell",
-      VectorFunctions.hyperplaneSignature(col("embedding"))
+      graft.functions.HyperplaneSigExact.hyperplaneSig(s, col("embedding"))
         .bitwiseAND(lit(0xFL)))
-    // coarse layer: exact-mean centroids per cell (the v05 aggregation)
+    // coarse layer: exact-mean centroids per cell (the v05 aggregation —
+    // order-free DECIMAL(30,12) sums, one double division)
     val centroids = cells
       .select(col("cell"), posexplode(VectorFunctions.toDouble(col("embedding"))))
-      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("col").cast("decimal(30,12)")).cast("double") /
+        count(lit(1))).as("v"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         e => e.getField("v")).as("centroid"))
@@ -750,7 +787,7 @@ object SimilarityOps {
       .join(broadcast(qTables), Seq("q_id", "sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("qdist")).as("adc"))
+      .agg(sum(round(col("qdist"), 9).cast("decimal(20,9)")).as("adc"))
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     val shortlist = adc.withColumn("sr", row_number().over(wAdc))
@@ -768,7 +805,8 @@ object SimilarityOps {
     reranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
-        round(col("dist"), 4).as("dist"), round(col("adc"), 4).as("adc"))
+        round(col("dist"), 4).as("dist"),
+        round(col("adc").cast("double"), 4).as("adc"))
       .orderBy("q_id", "rank")
   }
 
@@ -1191,8 +1229,6 @@ object SimilarityOps {
     "v14_pq_adc" -> v14 _, "v15_knn_labels" -> v15 _,
     "v19_pq_index_serve" -> v19 _, "v20_hamming_ann" -> v20 _,
     "v22_ann_tombstone_delete" -> v22 _,
-    // rows-only (v14's engine-hash reason): IvfPqRecallSpec pins recall
-    // vs the exact v01 answer; v14 carries the ADC accuracy specs
     "v21_ivf_pq" -> v21 _,
     "v16_jl_projection" -> v16 _, "v17_matryoshka_rerank" -> v17 _,
     "v18_kmeans_step" -> v18 _,
@@ -1385,7 +1421,157 @@ object SimilarityOps {
   /** Exact-cosine oracles via DuckDB list functions; since this round the
     * LSH/IVF candidate generation (v02/v03/v05/v07) is oracled too — the
     * signature/trainer determinism is engine-portable by construction. */
+  /** Unrolled fixed-order squared L2 `(a[1]-b[1])² + … + (a[n]-b[n])²` —
+    * bit-matches the engine's sequential [[pqL2sq]] fold (0.0 + t = t
+    * exactly for the finite non-negative terms involved). */
+  private def l2sqSql(a: String, b: String, n: Int): String =
+    (1 to n).map(k => s"($a[$k]-$b[$k])*($a[$k]-$b[$k])").mkString(" + ")
+
+  /** The PQ codebook fit + corpus encode replayed CTE by CTE (the v07
+    * trainer treatment applied to [[pqCodebook]]/[[pqEncode]]): the
+    * md5-priority-capped sample, first-k-distinct init, [[PqLloydIters]]
+    * Lloyd rounds (raw-double unrolled distances, exact DECIMAL(30,12)
+    * mean updates, empty cells carrying), then the full-corpus encode.
+    * Emits `pq_esub(vec_id, sub, sv)`, `pq_cb$PqLloydIters(sub, code,
+    * cent)` and `pq_codes(vec_id, sub, code)`; append after `WITH `. */
+  private def pqTrainCtes: String = {
+    val assign = (r: Int) =>
+      s"""pq_as$r AS MATERIALIZED (
+         |  SELECT pr, sub, code FROM (
+         |    SELECT p.pr, p.sub, c.code,
+         |      row_number() OVER (PARTITION BY p.pr, p.sub
+         |        ORDER BY ${l2sqSql("p.sv", "c.cent", 8)} ASC,
+         |                 c.code ASC) AS rn
+         |    FROM pq_sub p JOIN pq_cb${r - 1} c USING (sub)) x
+         |  WHERE rn = 1)""".stripMargin
+    val update = (r: Int) =>
+      s"""pq_nc$r AS (
+         |  SELECT sub, code, array_agg(cd ORDER BY dim) AS cent FROM (
+         |    SELECT a.sub, a.code, d.dim,
+         |      CAST(sum(d.xq) AS DOUBLE) / count(1) AS cd
+         |    FROM pq_as$r a JOIN pq_dim d ON d.pr = a.pr AND d.sub = a.sub
+         |    GROUP BY a.sub, a.code, d.dim) g GROUP BY sub, code),
+         |pq_cb$r AS MATERIALIZED (
+         |  SELECT p.sub, p.code, coalesce(n.cent, p.cent) AS cent
+         |  FROM pq_cb${r - 1} p LEFT JOIN pq_nc$r n USING (sub, code))"""
+        .stripMargin
+    val iters = (1 to PqLloydIters).map(r => assign(r) + ",\n" + update(r))
+    s"""pq_samp AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |      row_number() OVER (
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pr
+       |    FROM embeddings) s WHERE pr <= $PqTrainCap),
+       |pq_sub AS MATERIALIZED (
+       |  SELECT pr, s.sub, v[s.sub*8+1:s.sub*8+8] AS sv
+       |  FROM pq_samp, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+       |pq_dim AS MATERIALIZED (
+       |  SELECT pr, sub, d.k AS dim,
+       |    CAST(sv[d.k] AS DECIMAL(30,12)) AS xq
+       |  FROM pq_sub, (SELECT unnest(generate_series(1, 8)) AS k) d),
+       |pq_cb0 AS MATERIALIZED (
+       |  SELECT sub, sv AS cent,
+       |    row_number() OVER (PARTITION BY sub ORDER BY fp) - 1 AS code
+       |  FROM (SELECT sub, sv, min(pr) AS fp FROM pq_sub GROUP BY sub, sv) i
+       |  QUALIFY code < 16),
+       |${iters.mkString(",\n")},
+       |pq_esub AS MATERIALIZED (
+       |  SELECT vec_id, s.sub,
+       |    CAST(embedding AS DOUBLE[])[s.sub*8+1:s.sub*8+8] AS sv
+       |  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+       |pq_codes AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, e.sub, c.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, e.sub
+       |        ORDER BY ${l2sqSql("e.sv", "c.cent", 8)} ASC,
+       |                 c.code ASC) AS rn
+       |    FROM pq_esub e JOIN pq_cb$PqLloydIters c USING (sub)) x
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** The ADC + exact-refine serve tail shared by the v14/v19 and v21
+    * oracles: per-query subspace distance tables, the 9dp-decimal ADC
+    * sum, top-4K shortlist, unrolled exact-L2 rerank. `candJoin` narrows
+    * the code scan (empty for v14/v19 = full corpus; the probed-cell
+    * join for v21). */
+  private def pqServeTail(candJoin: String, qidExpr: String): String =
+    s"""pq_qt AS MATERIALIZED (
+       |  SELECT e.vec_id AS q_id, e.sub, c.code,
+       |    ${l2sqSql("e.sv", "c.cent", 8)} AS qdist
+       |  FROM pq_esub e JOIN pq_cb$PqLloydIters c USING (sub)
+       |  WHERE e.vec_id < $NumQueries),
+       |pq_adc AS (
+       |  SELECT $qidExpr AS q_id, c.vec_id,
+       |    sum(CAST(round(q.qdist, 9) AS DECIMAL(20,9))) AS adc
+       |  FROM pq_codes c
+       |  $candJoin
+       |  JOIN pq_qt q ON q.q_id = $qidExpr AND q.sub = c.sub
+       |    AND q.code = c.code
+       |  WHERE c.vec_id <> $qidExpr
+       |  GROUP BY $qidExpr, c.vec_id),
+       |pq_short AS (
+       |  SELECT q_id, vec_id, adc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc ASC, vec_id ASC) AS sr FROM pq_adc) x
+       |  WHERE sr <= ${4 * K}),
+       |pq_rr AS (
+       |  SELECT s.q_id, s.vec_id, s.adc,
+       |    ${l2sqSql("e.v", "q.v", 64)} AS dist
+       |  FROM pq_short s
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings) e ON e.vec_id = s.vec_id
+       |  JOIN (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings WHERE vec_id < $NumQueries) q
+       |    ON q.q_id = s.q_id)
+       |SELECT q_id, rank, vec_id AS n_id, round(dist, 4) AS dist,
+       |  round(CAST(adc AS DOUBLE), 4) AS adc
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY dist ASC, vec_id ASC) AS rank FROM pq_rr) f
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  /** v14/v19 oracle: codebook fit + encode + full-corpus ADC + refine.
+    * v19 persists and reloads the same artifacts (spec-pinned
+    * bit-identity with v14), so one oracle covers both. */
+  private def v14OracleSql: String =
+    s"WITH $pqTrainCtes,\n${pqServeTail("", "q.q_id")}"
+
+  /** v21 oracle: the v05 coarse layer (exact-decimal 4-bit cells,
+    * decimal-mean centroids, top-4 cosine routing) composed with the PQ
+    * fine layer — ADC scans only the probed cells' codes. */
+  private def v21OracleSql: String = {
+    val coarse =
+      s"""${VectorFunctions.hyperplaneSignatureExactCtes(planes = 4)},
+         |ivf_cells AS (SELECT vec_id, CAST(sig AS INT) AS cell FROM hp_sigs),
+         |ivf_cmeans AS (
+         |  SELECT c.cell, d.j AS dim,
+         |    CAST(sum(CAST(d.x AS DECIMAL(30,12))) AS DOUBLE) / count(1) AS c
+         |  FROM ivf_cells c JOIN hp_dims d USING (vec_id)
+         |  GROUP BY c.cell, d.j),
+         |ivf_cents AS (
+         |  SELECT cell, array_agg(c ORDER BY dim) AS centroid
+         |  FROM ivf_cmeans GROUP BY cell),
+         |ivf_q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+         |      FROM embeddings WHERE vec_id < $NumQueries),
+         |ivf_probed AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY list_cosine_similarity(q_vec, centroid) DESC,
+         |               cell ASC) AS cr
+         |    FROM ivf_q CROSS JOIN ivf_cents) r WHERE cr <= 4)"""
+        .stripMargin
+    val candJoin =
+      """JOIN ivf_cells cl ON cl.vec_id = c.vec_id
+        |  JOIN ivf_probed p ON p.cell = cl.cell""".stripMargin
+    s"WITH $coarse,\n$pqTrainCtes,\n${pqServeTail(candJoin, "p.q_id")}"
+  }
+
   val oracle: Map[String, String] = Map(
+    // v14/v19/v21 since round 15: the PQ codebook fit is replayed CTE by
+    // CTE (pqTrainCtes), so the whole compression family hash-checks;
+    // v19's reload bit-identity with v14 is spec-pinned, one oracle both
+    "v14_pq_adc" -> v14OracleSql,
+    "v19_pq_index_serve" -> v14OracleSql,
+    "v21_ivf_pq" -> v21OracleSql,
     "v02_knn_lsh" -> v02OracleSql,
     "v03_embed_neardup" -> v03OracleSql,
     "v05_knn_ivf" -> v05OracleSql,
