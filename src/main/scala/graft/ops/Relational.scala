@@ -1230,8 +1230,12 @@ object Relational {
         round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"))
       .orderBy("c_mktsegment")
 
-  /** Approximate distinct (HLL++). No SQL oracle — DuckDB's sketch differs;
-    * the driver records a rows-only check. */
+  /** Approximate distinct (HLL++). Deliberately rows-only, and
+    * cannot-possibly-oracle: the gate's POINT is Spark's own HLL++
+    * estimator (register layout, bias tables), which no other engine
+    * reproduces — DuckDB's HLL gives different estimates on identical
+    * input by design. The portable-sketch form of the same job IS fully
+    * oracled (q63's md5 bottom-k), and q64/q08 carry the exact twins. */
   private def q31(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy(col("event_type"))
@@ -1441,38 +1445,68 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** q63: incremental DISTINCT-cardinality maintenance via persisted HLL
-    * sketches — q59's never-re-scan-history property extended to the
-    * non-algebraic `countDistinct`: per-event-type DataSketches HLL
-    * sketches of the user set over the STANDING history are persisted
-    * (binary column in parquet), reloaded, and unioned with the DELTA
-    * batch's sketches (`hll_union_agg` — sketch union is commutative, so
-    * the merge is partition-order-independent); the estimate reads from
-    * the merged sketch. At 100 TB this is how daily distinct-user counts
-    * actually run: history is a few-KB sketch table, only the delta scans.
-    * Rows-only like q31 (the estimate is engine-specific — DataSketches);
-    * its exact oracled twin is q64, and the spec pins merge transparency
-    * (persist→reload→union == one-shot sketch over everything, exact
-    * equality) plus ε-accuracy against the exact counts. */
+  /** q63 sketch width: 256 bottom hashes ≈ 6% standard error on the
+    * estimate leg, exact below 256 distinct — and a 2 KB standing
+    * artifact per group at ANY history size. */
+  private val KmvK = 256
+
+  /** The KMV hash: 60-bit md5 prefix of the key — the d09/t13 portable
+    * hash family, so any engine computes the identical sketch. */
+  private def kmvHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** q63: incremental DISTINCT-cardinality maintenance via persisted KMV
+    * (bottom-k) sketches — q59's never-re-scan-history property extended
+    * to the non-algebraic `countDistinct`: the per-event-type bottom-256
+    * distinct 60-bit md5 hashes of the user set over the STANDING history
+    * persist as a 256-row-per-type parquet sketch, reload, and merge with
+    * the DELTA batch's sketch (bottom-k over a union is a semilattice —
+    * commutative, idempotent, truncation-safe — so the merge is
+    * partition- and batch-order-independent and EQUALS the one-shot
+    * sketch over all history, exactly). The estimate reads k-1 over the
+    * kth-smallest normalized hash (Bar-Yossef et al. 2002), or the exact
+    * count below k. At 100 TB this is how daily distinct-user counts
+    * actually run: history is a KB-scale sketch table, only the delta
+    * scans — and the bottom-k aggregate is [[graft.functions.TopKAgg]],
+    * so each map partition truncates to 256 entries BEFORE the shuffle.
+    *
+    * Re-keyed from DataSketches HLL in round 15: the md5 bottom-k sketch
+    * computes the identical bits in any engine, so this gate carries a
+    * full DuckDB hash oracle (the one-shot replay — legitimate precisely
+    * because of the merge-transparency equality, which ScaleToolsSpec
+    * pins). q31 keeps the engine-native HLL++ form; q64 is the exact
+    * twin. */
   private def q63(s: SparkSession, d: String): DataFrame = {
-    val out = ExportOps.scratchDir("graft_hll", d)
+    graft.functions.GraftFunctions.registerAll(s) // idempotent
+    val out = ExportOps.scratchDir("graft_kmv", d)
     ExportOps.withScratchCleanup(out) {
       val ev = t(s, d, "events")
-        .select(col("event_id"), col("event_type"), col("user_id"))
+        .select(col("event_id"), col("event_type"),
+          kmvHash(col("user_id")).as("h"))
       val isDelta = col("event_id") % 4 === 0
-      ev.filter(!isDelta)
+      // dedup, then bounded mergeable bottom-k (graft_topk on -h): the
+      // shuffle after the partial carries ≤ k rows per (partition, type)
+      def sketch(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("nd"))
+          .groupBy(col("event_type"))
+          .agg(call_function("graft_topk",
+            -col("h"), col("h"), lit(KmvK)).as("bk"))
+          .select(col("event_type"),
+            explode(transform(col("bk"), e => e.getField("id"))).as("h"))
+      sketch(ev.filter(!isDelta)).write.parquet(s"$out/sketch")
+      val standing = s.read.parquet(s"$out/sketch")
+      val merged = standing.unionByName(sketch(ev.filter(isDelta)))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("nd"))
         .groupBy(col("event_type"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        .write.parquet(s"$out/sketches")
-      val standing = s.read.parquet(s"$out/sketches")
-      val delta = ev.filter(isDelta)
-        .groupBy(col("event_type"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      val merged = standing.unionByName(delta)
-        .groupBy(col("event_type"))
-        .agg(hll_union_agg(col("sk")).as("sk"))
+        .agg(call_function("graft_topk",
+          -col("h"), col("h"), lit(KmvK)).as("bk"))
+        .select(col("event_type"), size(col("bk")).cast("long").as("nk"),
+          element_at(transform(col("bk"), e => e.getField("id")), -1).as("hk"))
         .select(col("event_type"),
-          hll_sketch_estimate(col("sk")).as("est_users"))
+          when(col("nk") < KmvK, col("nk"))
+            .otherwise(floor(lit((KmvK - 1).toDouble) *
+              lit((1L << 60).toDouble) / col("hk").cast("double")))
+            .as("est_users"))
       ExportOps.localizeAndDrop(merged, out, "event_type")
     }
   }
@@ -2826,9 +2860,13 @@ object Relational {
         Array(col("l_discount"), col("l_tax")), "metric", "value")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
-  /** Approximate percentile sketch (t-digest-style; like q31's HLL, the
-    * sketch is engine-specific so the check is rows-only — q30 carries the
-    * exact-percentile oracle). */
+  /** Approximate percentile sketch. Deliberately rows-only, and
+    * cannot-possibly-oracle: the gate's POINT is Spark's own
+    * Greenwald-Khanna quantile summary at accuracy 1000, whose compress
+    * schedule (hence which sample survives as each quantile) is
+    * implementation-defined — DuckDB's t-digest answers differently on
+    * identical input by design. q30/q104 carry the exact-percentile
+    * oracles; q119 gates the portable streaming quantile sketch. */
   private def q41(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy(col("event_type"))
@@ -3136,8 +3174,31 @@ object Relational {
         |  count(1) AS n_rows
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
-    // q63 is rows-only (engine-specific DataSketches estimate); q64 is its
-    // exact twin
+    // q63: the one-shot KMV replay — legitimate as the oracle for the
+    // incremental persist→reload→merge path because bottom-k over md5 is
+    // a semilattice (merge EXACTLY equals one-shot; ScaleToolsSpec pins
+    // it). 255.0 * 2^60 and the single division are IEEE-exact in both
+    // engines; floor before the BIGINT cast (DuckDB's double→int cast
+    // rounds, Spark's truncates — floor makes both exact)
+    "q63_sketch_users" ->
+      s"""WITH dh AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS h
+         |  FROM events),
+         |bk AS (
+         |  SELECT event_type, h, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY h ASC) AS rn
+         |  FROM dh),
+         |agg AS (
+         |  SELECT event_type, count(1) AS nk, max(h) AS hk
+         |  FROM bk WHERE rn <= $KmvK GROUP BY event_type)
+         |SELECT event_type,
+         |  CASE WHEN nk < $KmvK THEN nk
+         |       ELSE CAST(floor(${KmvK - 1}.0 * 1152921504606846976.0
+         |                       / CAST(hk AS DOUBLE)) AS BIGINT)
+         |  END AS est_users
+         |FROM agg ORDER BY event_type""".stripMargin,
     "q64_exact_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

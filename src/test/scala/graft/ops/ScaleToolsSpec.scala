@@ -125,35 +125,35 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
-  test("q63 sketch maintenance: persisted merge equals one-shot, within 5% of exact") {
-    val d = "/root/testdata/sf0.001"
-    // merge transparency: the persist -> reload -> union path must track the
-    // one-shot sketch over all events. NOT exact equality: DataSketches HLL
-    // only coincides exactly while sketches stay in coupon/list mode — once
-    // a sketch promotes to HLL-array mode, a directly-built sketch reads the
-    // HIP estimator while a unioned one reads the composite estimator, so
-    // the two can legitimately differ by a small relative margin. A tight 1%
-    // band pins merge transparency without baking in the mode coincidence.
-    val merged = graft.SparkEntry.queries("q63_sketch_users")(spark, d)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val oneShot = Tables(spark, d, "events")
-      .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(merged.keySet === oneShot.keySet)
-    merged.foreach { case (k, est) =>
-      val o = oneShot(k).toDouble
-      assert(math.abs(est.toDouble - o) / o < 0.01,
-        s"persisted merge diverged from the one-shot sketch on $k: $est vs $o")
+  test("q63 KMV maintenance: exact below k, estimate within 15% above k") {
+    // Below the sketch width (sf0.001: 15 distinct users/type, sf0.01:
+    // 150 — both < 256) the bottom-k sketch IS the distinct set, so the
+    // persisted-merge estimate must EQUAL the exact twin — a much
+    // stronger pin than the old HLL 1% band (KMV merge transparency is
+    // algebraic: bottom-k over a union is a semilattice).
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val merged = graft.SparkEntry.queries("q63_sketch_users")(spark, d)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = graft.SparkEntry.queries("q64_exact_users")(spark, d)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(merged === exact, s"below-k sketch must be exact at $d")
     }
-    // ε-accuracy against the exact twin (q64): HLL at default lgK is well
-    // under 5% on these cardinalities
-    val exact = graft.SparkEntry.queries("q64_exact_users")(spark, d)
+    // Above the width (sf0.1: 1500 distinct/type) the k-1/h_k estimator
+    // carries ~1/sqrt(k-2) ≈ 6.3% standard error; 15% ≈ 2.4σ on the
+    // FIXED fixture (deterministic — this is a regression pin, not a
+    // statistical test)
+    val d1 = "/root/testdata/sf0.1"
+    val merged = graft.SparkEntry.queries("q63_sketch_users")(spark, d1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.SparkEntry.queries("q64_exact_users")(spark, d1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged.keySet === exact.keySet)
     merged.foreach { case (k, est) =>
       val e = exact(k).toDouble
-      assert(math.abs(est.toDouble - e) / e < 0.05, s"$k: est $est vs exact $e")
+      assert(est > KmvTestK, s"$k: estimate leg should engage above k")
+      assert(math.abs(est.toDouble - e) / e < 0.15, s"$k: est $est vs exact $e")
     }
   }
+
+  private val KmvTestK = 256
 }
