@@ -984,15 +984,19 @@ object DedupOps {
     * the verify. */
   /** The d26 kernel over any (doc_id, title) frame, public for the recall
     * specs: candidate pairs from the union of the requested blocking
-    * passes ("pfx" = first 6 chars, "sfx" = last 6), each probing the
-    * `length DIV 4` bucket AND its ±1 neighbors (one side explodes its
-    * bucket into three probe keys, keeping the join strictly equi on
-    * (block, probe)), then one exact `levenshtein` verify. */
+    * passes ("pfx" = first `keyLen` chars, "sfx" = last `keyLen`), each
+    * probing the `length DIV 4` bucket AND its ±1 neighbors (one side
+    * explodes its bucket into three probe keys, keeping the join strictly
+    * equi on (block, probe)), then one exact `levenshtein` verify.
+    * Callers with a growing corpus should derive `keyLen` from the corpus
+    * count (see d26) so blocks don't densify with scale. */
   def fuzzyPairs(titledIn: DataFrame,
-                 passes: Seq[String] = Seq("pfx", "sfx")): DataFrame = {
+                 passes: Seq[String] = Seq("pfx", "sfx"),
+                 keyLen: Int = 6): DataFrame = {
     val titled = cached(titledIn.select(col("doc_id"), col("title"),
-      substring(col("title"), 1, 6).as("pfx"),
-      expr("substring(title, greatest(length(title) - 5, 1), 6)").as("sfx"),
+      substring(col("title"), 1, keyLen).as("pfx"),
+      expr(s"substring(title, greatest(length(title) - ${keyLen - 1}, 1), " +
+        s"$keyLen)").as("sfx"),
       expr("length(title) DIV 4").as("lenb")))
     def pass(key: String) = {
       val a = titled
@@ -1023,6 +1027,16 @@ object DedupOps {
     val nDocs = docs(s, d).count()
     val mod50 = math.max(50L, nDocs / 100L)
     val mod23 = math.max(23L, nDocs / 500L)
+    // SF-adaptive blocking-key length (the r14 verdict's d26 scale fix):
+    // the moduli gain a decimal digit per corpus decade, so FIXED 6-char
+    // keys truncate ever more discriminative digits and the blocks
+    // densify ~10× per decade (sf1 audit: 10.5× time at ×10 data). One
+    // extra key char per decade keeps docs-per-block ~constant. The
+    // digits formula is INTEGER arithmetic (length of n/1000 in decimal),
+    // so the oracle recomputes it exactly — no float log at a power-of-10
+    // boundary. 6 at the gated SFs (≤5k docs): results there are
+    // byte-identical to the fixed-key form.
+    val keyLen = math.min(12, 6 + math.max(0, (nDocs / 1000L).toString.length - 1))
     val base = concat(col("source"), lit("-"), (id % mod50).cast("string"),
       lit(" item "), (id % mod23).cast("string"))
     // deterministic corruptions at both ends; the head edits are the ones
@@ -1035,7 +1049,7 @@ object DedupOps {
       .otherwise(col("title_base"))
     fuzzyPairs(docs(s, d)
       .select(id, base.as("title_base"))
-      .select(id, title.as("title")))
+      .select(id, title.as("title")), keyLen = keyLen)
       .orderBy("id_a", "id_b")
   }
 
@@ -2166,12 +2180,16 @@ object DedupOps {
         |            (doc_id % greatest(23, (SELECT count(*) FROM documents) // 500))
         |            AS tb
         |        FROM documents) x),
+        |klen AS (
+        |  SELECT least(12, 6 + greatest(0,
+        |    length(CAST(count(*) // 1000 AS VARCHAR)) - 1)) AS L
+        |  FROM documents),
         |blocked AS (
         |  SELECT doc_id, title,
-        |    substring(title, 1, 6) AS pfx,
-        |    substring(title, greatest(length(title) - 5, 1), 6) AS sfx,
+        |    substring(title, 1, L) AS pfx,
+        |    substring(title, greatest(length(title) - L + 1, 1), L) AS sfx,
         |    length(title) // 4 AS lenb
-        |  FROM titled),
+        |  FROM titled, klen),
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM blocked a JOIN blocked b

@@ -812,37 +812,79 @@ object SimilarityOps {
 
   /** v15: k-NN label propagation (pseudo-labeling) — every vector in the
     * unlabeled slice (vec_id % 7 == 3) takes the majority label of its
-    * [[K]] nearest LABELED neighbors by exact cosine, ties broken by
-    * label asc; the vote count rides along as the confidence a downstream
-    * filter thresholds on. The standard semi-supervised step for growing
-    * a labeled training set from a seed set.
+    * [[K]] nearest LABELED CANDIDATE neighbors by exact cosine, ties
+    * broken by label asc; the vote count rides along as the confidence a
+    * downstream filter thresholds on. The standard semi-supervised step
+    * for growing a labeled training set from a seed set.
     *
-    * Gate shape is the exact vote (oracle-checkable end-to-end, like
-    * v01): labeled corpus × broadcast unlabeled batch, windowed top-k,
-    * one hash-agg vote. At 100 TB the unlabeled side is corpus-sized, so
-    * the cross join is replaced by a candidate generator — v02's banded
-    * LSH equi-join or v05/v07's IVF routing — and ONLY the vote below
-    * runs on the candidate set; the vote itself is two keyed shuffles
-    * (top-k window + label count), scale-safe as-is. */
+    * Since round 15 the GATED form is the production shape (the r14
+    * verdict's v15 scale-killer fix): candidates come from v02's banded
+    * LSH equi-join between the unlabeled and labeled slices — both sides
+    * are corpus-sized here, so the old labeled × broadcast-unlabeled
+    * cross join did ×100 dot products at ×10 data (21.5× measured at
+    * sf1); the band join keeps candidate growth linear. Only candidates
+    * pay a cosine, and the vote is two keyed shuffles. Fully oracled:
+    * the exact-decimal signature makes the candidate blocks
+    * engine-portable (v02's plane-literal discipline), so DuckDB replays
+    * candidate generation, vote and all. [[knnLabelVote]] keeps the
+    * brute exact form as the kernel cross-check (DedupSimilaritySpec
+    * pins candidate recall@5 vs the brute top-5 at the family's 0.3
+    * floor, plus full coverage of the unlabeled slice). */
   private def v15(s: SparkSession, d: String): DataFrame = {
     val corpus = emb(s, d)
-    val labeled = corpus.filter(col("vec_id") % 7 =!= 3)
+    val bw = bandWidth(corpus.count())
+    val banded = corpus
+      .withColumn("sig", graft.functions.HyperplaneSigExact
+        .hyperplaneSig(s, col("embedding"), planes = 32))
+      .select(col("vec_id"),
+        posexplode(array(bandCols(col("sig"), bw): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+    val isUnl = col("vec_id") % 7 === 3
+    val candIds = banded.filter(isUnl)
+      .join(banded.filter(!isUnl)
+        .select(col("band_idx"), col("band"), col("vec_id").as("n_id")),
+        Seq("band_idx", "band"))
+      .select(col("vec_id"), col("n_id"))
+      .distinct()
+    val labeled = corpus.filter(!isUnl)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
         col("label"))
-    val unlabeled = corpus.filter(col("vec_id") % 7 === 3)
+    val unlabeled = corpus.filter(isUnl)
       .select(col("vec_id"), col("embedding").as("q_vec"))
-    knnLabelVote(s, labeled, unlabeled, K).orderBy("vec_id")
+    knnLabelVoteOn(s, labeled, unlabeled, candIds, K).orderBy("vec_id")
+  }
+
+  /** The v15 vote over an explicit candidate set: exact-cosine top-k
+    * labeled candidates per query, majority label, label-asc tie-break,
+    * vote count as confidence. Both joins are keyed equi-joins on the
+    * candidate list — the corpus never self-nests, whatever generator
+    * (LSH bands, IVF cells, brute) produced the candidates. */
+  def knnLabelVoteOn(s: SparkSession, labeled: DataFrame,
+                     unlabeled: DataFrame, candIds: DataFrame,
+                     k: Int): DataFrame = {
+    val scored = candIds
+      .join(unlabeled, "vec_id")
+      .join(labeled, "n_id")
+      .select(col("vec_id"), col("n_id"), col("label"),
+        graft.functions.VectorExpressions.cosineSim(
+          s, col("q_vec"), col("n_vec")).as("cos"))
+    voteScored(scored, k)
   }
 
   /** The v15 kernel over any (n_id, n_vec, label) / (vec_id, q_vec) pair
-    * of frames: exact-cosine top-k labeled neighbors per query, majority
-    * label, label-asc tie-break, vote count as confidence. */
+    * of frames — the BRUTE exact form (labeled × broadcast unlabeled):
+    * correctness baseline and agreement cross-check for the gated
+    * candidate-generated form. */
   def knnLabelVote(s: SparkSession, labeled: DataFrame,
                    unlabeled: DataFrame, k: Int): DataFrame = {
     val scored = labeled.crossJoin(broadcast(unlabeled))
       .select(col("vec_id"), col("n_id"), col("label"),
         graft.functions.VectorExpressions.cosineSim(
           s, col("q_vec"), col("n_vec")).as("cos"))
+    voteScored(scored, k)
+  }
+
+  private def voteScored(scored: DataFrame, k: Int): DataFrame = {
     val wk = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     val votes = scored.withColumn("rn", row_number().over(wk))
@@ -1598,17 +1640,20 @@ object SimilarityOps {
         |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
     // the exact-vote pseudo-labeler recomputed from scratch: brute-force
     // cosine top-5 labeled neighbors, majority label, label-asc tie-break
+    // v15: the banded candidate generation replayed (same hp_sigs/bands
+    // CTEs as v02), then the exact-cosine vote on candidates only
     "v15_knn_labels" ->
-      """WITH lab AS (
-        |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v, label
-        |  FROM embeddings WHERE vec_id % 7 <> 3),
-        |unl AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS q
-        |  FROM embeddings WHERE vec_id % 7 = 3),
+      s"""WITH $hpBandsCtes,
+        |cand AS (
+        |  SELECT DISTINCT u.vec_id, l.vec_id AS n_id
+        |  FROM bands u JOIN bands l USING (band_idx, band)
+        |  WHERE u.vec_id % 7 = 3 AND l.vec_id % 7 <> 3),
         |scored AS (
-        |  SELECT u.vec_id, l.n_id, l.label,
-        |    list_cosine_similarity(u.q, l.v) AS cos
-        |  FROM unl u CROSS JOIN lab l),
+        |  SELECT c.vec_id, c.n_id, le.label,
+        |    list_cosine_similarity(CAST(ue.embedding AS DOUBLE[]),
+        |                           CAST(le.embedding AS DOUBLE[])) AS cos
+        |  FROM cand c JOIN embeddings ue ON ue.vec_id = c.vec_id
+        |              JOIN embeddings le ON le.vec_id = c.n_id),
         |topk AS (
         |  SELECT vec_id, label FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id

@@ -159,6 +159,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tie.toSeq === Seq((20L, "a", 1L)))
   }
 
+  test("v15 candidates: coverage complete, recall@5 vs brute above the ANN floor") {
+    // The gated form votes over LSH candidates only; the brute kernel
+    // ([[SimilarityOps.knnLabelVote]]) is its exact cross-check. The pin
+    // is the family's standard candidate-quality metric (the v02/v05/v21
+    // 0.3 recall floor) — NOT label agreement: the fixture's labels are
+    // geometry-free, so votes among ~equidistant neighbors are noise by
+    // construction; recall of the true top-5 is what the generator owes.
+    val d = "/root/testdata/sf0.001"
+    val corpus = graft.Tables(spark, d, "embeddings")
+    val labeled = corpus.filter($"vec_id" % 7 =!= 3)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"), $"label")
+    val unlabeled = corpus.filter($"vec_id" % 7 === 3)
+      .select($"vec_id", $"embedding".as("q_vec"))
+    def top5(scored: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"cos".desc, $"n_id".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select("vec_id", "n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val brute = top5(labeled.crossJoin(broadcast(unlabeled))
+      .select($"vec_id", $"n_id", graft.functions.VectorExpressions
+        .cosineSim(spark, $"q_vec", $"n_vec").as("cos")))
+    // the gate's candidate generation, re-derived: 500 vectors → band
+    // width 4, so each band is the plain 4-bit signature slice
+    val banded = corpus
+      .withColumn("sig", graft.functions.HyperplaneSigExact
+        .hyperplaneSig(spark, $"embedding", planes = 32))
+      .select($"vec_id", posexplode(array((0 until 4).map(b =>
+        shiftright($"sig", b * 4).bitwiseAND(lit(0xFL))): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+    val cand = banded.filter($"vec_id" % 7 === 3)
+      .join(banded.filter($"vec_id" % 7 =!= 3)
+        .select($"band_idx", $"band", $"vec_id".as("n_id")),
+        Seq("band_idx", "band"))
+      .select("vec_id", "n_id").distinct()
+    val gatedTop = top5(cand.join(unlabeled, "vec_id").join(labeled, "n_id")
+      .select($"vec_id", $"n_id", graft.functions.VectorExpressions
+        .cosineSim(spark, $"q_vec", $"n_vec").as("cos")))
+    val recall = (brute & gatedTop).size.toDouble / brute.size
+    assert(recall >= 0.3, s"v15 candidate recall@5 $recall collapsed")
+    // coverage: every unlabeled vector must still get a verdict
+    val gated = SparkEntryQueries("v15_knn_labels", d)
+      .collect().map(_.getLong(0)).toSet
+    assert(gated === brute.map(_._1), "every query must get a verdict")
+  }
+
   test("v16 gate: JL projection is complete and roughly norm-preserving") {
     val d = "/root/testdata/sf0.001"
     val proj = SparkEntryQueries("v16_jl_projection", d)
