@@ -16,10 +16,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * filter probed by many rows); here it's the transpose — many filters,
   * few probes.
   *
-  * Eval-mode with a last-deserialization cache keyed by array reference:
-  * under the manifest ⋈ broadcast-probes loop each file's filter is
-  * probed by all hashes consecutively, so the cache reduces to one
-  * deserialization per (file, partition). Not codegen'd — deliberately:
+  * Eval-mode with a last-deserialization cache keyed by CONTENT (length
+  * + Arrays.equals, checked after a cheap reference test): under the
+  * manifest ⋈ broadcast-probes loop each file's filter is probed by all
+  * hashes consecutively, so the cache reduces to one deserialization per
+  * (file, partition). Reference identity alone was not enough —
+  * UnsafeRow.getBinary returns a fresh copy per eval, so an
+  * identity-keyed cache never hit under the documented plan (r14
+  * ADVICE); the content compare costs one memcmp over the filter bytes,
+  * far below the deserialization it saves. Not codegen'd — deliberately:
   * this runs at MANIFEST grain (one row per data file), never per data
   * row, so interpreter overhead is planner-metadata-sized.
   */
@@ -41,7 +46,8 @@ case class BloomMightContainAny(left: Expression, right: Expression)
 
   override def nullSafeEval(bloomBytes: Any, hash: Any): Any = {
     val bytes = bloomBytes.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedBytes)) {
+    if (!((bytes eq cachedBytes) ||
+        (cachedBytes != null && java.util.Arrays.equals(bytes, cachedBytes)))) {
       cachedFilter = BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bytes))
       cachedBytes = bytes

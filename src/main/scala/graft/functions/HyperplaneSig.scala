@@ -61,9 +61,17 @@ case class HyperplaneSigExact(child: Expression, planes: Int, dim: Int,
     val r = new Array[Long](n)
     var j = 0
     while (j < n) {
+      // a null element null-poisons every plane's sum in the composed
+      // zip_with form -> all bits fall to the 0 branch
+      if (arr.isNullAt(j)) return 0L
       val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
-      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
-        return 0L
+      // |x| >= 1e4 overflows the composed form's DECIMAL(13,9) term cast
+      // (null under the try-cast semantics the form relies on), which
+      // poisons the sums the same way; mirror BEFORE the unscaled-long
+      // extraction, which would otherwise throw past ~9.2e9 instead of
+      // matching (r14 ADVICE)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x) ||
+        math.abs(x) >= 1e4) return 0L
       r(j) = java.math.BigDecimal.valueOf(x)
         .setScale(9, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()

@@ -186,15 +186,21 @@ object ExportOps {
     * gate results are fixture-batch/summary-sized. A result that grows
     * with the corpus must write to durable storage instead — failing
     * loudly here turns silent driver-heap pressure at a bigger SF into
-    * a named contract violation at the offending gate. */
+    * a named contract violation at the offending gate.
+    *
+    * The probe collects through `limit(maxRows + 1)` (r14 ADVICE: a
+    * plain collect-then-check paid the full driver-heap cost of the
+    * violation before failing): the driver never materializes more than
+    * maxRows + 1 rows, one job either way — and when the result is
+    * within contract, the limited collect IS the complete result. */
   private[ops] def localize(df: DataFrame, maxRows: Int): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val rows = df.collect()
+    val rows = df.limit(maxRows + 1).collect()
     if (rows.length > maxRows)
       throw new IllegalStateException(
-        s"localize() size contract violated: ${rows.length} rows > " +
-          s"$maxRows — this gate's result scales with the corpus; " +
-          "write it to durable storage instead of localizing")
+        s"localize() size contract violated: > $maxRows rows — this " +
+          "gate's result scales with the corpus; write it to durable " +
+          "storage instead of localizing")
     df.sparkSession.createDataFrame(rows.toList.asJava, df.schema)
   }
 
@@ -786,19 +792,23 @@ object ExportOps {
       zorderExport(s, d, out.getAbsolutePath + "/z")
       // content invariance at REPORT grain (r15): the read-back aggregates
       // to 1024 bucketed checksums instead of localizing the whole table —
-      // a corrupted/dropped/duplicated row flips its bucket's count or a
-      // column sum, but the gate result no longer scales with the corpus
-      // (the full-row localize tripped the enforced size contract at sf1,
-      // where the z-layout read-back is 6M rows).
+      // the gate result no longer scales with the corpus (the full-row
+      // localize tripped the enforced size contract at sf1, where the
+      // z-layout read-back is 6M rows). The checksum is a SUM of per-row
+      // md5 hashes over ALL FIVE columns concatenated (r14 ADVICE:
+      // independent per-column sums admitted compensating corruptions —
+      // two same-bucket rows swapping their l_partkey values left every
+      // aggregate unchanged); binding the columns per row before the
+      // order-free sum closes that. 32-bit per-row values keep the sum
+      // exact in a BIGINT in both engines (2^32 · 6M ≈ 2^55).
+      val rowck = (conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"))),
+        1, 15), 16, 10).cast("long") % 4294967296L)
       val back = s.read.parquet(out.getAbsolutePath + "/z")
         .groupBy((col("l_orderkey") % 1024).as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_orderkey")).as("sum_ok"),
-          sum(col("l_linenumber")).as("sum_ln"),
-          sum(col("l_partkey")).as("sum_pk"),
-          sum(col("l_suppkey")).as("sum_sk"),
-          sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"))
-            .as("sum_q100"))
+        .agg(count(lit(1)).as("n"), sum(rowck).as("row_checksum"))
       localizeAndDrop(back, out, "bucket")
     }
   }
@@ -2194,15 +2204,16 @@ object ExportOps {
         |WHERE score >= (SELECT max(score) * 3 // 4 FROM scored)
         |ORDER BY doc_id""".stripMargin,
     // content invariance of the Z-ordered layout: the curve may only
-    // reorder rows across files, never change them
+    // reorder rows across files, never change them. The per-row md5
+    // checksum binds all five columns together (order-free sum, same
+    // portable hash family as d09/t13), so compensating same-bucket
+    // column swaps can't cancel
     "e13_zorder_layout" ->
       """SELECT l_orderkey % 1024 AS bucket, count(1) AS n,
-        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
-        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
-        |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
-        |  CAST(sum(l_suppkey) AS BIGINT) AS sum_sk,
-        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |    AS sum_q100
+        |  CAST(sum(('0x' || substr(md5(concat_ws('|', l_orderkey,
+        |      l_linenumber, l_partkey, l_suppkey,
+        |      CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))), 1, 15))
+        |      ::BIGINT % 4294967296) AS BIGINT) AS row_checksum
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     // byte-faithful JSON round-trip: the md5 of the decoded text must match
     // the md5 of the source text for every row

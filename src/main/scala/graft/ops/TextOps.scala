@@ -1395,16 +1395,28 @@ object TextOps {
     * .globalRowNumbers]]: one range shuffle + in-partition sorts + O(P)
     * offset metadata — no single-partition window over the corpus, the
     * trap the naive `row_number() OVER (ORDER BY score)` formulation
-    * is). Scores are engineered strictly unique (score = n_chars·10⁵ +
-    * doc_id), so there are no tie-ranks and the rank sum is
+    * is). Scores are engineered strictly unique (score = n_chars·
+    * [[aucScoreMult]] + doc_id, the multiplier a data-derived power of
+    * 10 above every doc_id), so there are no tie-ranks and the rank sum is
     * integer-exact; the one division to a double is identical
     * cross-engine. Label = (lang = 'en'), score correlates through
     * n_chars — the AUC is a real mid-range number, not a degenerate 0/1.
     * Hash-matches a DuckDB oracle computing the same rank sums. */
+  /** The t37/c14 score multiplier: the smallest power of 10 strictly
+    * above every doc_id (floored at the historical 10⁵ so gated-SF
+    * outputs are unchanged). Derived from the data with INTEGER
+    * arithmetic so the oracle recomputes it exactly — a fixed 10⁵ made
+    * score ties (hence rank order, AUC, the cut boundary) nondeterministic
+    * once amplified fixtures pushed doc_id past 10⁵ (r14 ADVICE). */
+  private def aucScoreMult(s: SparkSession, d: String): Long = {
+    val maxId = docs(s, d).agg(max(col("doc_id"))).head.getLong(0)
+    math.max(100000L, ("1" + "0" * maxId.toString.length).toLong)
+  }
+
   private def t37(s: SparkSession, d: String): DataFrame = {
     val scored = docs(s, d).select(col("doc_id"),
       (col("lang") === "en").cast("int").as("label"),
-      (col("n_chars") * 100000L + col("doc_id")).as("score"))
+      (col("n_chars") * aucScoreMult(s, d) + col("doc_id")).as("score"))
     graft.ops.Relational.globalRowNumbers(scored, "score")
       .withColumn("rank", col("global_id") + 1L)
       .agg(
@@ -1507,7 +1519,7 @@ object TextOps {
     val bins = 10
     val scored = docs(s, d).select(col("doc_id"), col("n_chars"),
       (col("lang") === "en").cast("int").as("label"),
-      (col("n_chars") * 100000L + col("doc_id")).as("score"))
+      (col("n_chars") * aucScoreMult(s, d) + col("doc_id")).as("score"))
     val ranked = DedupOps.cachedShared(
       graft.ops.Relational.globalRowNumbers(scored, "score")
         .withColumn("rank", col("global_id") + 1L).drop("global_id"))
@@ -1926,11 +1938,16 @@ object TextOps {
     // c14: the whole deployment loop replayed — same rank sums, same
     // integer cut, same smoothed PSI bins, same integer-crossproduct KS
     "c14_eval_monitoring" ->
-      """WITH sc AS (
+      """WITH mlt AS (
+        |  SELECT greatest(100000, CAST('1' ||
+        |    repeat('0', length(CAST(max(doc_id) AS VARCHAR)))
+        |    AS BIGINT)) AS m
+        |  FROM documents),
+        |sc AS (
         |  SELECT doc_id, n_chars,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
-        |    n_chars * 100000 + doc_id AS score
-        |  FROM documents),
+        |    n_chars * m + doc_id AS score
+        |  FROM documents, mlt),
         |ranked AS (SELECT *, row_number() OVER (ORDER BY score) AS rank
         |           FROM sc),
         |head2 AS (
@@ -1986,10 +2003,15 @@ object TextOps {
         |FROM head2 h CROSS JOIN kept k CROSS JOIN psi p
         |CROSS JOIN ksq s""".stripMargin,
     "t37_ranking_auc" ->
-      """WITH sc AS (
-        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
-        |         n_chars * 100000 + doc_id AS score
+      """WITH mlt AS (
+        |  SELECT greatest(100000, CAST('1' ||
+        |    repeat('0', length(CAST(max(doc_id) AS VARCHAR)))
+        |    AS BIGINT)) AS m
         |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+        |         n_chars * m + doc_id AS score
+        |  FROM documents, mlt),
         |r AS (SELECT label,
         |        row_number() OVER (ORDER BY score) AS rank FROM sc)
         |SELECT CAST(sum(label) AS BIGINT) AS n_pos,

@@ -68,4 +68,27 @@ class HyperplaneSigSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
     assert(got.forall(_ == 0L))
   }
+
+  test("domain edges poison to signature 0: null element, |x| >= 1e4, huge (r14 advice)") {
+    import spark.implicits._
+    // null element: zip_with null-poisons every plane's sum in the
+    // composed form — both forms must agree on 0
+    val withNull = Seq(Seq.tabulate(64)(j =>
+      if (j == 7) Option.empty[Float] else Some(0.5f))).toDF("embedding")
+    val gotN = withNull.select(HyperplaneSigExact
+      .hyperplaneSig(spark, col("embedding"))).collect().head.getLong(0)
+    val wantN = withNull.select(VectorFunctions
+      .hyperplaneSignatureExact(col("embedding"))).collect().head.getLong(0)
+    assert(gotN === 0L && wantN === 0L)
+    // |x| >= 1e4 leaves the DECIMAL(13,9) term domain: the kernel must
+    // poison to 0 rather than compute a signature the composed form
+    // can't; |x| > ~9.2e9 used to throw from longValueExact — must be 0
+    for (v <- Seq(10000f, 1e6f, 1e10f, Float.MaxValue)) {
+      val df = Seq(Array.tabulate(64)(j => if (j == 3) v else 0.5f))
+        .toDF("embedding")
+      val got = df.select(HyperplaneSigExact
+        .hyperplaneSig(spark, col("embedding"))).collect().head.getLong(0)
+      assert(got === 0L, s"value $v must poison the signature")
+    }
+  }
 }

@@ -15,7 +15,22 @@ class LocalizeContractSpec extends SparkSpec {
       ExportOps.localize(big, maxRows = 10)
     }
     assert(e.getMessage.contains("size contract violated"))
-    assert(e.getMessage.contains("11 rows > 10"))
+    assert(e.getMessage.contains("> 10 rows"))
+  }
+
+  test("the violation aborts before materializing the full result") {
+    // the probe collects through limit(maxRows + 1): a 100M-row frame
+    // must fail fast without the driver ever holding 100M rows (the
+    // failure mode the contract exists to prevent — r14 ADVICE). The
+    // wall-clock bound is generous; a full materialization of range(1e8)
+    // plus collect would blow it (and likely the heap) first.
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException] {
+      ExportOps.localize(spark.range(100000000L).toDF(), maxRows = 10)
+    }
+    assert(e.getMessage.contains("size contract violated"))
+    assert((System.nanoTime() - t0) / 1e9 < 30.0,
+      "early abort took suspiciously long — did the probe collect everything?")
   }
 
   test("a result at the ceiling localizes intact") {
