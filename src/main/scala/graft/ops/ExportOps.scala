@@ -101,14 +101,22 @@ object ExportOps {
     * withScratchCleanup), so unique names leak nothing a shared name
     * wouldn't also leak on kill -9. */
   def scratchDir(prefix: String, d: String): java.io.File = {
-    // GRAFT_SCRATCH overrides the scratch base (e.g. a tmpfs like
-    // /dev/shm): gate fixtures and streaming checkpoints are transient
-    // per-run artifacts, and on a host whose java.io.tmpdir is
-    // disk-backed their fsync latency is pure fixture overhead — the
-    // gates' semantics (state survival, commit protocol, plan shape) are
-    // byte-identical on any local filesystem.
-    val base = sys.env.get("GRAFT_SCRATCH")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
+    // GRAFT_SCRATCH overrides the scratch base; since r15 the DEFAULT is
+    // a writable /dev/shm when present (falling back to java.io.tmpdir):
+    // gate fixtures and streaming checkpoints are transient per-run
+    // artifacts, and on a host whose tmpdir is disk-backed their
+    // write/fsync latency is pure fixture overhead — ~25% of the driver
+    // bench total was the 31 streaming gates' per-micro-batch state-store
+    // and commit-log writes. The gates' semantics (state survival, commit
+    // protocol, rename atomicity, plan shape) are byte-identical on any
+    // local POSIX filesystem. At cluster scale checkpoints go to durable
+    // storage by explicit location anyway — this default only shapes the
+    // local single-JVM fixture runs.
+    val base = sys.env.get("GRAFT_SCRATCH").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
+      else System.getProperty("java.io.tmpdir")
+    }
     val f = new java.io.File(base,
       prefix + "_" + d.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + ProcessHandle.current().pid() +

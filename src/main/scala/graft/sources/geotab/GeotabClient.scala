@@ -7,10 +7,13 @@ import java.util.concurrent.atomic.AtomicInteger
   * uses (task.ts: `Authenticate` task.ts:326-355, `Get User by name` probe
   * task.ts:301-324, `Get {typeName, search}` scans task.ts:148-218).
   *
-  * The environment is offline, so the shipped implementation is a
-  * fixture-backed fake; a production HTTP client implements the same three
-  * calls against `<api>/apiv1`. Instances are resolved by name from a
-  * registry so executors can look the client up without serializing it.
+  * Two implementations ship: [[HttpGeotabClient]] speaks the real JSON-RPC
+  * protocol against `<api>/apiv1` (unit-tested against a local stub server
+  * — the environment is offline), and [[InMemoryGeotabClient]] is the
+  * fixture-backed fake the gates run on. Instances are resolved by name
+  * from a registry so executors can look the client up without serializing
+  * it; a name that IS an http(s) URL resolves to an [[HttpGeotabClient]]
+  * for that API base on any JVM.
   */
 case class GeotabCredentials(database: String, sessionId: String, userName: String)
 
@@ -55,10 +58,20 @@ object GeotabClients {
     * registration can never be replaced mid-stream by a concurrent run of
     * the same gate — suite parallelism made the shared-name form flaky. */
   def unregister(name: String): Unit = registry.remove(name)
+  /** Resolution with the production fallback: a name that IS an http(s)
+    * URL lazily constructs (and memoizes) an [[HttpGeotabClient]] for that
+    * API base — deterministic from the name alone, so every executor JVM
+    * resolves its own transport from the scan properties
+    * (`option("client", "https://my.geotab.com")`) with nothing
+    * serialized. Registered fixtures always win, keeping tests hermetic
+    * even with URL-shaped names. */
   def apply(name: String): GeotabClient = {
     val c = registry.get(name)
-    require(c != null, s"no GeotabClient registered under '$name'")
-    c
+    if (c != null) c
+    else if (name.startsWith("http://") || name.startsWith("https://"))
+      registry.computeIfAbsent(name, n => new HttpGeotabClient(n))
+    else throw new IllegalArgumentException(
+      s"no GeotabClient registered under '$name'")
   }
 }
 
