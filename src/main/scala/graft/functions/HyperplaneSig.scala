@@ -65,16 +65,20 @@ case class HyperplaneSigExact(child: Expression, planes: Int, dim: Int,
       // zip_with form -> all bits fall to the 0 branch
       if (arr.isNullAt(j)) return 0L
       val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
-      // |x| >= 1e4 overflows the composed form's DECIMAL(13,9) term cast
-      // (null under the try-cast semantics the form relies on), which
-      // poisons the sums the same way; mirror BEFORE the unscaled-long
-      // extraction, which would otherwise throw past ~9.2e9 instead of
-      // matching (r14 ADVICE)
-      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x) ||
-        math.abs(x) >= 1e4) return 0L
-      r(j) = java.math.BigDecimal.valueOf(x)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        return 0L
+      // The composed form's DECIMAL(13,9) term cast overflows (nulls,
+      // poisoning the sums) when the HALF_UP-ROUNDED value needs > 13
+      // digits of precision — which doubles in [10⁴ − 5e-10, 10⁴) also
+      // hit, rounding UP to 10000.000000000. So the guard must test the
+      // rounded decimal, not the raw double (r15 ADVICE; the raw-|x|
+      // form diverged on exactly that half-ulp band). 10^13 unscaled ==
+      // |rounded| >= 10⁴ at scale 9; below it longValueExact is safe.
+      val bd = java.math.BigDecimal.valueOf(x)
         .setScale(9, java.math.RoundingMode.HALF_UP)
-        .unscaledValue().longValueExact()
+      if (bd.unscaledValue().abs()
+          .compareTo(HyperplaneSigExact.MaxUnscaled13) >= 0) return 0L
+      r(j) = bd.unscaledValue().longValueExact()
       j += 1
     }
     var sig = 0L
@@ -94,6 +98,10 @@ case class HyperplaneSigExact(child: Expression, planes: Int, dim: Int,
 }
 
 object HyperplaneSigExact {
+
+  /** DECIMAL(13,9) capacity as an unscaled bound: 10^13. */
+  private[functions] val MaxUnscaled13 =
+    java.math.BigInteger.TEN.pow(13)
 
   private val matrices =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Byte]]]

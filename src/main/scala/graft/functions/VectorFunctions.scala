@@ -89,10 +89,22 @@ object VectorFunctions {
     // rounding — scale stays 9 throughout, identical to the oracle's
     // order-independent SUM(DECIMAL(38,9)).
     val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)")
+    // Domain guard on the ROUNDED contribution (r15 advice): a double in
+    // [10⁴ − 5e-10, 10⁴) HALF_UP-rounds to 10000.000000000, which needs 14
+    // digits — under ANSI the bare DECIMAL(13,9) cast would THROW there,
+    // not null. Guarding on round(x·p, 9) makes the out-of-domain term an
+    // explicit null, which poisons the plane sums to the 0 branch — the
+    // same verdict the native kernel takes on the same rounded value, so
+    // the two forms agree on every input instead of only inside the
+    // domain. (Embedding fixtures never leave |x| < 10; this is edge
+    // hygiene, not a fixture behavior change.)
     val bits: Seq[Column] = (0 until planes).map { i =>
       val planeCol = typedLit(plane(i, dim, seed))
       val d = aggregate(
-        zip_with(vd, planeCol, (x, p) => round(x * p, 9).cast("decimal(13,9)")),
+        zip_with(vd, planeCol, (x, p) => {
+          val r = round(x * p, 9)
+          when(abs(r) < 1e4, r).otherwise(lit(null)).cast("decimal(13,9)")
+        }),
         zero, (acc, x) => (acc + x).cast("decimal(20,9)"))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }

@@ -112,9 +112,17 @@ object ExportOps {
     // local POSIX filesystem. At cluster scale checkpoints go to durable
     // storage by explicit location anyway — this default only shapes the
     // local single-JVM fixture runs.
+    // r15 ADVICE: writability alone is not enough — Docker caps /dev/shm
+    // at 64 MB by default, where sf-scale fixtures and streaming
+    // checkpoints ENOSPC. Require real headroom (4 GiB covers the largest
+    // per-run scratch footprint, the sf1 staged fixtures + checkpoints at
+    // ~2 GiB, with margin) before preferring tmpfs; otherwise fall back
+    // to the disk-backed tmpdir, which is merely slower, never wrong.
     val base = sys.env.get("GRAFT_SCRATCH").getOrElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace >= 4L * 1024 * 1024 * 1024)
+        shm.getAbsolutePath
       else System.getProperty("java.io.tmpdir")
     }
     val f = new java.io.File(base,
@@ -209,6 +217,28 @@ object ExportOps {
         s"localize() size contract violated: > $maxRows rows — this " +
           "gate's result scales with the corpus; write it to durable " +
           "storage instead of localizing")
+    df.sparkSession.createDataFrame(rows.toList.asJava, df.schema)
+  }
+
+  /** [[localize]] for PLAN-EVIDENCE helpers: executes `df`'s OWN
+    * QueryExecution (a plain collect, no limit() wrapper), so a caller
+    * that reads `df.queryExecution.executedPlan` afterwards sees the
+    * runtime-finalized adaptive plan (isFinalPlan=true). [[localize]]'s
+    * limit probe is a NEW QueryExecution and leaves `df` itself
+    * unexecuted — reading its adaptive plan then shows the INITIAL
+    * (pre-runtime) plan, which broke the q120/q123/q132 pins when the
+    * probe landed. The size contract is checked only after the collect,
+    * so this is strictly for report-grain plan-pinned gates (all six
+    * current callers return ≤~1.5k rows); corpus-scaled results must
+    * keep using [[localize]]. */
+  def localizeExecuted(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = df.collect()
+    if (rows.length > LocalizeMaxRows)
+      throw new IllegalStateException(
+        s"localizeExecuted() size contract violated: ${rows.length} > " +
+          s"$LocalizeMaxRows rows — plan-evidence helpers must stay " +
+          "report-grain; use localize()/durable storage for data paths")
     df.sparkSession.createDataFrame(rows.toList.asJava, df.schema)
   }
 

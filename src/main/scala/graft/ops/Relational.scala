@@ -558,7 +558,7 @@ object Relational {
         .select(col("user_id"), col("rank"), col("event_id"),
           unix_millis(col("ts")).as("ts_ms"))
         .orderBy("user_id", "rank")
-      val local = ExportOps.localize(df)
+      val local = ExportOps.localizeExecuted(df)
       (local, df.queryExecution.executedPlan.toString)
     }
 
@@ -592,7 +592,8 @@ object Relational {
           |   FROM q132_orders) AS max_cents
           |FROM q132_customer
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
-      (ExportOps.localize(df), df.queryExecution.executedPlan.toString)
+      (ExportOps.localizeExecuted(df),
+        df.queryExecution.executedPlan.toString)
     }
   }
 
@@ -622,7 +623,8 @@ object Relational {
             max(col("l_quantity")).as("max_qty"),
             min(col("l_extendedprice")).as("min_price"),
             max(col("l_extendedprice")).as("max_price"))
-        (ExportOps.localize(df), df.queryExecution.executedPlan.toString)
+        (ExportOps.localizeExecuted(df),
+          df.queryExecution.executedPlan.toString)
       }
     }
 
@@ -1852,7 +1854,9 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("cents")).cast("long").as("sum_cents"))
         .orderBy("event_type", "hr")
-      val local = ExportOps.localize(df) // execute while confs held
+      // execute df's OWN plan while confs held, so the pin reads the
+      // runtime-finalized adaptive plan
+      val local = ExportOps.localizeExecuted(df)
       (local, df.queryExecution.executedPlan.toString)
     }
 
@@ -1908,7 +1912,8 @@ object Relational {
           sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
             .cast("long").as("sum_cents"))
         .orderBy("p_size")
-      val local = ExportOps.localize(df) // execute while confs held
+      // execute df's OWN plan while confs held (plan-evidence helper)
+      val local = ExportOps.localizeExecuted(df)
       (local, df.queryExecution.executedPlan.toString)
     }
 
@@ -1940,7 +1945,7 @@ object Relational {
             sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
               .cast("long").as("sum_cents"))
           .orderBy("p_brand")
-        val local = ExportOps.localize(df)
+        val local = ExportOps.localizeExecuted(df)
         (local, df.queryExecution.executedPlan.toString)
       }
     }

@@ -453,9 +453,14 @@ object SimilarityOps {
       points.iterator.takeWhile(_ => init.length < k).foreach { case (p, _) =>
         if (seen.add(p.toSeq)) init += p
       }
-      require(init.length == k,
-        s"PQ codebook needs >= $k distinct subvectors in the training " +
-          s"sample (got ${init.length}) — raise PqTrainCap or lower k")
+      // Degenerate-but-valid corpora (fewer than k DISTINCT subvectors in
+      // the sample) train a SMALLER codebook and proceed — exactly what
+      // the oracle's `QUALIFY code < 16` replay does with fewer distinct
+      // rows, and a codebook holding every distinct subvector is lossless
+      // on such a corpus anyway. r15 threw here, which crashed the engine
+      // where the oracle answered (r15 ADVICE); deterministic degradation
+      // keeps the two aligned.
+      val kEff = init.length
       var cents = init.toArray
       def d2(a: Array[Double], b: Array[Double]): Double = {
         var acc = 0.0; var i = 0
@@ -463,11 +468,11 @@ object SimilarityOps {
         acc
       }
       for (_ <- 0 until PqLloydIters) {
-        val sums = Array.fill(k, dsub)(java.math.BigDecimal.ZERO)
-        val counts = new Array[Long](k)
+        val sums = Array.fill(kEff, dsub)(java.math.BigDecimal.ZERO)
+        val counts = new Array[Long](kEff)
         points.foreach { case (p, pq) =>
           var best = 0; var bd = d2(p, cents(0)); var c = 1
-          while (c < k) {
+          while (c < kEff) {
             val dd = d2(p, cents(c))
             if (dd < bd) { bd = dd; best = c }
             c += 1
@@ -476,7 +481,7 @@ object SimilarityOps {
           var i = 0
           while (i < dsub) { sums(best)(i) = sums(best)(i).add(pq(i)); i += 1 }
         }
-        cents = Array.tabulate(k)(c =>
+        cents = Array.tabulate(kEff)(c =>
           if (counts(c) == 0) cents(c)
           else Array.tabulate(dsub)(i => sums(c)(i).doubleValue / counts(c)))
       }
@@ -858,7 +863,16 @@ object SimilarityOps {
     * labeled candidates per query, majority label, label-asc tie-break,
     * vote count as confidence. Both joins are keyed equi-joins on the
     * candidate list — the corpus never self-nests, whatever generator
-    * (LSH bands, IVF cells, brute) produced the candidates. */
+    * (LSH bands, IVF cells, brute) produced the candidates.
+    *
+    * COVERAGE-COMPLETE (r15 advice): a query whose candidate set is
+    * empty (no band collision with any labeled vector) must not vanish —
+    * the vote result left-joins back onto the full unlabeled slice and
+    * an uncovered query surfaces as an explicit null-label /
+    * zero-confidence verdict a downstream threshold naturally drops.
+    * Silent row loss at an unmeasured SF was the failure mode: the brute
+    * form guarantees every query a verdict, and the banded form's
+    * coverage was only spec-pinned at the fixture SFs. */
   def knnLabelVoteOn(s: SparkSession, labeled: DataFrame,
                      unlabeled: DataFrame, candIds: DataFrame,
                      k: Int): DataFrame = {
@@ -868,7 +882,10 @@ object SimilarityOps {
       .select(col("vec_id"), col("n_id"), col("label"),
         graft.functions.VectorExpressions.cosineSim(
           s, col("q_vec"), col("n_vec")).as("cos"))
-    voteScored(scored, k)
+    unlabeled.select(col("vec_id"))
+      .join(voteScored(scored, k), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("pred_label"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
   }
 
   /** The v15 kernel over any (n_id, n_vec, label) / (vec_id, q_vec) pair
@@ -1661,11 +1678,17 @@ object SimilarityOps {
         |  WHERE rn <= 5),
         |votes AS (
         |  SELECT vec_id, label, count(1) AS votes
-        |  FROM topk GROUP BY vec_id, label)
-        |SELECT vec_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
-        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY votes DESC, label ASC) AS rn FROM votes) v
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+        |  FROM topk GROUP BY vec_id, label),
+        |verdicts AS (
+        |  SELECT vec_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY votes DESC, label ASC) AS rn FROM votes) v
+        |  WHERE rn = 1)
+        |SELECT u.vec_id, verdicts.pred_label,
+        |  COALESCE(verdicts.votes, CAST(0 AS BIGINT)) AS votes
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 3) u
+        |LEFT JOIN verdicts USING (vec_id)
+        |ORDER BY u.vec_id""".stripMargin,
     "v12_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
         |           FROM embeddings WHERE vec_id < 8),

@@ -30,6 +30,14 @@ class GeotabSessionExpiredException(msg: String) extends RuntimeException(msg)
   * discipline applied to the ingest side. */
 class GeotabTransientException(msg: String) extends RuntimeException(msg)
 
+/** Non-retryable protocol violation from a 2xx response — the server (or
+  * an intermediary) answered, but with something a JSON-RPC client cannot
+  * act on and resending cannot fix: a response body over the configured
+  * size cap, or a structurally non-RPC payload. Malformed/truncated JSON
+  * is NOT this — that retries as transient (proxies emit garbage under
+  * load) and exhausts to [[GeotabTransientException]]. */
+class GeotabProtocolException(msg: String) extends RuntimeException(msg)
+
 trait GeotabClient {
   /** POST Authenticate (rate-limited in production — task.ts:297-300). */
   def authenticate(database: String, userName: String, password: String): GeotabCredentials

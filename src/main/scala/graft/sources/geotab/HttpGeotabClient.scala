@@ -54,7 +54,17 @@ class HttpGeotabClient(
     apiBase: String,
     maxRetries: Int = 3,
     backoffMs: Long = 100,
-    connectTimeout: Duration = Duration.ofSeconds(10)) extends GeotabClient {
+    connectTimeout: Duration = Duration.ofSeconds(10),
+    // Per-REQUEST deadline (r15 ADVICE): connectTimeout alone lets a
+    // server that accepts the connection but never responds pin the Spark
+    // task thread forever, bypassing the bounded-retry discipline. An
+    // HttpTimeoutException is an IOException, so an expired deadline
+    // flows through the same retry/backoff path as any transport error.
+    requestTimeout: Duration = Duration.ofSeconds(60),
+    // 2xx body size cap: a response this large is not a fleet scan, it is
+    // a misbehaving endpoint — and resending cannot shrink it, so it
+    // fails fast and typed instead of OOMing the executor on readTree.
+    maxResponseChars: Int = 64 * 1024 * 1024) extends GeotabClient {
 
   private val endpoint = URI.create(apiBase.stripSuffix("/") + "/apiv1")
 
@@ -113,6 +123,7 @@ class HttpGeotabClient(
     body.put("method", method)
     body.set[ObjectNode]("params", params)
     val req = HttpRequest.newBuilder(endpoint)
+      .timeout(requestTimeout)
       .header("Accept", "application/json")
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
@@ -129,6 +140,9 @@ class HttpGeotabClient(
             s"geotab api: $endpoint rejected $method with " +
               s"${rsp.statusCode()}: ${rsp.body()}")
         } catch {
+          // IOException covers transport failures, the per-request
+          // deadline (HttpTimeoutException), AND our malformed-2xx-body
+          // rethrow below — all retry, all exhaust typed.
           case e: java.io.IOException =>
             if (attempt > maxRetries) throw new GeotabTransientException(
               s"geotab api: $endpoint unreachable after $maxRetries retries: $e")
@@ -144,9 +158,35 @@ class HttpGeotabClient(
 
   /** Parses a 2xx body and maps the API's in-band `error` object: an
     * invalid/expired session becomes the typed exception the reader's
-    * recovery path re-authenticates on; anything else fails fast. */
+    * recovery path re-authenticates on; anything else fails fast.
+    *
+    * Protocol garbage discipline (r15 advice): a 200 whose body is not a
+    * JSON object — malformed, truncated mid-stream, or plain non-JSON
+    * text from a proxy error page — is rethrown as a clean IOException so
+    * the rpc() loop retries it like any transport flake and exhausts to
+    * [[GeotabTransientException]]; a Jackson stack trace never escapes an
+    * executor. An oversized body fails fast as
+    * [[GeotabProtocolException]] BEFORE parsing: resending cannot shrink
+    * it, and readTree on it would balloon executor heap. */
   private def parseChecked(body: String): JsonNode = {
-    val node = mapper.readTree(body)
+    if (body.length > maxResponseChars)
+      throw new GeotabProtocolException(
+        s"geotab api: $endpoint returned a ${body.length}-char body " +
+          s"(cap $maxResponseChars) — refusing to parse; narrow the scan " +
+          "or raise maxResponseChars")
+    val node =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new java.io.IOException(
+            s"geotab api: $endpoint returned a malformed JSON-RPC body " +
+              s"(${e.getOriginalMessage}); first 200 chars: " +
+              body.take(200))
+      }
+    if (node == null || !node.isObject)
+      throw new java.io.IOException(
+        s"geotab api: $endpoint returned a non-object JSON-RPC body; " +
+          s"first 200 chars: ${body.take(200)}")
     val err = node.get("error")
     if (err != null && !err.isNull) {
       val text = err.toString

@@ -293,6 +293,9 @@ class PlanAuditR13Spec extends SparkSpec {
 
   test("q120: AQE merges the 64-partition shuffle at runtime; the control keeps it static") {
     val (_, plan) = ops.Relational.aqeCoalesceRun(spark, d)
+    assert(plan.contains("isFinalPlan=true"),
+      s"the pin must read a runtime-FINALIZED adaptive plan — an " +
+        s"unexecuted one shows no AQEShuffleRead at all:\n$plan")
     assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
       s"tiny post-shuffle data must coalesce at runtime:\n$plan")
     ExportOps.withConf(spark,

@@ -52,6 +52,9 @@ class PlanAuditR13bSpec extends SparkSpec {
 
   test("q123: initial plan sort-merge, final plan broadcast; the control keeps the merge join") {
     val (_, plan) = Relational.aqeJoinSwitchRun(spark, d)
+    assert(plan.contains("isFinalPlan=true"),
+      s"the pin must read a runtime-FINALIZED adaptive plan — an " +
+        s"unexecuted one silently shows the initial strategy:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"AQE must convert the join to broadcast at runtime:\n$plan")
     assert(plan.contains("SortMergeJoin"),
@@ -97,6 +100,8 @@ class PlanAuditR13bSpec extends SparkSpec {
 
   test("q132: the two scalar subqueries fuse — ReusedSubquery present, absent in the control") {
     val (_, plan) = Relational.mergedScalarSubqueriesRun(spark, d)
+    assert(plan.contains("isFinalPlan=true"),
+      s"the pin must read a runtime-FINALIZED adaptive plan:\n$plan")
     assert(plan.contains("ReusedSubquery"),
       s"MergeScalarSubqueries must fuse the two corpus scalars:\n$plan")
     val (_, control) = Relational.mergedScalarSubqueriesRun(spark, d,

@@ -86,9 +86,36 @@ class HyperplaneSigSpec extends SparkSpec {
     for (v <- Seq(10000f, 1e6f, 1e10f, Float.MaxValue)) {
       val df = Seq(Array.tabulate(64)(j => if (j == 3) v else 0.5f))
         .toDF("embedding")
-      val got = df.select(HyperplaneSigExact
-        .hyperplaneSig(spark, col("embedding"))).collect().head.getLong(0)
-      assert(got === 0L, s"value $v must poison the signature")
+      val row = df.select(
+        HyperplaneSigExact.hyperplaneSig(spark, col("embedding")).as("got"),
+        VectorFunctions.hyperplaneSignatureExact(col("embedding")).as("want"))
+        .collect().head
+      assert(row.getLong(0) === 0L, s"value $v must poison the signature")
+      assert(row.getLong(1) === 0L,
+        s"the composed form must null-poison $v, not throw (ANSI guard)")
     }
+  }
+
+  test("the half-ulp band below 1e4 poisons like the composed form (r15 advice)") {
+    import spark.implicits._
+    // doubles in [10⁴ − ~5e-10, 10⁴) HALF_UP-round to 10000.000000000,
+    // which overflows DECIMAL(13,9) in the composed cast — the guard must
+    // test the ROUNDED value, so these poison to 0 even though |x| < 1e4;
+    // the value just BELOW the band still rounds inside 13 digits and
+    // must keep its real signature
+    val inBand = math.nextDown(10000.0)             // rounds to 10^4
+    val belowBand = 9999.9999999989                 // rounds to 9999.999999999
+    val mk = (v: Double) => Array.tabulate(64)(j => if (j == 3) v else 0.5)
+    val df = Seq(mk(inBand), mk(-inBand), mk(belowBand)).toDF("embedding")
+    val rows = df.select(
+        HyperplaneSigExact.hyperplaneSig(spark, col("embedding")).as("got"),
+        VectorFunctions.hyperplaneSignatureExact(col("embedding")).as("want"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      s"kernel and composed form diverged: $r"))
+    assert(rows(0).getLong(0) === 0L && rows(1).getLong(0) === 0L,
+      "the rounded-to-10^4 band must poison")
+    assert(rows(2).getLong(0) !== 0L,
+      "a value rounding inside DECIMAL(13,9) must keep its signature")
   }
 }

@@ -159,6 +159,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tie.toSeq === Seq((20L, "a", 1L)))
   }
 
+  test("v15 vote: a query with NO candidates gets an explicit zero-confidence verdict") {
+    // r15 advice: the banded generator can leave a query with no labeled
+    // collision at an unmeasured SF — it must surface as (null, 0), not
+    // silently vanish from the output
+    val labeled = Seq((1L, Array(1.0f, 0.0f), "a")).toDF("n_id", "n_vec", "label")
+    val unlabeled = Seq((10L, Array(0.0f, 1.0f)), (11L, Array(1.0f, 0.1f)))
+      .toDF("vec_id", "q_vec")
+    val candIds = Seq((11L, 1L)).toDF("vec_id", "n_id") // 10 uncovered
+    val got = SimilarityOps.knnLabelVoteOn(spark, labeled, unlabeled, candIds, 5)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(got.toSeq === Seq((10L, None, 0L), (11L, Some("a"), 1L)),
+      s"uncovered queries must carry a null/zero verdict: ${got.toSeq}")
+  }
+
   test("v15 candidates: coverage complete, recall@5 vs brute above the ANN floor") {
     // The gated form votes over LSH candidates only; the brute kernel
     // ([[SimilarityOps.knnLabelVote]]) is its exact cross-check. The pin

@@ -56,4 +56,28 @@ class SimilarityOpsR11Spec extends SparkSpec {
       ExportOps.deleteRecursively(out)
     }
   }
+
+  test("PQ trains a smaller codebook on a degenerate corpus instead of throwing") {
+    // r15 advice: < k distinct subvectors must degrade deterministically
+    // (the DuckDB replay's QUALIFY code < 16 builds the same smaller
+    // codebook and answers) — the engine crashing where the oracle
+    // proceeds is an alignment bug, not safety
+    import spark.implicits._
+    // 3 distinct vectors repeated: every 8-dim subspace has ≤ 3 distinct
+    // subvectors, far under k=16
+    val base = Seq(
+      Array.fill(64)(1.0), Array.fill(64)(2.0),
+      Array.tabulate(64)(j => (j % 4).toDouble))
+    val vecs = (0L until 30L).map(i => (i, base((i % 3).toInt)))
+      .toDF("vec_id", "v")
+    val codebook = SimilarityOps.pqCodebook(spark, vecs)
+    val sizes = codebook.groupBy("sub").count().collect()
+      .map(r => r.getLong(1))
+    assert(sizes.nonEmpty && sizes.forall(n => n >= 1 && n < 16),
+      s"degenerate corpus must train < 16 codes per subspace: ${sizes.toSeq}")
+    // and the full encode+serve path runs on it: a codebook of ALL the
+    // distinct subvectors is lossless, so every vector encodes exactly
+    val codes = SimilarityOps.pqEncode(vecs, codebook)
+    assert(codes.select("vec_id").distinct().count() === 30L)
+  }
 }

@@ -25,6 +25,11 @@ class HttpGeotabClientSpec extends SparkSpec {
     val logins = new AtomicInteger(0)
     val getBodies = new CopyOnWriteArrayList[String]()
     val failNextWith = new AtomicInteger(0) // HTTP status to fail once with
+    // raw 200-body override for the next N requests (protocol-garbage
+    // cases: malformed/truncated JSON, HTML error pages, scalar bodies)
+    val garbageBody = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val garbageCount = new AtomicInteger(0)
+    val hangRequests = new AtomicInteger(0) // accept, then never answer in time
     @volatile var validSessions = Set.empty[String]
 
     private var server: HttpServer = _
@@ -47,6 +52,15 @@ class HttpGeotabClientSpec extends SparkSpec {
 
     private def handle(x: HttpExchange): Unit = try {
       val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (hangRequests.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        Thread.sleep(1500) // longer than the test client's request timeout
+        respond(x, 200, "{}")
+        return
+      }
+      if (garbageCount.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        respond(x, 200, garbageBody.get())
+        return
+      }
       val fail = failNextWith.getAndSet(0)
       if (fail != 0) { respond(x, fail, """{"oops":true}"""); return }
       if (body.contains(""""method":"Authenticate"""")) {
@@ -120,6 +134,65 @@ class HttpGeotabClientSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("rejected"), e.getMessage)
       assert(!e.isInstanceOf[GeotabTransientException])
+    }
+  }
+
+  test("protocol garbage on 200 retries typed and recovers; never a Jackson trace") {
+    withStub { stub =>
+      val c = new HttpGeotabClient(stub.url, maxRetries = 2, backoffMs = 1)
+      val creds = c.authenticate("db1", "u@x", "pw")
+      // each garbage shape, sustained past the retry budget, must exhaust
+      // to GeotabTransientException with a protocol message — not a
+      // JsonParseException stack from inside the executor
+      for (garbage <- Seq(
+          """{"result":[{"id":"d1""",            // truncated mid-object
+          "<html><body>502 Bad Gateway</body>",  // proxy error page as 200
+          "\"just a string\"",                   // valid JSON, non-object
+          "")) {                                  // empty body
+        stub.garbageBody.set(garbage)
+        stub.garbageCount.set(10)
+        val e = intercept[GeotabTransientException] {
+          c.get("Device", Map.empty, creds)
+        }
+        assert(e.getMessage.contains("malformed") ||
+          e.getMessage.contains("non-object"),
+          s"garbage '$garbage' must surface a protocol message: ${e.getMessage}")
+        stub.garbageCount.set(0)
+      }
+      // one garbage body then a clean one: the retry path must recover
+      stub.garbageBody.set("""{"result":[{"id":""")
+      stub.garbageCount.set(1)
+      assert(c.get("Device", Map.empty, creds).nonEmpty,
+        "a single malformed body must be retried through to success")
+    }
+  }
+
+  test("an oversized 2xx body fails fast and typed, without parsing") {
+    withStub { stub =>
+      val c = new HttpGeotabClient(stub.url, maxRetries = 3, backoffMs = 1,
+        maxResponseChars = 50)
+      val e = intercept[GeotabProtocolException] {
+        c.authenticate("db1", "u@x", "pw") // the stub's creds body > 50 chars
+      }
+      assert(e.getMessage.contains("cap 50"), e.getMessage)
+    }
+  }
+
+  test("a server that accepts but never responds hits the request deadline, not forever") {
+    withStub { stub =>
+      val c = new HttpGeotabClient(stub.url, maxRetries = 1, backoffMs = 1,
+        requestTimeout = java.time.Duration.ofMillis(200))
+      val creds = c.authenticate("db1", "u@x", "pw")
+      stub.hangRequests.set(10) // every attempt hangs past the deadline
+      val t0 = System.nanoTime()
+      val e = intercept[GeotabTransientException] {
+        c.get("Device", Map.empty, creds)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(e.getMessage.contains("unreachable"), e.getMessage)
+      assert(elapsedMs < 5000,
+        s"the per-request deadline must bound the wait: took ${elapsedMs}ms")
+      stub.hangRequests.set(0)
     }
   }
 
