@@ -66,9 +66,23 @@ object Bench {
     // kernel at pair scale; also covers v02), g05 12.3→2.9s (Structured
     // Streaming machinery — micro-batch planner, streaming-specific analyzer
     // rules, state/commit-log classes — loads on no batch query).
+    // Round-16 additions (r15 verdict item 3a: the REPS=1 driver run paid
+    // first-touch on the newer gates' kernel families, none of which g05's
+    // basic micro-batch warm-up loads): q67 (stream-stream symmetric-hash
+    // join state machinery), q89 (flatMapGroupsWithState + event-time
+    // timers), q58 (session_window streaming + append-mode watermark
+    // flush), q102 (state-store source reader), e19/e26/e16 (XML/ORC/CSV
+    // datasources — each a class universe no parquet query touches), q86
+    // (VARIANT codec), v14 (PQ trainer + ADC decimal kernels; also seeds
+    // the sf0.001 model memo). Warm-up stays at sf0.001: it compiles and
+    // class-loads, it cannot precompute bench-SF work.
     Seq("q01_pricing_summary", "q12_window_rank", "d09_minhash_md5",
       "d03_minhash_candidates", "q22_json_extract", "v01_knn_brute",
-      "d15_url_dedup", "v03_embed_neardup", "g05_stream_flagship").foreach { name =>
+      "d15_url_dedup", "v03_embed_neardup", "g05_stream_flagship",
+      "q67_stream_outer_join", "q89_stream_session_timers",
+      "q58_stream_sessions", "q102_state_source_read",
+      "e19_xml_roundtrip", "e26_orc_roundtrip", "e16_csv_roundtrip",
+      "q86_variant_extract", "v14_pq_adc").foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
