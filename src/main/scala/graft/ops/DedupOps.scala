@@ -1021,12 +1021,18 @@ object DedupOps {
   private def d26(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     // same SF-adaptive universe rule as d23 (see there); the item modulus
-    // scales on a slower ramp (max(23, n/500)) so the suffix-block space
-    // grows with the corpus too — at fixed 23 the sfx pass would collapse
-    // every SF's growth into 23 buckets and square the verify
+    // ramps at n/100 so the suffix-block space grows with the corpus —
+    // at fixed 23 the sfx pass would collapse every SF's growth into 23
+    // buckets and square the verify. The ramp WAS n/500 (suffix density
+    // pinned at ~500 docs/block past the knee → ~25M levenshtein
+    // candidates at sf1, the 5.2× residual in the r16 sf1 artifact);
+    // n/100 pins density at ~100/block — candidates stay linear in n
+    // with a 5× smaller constant. Driver-gated SFs are unaffected
+    // (500-doc sf0.01 floors at 23 under both ramps) and the oracle
+    // derives the same modulus from the same count.
     val nDocs = docs(s, d).count()
     val mod50 = math.max(50L, nDocs / 100L)
-    val mod23 = math.max(23L, nDocs / 500L)
+    val mod23 = math.max(23L, nDocs / 100L)
     // SF-adaptive blocking-key length (the r14 verdict's d26 scale fix):
     // the moduli gain a decimal digit per corpus decade, so FIXED 6-char
     // keys truncate ever more discriminative digits and the blocks
@@ -2177,7 +2183,7 @@ object DedupOps {
         |          source || '-' ||
         |            (doc_id % greatest(50, (SELECT count(*) FROM documents) // 100))
         |            || ' item ' ||
-        |            (doc_id % greatest(23, (SELECT count(*) FROM documents) // 500))
+        |            (doc_id % greatest(23, (SELECT count(*) FROM documents) // 100))
         |            AS tb
         |        FROM documents) x),
         |klen AS (
