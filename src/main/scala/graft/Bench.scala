@@ -76,13 +76,22 @@ object Bench {
     // (VARIANT codec), v14 (PQ trainer + ADC decimal kernels; also seeds
     // the sf0.001 model memo). Warm-up stays at sf0.001: it compiles and
     // class-loads, it cannot precompute bench-SF work.
+    // Second r16 batch, from the REPS=1 driver-simulation gap profile
+    // (reps1 minus REPS=3 median, biggest residuals): t31 (the langid
+    // scoring expression is the largest generated case tree in the
+    // registry — Janino pays once), t24 (chunk+embed kernels feeding the
+    // whole RAG family incl. t25/t30), d29 (iterative pagerank loop +
+    // convergence machinery, also covers d14/v09), q126 (ANALYZE/CBO
+    // path), t19 (bigram LM join shapes).
     Seq("q01_pricing_summary", "q12_window_rank", "d09_minhash_md5",
       "d03_minhash_candidates", "q22_json_extract", "v01_knn_brute",
       "d15_url_dedup", "v03_embed_neardup", "g05_stream_flagship",
       "q67_stream_outer_join", "q89_stream_session_timers",
       "q58_stream_sessions", "q102_state_source_read",
       "e19_xml_roundtrip", "e26_orc_roundtrip", "e16_csv_roundtrip",
-      "q86_variant_extract", "v14_pq_adc").foreach { name =>
+      "q86_variant_extract", "v14_pq_adc",
+      "t31_langid_ngram", "t24_rag_retrieval", "d29_pagerank",
+      "q126_cbo_join_reorder", "t19_bigram_logprob").foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
