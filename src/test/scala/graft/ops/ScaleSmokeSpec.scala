@@ -95,6 +95,39 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("d26 at x5 vs x20: fuzzy-dedup candidates scale linearly past the density knee") {
+    assume(enabled, "set GRAFT_SCALE_SMOKE=1 to run the amplified-scale smoke")
+    // The r16 suffix-ramp fix (mod = max(23, n/100)) pins suffix-block
+    // density at ~100 docs/block once n > 2300, so candidate volume — and
+    // the shuffle that carries it — must grow ~linearly with docs between
+    // any two points past the knee. The ×1 fixture point is NOT
+    // comparable (it floors the modulus at 23, a deliberate driver-SF
+    // stability artifact), so the pin compares ×5 (2500 docs) against
+    // ×20 (10000 docs): ×4 the data, shuffle bounded at 1.5× linear. A
+    // ramp regression (fixed modulus) would send density — and the
+    // per-block quadratic verify — up ×4, putting the ratio near 16×.
+    val amp5 = {
+      val out = ExportOps.scratchDir("graft_scale_d26", "spec")
+      out.mkdirs()
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => ExportOps.deleteRecursively(out)))
+      spark.read.parquet(s"$base/documents.parquet")
+        .select(col("*"), explode(expr("sequence(0L, 4L)")).as("rep"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L)
+        .drop("rep")
+        .write.parquet(s"$out/documents.parquet")
+      out.getAbsolutePath
+    }
+    val m5 = measure { SparkEntry.queries("d26_fuzzy_multipass")(spark, amp5).count(); () }
+    DedupOps.unpersistCaches()
+    val m20 = measure { SparkEntry.queries("d26_fuzzy_multipass")(spark, ampDir).count(); () }
+    DedupOps.unpersistCaches()
+    info(fmt("d26 x5", m5)); info(fmt("d26 x20", m20))
+    assert(m20.shuffleBytes <= m5.shuffleBytes.max(1L) * 6,
+      s"d26 shuffle grew ${m20.shuffleBytes.toDouble / m5.shuffleBytes}x " +
+        "at x4 past-knee amplification — the suffix-density ramp is not holding")
+  }
+
   test("q66 vs q68 at x20: partition-grain merge I/O scales with touched partitions") {
     assume(enabled, "set GRAFT_SCALE_SMOKE=1 to run the amplified-scale smoke")
     val out = ExportOps.scratchDir("graft_scale_merge", "spec")
