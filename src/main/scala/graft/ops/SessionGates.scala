@@ -60,6 +60,24 @@ object SessionGates {
     * a global constant. */
   private[graft] val TimerShuffleParts = "8"
 
+  /** [[TimerShuffleParts]], corpus-sized (r16): past the bench SF the
+    * per-event processor cost dominates even the 8-way split (the sf1
+    * point read 27 s of addBatch on a quarter of the machine), so the
+    * timer gate takes the full local[32] width once the events corpus
+    * outgrows the over-sharding concern the 8-way probe measured.
+    * Results are partition-count-invariant (state is key-partitioned;
+    * the session set is a deterministic function of the events), so this
+    * only moves wall time. */
+  private[graft] def timerShufflePartsFor(s: SparkSession, d: String): String =
+    if (eventCount(s, d) > 200000L) "32" else TimerShuffleParts
+
+  /** Events row count, memoized per fixture dir (parquet footer
+    * metadata — one cheap job, shared across gates and reps). */
+  private val evCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[ops] def eventCount(s: SparkSession, d: String): Long =
+    evCountCache.getOrElseUpdate(d, Tables(s, d, "events").count())
+
   /** (min, max, avg) of `unix_micros(ts)` over the events table,
     * memoized per fixture dir: every streaming harness derives its
     * micro-batch split from these three numbers, and they are FIXTURE
@@ -831,7 +849,8 @@ object SessionGates {
         .transformWithState(new graft.streaming.SessionTimeoutProcessor(300000L),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           org.apache.spark.sql.streaming.OutputMode.Append())
-      ExportOps.withConf(s, "spark.sql.shuffle.partitions", TimerShuffleParts) {
+      ExportOps.withConf(s, "spark.sql.shuffle.partitions",
+        timerShufflePartsFor(s, d)) {
         val q = sessions.toDF().writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/ckpt")
