@@ -474,6 +474,77 @@ object DedupOps {
     * sort-order neighbors. */
   private val SnmWindow = 3
 
+  /** d35: LSH candidate-generation QUALITY evaluation — pairwise
+    * precision / recall / F1 of the banded candidate pairs against
+    * exact-Jaccard gold (θ = 0.5), the measurement a pipeline runs before
+    * trusting its dedup recall at scale. Gold is complete by
+    * construction: every pair with J > 0 shares ≥ 1 shingle hash, so
+    * shared-shingle blocking followed by the exact set verify enumerates
+    * ALL qualifying pairs — no bands, no sketch, no silent misses.
+    *
+    * The fixture's natural near-dups all sit at J ≥ 0.9 where the 4-band
+    * S-curve catches everything, so the gate SALTS the corpus with mid-J
+    * planted variants (`doc_id + 200000`, every 10th token corrupted →
+    * J ≈ 0.51-0.64, the regime where a 2-slot band matches with
+    * probability J² and all four miss with (1−J²)⁴ ≈ 25%): recall
+    * becomes a real measurement of the banding's miss rate (≈ 0.75-0.80
+    * here), not 1.0 by construction — the d31/d26 planted-adversary
+    * pattern applied to the evaluator itself. F1 is computed as
+    * 2·tp/(n_cand+n_gold) ≡ 2PR/(P+R), integer-derived so the rounding
+    * is engine-exact.
+    *
+    * Scale shape: the banded side is the production candidate pass (two
+    * keyed shuffles); the gold side costs Σ df² over shingle blocks —
+    * affordable at audit grain, and at lake scale the eval runs over a
+    * uniform document sample (pair inclusion p², correcting both
+    * denominators the same way), never the full corpus. The gate runs
+    * whole-corpus at the fixture SFs where gold is exact. */
+  private def d35(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        array_join(transform(TextFunctions.tokens(col("text")),
+          (t, i) => when(i % 10 === 0, concat(t, lit("_x"))).otherwise(t)),
+          " ").as("text"))
+    val hvF = cached(shingleHashFrame(base.unionByName(variants)))
+    // predicted: the raw banded candidate pairs (the thing under test)
+    val banded = bandFrame(hvF)
+    val cand = banded
+      .select(col("band_idx"), col("band"), col("doc_id").as("doc_a"))
+      .join(banded
+        .select(col("band_idx"), col("band"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // gold: shared-shingle blocking (complete for J > 0) + exact verify
+    val ex = hvF.select(col("doc_id"), explode(col("hv")).as("uh"))
+    val gpairs = ex.select(col("doc_id").as("doc_a"), col("uh"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("uh")), Seq("uh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val gold = gpairs
+      .join(hvF.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")),
+        "doc_a")
+      .join(hvF.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")),
+        "doc_b")
+      .filter(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
+        / size(array_union(col("hv_a"), col("hv_b"))).cast("double")
+        >= 0.5)
+      .select("doc_a", "doc_b")
+    val tp = cand.join(gold, Seq("doc_a", "doc_b"))
+    def nz(c: org.apache.spark.sql.Column) =
+      when(c === 0, lit(null)).otherwise(c)
+    gold.agg(count(lit(1)).as("n_gold"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(tp.agg(count(lit(1)).as("tp")))
+      .select(col("n_gold"), col("n_cand"), col("tp"),
+        round(col("tp").cast("double") / nz(col("n_cand")), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / nz(col("n_gold")), 6).as("recall"),
+        round(lit(2.0) * col("tp") / nz(col("n_cand") + col("n_gold")), 6)
+          .as("f1"))
+  }
+
   /** d32: near-dup-cluster-aware train/test split — the PREVENTION half
     * of what d24 audits: assigning splits per DOCUMENT (q51) lets two
     * near-duplicate docs land on opposite sides of the train/eval fence,
@@ -1722,6 +1793,7 @@ object DedupOps {
     "d29_pagerank" -> d29 _, "d30_containment" -> d30 _,
     "d31_tokensort_dedup" -> d31 _, "d32_cluster_split" -> d32 _,
     "d33_source_overlap" -> d33 _, "d34_sorted_neighborhood" -> d34 _,
+    "d35_lsh_recall_eval" -> d35 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -2268,6 +2340,44 @@ object DedupOps {
         |  CAST(dist AS BIGINT) AS dist
         |FROM pairs WHERE dist BETWEEN 1 AND 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // d35: the salted corpus (period-10 token corruption on every
+    // doc_id%10=3 doc), the band chain replayed over it for the candidate
+    // side, and gold enumerated completely via shared-shingle blocking +
+    // the exact set verify at θ=0.5; f1 = 2·tp/(n_cand+n_gold)
+    "d35_lsh_recall_eval" ->
+      (raw"""WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    array_to_string(list_transform(range(1, len(toks) + 1),
+        |      i -> CASE WHEN (i - 1) % 10 = 0 THEN toks[i] || '_x'
+        |           ELSE toks[i] END), ' ')
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            t -> length(t) > 0) AS toks
+        |        FROM documents WHERE doc_id % 10 = 3) vsrc),
+        |""".stripMargin + bandChain("src", 3) + raw""",
+        |ex AS (SELECT doc_id, unnest(hv) AS uh FROM hv),
+        |gpairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ex a JOIN ex b ON a.uh = b.uh AND a.doc_id < b.doc_id),
+        |gold AS (
+        |  SELECT g.doc_a, g.doc_b FROM gpairs g
+        |  JOIN hv ha ON ha.doc_id = g.doc_a
+        |  JOIN hv hb ON hb.doc_id = g.doc_b
+        |  WHERE CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE) /
+        |        CAST(len(list_distinct(ha.hv || hb.hv)) AS DOUBLE) >= 0.5),
+        |counts AS (
+        |  SELECT
+        |    (SELECT count(1) FROM gold) AS n_gold,
+        |    (SELECT count(1) FROM cpairs) AS n_cand,
+        |    (SELECT count(1) FROM cpairs c JOIN gold g
+        |       ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b) AS tp)
+        |SELECT n_gold, n_cand, tp,
+        |  round(CAST(tp AS DOUBLE) / nullif(n_cand, 0), 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) / nullif(n_gold, 0), 6) AS recall,
+        |  round(2.0 * tp / nullif(n_cand + n_gold, 0), 6) AS f1
+        |FROM counts""".stripMargin),
     "d15_url_dedup" ->
       raw"""WITH u AS (
         |  SELECT doc_id,

@@ -1522,6 +1522,90 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
+  /** q146: sketch-based retention accounting — day-over-day retained /
+    * churned / new user ESTIMATES computed entirely from q63's persisted
+    * per-day KMV sketches, never from raw history: per-day bottom-[[KmvK]]
+    * distinct 60-bit md5 user hashes persist as the standing artifact
+    * (built by the bounded [[graft.functions.TopKAgg]], so each map
+    * partition truncates before the shuffle); the pairwise report then
+    * touches ONLY the reloaded sketch table. Set algebra on KMV sketches:
+    * the union sketch of two days is bottom-k of the merged distinct
+    * hashes (the same semilattice q63 relies on — merge EXACTLY equals
+    * the one-shot sketch of the union), |A∪B| estimates by the identical
+    * k-1/h_k rule, and |A∩B| falls out by inclusion-exclusion on three
+    * integer estimates — no division beyond q63's IEEE-exact estimator
+    * form, so the whole report is BIGINT arithmetic DuckDB replays bit
+    * for bit.
+    *
+    * This is the Apache-DataSketches theta-sketch pattern for DAU overlap
+    * at warehouse scale: with years of history the retention matrix costs
+    * O(days × k) — KB per day — independent of corpus size; only each
+    * day's delta partition is ever scanned, once, at sketch-build time.
+    * Day = epoch-microseconds integer-div 86 400 000 000: exact integer
+    * arithmetic, no timezone or double-rounding hazard in either engine.
+    * At the driver SFs the union of two days stays below k, so the gate
+    * exercises the exact regime (estimates EQUAL true counts —
+    * Q146RetentionSpec pins that) as well as the estimator regime at the
+    * bench SF (~1.5k DAU; accuracy pinned in the same spec). */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s) // idempotent
+    val out = ExportOps.scratchDir("graft_kmv_ret", d)
+    ExportOps.withScratchCleanup(out) {
+      val ev = t(s, d, "events").select(
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        kmvHash(col("user_id")).as("h"))
+      // per-day sketch: dedup, then bounded mergeable bottom-k
+      ev.groupBy(col("day"), col("h")).agg(count(lit(1)).as("nd"))
+        .groupBy(col("day"))
+        .agg(call_function("graft_topk",
+          -col("h"), col("h"), lit(KmvK)).as("bk"))
+        .select(col("day"),
+          explode(transform(col("bk"), e => e.getField("id"))).as("h"))
+        .write.parquet(s"$out/sketch")
+      val sk = s.read.parquet(s"$out/sketch")
+      def estCol(nk: org.apache.spark.sql.Column,
+                 hk: org.apache.spark.sql.Column) =
+        when(nk < KmvK, nk).otherwise(
+          floor(lit((KmvK - 1).toDouble) * lit((1L << 60).toDouble) /
+            hk.cast("double")))
+      // per-day DAU estimates from the sketch alone
+      val dau = sk.groupBy(col("day"))
+        .agg(count(lit(1)).as("nk"), max(col("h")).as("hk"))
+        .select(col("day"), estCol(col("nk"), col("hk")).as("est"))
+      // consecutive-day pairs present in the sketch table (tiny: one row
+      // per day — broadcast to tag sketch rows with their pair key)
+      val days = sk.select(col("day")).distinct()
+      val pairs = days.select(col("day").as("day_a"))
+        .join(days.select(col("day").as("day_b")),
+          col("day_b") === col("day_a") + 1)
+      // union sketch per pair: merged distinct hashes re-bottom-k'd — the
+      // window is bounded by construction (≤ 2k rows per pair)
+      val aRows = sk.join(broadcast(pairs), sk("day") === pairs("day_a"))
+        .select(col("day_a"), col("h"))
+      val bRows = sk.join(broadcast(pairs), sk("day") === pairs("day_b"))
+        .select(col("day_a"), col("h"))
+      val w = Window.partitionBy(col("day_a")).orderBy(col("h").asc)
+      val uni = aRows.unionByName(bRows).distinct()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+        .groupBy(col("day_a"))
+        .agg(count(lit(1)).as("nl"), max(col("h")).as("hk"))
+        .select(col("day_a"), estCol(col("nl"), col("hk")).as("est_union"))
+      val inter = greatest(lit(0L),
+        col("est_dau_a") + col("est_dau_b") - col("est_union"))
+      val rep = uni
+        .join(dau.select(col("day").as("day_a"), col("est").as("est_dau_a")),
+          "day_a")
+        .join(dau.select((col("day") - 1).as("day_a"),
+          col("est").as("est_dau_b")), "day_a")
+        .select(col("day_a"), (col("day_a") + 1).as("day_b"),
+          col("est_dau_a"), col("est_dau_b"), col("est_union"),
+          inter.as("est_retained"),
+          (col("est_dau_a") - inter).as("est_churned"),
+          (col("est_dau_b") - inter).as("est_new"))
+      ExportOps.localizeAndDrop(rep, out, "day_a")
+    }
+  }
+
   /** q66: CDC upsert/delete merge — the MERGE INTO every snapshot-
     * maintenance pipeline runs: a standing snapshot plus a change batch of
     * inserts / updates / deletes (synthesized deterministically from the
@@ -2965,6 +3049,7 @@ object Relational {
     "q54_skew_salted_join" -> q54 _, "q55_stratified_sample" -> q55 _,
     "q59_incremental_agg" -> q59 _, "q61_funnel" -> q61 _,
     "q63_sketch_users" -> q63 _, "q64_exact_users" -> q64 _,
+    "q146_sketch_retention" -> q146 _,
     "q66_upsert_merge" -> q66 _, "q68_partitioned_merge" -> q68 _,
     "q70_gap_fill_locf" -> q70 _, "q71_transition_matrix" -> q71 _,
     "q72_cohort_retention" -> q72 _, "q73_hierarchy_rollup" -> q73 _,
@@ -3207,6 +3292,64 @@ object Relational {
     "q64_exact_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q146: the one-shot replay of the persisted per-day KMV sketches —
+    // legitimate for the same semilattice reason as q63 (merge EXACTLY
+    // equals one-shot); day = integer epoch-µs division, estimates and
+    // the inclusion-exclusion are all BIGINT arithmetic both engines
+    // compute identically
+    "q146_sketch_retention" ->
+      s"""WITH dh AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS h
+         |  FROM events GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h ASC) AS rn
+         |  FROM dh),
+         |sk AS (SELECT day, h FROM bk WHERE rn <= $KmvK),
+         |dagg AS (SELECT day, count(1) AS nk, max(h) AS hk
+         |         FROM sk GROUP BY day),
+         |dest AS (
+         |  SELECT day,
+         |    CASE WHEN nk < $KmvK THEN nk
+         |         ELSE CAST(floor(${KmvK - 1}.0 * 1152921504606846976.0
+         |                         / CAST(hk AS DOUBLE)) AS BIGINT)
+         |    END AS est
+         |  FROM dagg),
+         |pairs AS (
+         |  SELECT a.day AS day_a FROM dagg a JOIN dagg b
+         |    ON b.day = a.day + 1),
+         |tagged AS (
+         |  SELECT day_a, h FROM (
+         |    SELECT p.day_a, s.h FROM pairs p JOIN sk s ON s.day = p.day_a
+         |    UNION ALL
+         |    SELECT p.day_a, s.h FROM pairs p
+         |      JOIN sk s ON s.day = p.day_a + 1)
+         |  GROUP BY day_a, h),
+         |mbk AS (
+         |  SELECT day_a, h,
+         |    row_number() OVER (PARTITION BY day_a ORDER BY h ASC) AS rn
+         |  FROM tagged),
+         |magg AS (
+         |  SELECT day_a, count(1) AS nl, max(h) AS hk
+         |  FROM mbk WHERE rn <= $KmvK GROUP BY day_a),
+         |mest AS (
+         |  SELECT day_a,
+         |    CASE WHEN nl < $KmvK THEN nl
+         |         ELSE CAST(floor(${KmvK - 1}.0 * 1152921504606846976.0
+         |                         / CAST(hk AS DOUBLE)) AS BIGINT)
+         |    END AS est_union
+         |  FROM magg)
+         |SELECT m.day_a, m.day_a + 1 AS day_b,
+         |  ea.est AS est_dau_a, eb.est AS est_dau_b, m.est_union,
+         |  greatest(0, ea.est + eb.est - m.est_union) AS est_retained,
+         |  ea.est - greatest(0, ea.est + eb.est - m.est_union)
+         |    AS est_churned,
+         |  eb.est - greatest(0, ea.est + eb.est - m.est_union) AS est_new
+         |FROM mest m JOIN dest ea ON ea.day = m.day_a
+         |            JOIN dest eb ON eb.day = m.day_a + 1
+         |ORDER BY m.day_a""".stripMargin,
     // exact quantiles over pre-scaled integer cents: interpolation at
     // exact-binary fractions is bit-exact; the .9 leg's position math is
     // the same IEEE expression in both engines, rounded far above ulp
