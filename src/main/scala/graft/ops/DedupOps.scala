@@ -545,6 +545,67 @@ object DedupOps {
           .as("f1"))
   }
 
+  /** d36: contamination blast radius — bounded-hop BFS over the verified
+    * near-dup graph from a flagged seed set: "these documents are poisoned
+    * / DMCA'd / benchmark-leaked; what else must go?" The removal set is
+    * NOT the seeds' components (d14's answer — at lake scale a giant
+    * component over-removes) and NOT the direct neighbors (chains of
+    * drifted copies escape): it is everything within k hops, here k = 3,
+    * with each doc labeled its MINIMUM hop distance.
+    *
+    * The natural corpus's near-dup components are almost all size-2, so
+    * the gate plants CHAINS (the d35 salting pattern taken one step
+    * further): for every flagged doc three successive variants
+    * (+300k/+400k/+500k), each link corrupting a DIFFERENT period-20
+    * token class — adjacent links sit at J ≈ 0.75 (edges), two-apart at
+    * J ≈ 0.55 (no shortcut edges, probed: 0 across both driver SFs), so
+    * hop distances 1, 2, 3 are real path lengths through the graph, not
+    * clique artifacts.
+    *
+    * Scale shape: edges are the production banded+verified pair set (two
+    * keyed shuffles, never all-pairs); the BFS is k bounded Pregel-style
+    * rounds — frontier ⋈ edges then a min-hop re-aggregation, each one
+    * hash shuffle on doc_id, state bounded by |reached| × k. k is a
+    * policy constant, so the whole radius costs k joins regardless of
+    * corpus size — this is how GraphFrames/Pregel would run it, without
+    * the RDD detour. Fully DuckDB-oracled: the oracle replays the BFS as
+    * a depth-bounded recursive CTE over the same replayed edge set. */
+  private def d36(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    def corrupt(df: DataFrame, idOff: Long, offset: Int, tag: String) =
+      df.select((col("doc_id") + idOff).as("doc_id"),
+        array_join(transform(TextFunctions.tokens(col("text")),
+          (t, i) => when(i % 20 === offset, concat(t, lit(tag)))
+            .otherwise(t)), " ").as("text"))
+    val flagged = base.filter(col("doc_id") % 10 === 3)
+    val va = corrupt(flagged, 300000L, 0, "_a")
+    val vb = corrupt(va, 100000L, 7, "_b")
+    val vc = corrupt(vb, 100000L, 14, "_c")
+    val hvF = cached(shingleHashFrame(
+      base.unionByName(va).unionByName(vb).unionByName(vc)))
+    val vp = bandedPairSidesOf(hvF)
+      .filter(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
+        / size(array_union(col("hv_a"), col("hv_b"))).cast("double")
+        >= 0.7)
+      .select("doc_a", "doc_b")
+    val edges = cached(
+      vp.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(vp.select(col("doc_b").as("src"),
+          col("doc_a").as("dst"))))
+    // k bounded BFS rounds; each round expands only the newest frontier
+    // and re-aggregates to min hop, so a doc reached twice keeps the
+    // shorter path and never re-expands at a larger depth
+    var dist = flagged.select(col("doc_id").as("v"), lit(0L).as("hops"))
+    for (h <- 1 to 3) {
+      val nxt = dist.filter(col("hops") === (h - 1))
+        .join(edges, col("v") === col("src"))
+        .select(col("dst").as("v"), lit(h.toLong).as("hops"))
+      dist = dist.unionByName(nxt)
+        .groupBy(col("v")).agg(min(col("hops")).as("hops"))
+    }
+    dist.select(col("v").as("doc_id"), col("hops")).orderBy("doc_id")
+  }
+
   /** d32: near-dup-cluster-aware train/test split — the PREVENTION half
     * of what d24 audits: assigning splits per DOCUMENT (q51) lets two
     * near-duplicate docs land on opposite sides of the train/eval fence,
@@ -1793,7 +1854,7 @@ object DedupOps {
     "d29_pagerank" -> d29 _, "d30_containment" -> d30 _,
     "d31_tokensort_dedup" -> d31 _, "d32_cluster_split" -> d32 _,
     "d33_source_overlap" -> d33 _, "d34_sorted_neighborhood" -> d34 _,
-    "d35_lsh_recall_eval" -> d35 _,
+    "d35_lsh_recall_eval" -> d35 _, "d36_contamination_radius" -> d36 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -2378,6 +2439,55 @@ object DedupOps {
         |  round(CAST(tp AS DOUBLE) / nullif(n_gold, 0), 6) AS recall,
         |  round(2.0 * tp / nullif(n_cand + n_gold, 0), 6) AS f1
         |FROM counts""".stripMargin),
+    // d36: the chain-salted corpus, the band->verify edge set at 0.7,
+    // and the k<=3 BFS replayed as a depth-bounded recursive CTE; UNION
+    // (not UNION ALL) bounds the recursion state at |docs| x 4 rows, and
+    // min(hops) is the BFS distance
+    "d36_contamination_radius" ->
+      (raw"""WITH RECURSIVE flag AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3),
+        |va AS (
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    array_to_string(list_transform(range(1, len(toks) + 1),
+        |      i -> CASE WHEN (i - 1) % 20 = 0 THEN toks[i] || '_a'
+        |           ELSE toks[i] END), ' ') AS text
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            t -> length(t) > 0) AS toks FROM flag) xa),
+        |vb AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(list_transform(range(1, len(toks) + 1),
+        |      i -> CASE WHEN (i - 1) % 20 = 7 THEN toks[i] || '_b'
+        |           ELSE toks[i] END), ' ') AS text
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            t -> length(t) > 0) AS toks FROM va) xb),
+        |vc AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(list_transform(range(1, len(toks) + 1),
+        |      i -> CASE WHEN (i - 1) % 20 = 14 THEN toks[i] || '_c'
+        |           ELSE toks[i] END), ' ') AS text
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            t -> length(t) > 0) AS toks FROM vb) xc),
+        |src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM va
+        |  UNION ALL SELECT doc_id, text FROM vb
+        |  UNION ALL SELECT doc_id, text FROM vc),
+        |""".stripMargin + bandChain("src", 3) + raw""",
+        |vp AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS src_id, doc_b AS dst FROM vp
+        |  UNION ALL SELECT doc_b, doc_a FROM vp),
+        |reach AS (
+        |  SELECT doc_id, 0 AS hops FROM flag
+        |  UNION
+        |  SELECT e.dst AS doc_id, r.hops + 1 AS hops
+        |  FROM reach r JOIN edges e ON e.src_id = r.doc_id
+        |  WHERE r.hops < 3)
+        |SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "d15_url_dedup" ->
       raw"""WITH u AS (
         |  SELECT doc_id,

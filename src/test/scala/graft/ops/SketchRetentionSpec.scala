@@ -122,3 +122,29 @@ class D35RecallEvalSpec extends SparkSpec {
     }
   }
 }
+
+/** d36 value checks: the BFS radius is seeded exactly (every flagged doc
+  * at hop 0, nothing else), depth-bounded, and the planted chains make
+  * hops 2 and 3 genuinely populated — multi-hop reach is measured, not
+  * assumed from the component structure. */
+class D36RadiusSpec extends SparkSpec {
+
+  test("d36 radius: exact seed set at hop 0, bounded depth, real multi-hop reach") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rep = DedupOps.queries("d36_contamination_radius")(spark, d)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val seeds = graft.Tables(spark, d, "documents")
+        .filter(col("doc_id") % 10 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val atZero = rep.filter(_._2 == 0L).map(_._1).toSet
+      assert(atZero == seeds, s"$d: hop-0 set is not exactly the seeds")
+      assert(rep.forall { case (_, h) => h >= 0 && h <= 3 },
+        s"$d: hop outside [0, 3]")
+      val byHop = rep.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(byHop.getOrElse(2L, 0) > 0 && byHop.getOrElse(3L, 0) > 0,
+        s"$d: planted chains missing from hops 2/3 ($byHop)")
+      // reached docs are unique (min-hop aggregation collapsed re-visits)
+      assert(rep.map(_._1).distinct.length == rep.length, s"$d: dup docs")
+    }
+  }
+}
