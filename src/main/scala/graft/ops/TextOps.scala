@@ -1497,6 +1497,59 @@ object TextOps {
             |    / CAST(n * n AS DOUBLE))""".stripMargin), 6).as("kappa"))
   }
 
+  /** The shared ln(2) literal of [[t40]]'s Jensen-Shannon closed form —
+    * hardcoded (not `math.log(2)`) so the Scala plan and the DuckDB
+    * oracle add the IDENTICAL double: the two engines' `ln` may disagree
+    * in the last ulp, and this constant lands OUTSIDE the per-term
+    * rounding that absorbs that divergence everywhere else. */
+  private val Ln2 = 0.6931471805599453
+
+  /** t40: per-source vocabulary drift — Jensen-Shannon divergence of
+    * each source's token distribution against the whole corpus, the
+    * categorical sibling of q145's binned PSI: "which source's LANGUAGE
+    * changed", not just its size or its numeric profile. JS (unlike KL)
+    * is finite, symmetric and bounded by ln 2, which is why corpus
+    * dashboards threshold it.
+    *
+    * Because every source's vocabulary nests inside the corpus's, the
+    * q = 0 case never occurs and the p = 0 tail has the closed form
+    * 0.5·ln2·(1 − coverage): JS_s = Σ_{t∈s} τ_t + 0.5·ln2 with
+    * τ = 0.5·(p·ln(2p/(p+q)) + q·ln(2q/(p+q)) − q·ln2) — so the gate
+    * only materializes (source, token) rows that EXIST. Per-term τ
+    * rounds at 1e-12 (τ ~ 1e-4-1e-2 per token; the engines' ln
+    * divergence sits ~1e-20) and sums as DECIMAL — exact and
+    * order-independent, the StableAgg discipline for a float sum the
+    * fixed-scale decimal canonicalization can't reach directly because
+    * of the logarithm (the cast to DECIMAL(28,12) IS the per-term
+    * rounding — one half-up step, identical in both engines).
+    *
+    * Scale shape: two keyed shuffles (token counts per source, corpus
+    * counts joined back on the token key — the t12 model-join rule:
+    * never collected, never broadcast) + one source re-aggregation.
+    * At 100 TB this is exactly the nightly source-mix drift job. */
+  private def t40(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("source"),
+      explode(tokenize(col("text"), "space")).as("token"))
+    val cst = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val ct = cst.groupBy(col("token")).agg(sum(col("c")).as("cc"))
+    val ns = cst.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s"), count(lit(1)).as("n_vocab"))
+    val tot = cst.agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n_s").cast("double")
+    val q = col("cc").cast("double") / col("n").cast("double")
+    val tau = lit(0.5) * (p * log(lit(2.0) * p / (p + q)) +
+      q * log(lit(2.0) * q / (p + q)) - q * lit(Ln2))
+    cst.join(ns, "source").join(ct, "token").crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_tokens"), first(col("n_vocab")).as("n_vocab"),
+        sum(tau.cast("decimal(28,12)")).as("tau_sum"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        round(col("tau_sum").cast("double") + lit(0.5) * lit(Ln2), 6)
+          .as("js"))
+      .orderBy("source")
+  }
+
   /** c14: FILTER-DEPLOYMENT EVALUATION LOOP — the composite a real
     * quality-filter rollout runs as ONE job, chaining the individually
     * gated eval kernels verbatim: score the corpus (t37's engineered
@@ -1734,7 +1787,7 @@ object TextOps {
     "t36_outer_generate" -> t36 _,
     "t37_ranking_auc" -> t37 _,
     "t38_calibration_bins" -> t38 _,
-    "t39_cohens_kappa" -> t39 _,
+    "t39_cohens_kappa" -> t39 _, "t40_source_divergence" -> t40 _,
     "c07_sql_udf_pipeline" -> c07 _,
     "c08_sql_pipe_pipeline" -> c08 _,
     "c10_sql_scripting" -> c10 _,
@@ -2081,6 +2134,40 @@ object TextOps {
         |             + (n01 + n00) * (n10 + n00) AS DOUBLE)
         |         / CAST(n * n AS DOUBLE)), 6) AS kappa
         |FROM c""".stripMargin,
+    // t40: per-(source, token) JS terms cast to DECIMAL(28,12) (the one
+    // half-up rounding step both engines share) and summed exactly; the
+    // p=0 tail is the closed-form 0.5*ln2*(1-coverage) folded into the
+    // final constant; 0.6931471805599453 is the SHARED ln2 literal (the
+    // engines' ln(2) may differ in the last ulp outside the per-term
+    // rounding)
+    "t40_source_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, t AS token FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |cst AS (SELECT source, token, count(1) AS c FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT token, CAST(sum(c) AS BIGINT) AS cc
+        |       FROM cst GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+        |         count(1) AS n_vocab
+        |       FROM cst GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cst),
+        |pq AS (
+        |  SELECT cst.source, ns.n_s, ns.n_vocab,
+        |    CAST(cst.c AS DOUBLE) / CAST(ns.n_s AS DOUBLE) AS p,
+        |    CAST(ct.cc AS DOUBLE) / CAST(tot.n AS DOUBLE) AS q
+        |  FROM cst JOIN ns USING (source) JOIN ct USING (token)
+        |  CROSS JOIN tot),
+        |terms AS (
+        |  SELECT source, n_s, n_vocab,
+        |    CAST(0.5 * (p * ln(2.0 * p / (p + q)) + q * ln(2.0 * q / (p + q))
+        |         - q * 0.6931471805599453) AS DECIMAL(28,12)) AS tau
+        |  FROM pq)
+        |SELECT source, n_s AS n_tokens, n_vocab,
+        |  round(CAST(sum(tau) AS DOUBLE) + 0.5 * 0.6931471805599453, 6)
+        |    AS js
+        |FROM terms GROUP BY source, n_s, n_vocab ORDER BY source""".stripMargin,
     // c13: the desugared dedup semantics re-derived — keep the min
     // doc_id of every identical-text group, then the per-source summary
     "c13_parser_extension" ->

@@ -148,3 +148,45 @@ class D36RadiusSpec extends SparkSpec {
     }
   }
 }
+
+/** t40 value checks: JS bounds (0 ≤ js ≤ ln 2) and a full independent
+  * recomputation of one source's divergence in plain Scala from the raw
+  * token counts — the decimal-summed closed form must agree with the
+  * naive full-vocabulary double sum to the output's rounding grain. */
+class T40DivergenceSpec extends SparkSpec {
+
+  test("t40: bounds hold and one source recomputes independently") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rep = TextOps.queries("t40_source_divergence")(spark, d)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(rep.nonEmpty)
+      val ln2 = 0.6931471805599453
+      rep.foreach { case (src, js) =>
+        assert(js >= 0.0 && js <= ln2, s"$d $src: js $js outside [0, ln2]")
+      }
+      // independent recompute for the lexicographically first source:
+      // naive JS over the FULL corpus vocabulary (zero-count tokens
+      // included explicitly), no decimal trick, no closed-form tail
+      val src0 = rep.keySet.min
+      val counts = graft.Tables(spark, d, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokenize(
+            col("text"), "space")).as("token"))
+        .groupBy("source", "token").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val corpus = counts.groupMapReduce(_._1._2)(_._2)(_ + _)
+      val n = corpus.values.sum.toDouble
+      val ns = counts.collect { case ((s0, _), c) if s0 == src0 => c }.sum
+        .toDouble
+      val js = corpus.map { case (tok, cc) =>
+        val p = counts.getOrElse((src0, tok), 0L) / ns
+        val q = cc / n
+        val m = (p + q) / 2.0
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          0.5 * q * math.log(q / m)
+      }.sum
+      assert(math.abs(rep(src0) - js) <= 2e-6,
+        s"$d $src0: gate ${rep(src0)} vs naive $js")
+    }
+  }
+}
