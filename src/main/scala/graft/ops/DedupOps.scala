@@ -495,13 +495,25 @@ object DedupOps {
     *
     * Scale shape: the banded side is the production candidate pass (two
     * keyed shuffles); the gold side costs Σ df² over shingle blocks —
-    * affordable at audit grain, and at lake scale the eval runs over a
-    * uniform document sample (pair inclusion p², correcting both
-    * denominators the same way), never the full corpus. The gate runs
-    * whole-corpus at the fixture SFs where gold is exact. */
+    * QUADRATIC in the worst case (a narrow vocabulary makes every doc
+    * pair share a shingle), so the eval runs over a DETERMINISTIC
+    * uniform document sample capped at audit grain: sample modulus
+    * max(1, n/1000) derived from count(*) in BOTH engines (the
+    * d23/d26 adaptive-universe pattern), docs where
+    * doc_id % mod = 0 kept, plants keyed on (doc_id DIV mod) % 10 so
+    * the salting survives any modulus. mod = 1 at the driver-gated SFs
+    * (≤1000 docs — results byte-identical to the unsampled form); past
+    * the knee the eval corpus pins at ~1000 docs + 100 plants, so gold
+    * cost is CONSTANT in corpus size — the explicit, documented cap
+    * (metrics are sample estimates there; pair inclusion p² corrects
+    * both the numerators and denominators identically, which is why
+    * precision/recall remain unbiased). */
   private def d35(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), col("text"))
-    val variants = base.filter(col("doc_id") % 10 === 3)
+    val sampleMod = math.max(1L, docs(s, d).count() / 1000L)
+    val base = docs(s, d).filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"), col("text"))
+    val variants = base
+      .filter(expr(s"(doc_id DIV $sampleMod) % 10 = 3"))
       .select((col("doc_id") + 200000L).as("doc_id"),
         array_join(transform(TextFunctions.tokens(col("text")),
           (t, i) => when(i % 10 === 0, concat(t, lit("_x"))).otherwise(t)),
@@ -2401,13 +2413,20 @@ object DedupOps {
         |  CAST(dist AS BIGINT) AS dist
         |FROM pairs WHERE dist BETWEEN 1 AND 2
         |ORDER BY id_a, id_b""".stripMargin,
-    // d35: the salted corpus (period-10 token corruption on every
-    // doc_id%10=3 doc), the band chain replayed over it for the candidate
+    // d35: the sample-bounded salted corpus (sample modulus
+    // max(1, n/1000) — the d26 count-derived-universe pattern; plants =
+    // period-10 token corruption on every (doc_id // mod) % 10 = 3
+    // sampled doc), the band chain replayed over it for the candidate
     // side, and gold enumerated completely via shared-shingle blocking +
     // the exact set verify at θ=0.5; f1 = 2·tp/(n_cand+n_gold)
     "d35_lsh_recall_eval" ->
-      (raw"""WITH src AS (
-        |  SELECT doc_id, text FROM documents
+      (raw"""WITH smod AS (
+        |  SELECT greatest(1, (SELECT count(*) FROM documents) // 1000)
+        |    AS m),
+        |sdocs AS (
+        |  SELECT doc_id, text FROM documents, smod WHERE doc_id % m = 0),
+        |src AS (
+        |  SELECT doc_id, text FROM sdocs
         |  UNION ALL
         |  SELECT doc_id + 200000,
         |    array_to_string(list_transform(range(1, len(toks) + 1),
@@ -2416,7 +2435,7 @@ object DedupOps {
         |  FROM (SELECT doc_id,
         |          list_filter(string_split_regex(text, '\s+'),
         |            t -> length(t) > 0) AS toks
-        |        FROM documents WHERE doc_id % 10 = 3) vsrc),
+        |        FROM sdocs, smod WHERE (doc_id // m) % 10 = 3) vsrc),
         |""".stripMargin + bandChain("src", 3) + raw""",
         |ex AS (SELECT doc_id, unnest(hv) AS uh FROM hv),
         |gpairs AS (
