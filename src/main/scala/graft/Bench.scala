@@ -83,6 +83,11 @@ object Bench {
     // whole RAG family incl. t25/t30), d29 (iterative pagerank loop +
     // convergence machinery, also covers d14/v09), q126 (ANALYZE/CBO
     // path), t19 (bigram LM join shapes).
+    // Third r16 batch: the round's four new gates — d36 (transform-with-
+    // index corruption lambdas + the bounded-BFS join loop; REPS=1 read
+    // 3.3x its median cold), q146 (TopKAgg sketch persist/reload +
+    // pair-window shapes), d35 (sampled eval — mostly shares d36's
+    // kernels), t40 (decimal-summed ln terms).
     Seq("q01_pricing_summary", "q12_window_rank", "d09_minhash_md5",
       "d03_minhash_candidates", "q22_json_extract", "v01_knn_brute",
       "d15_url_dedup", "v03_embed_neardup", "g05_stream_flagship",
@@ -91,7 +96,9 @@ object Bench {
       "e19_xml_roundtrip", "e26_orc_roundtrip", "e16_csv_roundtrip",
       "q86_variant_extract", "v14_pq_adc",
       "t31_langid_ngram", "t24_rag_retrieval", "d29_pagerank",
-      "q126_cbo_join_reorder", "t19_bigram_logprob").foreach { name =>
+      "q126_cbo_join_reorder", "t19_bigram_logprob",
+      "d36_contamination_radius", "q146_sketch_retention",
+      "d35_lsh_recall_eval", "t40_source_divergence").foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
