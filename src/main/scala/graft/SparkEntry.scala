@@ -46,7 +46,8 @@ object SparkEntry {
         "g14_harsh_events" -> ((s, d) => geotab.GeotabSynth.harshEventsQuery(s, d)),
         "g15_daily_distance" -> ((s, d) => geotab.GeotabSynth.dailyDistanceQuery(s, d)),
         "g16_zone_transitions" -> ((s, d) => geotab.GeotabSynth.zoneTransitionsQuery(s, d)),
-        "g17_polygon_fence" -> ((s, d) => geotab.GeotabSynth.polygonFenceQuery(s, d)))
+        "g17_polygon_fence" -> ((s, d) => geotab.GeotabSynth.polygonFenceQuery(s, d)),
+        "g18_http_transport" -> ((s, d) => geotab.GeotabSynth.httpConnectorFlagship(s, d)))
 
   def oracleSql: Map[String, String] =
     ops.AuditOps.oracle ++
@@ -81,5 +82,9 @@ object SparkEntry {
         "g14_harsh_events" -> geotab.GeotabSynth.harshEventsOracleSql,
         "g15_daily_distance" -> geotab.GeotabSynth.dailyDistanceOracleSql,
         "g16_zone_transitions" -> geotab.GeotabSynth.zoneTransitionsOracleSql,
-        "g17_polygon_fence" -> geotab.GeotabSynth.polygonFenceOracleSql)
+        "g17_polygon_fence" -> geotab.GeotabSynth.polygonFenceOracleSql,
+        // same oracle again: g18 is the flagship ingested over real HTTP
+        // (HttpGeotabClient → local JSON-RPC facade), the production
+        // transport inside the correctness gate
+        "g18_http_transport" -> geotab.GeotabSynth.flagshipOracleSql)
 }

@@ -128,6 +128,51 @@ object GeotabSynth {
     } finally graft.sources.geotab.GeotabClients.unregister(clientName)
   }
 
+  /** g18: the flagship pipeline ingested through the PRODUCTION transport —
+    * [[graft.sources.geotab.HttpGeotabClient]] speaking real JSON-RPC over
+    * HTTP to a local facade ([[graft.sources.geotab.GeotabRpcFacade]])
+    * fronting the same fixture entities as g02. The scan's `client` option
+    * is the facade's URL, so resolution runs the production fallback in
+    * [[graft.sources.geotab.GeotabClients.apply]] (construct-from-URL, the
+    * deployment path, task.ts:326-355's login → Get loop): Authenticate,
+    * the validate-on-use session probe, the typed `search` payloads
+    * (isDriver / excludeUntrackedAssets booleans), bounded 503
+    * retry/backoff (one planted 503 per run), and FAILFAST deserialize all
+    * execute over the wire inside this gate — and the result hash-matches
+    * the same DuckDB oracle as g01/g02. */
+  def httpConnectorFlagship(spark: SparkSession, sfDir: String): DataFrame =
+    httpConnectorFlagship(spark, sfDir, _ => ())
+
+  /** `inspect` receives the live facade after the read completes (before
+    * teardown) — the seam the transport-gate spec uses to assert the
+    * planted 503 was actually served and retried through. */
+  def httpConnectorFlagship(spark: SparkSession, sfDir: String,
+      inspect: graft.sources.geotab.GeotabRpcFacade => Unit): DataFrame = {
+    import graft.sources.geotab.{GeotabClients, GeotabRpcFacade}
+    val facade = new GeotabRpcFacade(buildFixtureClient(spark, sfDir))
+    facade.start()
+    // the FIRST wire request 503s, so every gate run rides the transport's
+    // bounded-retry/backoff path (the g09 submit-sink treatment applied to
+    // the ingest side)
+    facade.failNextRequests(1)
+    try {
+      val url = facade.url
+      val infoDf = normalizeInfo(connectorRead(spark, url, "deviceInfo"))
+      val features = GeotabPipeline.featuresFlat(
+        connectorDevices(spark, url), infoDf,
+        connectorDrivers(spark, url), flagshipConfig(spark, sfDir))
+      // materialize while the facade is up (the plan is lazy); fleet-sized
+      val out = graft.ops.ExportOps.localize(features).orderBy("id")
+      inspect(facade)
+      out
+    } finally {
+      facade.stop()
+      // drop the memoized per-URL HttpGeotabClient — the port is
+      // per-invocation, so a leaked entry is never reclaimed by reuse
+      GeotabClients.unregister(facade.url)
+    }
+  }
+
   /** Build and register the fixture-backed API client whose payloads are
     * generated from the same parquet-derived entities as [[flagship]]. The
     * driver-side collects here construct the **test double's API payloads**,
@@ -135,7 +180,18 @@ object GeotabSynth {
     * (task.ts:145-218). */
   def registerFixtureClient(spark: SparkSession, sfDir: String,
                             clientName: String): graft.sources.geotab.InMemoryGeotabClient = {
-    import graft.sources.geotab.{GeotabClients, InMemoryGeotabClient}
+    val client = buildFixtureClient(spark, sfDir)
+    graft.sources.geotab.GeotabClients.register(clientName, client)
+    client
+  }
+
+  /** The fixture client WITHOUT registry registration — the g18 HTTP gate
+    * fronts it with [[graft.sources.geotab.GeotabRpcFacade]] instead, so
+    * only the facade's URL (resolving to a real [[graft.sources.geotab.HttpGeotabClient]])
+    * is ever visible to the scan. */
+  def buildFixtureClient(spark: SparkSession,
+                         sfDir: String): graft.sources.geotab.InMemoryGeotabClient = {
+    import graft.sources.geotab.InMemoryGeotabClient
     val users = drivers(spark, sfDir).collect().toSeq.map { r =>
       Map[String, Any](
         "id" -> r.getAs[String]("id"), "name" -> r.getAs[String]("name"),
@@ -154,10 +210,7 @@ object GeotabSynth {
         "licensePlate" -> r.getAs[String]("licensePlate"),
         "name" -> r.getAs[String]("name"))
     }
-    val client = new InMemoryGeotabClient(users, devs,
-      infoPayloads(info(spark, sfDir)))
-    GeotabClients.register(clientName, client)
-    client
+    new InMemoryGeotabClient(users, devs, infoPayloads(info(spark, sfDir)))
   }
 
   /** Raw DeviceStatusInfo API payloads from an info frame: ISO dateTime,
