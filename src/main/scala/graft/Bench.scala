@@ -33,6 +33,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedOptimizerRules)
+      .config("spark.sql.streaming.checkpointFileManagerClass", GraftSession.LocalCheckpointManager)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -37,6 +37,14 @@ object GraftSession {
   val ExcludedOptimizerRules: String =
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
+  /** Fork-free local checkpoint I/O ([[streaming.LocalCheckpointFileManager]]):
+    * without native Hadoop libs, the stock manager's every file create
+    * shells out to `chmod` (~40 ms/file measured on tmpfs); this NIO
+    * manager makes local `file:` checkpoints ~0.04 ms/write and delegates
+    * any non-local scheme to the stock manager untouched. */
+  val LocalCheckpointManager: String =
+    "graft.streaming.LocalCheckpointFileManager"
+
   def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
               shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
       : SparkSession.Builder =
@@ -48,6 +56,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ui.explainMode", "formatted")
       .config("spark.sql.optimizer.excludedRules", ExcludedOptimizerRules)
+      .config("spark.sql.streaming.checkpointFileManagerClass", LocalCheckpointManager)
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

@@ -11,6 +11,7 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedOptimizerRules)
+      .config("spark.sql.streaming.checkpointFileManagerClass", GraftSession.LocalCheckpointManager)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,7 @@ object StreamProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedOptimizerRules)
+      .config("spark.sql.streaming.checkpointFileManagerClass", GraftSession.LocalCheckpointManager)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -30,8 +31,10 @@ object StreamProbe {
           override def onQueryProgress(e: org.apache.spark.sql.streaming
               .StreamingQueryListener.QueryProgressEvent): Unit = {
             val p = e.progress
+            val so = p.stateOperators.map(s =>
+              s"${s.operatorName}{upd=${s.allUpdatesTimeMs}, rm=${s.allRemovalsTimeMs}, commit=${s.commitTimeMs}, rows=${s.numRowsTotal}, shards=${s.numShufflePartitions}}").mkString(" ")
             println(s"[progress] batch=${p.batchId} rows=${p.numInputRows} " +
-              s"durations=${p.durationMs}")
+              s"durations=${p.durationMs} state=[$so]")
           }
           override def onQueryTerminated(e: org.apache.spark.sql.streaming
               .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
