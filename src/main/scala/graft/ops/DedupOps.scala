@@ -642,6 +642,145 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** d37: per-escape-class recall of the fuzzy-dedup blocking topologies —
+    * the d35 measurement discipline applied to d23/d26: instead of PROSE
+    * caveats ("edits inside the first 6 chars escape the prefix block"),
+    * the gate PLANTS one gold variant per class and reports each
+    * pipeline's measured recall per class. Classes (each a deterministic
+    * corruption of a unique, length-canonicalized title — padded to
+    * length ≡ 1 mod 4 so class membership, not length accidents,
+    * determines the outcome):
+    *   - `tail`      last char dropped (dist 1): inside d23's single
+    *     prefix block — BOTH pipelines must catch it;
+    *   - `head`      char prepended (dist 1): provably escapes the prefix
+    *     pass (the key shifts), caught only by d26's suffix pass;
+    *   - `straddle`  last TWO chars dropped (dist 2): prefix matches but
+    *     length crosses the `DIV 4` bucket — escapes d23's exact-bucket
+    *     join, caught only by the ±1 probe;
+    *   - `both_ends` prepend + tail drop (dist 2, length unchanged): BOTH
+    *     block keys shift — the documented residual escape of the
+    *     two-pass design, measured at recall 0 instead of argued.
+    * Titles embed the raw doc_id (unique per doc), so gold pairs are
+    * exact by construction and block density stays bounded by the
+    * id-digit granularity at every SF; the blocking key length ramps with
+    * the corpus exactly like d26. Recall only — candidate PRECISION is
+    * d35's measurement; base-title near-collisions ('…-12 item…' vs
+    * '…-13 item…') are legitimate candidates, not eval noise.
+    *
+    * Scale shape: both pipelines are the production fuzzyPairs kernel
+    * (per-block quadratic, two key shuffles, never corpus-quadratic);
+    * gold is planted, not enumerated — nothing here is quadratic, so the
+    * eval runs UNSAMPLED at any SF. */
+  private def d37(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val padded = docs(s, d)
+      .select(id, concat(col("source"), lit("-"), id.cast("string"),
+        lit(" item record")).as("tb"))
+      .select(id, concat(col("tb"),
+        expr("repeat('p', (1 - (length(tb) % 4) + 4) % 4)")).as("title"))
+    val variants = padded.filter(id % 10 >= 1 && id % 10 <= 4)
+      .select((id + 400000L).as("doc_id"),
+        when(id % 10 === 1, expr("substring(title, 1, length(title) - 1)"))
+          .when(id % 10 === 2, concat(lit("q"), col("title")))
+          .when(id % 10 === 3, expr("substring(title, 1, length(title) - 2)"))
+          .otherwise(concat(lit("q"),
+            expr("substring(title, 1, length(title) - 1)"))).as("title"),
+        when(id % 10 === 1, lit("tail")).when(id % 10 === 2, lit("head"))
+          .when(id % 10 === 3, lit("straddle"))
+          .otherwise(lit("both_ends")).as("class"))
+    val titled = padded.select(id, col("title"))
+      .unionByName(variants.select(id, col("title")))
+    val nDocs = docs(s, d).count()
+    val keyLen = // d26's corpus-ramped key length, same at both call sites
+      math.min(12, 6 + math.max(0, (nDocs / 1000L).toString.length - 1))
+    val gold = variants.select((id - 400000L).as("id_a"), id.as("id_b"),
+      col("class"))
+    def recallOf(label: String, pairs: DataFrame): DataFrame =
+      gold.join(pairs, Seq("id_a", "id_b"), "left")
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_gold"), count(col("dist")).as("n_caught"))
+        .select(lit(label).as("pipeline"), col("class"), col("n_gold"),
+          col("n_caught"),
+          round(col("n_caught").cast("double") / col("n_gold"), 6).as("recall"))
+    recallOf("single_pass",
+        fuzzyPairs(titled, Seq("pfx"), keyLen, adjacentProbes = false))
+      .unionByName(recallOf("multi_pass", fuzzyPairs(titled, keyLen = keyLen)))
+      .orderBy("pipeline", "class")
+  }
+
+  /** d38: containment recall below the band-collision floor — d30's
+    * documented caveat ("a containment pair whose MinHash signatures
+    * never collide is invisible to this pass") turned into a measurement,
+    * plus the production fix measured next to it. Plants: every 10th
+    * sufficiently long doc contributes a SNIPPET (its first fifth,
+    * ≥ 3 tokens) — containment exactly 1.0 by the prefix-shingle subset
+    * property, Jaccard ≈ |snip|/|doc| ≈ 0.15, far below the 4×2 banding's
+    * reliable zone (collision ≈ 1-(1-J²)⁴ ≈ 0.09 there). Methods:
+    *   - `resemblance_bands`: d30's candidate generator (the d10 bands)
+    *     — measured recall ~0.06-0.12, the number the caveat was hiding;
+    *   - `prefix_filter`: the similarity-join prefix-filtering principle
+    *     at containment θ→1: each doc probes its single SMALLEST shingle
+    *     hash against an inverted shingle index — a true subset must
+    *     contain the subset's minimum, so planted recall is 1.0 by
+    *     construction AND measured.
+    * Output also carries the gold pairs' avg Jaccard and min containment,
+    * pinning that the eval really sits in the high-containment/low-J
+    * regime.
+    *
+    * Scale shape: the inverted index is one shingle explode (the d33
+    * topology, linear in corpus shingles) and the probe side is ONE key
+    * per doc; candidate volume is bounded by the df of min-shingles — a
+    * production deployment caps probe-shingle df (dropping
+    * stopword-shingle anchors costs only pairs whose entire overlap is
+    * stopwords). Gold is planted, never enumerated — nothing quadratic. */
+  private def d38(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val snips = base.filter(col("doc_id") % 10 === 5 && size(col("toks")) >= 15)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat_ws(" ", slice(col("toks"), lit(1),
+          greatest(lit(3), expr("size(toks) DIV 5")))).as("text"))
+    val hvF = cached(shingleHashFrame(
+      docs(s, d).select(col("doc_id"), col("text")).unionByName(snips)))
+    val banded = bandFrame(hvF)
+    val cand = banded
+      .select(col("band_idx"), col("band"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band_idx"), col("band"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val probe = hvF.select(col("doc_id").as("p_id"), array_min(col("hv")).as("h"))
+    val inv = hvF.select(col("doc_id").as("i_id"), explode(col("hv")).as("h"))
+    val pf = probe.join(inv, "h").filter(col("p_id") =!= col("i_id"))
+      .select(least(col("p_id"), col("i_id")).as("doc_a"),
+        greatest(col("p_id"), col("i_id")).as("doc_b"))
+      .distinct()
+    val gold = snips.select((col("doc_id") - 500000L).as("doc_a"),
+      col("doc_id").as("doc_b"))
+    val gstats = gold
+      .join(hvF.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
+      .join(hvF.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
+      .select(
+        (size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+          size(array_distinct(concat(col("hv_a"), col("hv_b")))).cast("double"))
+          .as("jaccard"),
+        (size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+          size(array_distinct(col("hv_b"))).cast("double")).as("cont_b"))
+      .agg(round(avg(col("jaccard")), 6).as("gold_avg_jaccard"),
+        round(min(col("cont_b")), 6).as("gold_min_containment"))
+    def recallOf(label: String, pairs: DataFrame): DataFrame =
+      gold.join(pairs.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_gold"), count(col("hit")).as("n_caught"))
+        .select(lit(label).as("method"), col("n_gold"), col("n_caught"),
+          round(col("n_caught").cast("double") /
+            when(col("n_gold") === 0, lit(null)).otherwise(col("n_gold")), 6)
+            .as("recall"))
+    recallOf("resemblance_bands", cand)
+      .unionByName(recallOf("prefix_filter", pf))
+      .crossJoin(gstats)
+      .orderBy("method")
+  }
+
   /** Near-dup candidates + exact verify, oracle-checkable end-to-end — the
     * fully-portable twin of d05. */
   private def d10(s: SparkSession, d: String): DataFrame =
@@ -1136,16 +1275,23 @@ object DedupOps {
     * count (see d26) so blocks don't densify with scale. */
   def fuzzyPairs(titledIn: DataFrame,
                  passes: Seq[String] = Seq("pfx", "sfx"),
-                 keyLen: Int = 6): DataFrame = {
+                 keyLen: Int = 6,
+                 adjacentProbes: Boolean = true): DataFrame = {
     val titled = cached(titledIn.select(col("doc_id"), col("title"),
       substring(col("title"), 1, keyLen).as("pfx"),
       expr(s"substring(title, greatest(length(title) - ${keyLen - 1}, 1), " +
         s"$keyLen)").as("sfx"),
       expr("length(title) DIV 4").as("lenb")))
     def pass(key: String) = {
+      // adjacentProbes=false degrades to the exact-bucket single-probe
+      // form (d23's topology) — the d37 recall eval runs both to MEASURE
+      // what the ±1 probing buys
+      val probes =
+        if (adjacentProbes) array(col("lenb") - 1, col("lenb"), col("lenb") + 1)
+        else array(col("lenb"))
       val a = titled
-        .select(col(key).as("k"), col("doc_id").as("id_a"), explode(array(
-          col("lenb") - 1, col("lenb"), col("lenb") + 1)).as("probe"))
+        .select(col(key).as("k"), col("doc_id").as("id_a"),
+          explode(probes).as("probe"))
       val b = titled.select(col(key).as("k"), col("lenb").as("probe"),
         col("doc_id").as("id_b"))
       a.join(b, Seq("k", "probe"))
@@ -1867,6 +2013,7 @@ object DedupOps {
     "d31_tokensort_dedup" -> d31 _, "d32_cluster_split" -> d32 _,
     "d33_source_overlap" -> d33 _, "d34_sorted_neighborhood" -> d34 _,
     "d35_lsh_recall_eval" -> d35 _, "d36_contamination_radius" -> d36 _,
+    "d37_fuzzy_recall_eval" -> d37 _, "d38_containment_recall_eval" -> d38 _,
     "e06_index_compaction" -> e06 _,
     "d15_url_dedup" -> d15 _, "d16_incremental_dedup" -> d16 _,
     "d09_minhash_md5" -> d09 _, "d10_jaccard_blocked" -> d10 _,
@@ -2458,6 +2605,119 @@ object DedupOps {
         |  round(CAST(tp AS DOUBLE) / nullif(n_gold, 0), 6) AS recall,
         |  round(2.0 * tp / nullif(n_cand + n_gold, 0), 6) AS f1
         |FROM counts""".stripMargin),
+    // d37: the padded unique-title universe, the four planted corruption
+    // classes, and BOTH blocking topologies replayed relationally — the
+    // exact-bucket prefix join (single_pass) and the pfx∪sfx passes with
+    // the ±1 length probe as a BETWEEN condition (multi_pass)
+    "d37_fuzzy_recall_eval" ->
+      """WITH tb0 AS (
+        |  SELECT doc_id, source || '-' || doc_id || ' item record' AS tb
+        |  FROM documents),
+        |padded AS (
+        |  SELECT doc_id,
+        |    tb || repeat('p', (1 - (length(tb) % 4) + 4) % 4) AS title
+        |  FROM tb0),
+        |variants AS (
+        |  SELECT doc_id + 400000 AS doc_id,
+        |    CASE WHEN doc_id % 10 = 1 THEN substring(title, 1, length(title) - 1)
+        |         WHEN doc_id % 10 = 2 THEN 'q' || title
+        |         WHEN doc_id % 10 = 3 THEN substring(title, 1, length(title) - 2)
+        |         ELSE 'q' || substring(title, 1, length(title) - 1) END AS title,
+        |    CASE doc_id % 10 WHEN 1 THEN 'tail' WHEN 2 THEN 'head'
+        |         WHEN 3 THEN 'straddle' ELSE 'both_ends' END AS class
+        |  FROM padded WHERE doc_id % 10 IN (1, 2, 3, 4)),
+        |titled AS (
+        |  SELECT doc_id, title FROM padded
+        |  UNION ALL SELECT doc_id, title FROM variants),
+        |kl AS (
+        |  SELECT least(12, 6 + greatest(0,
+        |    length(CAST((SELECT count(*) FROM documents) // 1000 AS VARCHAR))
+        |      - 1)) AS k),
+        |blocked AS (
+        |  SELECT doc_id, title, substring(title, 1, k) AS pfx,
+        |    substring(title, greatest(length(title) - k + 1, 1), k) AS sfx,
+        |    length(title) // 4 AS lenb
+        |  FROM titled, kl),
+        |p23 AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM blocked a JOIN blocked b
+        |    ON a.pfx = b.pfx AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+        |  WHERE levenshtein(a.title, b.title) BETWEEN 1 AND 2),
+        |p26 AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      a.title AS ta, b.title AS tb2
+        |    FROM blocked a JOIN blocked b
+        |      ON a.pfx = b.pfx AND b.lenb BETWEEN a.lenb - 1 AND a.lenb + 1
+        |      AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT a.doc_id, b.doc_id, a.title, b.title
+        |    FROM blocked a JOIN blocked b
+        |      ON a.sfx = b.sfx AND b.lenb BETWEEN a.lenb - 1 AND a.lenb + 1
+        |      AND a.doc_id < b.doc_id) u
+        |  WHERE levenshtein(ta, tb2) BETWEEN 1 AND 2),
+        |gold AS (
+        |  SELECT doc_id - 400000 AS id_a, doc_id AS id_b, class FROM variants),
+        |m AS (
+        |  SELECT 'single_pass' AS pipeline, g.class,
+        |    count(1) AS n_gold, count(p.id_a) AS n_caught
+        |  FROM gold g LEFT JOIN p23 p ON g.id_a = p.id_a AND g.id_b = p.id_b
+        |  GROUP BY g.class
+        |  UNION ALL
+        |  SELECT 'multi_pass', g.class, count(1), count(p.id_a)
+        |  FROM gold g LEFT JOIN p26 p ON g.id_a = p.id_a AND g.id_b = p.id_b
+        |  GROUP BY g.class)
+        |SELECT pipeline, class, n_gold, n_caught,
+        |  round(CAST(n_caught AS DOUBLE) / n_gold, 6) AS recall
+        |FROM m ORDER BY pipeline, class""".stripMargin,
+    // d38: the snippet-salted corpus, d30's band candidates, and the
+    // min-shingle prefix-filter pass replayed over the same hv sets;
+    // gold metrics pin the high-containment/low-J regime
+    "d38_containment_recall_eval" ->
+      (raw"""WITH toks0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |snips AS (
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    array_to_string(
+        |      list_slice(toks, 1, greatest(3, len(toks) // 5)), ' ') AS text
+        |  FROM toks0 WHERE doc_id % 10 = 5 AND len(toks) >= 15),
+        |src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM snips),
+        |""".stripMargin + bandChain("src", 3) + raw""",
+        |gold AS (
+        |  SELECT doc_id - 500000 AS doc_a, doc_id AS doc_b FROM snips),
+        |gstats AS (
+        |  SELECT
+        |    CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE) /
+        |      CAST(len(list_distinct(ha.hv || hb.hv)) AS DOUBLE) AS jaccard,
+        |    CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE) /
+        |      CAST(len(list_distinct(hb.hv)) AS DOUBLE) AS cont_b
+        |  FROM gold g JOIN hv ha ON ha.doc_id = g.doc_a
+        |              JOIN hv hb ON hb.doc_id = g.doc_b),
+        |probe AS (SELECT doc_id, list_aggregate(hv, 'min') AS h FROM hv),
+        |inv AS (SELECT doc_id, unnest(hv) AS h FROM hv),
+        |pf AS (
+        |  SELECT DISTINCT least(p.doc_id, i.doc_id) AS doc_a,
+        |    greatest(p.doc_id, i.doc_id) AS doc_b
+        |  FROM probe p JOIN inv i ON p.h = i.h AND p.doc_id <> i.doc_id),
+        |m AS (
+        |  SELECT 'resemblance_bands' AS method, count(1) AS n_gold,
+        |    count(c.doc_a) AS n_caught
+        |  FROM gold g LEFT JOIN cpairs c
+        |    ON g.doc_a = c.doc_a AND g.doc_b = c.doc_b
+        |  UNION ALL
+        |  SELECT 'prefix_filter', count(1), count(p.doc_a)
+        |  FROM gold g LEFT JOIN pf p
+        |    ON g.doc_a = p.doc_a AND g.doc_b = p.doc_b)
+        |SELECT method, n_gold, n_caught,
+        |  round(CAST(n_caught AS DOUBLE) / nullif(n_gold, 0), 6) AS recall,
+        |  (SELECT round(avg(jaccard), 6) FROM gstats) AS gold_avg_jaccard,
+        |  (SELECT round(min(cont_b), 6) FROM gstats) AS gold_min_containment
+        |FROM m ORDER BY method""".stripMargin),
     // d36: the chain-salted corpus, the band->verify edge set at 0.7,
     // and the k<=3 BFS replayed as a depth-bounded recursive CTE; UNION
     // (not UNION ALL) bounds the recursion state at |docs| x 4 rows, and

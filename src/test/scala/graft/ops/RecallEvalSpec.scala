@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins the measured bounds of the d37/d38 recall evaluations at two SFs —
+  * the values the gates' scaladoc claims (class separation in d37, the
+  * band-collision floor and the prefix-filter guarantee in d38) asserted
+  * as numbers, so a kernel change that silently degrades a topology's
+  * recall fails HERE with the class named, not as an opaque oracle-hash
+  * mismatch. */
+class RecallEvalSpec extends SparkSpec {
+
+  private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+  test("d37: blocking topologies separate the planted corruption classes") {
+    for (sf <- sfs) {
+      val rows = DedupOps.queries("d37_fuzzy_recall_eval")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(4))).toMap
+      for (((pipeline, clazz), (nGold, _)) <- rows)
+        assert(nGold > 0, s"$sf: empty gold class $pipeline/$clazz")
+      def recall(p: String, c: String) = rows((p, c))._2
+      // the single prefix/exact-bucket pass: tail edits only
+      assert(recall("single_pass", "tail") == 1.0, s"$sf single_pass tail")
+      assert(recall("single_pass", "head") == 0.0, s"$sf single_pass head")
+      assert(recall("single_pass", "straddle") == 0.0, s"$sf single_pass straddle")
+      // the multi-pass closes head (suffix block) and straddle (±1 probe)
+      assert(recall("multi_pass", "tail") == 1.0, s"$sf multi_pass tail")
+      assert(recall("multi_pass", "head") == 1.0, s"$sf multi_pass head")
+      assert(recall("multi_pass", "straddle") == 1.0, s"$sf multi_pass straddle")
+      // the documented residual escape, MEASURED at zero for both
+      assert(recall("single_pass", "both_ends") == 0.0)
+      assert(recall("multi_pass", "both_ends") == 0.0, s"$sf both_ends")
+    }
+  }
+
+  test("d38: containment recall sits at the band floor; prefix filter closes it") {
+    for (sf <- sfs) {
+      val rows = DedupOps.queries("d38_containment_recall_eval")(spark, sf)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      val (nGold, bandRecall, avgJ, minCont) = rows("resemblance_bands")
+      assert(nGold > 0)
+      // the eval regime: true subsets (containment exactly 1.0) whose
+      // Jaccard sits far below the 4x2 banding's reliable zone
+      assert(minCont == 1.0, s"$sf: planted snippets must be true subsets")
+      assert(avgJ < 0.25, s"$sf: gold avg Jaccard $avgJ not below band zone")
+      // resemblance bands at J~0.15: collision ~ 1-(1-J^2)^4 ~ 0.09 —
+      // bounded loosely so hash-mix changes don't flake the pin, but a
+      // recall CLAIM (>=0.5) or a dead generator (0 with 20+ gold pairs)
+      // both fail
+      assert(bandRecall < 0.3, s"$sf: band recall $bandRecall not at the floor")
+      val (_, pfRecall, _, _) = rows("prefix_filter")
+      assert(pfRecall == 1.0,
+        s"$sf: prefix filter must catch every true subset, got $pfRecall")
+    }
+  }
+}
