@@ -46,7 +46,12 @@ object SessionGates {
     * prior 8-instance fixed cost; at production scale
     * `spark.sql.shuffle.partitions` is sized to load, exactly as the
     * serving-table `nPart` note on q98 says. */
-  private[graft] val StreamShuffleParts = "2"
+  /** Overridable via -Dgraft.stream.shuffle.partitions so the
+    * partition-invariance sweep (PartitionInvarianceSpec) can vary the
+    * STATE shard count, not just the session default — the sweep's claim
+    * is that results are a pure function of the data at any parallelism. */
+  private[graft] def StreamShuffleParts: String =
+    sys.props.getOrElse("graft.stream.shuffle.partitions", "2")
 
   /** The q89 exception to [[StreamShuffleParts]]: the timer gate's
     * addBatch is CPU-bound REAL work (per-session timer
@@ -58,7 +63,8 @@ object SessionGates {
     * small SFs). Exactly the "size partitions to load" note made
     * concrete: partition count follows the operator's work profile, not
     * a global constant. */
-  private[graft] val TimerShuffleParts = "8"
+  private[graft] def TimerShuffleParts: String =
+    sys.props.getOrElse("graft.stream.shuffle.partitions", "8")
 
   /** [[TimerShuffleParts]], corpus-sized (r16): past the bench SF the
     * per-event processor cost dominates even the 8-way split (the sf1
