@@ -15,12 +15,20 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
     args.tail.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { i =>
+        metrics.start(s"$name#$i")
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
-        println(f"[time] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+        val dt = (System.nanoTime() - t0) / 1e9
+        metrics.finish()
+        println(f"[time] $name run$i: $dt%.2fs rows=$n " +
+          s"shuffle_bytes=${metrics.shuffleBytes(s"$name#$i")} " +
+          s"shuffle_recs=${metrics.shuffleRecords(s"$name#$i")} " +
+          s"rows_read=${metrics.rowsRead(s"$name#$i")}")
       }
     }
     spark.stop()
