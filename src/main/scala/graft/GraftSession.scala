@@ -45,6 +45,14 @@ object GraftSession {
   val LocalCheckpointManager: String =
     "graft.streaming.LocalCheckpointFileManager"
 
+  /** Fork-free local DATA file I/O ([[NioLocalFileSystem]]): the same
+    * no-native-libs chmod fork hits every local file Hadoop creates
+    * (parquet part files, task temps, staged exports) through
+    * `RawLocalFileSystem.setPermission`; this binding applies identical
+    * mode bits via java.nio. `file` scheme only — cluster storage
+    * schemes are untouched. */
+  val LocalFsImpl: String = "graft.NioLocalFileSystem"
+
   def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
               shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
       : SparkSession.Builder =
@@ -57,6 +65,7 @@ object GraftSession {
       .config("spark.sql.ui.explainMode", "formatted")
       .config("spark.sql.optimizer.excludedRules", ExcludedOptimizerRules)
       .config("spark.sql.streaming.checkpointFileManagerClass", LocalCheckpointManager)
+      .config("spark.hadoop.fs.file.impl", LocalFsImpl)
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

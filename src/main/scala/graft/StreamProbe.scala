@@ -19,6 +19,7 @@ object StreamProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedOptimizerRules)
       .config("spark.sql.streaming.checkpointFileManagerClass", GraftSession.LocalCheckpointManager)
+      .config("spark.hadoop.fs.file.impl", GraftSession.LocalFsImpl)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

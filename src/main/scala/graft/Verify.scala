@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedOptimizerRules)
       .config("spark.sql.streaming.checkpointFileManagerClass", GraftSession.LocalCheckpointManager)
+      .config("spark.hadoop.fs.file.impl", GraftSession.LocalFsImpl)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -38,7 +38,15 @@ object Relational {
         StableAgg.moneySum(col("l_quantity")).as("sum_qty"),
         StableAgg.moneySum(col("l_extendedprice")).as("sum_base_price"),
         StableAgg.scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
-        StableAgg.scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 8).as("sum_charge"),
+        // scale 6, not 8: the EXACT 3-factor product of 2-decimal money
+        // columns has ≤6 decimal digits, so 6 is already exact — and the
+        // wider scale was a live bug: the double product carries ~ulp
+        // (≈1e-11 at 1e5) noise, and rounding THAT to 8 digits lands on
+        // engine-specific sides of the tie (Spark rounds the shortest
+        // decimal rendering, DuckDB the binary value; one sf0.1 row pair
+        // diverged). At 6 digits the half-step (5e-7) dwarfs the noise,
+        // so both engines recover the identical exact decimal per term.
+        StableAgg.scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
         StableAgg.moneyAvg(col("l_quantity")).as("avg_qty"),
         StableAgg.moneyAvg(col("l_extendedprice")).as("avg_price"),
         StableAgg.moneyAvg(col("l_discount")).as("avg_disc"),
@@ -4233,7 +4241,7 @@ object Relational {
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_price,
         | CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_disc,

@@ -1302,9 +1302,19 @@ object SessionGates {
       // cascade (join flush → per-purchase agg close → hourly close)
       val slices: Seq[DataFrame] =
         Seq(ev,
-          sentinelRow(-1L, maxMicros + 5400L * 1000000L, "purchase")
+          // sentinel margin arithmetic (the sf0.1 full-sweep fix): the
+          // LAST hourly window closes only when the join-output watermark
+          // (min sentinel ts − 10 min delay − 30 min join horizon) passes
+          // the window end, which can sit up to 60 min past maxMicros —
+          // the old +90/+120 min sentinels cleared only maxMicros+50 min,
+          // so whether the final window flushed depended on where
+          // maxMicros fell inside its hour (sf0.01 landed late → lucky
+          // pass; sf0.1 landed early → one silently missing output row).
+          // +240/+270 min clears the worst case with 140 min of slack;
+          // sentinels still can't contribute rows (uid −1 filter).
+          sentinelRow(-1L, maxMicros + 14400L * 1000000L, "purchase")
             .unionByName(
-              sentinelRow(-2L, maxMicros + 7200L * 1000000L, "click")))
+              sentinelRow(-2L, maxMicros + 16200L * 1000000L, "click")))
       slices.zipWithIndex.foreach { case (df, i) =>
         arriveAs(onePartFile(df, out, s"f$i"), out, s"f$i",
           now - (slices.size - i) * 60000L)
@@ -1320,8 +1330,21 @@ object SessionGates {
       // aggregate first (click count per matched purchase), then the
       // hourly rollup — THREE chained stateful operators (join → agg →
       // agg), each driven by the propagated watermark
+      // NO in-plan sentinel filter (the sf0.1 full-sweep fix): a
+      // `uid >= 0` filter here is pushed by Catalyst through the
+      // EventTimeWatermark nodes into the parquet scan (constraint
+      // inference propagates it onto BOTH join legs), so the sentinel
+      // rows are pruned before the watermark collectors ever see their
+      // event times — the watermark stays corpus-level, the last hourly
+      // window never closes, and its row is silently missing (offset log
+      // admits the sentinel file; numInputRows=0 is the pushed-filter
+      // row-group skip). Sentinel exclusion needs no filter at all:
+      // the sentinel click (max+270 min) is STRICTLY AFTER the sentinel
+      // purchase (max+240 min), so `click_ts <= purchase_ts` can never
+      // hold and no sentinel-derived pair exists to aggregate. Gates
+      // whose sentinels DO reach the sink filter on the batch READ-BACK
+      // (the q58/q103 pattern), never inside the streaming plan.
       val hourly = joined
-        .filter(col("uid") >= 0) // sentinels can't pair; belt documented
         .groupBy(window(col("purchase_ts"), "1 hour"), col("purchase_id"))
         .agg(count(lit(1)).as("n_clicks"))
         .groupBy(col("window"))

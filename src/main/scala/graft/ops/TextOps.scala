@@ -54,15 +54,25 @@ object TextOps {
     * d09 discipline), so the whole profile is oracle-checkable; the
     * xxhash64 [[TextFunctions.fingerprint]] stays available as the faster
     * engine-native alternative (spec-pinned). */
+  /** Presentation rounding through a shared DECIMAL(18,10) intermediate:
+    * `round(double, 4)` straight off the double diverges between engines
+    * exactly at decimal tie boundaries (Spark rounds the SHORTEST decimal
+    * rendering — 0.72125 → 0.7213 — where DuckDB rounds the binary value
+    * below it → 0.7212; 13 sf0.1 rows hit this, invisible at sf0.01). The
+    * 10-digit decimal cast absorbs the ~1e-16 binary error onto the tie
+    * in BOTH engines, then both round the identical decimal half-up. */
+  private def round4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c.cast("decimal(18,10)"), 4).cast("double")
+
   private def t04(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), col("lang"),
         languageId(col("text")).as("predicted_lang"),
-        round(qualityScore(col("text")), 4).as("quality"),
+        round4(qualityScore(col("text"))).as("quality"),
         tokenCountBpeish(col("text")).as("bpeish_tokens"),
         fingerprintMd5(col("text")).as("fingerprint"),
-        round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
-        round(punctRatio(col("text")), 4).as("punct_ratio"))
+        round4(stopwordRatio(col("text"))).as("stopword_ratio"),
+        round4(punctRatio(col("text"))).as("punct_ratio"))
       .orderBy("doc_id")
 
   /** Oracle-checkable text-quality profile: the SQL-expressible subset of
@@ -2466,16 +2476,22 @@ object TextOps {
         |    {'score': CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
         |       / greatest(clen, 1.0), 'lang': 'zh'}
         |  ], 'max').lang AS predicted_lang,
-        |  round(least(n / 100.0, 1.0) * 0.25
+        |  -- round through the shared DECIMAL(18,10) intermediate (see
+        |  -- t04's round4 scaladoc): both engines land the tie on the
+        |  -- decimal boundary before the half-up round, where raw
+        |  -- round(double, 4) diverges
+        |  CAST(round(CAST(least(n / 100.0, 1.0) * 0.25
         |    + greatest(1.0 - abs(stopword_ratio - 0.1), 0.0) * 0.25
         |    + (1.0 - punct_ratio) * 0.25
-        |    + distinct_ratio * 0.25, 4) AS quality,
+        |    + distinct_ratio * 0.25 AS DECIMAL(18,10)), 4) AS DOUBLE) AS quality,
         |  CAST(len(toks) AS BIGINT) AS bpeish_tokens,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
         |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
         |    (acc, h) -> (acc * 31 + h) % 536870909) AS fingerprint,
-        |  round(stopword_ratio, 4) AS stopword_ratio,
-        |  round(punct_ratio, 4) AS punct_ratio
+        |  CAST(round(CAST(stopword_ratio AS DECIMAL(18,10)), 4) AS DOUBLE)
+        |    AS stopword_ratio,
+        |  CAST(round(CAST(punct_ratio AS DECIMAL(18,10)), 4) AS DOUBLE)
+        |    AS punct_ratio
         |FROM r ORDER BY doc_id""".stripMargin,
     // chunk windows are pure list slices — both engines must produce the
     // byte-identical rejoined text for every (doc, start) window

@@ -17,6 +17,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedOptimizerRules)
       .config("spark.sql.streaming.checkpointFileManagerClass", GraftSession.LocalCheckpointManager)
+      .config("spark.hadoop.fs.file.impl", GraftSession.LocalFsImpl)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,7 @@ verdict asked for in place of prose co-tenancy arguments.
 import glob
 import hashlib
 import json
+import os
 import sys
 
 import duckdb
@@ -42,11 +43,23 @@ def canon_hash(df: pd.DataFrame):
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir, only):
+def main(sf_dir, out_dir, only, json_out=None):
+    results = {}
+
+    def rec(name, **kw):
+        row = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None, "oracle_rows": None,
+               "err": None}
+        row.update(kw)
+        results[name] = row
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            # driver fixtures are flat files; AmplifySf fixtures are
+            # Spark-written directories of part files — glob those
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet"
+            + ("/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "')"))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*")
                    if not d.endswith(".json"))
@@ -59,6 +72,7 @@ def main(sf_dir, out_dir, only):
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         except Exception as e:
             print(f"FAIL {name}: spark read error {e}")
+            rec(name, err=f"spark read error {e}")
             n_bad += 1
             continue
         if name not in oracle:
@@ -66,14 +80,17 @@ def main(sf_dir, out_dir, only):
             try:
                 canon_hash(spark_df)
                 n_noora += 1
+                rec(name, spark_rows=len(spark_df), err="no_oracle")
             except Exception as e:
                 print(f"FAIL {name}: (no oracle) spark side unsortable: {e}")
+                rec(name, err=f"no_oracle unsortable: {e}")
                 n_bad += 1
             continue
         try:
             want_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle exec error {e}")
+            rec(name, spark_rows=len(spark_df), err=f"oracle exec error {e}")
             n_bad += 1
             continue
         try:
@@ -81,8 +98,15 @@ def main(sf_dir, out_dir, only):
             wh = canon_hash(want_df)
         except Exception as e:
             print(f"FAIL {name}: canon error: {e}")
+            rec(name, spark_rows=len(spark_df), oracle_rows=len(want_df),
+                err=f"canon error: {e}")
             n_bad += 1
             continue
+        base = dict(spark_rows=len(spark_df), oracle_rows=len(want_df),
+                    rows_match=len(spark_df) == len(want_df),
+                    schema_match=sorted(spark_df.columns) == sorted(want_df.columns),
+                    hash_match=gh == wh)
+        rec(name, **base)
         if sorted(spark_df.columns) != sorted(want_df.columns):
             print(f"FAIL {name}: cols {sorted(spark_df.columns)} vs {sorted(want_df.columns)}")
             n_bad += 1
@@ -107,6 +131,10 @@ def main(sf_dir, out_dir, only):
         else:
             n_ok += 1
     print(f"OK={n_ok} NO_ORACLE={n_noora} BAD={n_bad}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} entries)")
     return 1 if n_bad else 0
 
 
@@ -189,4 +217,10 @@ def bench_compare(old_path, new_path):
 if __name__ == "__main__":
     if sys.argv[1] == "--bench":
         sys.exit(bench_compare(sys.argv[2], sys.argv[3]))
-    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], set(args[2:]), json_out))
