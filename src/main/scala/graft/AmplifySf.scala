@@ -18,12 +18,21 @@ import org.apache.spark.sql.functions._
   *    per-block pair space. Multiplication shifts every replica's residue
   *    classes, so block keys differ across replicas and the candidate
   *    space scales ×X.
-  *  - **Document text is token-salted per replica** (every token gets a
-  *    `·r<rep>` suffix; rep 0 keeps the original corpus): MinHash/SimHash
-  *    band buckets merge on shared shingles, so verbatim replicas would
-  *    put X copies in every bucket and grow candidate pairs ~X²/2. Salted
-  *    tokens make replicas shingle-disjoint — each replica contributes
-  *    its own natural near-dup pairs and the total scales ×X.
+  *  - **Document text is token-salted per replica** (every token gets an
+  *    `x<letter>` suffix, rep 1 → `xa`, rep 2 → `xb`, …; rep 0 keeps the
+  *    original corpus): MinHash/SimHash band buckets merge on shared
+  *    shingles, so verbatim replicas would put X copies in every bucket
+  *    and grow candidate pairs ~X²/2. Salted tokens make replicas
+  *    shingle-disjoint — each replica contributes its own natural
+  *    near-dup pairs and the total scales ×X. The salt is LETTERS ONLY
+  *    (r17, the sampled-sf1 sweep fix): the earlier `·r<rep>` form put a
+  *    punctuation char and a digit inside every token, so the BPE-ish
+  *    subword counter split each token at the letter/digit boundary and
+  *    t04's bpeish-equals-whitespace-count equivalence — which holds on
+  *    the natural corpus and which the DuckDB oracle replays — broke on
+  *    every salted replica. A letters-only suffix preserves the token
+  *    SHAPE the fixture's text statistics assume. Factors above 26 would
+  *    need a second letter; the ctor rejects them.
   *  - **Embedding dimensions rotate per replica** (`dim i ← dim
   *    (i + 7·rep) mod d`): norm- and distribution-preserving, but
   *    cross-replica cosine decorrelates to the vectors' autocorrelation
@@ -43,6 +52,9 @@ object AmplifySf {
 
   def amplify(s: SparkSession, src: String, dst: String, x: Int,
               parts: Int = 32): Unit = {
+    require(x >= 1 && x <= 26,
+      s"amplification factor $x outside [1, 26]: the single-letter token " +
+        "salt runs out of alphabet (see the salting scaladoc)")
     val rep = explode(expr(s"sequence(0L, ${x - 1}L)")).as("rep")
     def rk(c: String) = (col(c) * x + col("rep")).as(c)
     // repartition before write: the driver's testdata ships one file per
@@ -81,7 +93,7 @@ object AmplifySf {
       .withColumn("text",
         when(col("rep") === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("·r"), col("rep"))), " ")))
+            w => concat(w, lit("x"), chr(col("rep") + lit(96)))), " ")))
       .withColumn("n_chars", length(col("text"))), "documents")
     write(read("embeddings").select(col("*"), rep)
       .withColumn("vec_id", rk("vec_id"))

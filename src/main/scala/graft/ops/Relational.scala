@@ -37,7 +37,7 @@ object Relational {
       .agg(
         StableAgg.moneySum(col("l_quantity")).as("sum_qty"),
         StableAgg.moneySum(col("l_extendedprice")).as("sum_base_price"),
-        StableAgg.scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+        StableAgg.moneyGrainSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
         // scale 6, not 8: the EXACT 3-factor product of 2-decimal money
         // columns has ≤6 decimal digits, so 6 is already exact — and the
         // wider scale was a live bug: the double product carries ~ulp
@@ -46,7 +46,7 @@ object Relational {
         // decimal rendering, DuckDB the binary value; one sf0.1 row pair
         // diverged). At 6 digits the half-step (5e-7) dwarfs the noise,
         // so both engines recover the identical exact decimal per term.
-        StableAgg.scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        StableAgg.moneyGrainSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
         StableAgg.moneyAvg(col("l_quantity")).as("avg_qty"),
         StableAgg.moneyAvg(col("l_extendedprice")).as("avg_price"),
         StableAgg.moneyAvg(col("l_discount")).as("avg_disc"),
@@ -83,7 +83,7 @@ object Relational {
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(StableAgg.scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+      .agg(StableAgg.moneyGrainSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
   }
@@ -1085,29 +1085,43 @@ object Relational {
     * over the data. Partition boundaries (sampled) only decide which
     * range a row lands in, never its final id, so the output is exactly
     * the dense rank regardless of sampling. */
+  /** The numbering's distributed layout — one range exchange + local
+    * sorts, NO global sort, NO window — exposed so the plan-audit spec
+    * can pin the mechanism (it sits behind [[globalRowNumbers]]'s RDD
+    * boundary and is invisible in the output frame's plan). */
+  private[graft] def rangeSortedForNumbering(df: DataFrame, key: String): DataFrame = {
+    // explicit partition count: a user-specified N is exempt from AQE
+    // coalescing, so the range layout is the planned one
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(p, col(key)).sortWithinPartitions(key)
+  }
+
   private[graft] def globalRowNumbers(df: DataFrame, key: String): DataFrame = {
     val s = df.sparkSession
-    // explicit partition count: an AQE-coalesced exchange could legally
-    // re-plan between the counts job and the id job; a user-specified N
-    // is exempt from coalescing, making the (pid, local) encoding stable
-    // across the two jobs that share this shuffle
-    val p = s.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(p, col(key)).sortWithinPartitions(key)
-      .withColumn("_mid", monotonically_increasing_id())
-      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
-      .withColumn("_local", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
-    val counts = sorted.groupBy("_pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
-    var acc = 0L
-    val offsets = (0 to maxPid).map { pid =>
-      val off = acc; acc += counts.getOrElse(pid, 0L); (pid, off)
+    // RDD.zipWithIndex, not the monotonically_increasing_id + offsets-join
+    // form this replaced (the sf1 sampled sweep caught it): that form
+    // referenced the range-partitioned frame from TWO actions (the counts
+    // collect and the final join), and each action re-plans the exchange —
+    // RangePartitioner seeds its boundary SAMPLING from the RDD id, so
+    // the two executions can draw DIFFERENT range boundaries and the
+    // offsets map no longer describes the join-side layout (54 rows
+    // mis-ranked at sf1; invisible at the driver SFs where the samples
+    // happened to agree). zipWithIndex runs its internal counts job and
+    // the id-assignment pass over the SAME RDD lineage, so the shuffle is
+    // planned once, physically reused across the two jobs (stage reuse),
+    // and the ranks are a pure function of the key order at any SF — and
+    // it executes the exchange once where the old form paid it twice.
+    // This is the documented last-resort RDD seam: global contiguous
+    // numbering is inherently a two-phase per-partition-imperative
+    // operation (SURVEY §2's rule (d)).
+    val sorted = rangeSortedForNumbering(df, key)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "global_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val withIds = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
-    import s.implicits._
-    val offDf = offsets.toDF("_pid", "_off")
-    sorted.join(broadcast(offDf), Seq("_pid"))
-      .select(df.columns.map(col) :+
-        (col("_off") + col("_local")).as("global_id"): _*)
+    s.createDataFrame(withIds, schema)
   }
 
   private def q114(s: SparkSession, d: String): DataFrame =
@@ -4240,8 +4254,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
         | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_price,
         | CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(1) AS avg_disc,
@@ -4260,7 +4274,7 @@ object Relational {
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
     "q04_join_multiway" ->
       """SELECT n_name,
-        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
         | count(1) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

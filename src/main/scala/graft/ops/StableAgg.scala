@@ -27,6 +27,18 @@ object StableAgg {
   def scaledSum(c: Column, scale: Int): Column =
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
 
+  /** [[scaledSum]] presented at money grain: the exact decimal sum is
+    * rounded to 2 digits (an exact integer operation, identical in both
+    * engines) BEFORE the double cast. Needed when the sum's magnitude ×
+    * its scale exceeds double precision: a 2.8e10 sum with 6-decimal
+    * structure needs 17 significant digits, so the raw decimal→double
+    * conversion itself diverges by 1 ulp between engines (Spark converts
+    * the exact BigDecimal; DuckDB's hugeint/10^s path double-rounds —
+    * q01's sum_charge at the sf1 sweep). At money grain the value fits
+    * 13-14 digits with exact-representation margin through ~sf100. */
+  def moneyGrainSum(c: Column, scale: Int): Column =
+    round(sum(c.cast(s"decimal(30,$scale)")), 2).cast("double")
+
   /** Order-independent average: exact decimal sum / count, in double.
     * Both engines perform the identical single division — bit-equal. */
   def moneyAvg(c: Column): Column = moneySum(c) / count(lit(1))

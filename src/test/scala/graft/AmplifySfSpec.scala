@@ -55,7 +55,7 @@ class AmplifySfSpec extends SparkSpec {
 
   test("replica text is shingle-disjoint (near-dup work scales xX, not xX²)") {
     // every replica of one base doc: token sets must be pairwise disjoint
-    // (rep>0 tokens carry the ·r<rep> salt), so MinHash bands can't merge
+    // (rep>0 tokens carry the x<letter> salt), so MinHash bands can't merge
     // replicas into shared candidate buckets
     val reps = t("documents")
       .withColumn("baseId", (col("doc_id") / X).cast("long"))

@@ -206,10 +206,23 @@ class PlanAuditR13Spec extends SparkSpec {
     }
     assert(windows.isEmpty,
       s"global row numbering must not use a window operator:\n$plan")
-    // in-partition sorts over the range exchange ARE the mechanism
-    assert(plan.collect {
-      case s0: org.apache.spark.sql.catalyst.plans.logical.Sort => s0
+    // in-partition sorts over the range exchange ARE the mechanism; since
+    // the r17 zipWithIndex rewrite (deterministic across the two internal
+    // jobs — stage reuse on one RDD lineage) they sit BEHIND the output
+    // frame's RDD boundary, so audit the exposed pre-numbering layout
+    val layout = ops.Relational.rangeSortedForNumbering(
+      Tables(spark, d, "documents").select(col("doc_id")), "doc_id")
+      .queryExecution.optimizedPlan
+    assert(layout.collect {
+      case s0: org.apache.spark.sql.catalyst.plans.logical.Sort
+        if !s0.global => s0
     }.nonEmpty, "expected the in-partition sort above the range exchange")
+    assert(layout.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }.nonEmpty, "expected the range exchange under the numbering")
+    assert(layout.collect {
+      case s0: org.apache.spark.sql.catalyst.plans.logical.Sort if s0.global => s0
+    }.isEmpty, "the numbering layout must not globally sort")
     // and the ids equal the dense rank the naive window computes
     val got = df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val want = got.map(_._1).sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) }
