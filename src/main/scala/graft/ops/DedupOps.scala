@@ -690,7 +690,16 @@ object DedupOps {
           .otherwise(lit("both_ends")).as("class"))
     val titled = padded.select(id, col("title"))
       .unionByName(variants.select(id, col("title")))
-    val nDocs = docs(s, d).count()
+    val (nDocs, maxId) = {
+      val r = docs(s, d).agg(count(lit(1)), max(id)).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // planted-variant ids live at doc_id + 400000: past ~400k docs they
+    // would silently collide with real ids and pollute the recall eval
+    // (invisibly — the oracle replays the same arithmetic). Fail loudly
+    // instead, like AmplifySf's factor check.
+    require(maxId < 400000L,
+      s"d37 planted-variant offset 400000 collides with real doc_ids (max=$maxId); raise the offset")
     val keyLen = // d26's corpus-ramped key length, same at both call sites
       math.min(12, 6 + math.max(0, (nDocs / 1000L).toString.length - 1))
     val gold = variants.select((id - 400000L).as("id_a"), id.as("id_b"),
@@ -736,6 +745,10 @@ object DedupOps {
   private def d38(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"),
       TextFunctions.tokens(col("text")).as("toks"))
+    // same collision guard as d37: snippet ids sit at doc_id + 500000
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 500000L,
+      s"d38 snippet-id offset 500000 collides with real doc_ids (max=$maxId); raise the offset")
     val snips = base.filter(col("doc_id") % 10 === 5 && size(col("toks")) >= 15)
       .select((col("doc_id") + 500000L).as("doc_id"),
         concat_ws(" ", slice(col("toks"), lit(1),

@@ -102,6 +102,18 @@ class GeotabRpcFacade(inner: GeotabClient) {
     b.result()
   }
 
+  /** Error response that never throws on a committed exchange: if a
+    * handler failed AFTER respond() sent headers (e.g. the client
+    * disconnected mid-write), a second sendResponseHeaders would raise
+    * IllegalStateException and leak the exchange — check the committed
+    * marker (getResponseCode == -1 until headers go out) and swallow
+    * late I/O failures; the finally in handle() closes the exchange. */
+  private def respondIfUncommitted(x: HttpExchange, status: Int, body: String): Unit =
+    if (x.getResponseCode == -1) {
+      try respond(x, status, body)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   private def handle(x: HttpExchange): Unit = try {
     requests.incrementAndGet()
     val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -136,10 +148,11 @@ class GeotabRpcFacade(inner: GeotabClient) {
     }
   } catch {
     case e: GeotabSessionExpiredException =>
-      respond(x, 200, errorBody("InvalidUserException", e.getMessage))
+      respondIfUncommitted(x, 200, errorBody("InvalidUserException", e.getMessage))
     case e: GeotabTransientException =>
-      respond(x, 503, errorBody("Transient", e.getMessage))
+      respondIfUncommitted(x, 503, errorBody("Transient", e.getMessage))
     case e: Throwable =>
-      respond(x, 400, errorBody(e.getClass.getSimpleName, String.valueOf(e.getMessage)))
-  }
+      respondIfUncommitted(x, 400,
+        errorBody(e.getClass.getSimpleName, String.valueOf(e.getMessage)))
+  } finally x.close()
 }

@@ -111,26 +111,37 @@ class LocalCheckpointFileManager(path: Path, conf: Configuration)
         val dir = nio(p)
         if (!Files.exists(dir)) throw new FileNotFoundException(p.toString)
         if (!Files.isDirectory(dir)) {
-          val st = status(dir)
-          return if (filter.accept(st.getPath)) Array(st) else Array.empty
+          return status(dir) match {
+            case Some(st) if filter.accept(st.getPath) => Array(st)
+            case _ => Array.empty
+          }
         }
         val stream = Files.list(dir)
         try {
           import scala.jdk.CollectionConverters._
           stream.iterator().asScala
-            .map(status)
+            .flatMap(status)
             .filter(st => filter.accept(st.getPath))
             .toArray
         } finally stream.close()
     }
 
-  private def status(f: NioPath): FileStatus = {
-    val isDir = Files.isDirectory(f)
-    val len = if (isDir) 0L else Files.size(f)
-    new FileStatus(len, isDir, 1, 32L * 1024 * 1024,
-      Files.getLastModifiedTime(f).toMillis,
-      qualify(new Path(f.toUri.getPath)))
-  }
+  /** None when the entry vanished between Files.list and the attribute
+    * reads (state-store maintenance deletes old delta/snapshot files
+    * concurrently with log listings) — the stock java.io.File path
+    * reports length/mtime 0 instead of throwing, so a listing must
+    * never fail on a concurrently-deleted entry. */
+  private def status(f: NioPath): Option[FileStatus] =
+    try {
+      val isDir = Files.isDirectory(f)
+      val len = if (isDir) 0L else Files.size(f)
+      Some(new FileStatus(len, isDir, 1, 32L * 1024 * 1024,
+        Files.getLastModifiedTime(f).toMillis,
+        qualify(new Path(f.toUri.getPath))))
+    } catch {
+      case _: java.nio.file.NoSuchFileException => None
+      case _: FileNotFoundException => None
+    }
 
   override def createAtomic(p: Path,
                             overwriteIfPossible: Boolean): CancellableFSDataOutputStream =
@@ -219,6 +230,6 @@ private[streaming] class NioSeekableInputStream(file: NioPath)
   override def getPos: Long = ch.position()
   override def seekToNewSource(targetPos: Long): Boolean = false
   override def available(): Int =
-    math.min(ch.size() - ch.position(), Int.MaxValue.toLong).toInt
+    math.min(math.max(0L, ch.size() - ch.position()), Int.MaxValue.toLong).toInt
   override def close(): Unit = ch.close()
 }
