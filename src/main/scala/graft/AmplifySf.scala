@@ -43,15 +43,40 @@ import org.apache.spark.sql.functions._
   *    while scaling per-window state ×X.
   *  - region/nation stay fixed (TPC-H's own scaling rule).
   *
-  * Usage: `runMain graft.AmplifySf <srcSfDir> <dstDir> <factor>`; the
-  * bench then runs with `SPARK_GRAFT_SF_DIR=<dstDir>`. Place the dst as
-  * `<root>/sf1` next to a `sf0.001` (symlink is fine) so Bench's warm-up
-  * resolves the small sibling.
+  * **Vocabulary modes.** Full per-replica salting grows the token
+  * vocabulary LINEARLY in X (every replica re-mints every type), which a
+  * real corpus does not do: Heaps' law says V(n) ≈ K·n^β with β ≈
+  * 0.5-0.8, so a ×10 corpus should carry ~10^0.8 ≈ 6.3× the types, not
+  * 10×. That distortion is invisible to most gates but systematically
+  * overstates count-table growth for the LM family (t40/t12/t05/t19,
+  * whose shuffle volume is ∝ vocabulary). `vocabBeta = Some(β)` enables
+  * the Heaps mode: replica r salts only the token TYPES whose per-rep
+  * hash falls below the MARGINAL Heaps increment
+  * `f(r) = (r+1)^β − r^β` (f(1) = 2^β−1 ≈ 0.74, decreasing — later
+  * replicas reuse more existing vocabulary, exactly the Heaps story);
+  * unsalted occurrences keep their base type. Expected cumulative
+  * vocabulary after X replicas is then V·(1 + Σ f(r)) = **V·X^β**
+  * exactly. Selection hashes the TYPE (xxhash64(token, rep)), so all
+  * occurrences of a type within a replica agree, and the occurrence-
+  * weighted salted share equals f(r) in expectation (hash ⊥ frequency).
+  * Trade-off, measured not hidden: a shingle survives unsalted only if
+  * all its tokens do (≤ (1−f(r))³ ≈ 1-12% for β = 0.8, X ≤ 10), so
+  * replicas are no longer strictly shingle-disjoint — cross-replica
+  * Jaccard ≲ 0.06, far under every near-dup threshold, but the near-dup
+  * CANDIDATE space gains a small cross-replica term. The default
+  * (vocabBeta = None) therefore remains full salting for the dedup
+  * families' fixtures; the Heaps fixture is for LM-family scale stamps.
+  *
+  * Usage: `runMain graft.AmplifySf <srcSfDir> <dstDir> <factor>
+  * [heaps[:beta]]`; the bench then runs with
+  * `SPARK_GRAFT_SF_DIR=<dstDir>`. Place the dst as `<root>/sf1` next to
+  * a `sf0.001` (symlink is fine) so Bench's warm-up resolves the small
+  * sibling.
   */
 object AmplifySf {
 
   def amplify(s: SparkSession, src: String, dst: String, x: Int,
-              parts: Int = 32): Unit = {
+              parts: Int = 32, vocabBeta: Option[Double] = None): Unit = {
     require(x >= 1 && x <= 26,
       s"amplification factor $x outside [1, 26]: the single-letter token " +
         "salt runs out of alphabet (see the salting scaladoc)")
@@ -88,12 +113,27 @@ object AmplifySf {
       .withColumn("user_id", rk("user_id")), "events")
     // rep 0 keeps the original text so the base corpus' exact statistics
     // survive in the amplified set; n_chars stays consistent with text
+    def saltTok(w: org.apache.spark.sql.Column) =
+      concat(w, lit("x"), chr(col("rep") + lit(96)))
+    val salted = vocabBeta match {
+      case None =>
+        // full salting: replicas strictly shingle-disjoint, vocab ×X
+        array_join(transform(split(col("text"), " "), w => saltTok(w)), " ")
+      case Some(beta) =>
+        require(beta > 0.0 && beta <= 1.0, s"Heaps beta $beta outside (0, 1]")
+        // marginal Heaps increments, permil thresholds per replica
+        // (element_at is 1-indexed: slot r holds f(r) for rep = r)
+        val th = (1 until math.max(x, 2)).map(r => lit(math.round(
+          10000.0 * (math.pow(r + 1.0, beta) - math.pow(r.toDouble, beta)))))
+        array_join(transform(split(col("text"), " "), w =>
+          when(pmod(xxhash64(w, col("rep")), lit(10000L)) <
+              element_at(array(th: _*), col("rep").cast("int")),
+            saltTok(w)).otherwise(w)), " ")
+    }
     write(read("documents").select(col("*"), rep)
       .withColumn("doc_id", rk("doc_id"))
       .withColumn("text",
-        when(col("rep") === 0, col("text")).otherwise(
-          array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("x"), chr(col("rep") + lit(96)))), " ")))
+        when(col("rep") === 0, col("text")).otherwise(salted))
       .withColumn("n_chars", length(col("text"))), "documents")
     write(read("embeddings").select(col("*"), rep)
       .withColumn("vec_id", rk("vec_id"))
@@ -107,6 +147,10 @@ object AmplifySf {
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factor) = args.take(3)
+    val vocabBeta = args.lift(3).map { m =>
+      require(m.startsWith("heaps"), s"unknown vocab mode '$m' (heaps[:beta])")
+      m.split(':').lift(1).map(_.toDouble).getOrElse(0.8)
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -114,7 +158,7 @@ object AmplifySf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    amplify(spark, src, dst, factor.toInt)
+    amplify(spark, src, dst, factor.toInt, vocabBeta = vocabBeta)
     Tables.all.foreach { t =>
       println(s"[amplify] $t rows=" +
         spark.read.parquet(s"$dst/$t.parquet").count())

@@ -86,6 +86,86 @@ class AmplifySfSpec extends SparkSpec {
     assert(res === X.toLong, s"each base doc must land $X distinct residues")
   }
 
+  // Heaps fixture at a LARGER factor than the linear one: the synthetic
+  // corpus carries only ~31 token types at every SF, so per-replica
+  // statistics are coarse (sigma ~ 1/sqrt(31)); the CUMULATIVE vocabulary
+  // over 9 replicas concentrates enough for a meaningful band.
+  private val HX = 10
+  private val HBeta = 0.8
+  private lazy val heapsDir: String = {
+    val out = ExportOps.scratchDir("graft_amp_heaps_spec", "spec")
+    out.mkdirs()
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => ExportOps.deleteRecursively(out)))
+    AmplifySf.amplify(spark, src, out.getAbsolutePath, HX,
+      vocabBeta = Some(HBeta))
+    out.getAbsolutePath
+  }
+  private def th(name: String) = spark.read.parquet(s"$heapsDir/$name.parquet")
+
+  test("heaps mode: cumulative vocabulary grows ~X^beta, far below xX") {
+    def vocab(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(countDistinct(col("tok"))).head().getLong(0)
+    val vBase = vocab(base("documents"))
+    val vLinear = vocab(t("documents"))
+    val vHeaps = vocab(th("documents"))
+    // full salting re-mints every type per replica: exactly xX
+    assert(vLinear === vBase * X, "linear mode must grow vocab xX")
+    // Heaps mode: E[V(X)] = V·(1 + sum f(r)) = V·X^beta with each type an
+    // independent Bernoulli(f(r)) per replica — band is 4 sigma of the
+    // binomial sum, computed from the actual marginal fractions so the
+    // pin stays valid if the driver regenerates the corpus with a
+    // different vocabulary size
+    val fs = (1 until HX).map(r =>
+      math.pow(r + 1.0, HBeta) - math.pow(r.toDouble, HBeta))
+    val expected = vBase * math.pow(HX, HBeta)
+    val sigma = math.sqrt(vBase * fs.map(f => f * (1 - f)).sum)
+    assert(math.abs(vHeaps - expected) <= 4 * sigma,
+      s"heaps vocab $vHeaps vs expected ~${expected.toLong} ± ${4 * sigma} " +
+        s"(base $vBase)")
+    // and the whole point: far below the linear mode's V·X
+    assert(vHeaps < 0.75 * vBase * HX,
+      s"heaps vocab $vHeaps must stay well under linear ${vBase * HX}")
+  }
+
+  test("heaps mode: rep 0 verbatim; salts are type-consistent, letters-only") {
+    val orig = base("documents").filter(col("doc_id") === 7L)
+      .select("text").head().getString(0)
+    val rep0 = th("documents").filter(col("doc_id") === 7L * HX)
+      .select("text").head().getString(0)
+    assert(rep0 === orig, "rep 0 must preserve the base text")
+    val amp = th("documents")
+      .withColumn("rep", col("doc_id") % HX)
+      .withColumn("baseId", (col("doc_id") / HX).cast("long"))
+      .filter(col("rep") > 0)
+      .select(col("rep"), col("baseId"), split(col("text"), " ").as("atoks"))
+    val btab = base("documents")
+      .select(col("doc_id").as("baseId"), split(col("text"), " ").as("btoks"))
+    val zipped = amp
+      .join(btab, "baseId")
+      .select(col("rep"), explode(arrays_zip(col("atoks"), col("btoks"))).as("z"))
+      .select(col("rep"), col("z.btoks").as("base_tok"),
+        col("z.atoks").as("amp_tok"))
+    // a changed token is exactly base + "x" + the replica letter (t04's
+    // token-shape contract: letters-only suffix, no digits/punctuation)
+    val badShape = zipped.filter(col("amp_tok") =!= col("base_tok"))
+      .filter(col("amp_tok") =!=
+        concat(col("base_tok"), lit("x"), chr(col("rep") + lit(96))))
+      .count()
+    assert(badShape === 0L, "salted tokens must be base + x<letter>")
+    // selection is per TYPE within a replica: all occurrences of a type
+    // in one replica agree (salted or not)
+    val inconsistent = zipped
+      .groupBy(col("rep"), col("base_tok"))
+      .agg(countDistinct(col("amp_tok") =!= col("base_tok")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(inconsistent === 0L, "salt decision must be type-level per replica")
+    // non-text properties are mode-independent: keys still unique
+    assert(th("documents").select("doc_id").distinct().count()
+      === th("documents").count())
+  }
+
   test("embeddings rotate per replica: norms equal, cross-replica vectors differ") {
     val pairs = t("embeddings")
       .withColumn("rep", col("vec_id") % X)
