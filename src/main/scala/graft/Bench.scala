@@ -90,6 +90,19 @@ object Bench {
     // 3.3x its median cold), q146 (TopKAgg sketch persist/reload +
     // pair-window shapes), d35 (sampled eval — mostly shares d36's
     // kernels), t40 (decimal-summed ln terms).
+    // r18 batch, from this round's REPS=1-minus-medians gap profile
+    // (residuals not already covered by a family sibling above): t30
+    // (index append/merge write shapes beyond t24's read path), e06
+    // (compaction planner + rewrite), g09 (HTTP feature sink + retry
+    // machinery — g05 loads micro-batching but not the sink universe),
+    // d33 (source-overlap matrix shapes), e10 (bucketed write+join),
+    // e15/e18/e22 (storage-maintenance family: erasure rewrite,
+    // incremental consume ledger, time-travel snapshot resolve), d21
+    // (n-gram dup-fraction kernel), d08 (corpus pipeline composite),
+    // t09 (Misra-Gries Aggregator path), t29 (sketch-prune planning).
+    // The one remaining big REPS=1 residual is v07's memoized training
+    // (REPS=1 pays sf0.1 training by design — warm-up must NOT
+    // precompute bench-SF work, see above).
     Seq("q01_pricing_summary", "q12_window_rank", "d09_minhash_md5",
       "d03_minhash_candidates", "q22_json_extract", "v01_knn_brute",
       "d15_url_dedup", "v03_embed_neardup", "g05_stream_flagship",
@@ -100,7 +113,13 @@ object Bench {
       "t31_langid_ngram", "t24_rag_retrieval", "d29_pagerank",
       "q126_cbo_join_reorder", "t19_bigram_logprob",
       "d36_contamination_radius", "q146_sketch_retention",
-      "d35_lsh_recall_eval", "t40_source_divergence").foreach { name =>
+      "d35_lsh_recall_eval", "t40_source_divergence",
+      "t30_rag_index_append", "e06_index_compaction",
+      "g09_stream_http_submit", "d33_source_overlap",
+      "e10_bucketed_join", "e15_retention_erasure",
+      "e18_incremental_consume", "e22_tx_time_travel",
+      "d21_dup_ngram_frac", "d08_dedup_corpus",
+      "t09_heavy_hitters", "t29_sketch_prune").foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
