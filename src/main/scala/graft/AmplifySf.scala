@@ -121,7 +121,20 @@ object AmplifySf {
         array_join(transform(split(col("text"), " "), w => saltTok(w)), " ")
       case Some(beta) =>
         require(beta > 0.0 && beta <= 1.0, s"Heaps beta $beta outside (0, 1]")
-        // marginal Heaps increments, permil thresholds per replica
+        // Heaps mode precondition: the salt shape is base+"x"+letter, so a
+        // BASE token already ending in x+[a-z] would alias a salted type of
+        // its stem and silently skew the V·X^β vocabulary pin. Fail loudly
+        // (one cheap distinct-token scan, builder-side only, never benched).
+        val aliased = read("documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("x[a-z]$")).distinct().limit(5)
+          .collect().map(_.getString(0))
+        require(aliased.isEmpty,
+          s"Heaps salting aliases base tokens ending in x<letter>: " +
+            s"${aliased.mkString(", ")} — pick a different salt shape")
+        // marginal Heaps increments, per-ten-thousand (basis-point)
+        // thresholds per replica: round(10000·f(r)) compared against
+        // pmod(hash, 10000)
         // (element_at is 1-indexed: slot r holds f(r) for rep = r)
         val th = (1 until math.max(x, 2)).map(r => lit(math.round(
           10000.0 * (math.pow(r + 1.0, beta) - math.pow(r.toDouble, beta)))))

@@ -200,12 +200,22 @@ object Bench {
     val rows = results.map { case (k, _) =>
       "\"" + k + "\":" + metrics.rowsRead(k) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"shuffle_bytes":$shuffles,"rows":$rows,"sf":"$sfDir"}""")
+    val loadAfter = loadAvg()
+    def arr(xs: Seq[Double]) = xs.map(v => num(v, 2)).mkString("[", ",", "]")
+    def famSum(streaming: Boolean) = results.collect {
+      case (n, Right(t)) if metrics.isStreaming(n) == streaming => t }
+    val bs = famSum(false); val ss = famSum(true)
     // Trailing short summary: the driver's capture keeps the TAIL of stdout,
     // and the full line above has outgrown it (r8's artifact lost its totals
     // to truncation). This line is small enough to always survive, so the
     // verdict-bearing numbers are machine-readable even when the per-query
-    // maps are cut off.
-    println(s"""{"metric":"summary","total":$total,"unit":"sec","errors":$errors,"queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
+    // maps are cut off. It carries the host load averages (1/5/15 min,
+    // before/after the run) and the batch-vs-streaming family split so the
+    // DRIVER's artifact adjudicates co-tenancy by itself: r17/r18 both
+    // produced REPS=1 totals set by a contended window (301 s / 687 s) whose
+    // exculpatory load evidence lived only in builder-side
+    // SPARK_GRAFT_BENCH_OUT files — now the tail line says "load was X".
+    println(s"""{"metric":"summary","total":$total,"unit":"sec","errors":$errors,"queries":${results.size},"reps":$reps,"load_avg_before":${arr(loadBefore)},"load_avg_after":${arr(loadAfter)},"batch":{"n":${bs.size},"sum_sec":${num(bs.sum, 1)}},"streaming":{"n":${ss.size},"sum_sec":${num(ss.sum, 1)}},"sf":"$sfDir"}""")
     // SPARK_GRAFT_BENCH_OUT=<path>: write the SELF-ADJUDICATING artifact
     // the r11 verdict demanded (three rounds of prose co-tenancy
     // adjudication is enough): per-query medians + every rep, rep count,
@@ -214,8 +224,6 @@ object Bench {
     // mechanically (tools/driver_compare.py --bench old new) instead of
     // reasoning from single-pass totals on a noisy host.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { outPath =>
-      val loadAfter = loadAvg()
-      def arr(xs: Seq[Double]) = xs.map(v => num(v, 2)).mkString("[", ",", "]")
       val qjson = results.map { case (name, r) =>
         val fam = if (metrics.isStreaming(name)) "streaming" else "batch"
         val body = r match {
@@ -227,9 +235,6 @@ object Bench {
         s""""$name":{$body,"family":"$fam","shuffle_bytes":${
           metrics.shuffleBytes(name)},"rows_read":${metrics.rowsRead(name)}}"""
       }.mkString("{", ",", "}")
-      def famSum(streaming: Boolean) = results.collect {
-        case (n, Right(t)) if metrics.isStreaming(n) == streaming => t }
-      val bs = famSum(false); val ss = famSum(true)
       val json =
         s"""{"sf":"$sfDir","reps":$reps,"cpus":"$cpus",
            |"load_avg_before":${arr(loadBefore)},"load_avg_after":${arr(loadAfter)},

@@ -692,7 +692,8 @@ object DedupOps {
       .unionByName(variants.select(id, col("title")))
     val (nDocs, maxId) = {
       val r = docs(s, d).agg(count(lit(1)), max(id)).head()
-      (r.getLong(0), r.getLong(1))
+      // max() is NULL on an empty corpus — no ids, no collision possible
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
     }
     // planted-variant ids live at doc_id + 400000: past ~400k docs they
     // would silently collide with real ids and pollute the recall eval
@@ -745,16 +746,21 @@ object DedupOps {
   private def d38(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"),
       TextFunctions.tokens(col("text")).as("toks"))
-    // same collision guard as d37: snippet ids sit at doc_id + 500000
-    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
-    require(maxId < 500000L,
-      s"d38 snippet-id offset 500000 collides with real doc_ids (max=$maxId); raise the offset")
+    // same collision guard as d37, but LAZY: evaluated in-row during the
+    // gate's own corpus scan (no separate driver-side agg action inflating
+    // the benched path — r18 ADVICE), raising on the first doc_id at/above
+    // the +500000 snippet offset. An empty corpus trivially passes (d37's
+    // eager max() needed a null check for that; here no rows = no check).
+    val guardedId = when(col("doc_id") < 500000L, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("d38 snippet-id offset 500000 collides with real doc_id "),
+        col("doc_id").cast("string"), lit("; raise the offset"))))
     val snips = base.filter(col("doc_id") % 10 === 5 && size(col("toks")) >= 15)
       .select((col("doc_id") + 500000L).as("doc_id"),
         concat_ws(" ", slice(col("toks"), lit(1),
           greatest(lit(3), expr("size(toks) DIV 5")))).as("text"))
     val hvF = cached(shingleHashFrame(
-      docs(s, d).select(col("doc_id"), col("text")).unionByName(snips)))
+      docs(s, d).select(guardedId.as("doc_id"), col("text")).unionByName(snips)))
     val banded = bandFrame(hvF)
     val cand = banded
       .select(col("band_idx"), col("band"), col("doc_id").as("doc_a"))

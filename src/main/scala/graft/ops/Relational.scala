@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1254,17 +1254,25 @@ object Relational {
         round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"))
       .orderBy("c_mktsegment")
 
-  /** Approximate distinct (HLL++). Deliberately rows-only, and
-    * cannot-possibly-oracle: the gate's POINT is Spark's own HLL++
-    * estimator (register layout, bias tables), which no other engine
-    * reproduces — DuckDB's HLL gives different estimates on identical
-    * input by design. The portable-sketch form of the same job IS fully
-    * oracled (q63's md5 bottom-k), and q64/q08 carry the exact twins. */
+  /** Approximate distinct (HLL++), BOUNDS-MODE (r18 verdict item 4): the
+    * raw HLL++ estimate is engine-hash-bound by design (register layout,
+    * bias tables — DuckDB's HLL answers differently on identical input),
+    * so instead of emitting the unverifiable estimate the gate emits the
+    * exact distinct count plus a VERIFIED-ACCURACY boolean: |est − exact|
+    * / exact ≤ 3× the documented rsd (0.05 → 0.15). Spark's HLL++ runs
+    * inside the gate and a register-layout bug hash-FAILS the gate (the
+    * boolean flips, DuckDB pins TRUE); SketchAccuracySpec still pins the
+    * raw estimates per SF. The portable-sketch form of the same job is
+    * q63's md5 bottom-k; q64/q08 carry the exact twins. */
   private def q31(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id")).as("est"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("est").cast("double") - col("exact_users")) /
+          col("exact_users") <= 0.15).as("hll_within_3rsd"))
       .orderBy("event_type")
 
   /** Gap-based sessionization as a batch composition (lag → flag → running
@@ -2971,21 +2979,42 @@ object Relational {
         Array(col("l_discount"), col("l_tax")), "metric", "value")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
-  /** Approximate percentile sketch. Deliberately rows-only, and
-    * cannot-possibly-oracle: the gate's POINT is Spark's own
-    * Greenwald-Khanna quantile summary at accuracy 1000, whose compress
-    * schedule (hence which sample survives as each quantile) is
-    * implementation-defined — DuckDB's t-digest answers differently on
-    * identical input by design. q30/q104 carry the exact-percentile
-    * oracles; q119 gates the portable streaming quantile sketch. */
-  private def q41(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
+  /** Approximate percentile (Greenwald-Khanna, accuracy 1000),
+    * BOUNDS-MODE (r18 verdict item 4): the raw GK output is
+    * engine-hash-bound (the compress schedule decides which sample
+    * survives as each quantile — DuckDB's t-digest answers differently by
+    * design), so the gate RANK-VERIFIES each estimate in-engine and emits
+    * the verdict: an estimate a with lt = |{v < a}|, le = |{v ≤ a}|
+    * occupies ranks [lt+1, le], and GK at accuracy 1000 guarantees a rank
+    * within ±n/1000 of p·n — checked here at 5× slack (δ = 0.005,
+    * SketchAccuracySpec's band). A compress-schedule bug flips a boolean
+    * and hash-FAILS the gate against DuckDB's pinned TRUE. Two scans of
+    * events (sketch, then rank verify) — the price of carrying the proof
+    * in the artifact; q30/q104 carry the exact-percentile oracles, q119
+    * the portable streaming quantile sketch. */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val ap = ev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.25, 1000)").as("a25"),
+        expr("approx_percentile(value, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(value, 0.75, 1000)").as("a75"))
+    def lt(a: String) = sum(when(col("value") < col(a), 1L).otherwise(0L))
+    def le(a: String) = sum(when(col("value") <= col(a), 1L).otherwise(0L))
+    def inBand(p: Double, ltc: Column, lec: Column): Column =
+      (ltc + lit(1L)).cast("double") <= (lit(p + 0.005) * col("n")) &&
+        lec.cast("double") >= (lit(p - 0.005) * col("n"))
+    ev.join(broadcast(ap), "event_type")
       .groupBy(col("event_type"))
-      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
-        expr("approx_percentile(value, 0.25, 1000)").as("p25_approx"),
-        expr("approx_percentile(value, 0.75, 1000)").as("p75_approx"),
-        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        lt("a25").as("lt25"), le("a25").as("le25"),
+        lt("a50").as("lt50"), le("a50").as("le50"),
+        lt("a75").as("lt75"), le("a75").as("le75"))
+      .select(col("event_type"), col("n"),
+        inBand(0.25, col("lt25"), col("le25")).as("p25_in_rank_band"),
+        inBand(0.50, col("lt50"), col("le50")).as("p50_in_rank_band"),
+        inBand(0.75, col("lt75"), col("le75")).as("p75_in_rank_band"))
       .orderBy("event_type")
+  }
 
   /** Tumbling windows via the native window() operator (q24 is the
     * portable epoch-arithmetic twin; this exercises the builtin and oracles
@@ -4439,6 +4468,19 @@ object Relational {
         | round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
         | round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q31/q41 bounds-mode oracles: the oracle pins the exact columns and
+    // TRUE for each in-engine-verified accuracy boolean — the sketch
+    // (HLL++ / GK) runs inside the Spark gate, and an out-of-bounds
+    // estimate flips the boolean and hash-fails the row
+    "q31_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | count(1) AS n, TRUE AS hll_within_3rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q41_approx_percentile" ->
+      """SELECT event_type, count(1) AS n,
+        | TRUE AS p25_in_rank_band, TRUE AS p50_in_rank_band,
+        | TRUE AS p75_in_rank_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q32_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
