@@ -117,7 +117,8 @@ object VectorFunctions {
     * `hp_dims(vec_id, j, x)` and `hp_sigs(vec_id, sig)`; append after a
     * leading `WITH `. */
   def hyperplaneSignatureExactCtes(planes: Int = 16, dim: Int = 64,
-                                   seed: Long = 42L): String = {
+                                   seed: Long = 42L,
+                                   source: String = "embeddings"): String = {
     val values = (0 until planes).map { i =>
       val lst = plane(i, dim, seed).map(p =>
         if (p < 0) "-1.0" else "1.0").mkString("[", ",", "]")
@@ -130,7 +131,7 @@ object VectorFunctions {
        |hp_dims AS (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
        |         generate_subscripts(embedding, 1) AS j
-       |  FROM embeddings),
+       |  FROM $source),
        |hp_persig AS (
        |  SELECT vec_id, i,
        |    sum(CAST(round(x * sgn, 9) AS DECIMAL(38,9))) AS dsum

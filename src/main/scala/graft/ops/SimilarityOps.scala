@@ -1319,8 +1319,178 @@ object SimilarityOps {
     * summation-order ulps. */
   private val RadiusTau = 0.30
 
+  /** v25 planted-pair recall eval: sources and perturbation weights.
+    * [[V25Src]] corpus vectors each spawn four planted near-neighbours at
+    * dyadic perturbation weights chosen so the measured cosines spread
+    * across the eval bands (unit vectors + uniform[-1,1) noise per dim:
+    * E[cos] ≈ 1/√(1 + wb²·64/3) ≈ 0.96 / 0.87 / 0.65 / 0.44). Weights are
+    * dyadic rationals and the per-dim noise is a 20-bit md5-derived dyadic
+    * (h/2^19 − 1), so every arithmetic step (multiply by a dyadic, one
+    * IEEE add) is correctly rounded to the SAME double in any engine —
+    * the planted vectors are bit-identical in Spark and DuckDB with no
+    * normalization (the signature and cosine are scale-invariant, so the
+    * construction needs no cross-engine sqrt). */
+  private val V25Src = 40
+  private val V25Wbs = Seq(0 -> 0.0625, 1 -> 0.125, 2 -> 0.25, 3 -> 0.4375)
+  private val V25Offset = 600000L // planted id = vec_id + Offset + k·100000
+
+  /** v25: EMBEDDING-BLOCKING RECALL EVAL (r18 verdict item 2 — the one
+    * blocking family still characterized by prose): plants margin-banded
+    * near-threshold pairs and measures, per measured-cosine band, whether
+    * v02/v03's banded hyperplane-LSH candidate generation would surface
+    * them — the d35/d37/d38 planted-gold pattern applied to the embedding
+    * topology. Gold pairs are (source, planted) by ID ARITHMETIC (never
+    * enumerated from the pair space); the planted vectors join the full
+    * corpus before banding so collision statistics reflect real bucket
+    * occupancy; the band width is [[bandWidth]] of the CORPUS count
+    * (exactly what v03 uses — the ≤160 constant planted rows don't move
+    * the regime). Output: per cosine band [0.95,1) / [0.8,0.95) /
+    * [0.6,0.8) / [0.4,0.6) / below-threshold, the gold count, caught
+    * count, recall, and mean cosine. Expected from LSH theory
+    * (P = 1−(1−p^w)^4, p = 1−acos(c)/π): ≈0.99/0.93/0.73/0.53 at w=4 —
+    * RecallEvalSpec pins the measured floor per band at two SFs. Fully
+    * DuckDB-oracled: construction, signature (decimal-exact planes), and
+    * banding all replay bit-for-bit.
+    *
+    * Scale shape: planted/gold stay O([[V25Src]]) constants; the only
+    * corpus-sized work is the signature scan + the 4-rows-per-vector band
+    * explode joined against the broadcast gold ids — the same linear
+    * topology as v03's candidate generation, nothing quadratic. */
+  private def v25(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+    val bw = bandWidth(corpus.count())
+    val src = corpus.filter(col("vec_id") < V25Src)
+      .select(col("vec_id").as("src_id"),
+        VectorFunctions.toDouble(col("embedding")).as("v"))
+    val planted = V25Wbs.map { case (k, wb) =>
+      src.select(col("src_id"), lit(k).as("k"),
+        (col("src_id") + lit(V25Offset + k * 100000L)).as("p_id"),
+        transform(col("v"), (x, i) =>
+          x + lit(wb) * (conv(substring(md5(concat(
+              col("src_id").cast("string"), lit(s"_${k}_"),
+              (i + lit(1)).cast("string"))), 1, 5), 16, 10)
+            .cast("double") / lit(524288.0) - lit(1.0))).as("emb"))
+    }.reduce(_.unionByName(_))
+    // collision guard, lazy in-row (the d38 pattern): a corpus id at or
+    // above the planted offset would alias a gold pair invisibly — the
+    // oracle replays the same arithmetic — so raise during the scan
+    val guardedId = when(col("vec_id") < V25Offset, col("vec_id"))
+      .otherwise(raise_error(concat(
+        lit(s"v25 planted-id offset $V25Offset collides with vec_id "),
+        col("vec_id").cast("string"), lit("; raise the offset"))))
+    val uni = corpus.select(guardedId.as("vec_id"),
+        VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .unionByName(planted.select(col("p_id").as("vec_id"), col("emb")))
+    val bands = uni
+      .withColumn("sig", graft.functions.HyperplaneSigExact
+        .hyperplaneSig(s, col("emb"), planes = 32))
+      .select(col("vec_id"), posexplode(array(bandCols(col("sig"), bw): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+    val gold = planted.join(src, "src_id")
+      .select(col("src_id").as("id_a"), col("p_id").as("id_b"),
+        round(graft.functions.VectorExpressions.cosineSim(
+            s, col("v"), col("emb")).cast("decimal(18,10)"), 4)
+          .cast("double").as("cos"))
+    val caught = bands.select(col("vec_id").as("id_a"),
+        col("band_idx"), col("band"))
+      .join(broadcast(gold.select("id_a", "id_b")), "id_a")
+      .join(bands.select(col("vec_id").as("id_b"),
+        col("band_idx"), col("band")), Seq("id_b", "band_idx", "band"))
+      .select("id_a", "id_b").distinct()
+    gold.join(caught.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .select(col("cos"), coalesce(col("hit"), lit(0L)).as("hit"),
+        when(col("cos") >= 0.95, "a_0.95_1.00")
+          .when(col("cos") >= 0.80, "b_0.80_0.95")
+          .when(col("cos") >= 0.60, "c_0.60_0.80")
+          .when(col("cos") >= 0.40, "d_0.40_0.60")
+          .otherwise("e_below_0.40").as("cos_band"))
+      .groupBy(col("cos_band"))
+      .agg(count(lit(1)).as("n_gold"), sum(col("hit")).as("n_caught"),
+        (sum(col("cos").cast("decimal(18,10)")).cast("double") /
+          count(lit(1))).as("avg_raw"))
+      .select(col("cos_band"), col("n_gold"), col("n_caught"),
+        round((col("n_caught").cast("double") / col("n_gold"))
+          .cast("decimal(18,10)"), 6).cast("double").as("recall"),
+        round(col("avg_raw").cast("decimal(18,10)"), 4)
+          .cast("double").as("avg_cos"))
+      .orderBy("cos_band")
+  }
+
+  /** v25's oracle: the identical construction — md5-dyadic planted
+    * vectors, decimal-exact 32-plane signature over the union, corpus-
+    * count band width, gold by id arithmetic, band-collision catch. */
+  private def v25OracleSql: String = {
+    val wbCase = V25Wbs.map { case (k, wb) => s"WHEN $k THEN $wb" }
+      .mkString("CASE k ", " ", " END") + "::DOUBLE"
+    s"""WITH src AS (
+       |  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $V25Src),
+       |wbs AS (SELECT k, $wbCase AS wb
+       |        FROM (SELECT unnest([0,1,2,3]) AS k)),
+       |pdims AS (
+       |  SELECT s.src_id, w.k, w.wb, generate_subscripts(s.v, 1) AS j,
+       |         unnest(s.v) AS x
+       |  FROM src s CROSS JOIN wbs w),
+       |pvals AS (
+       |  SELECT src_id, k, j,
+       |    x + wb * ((('0x' || substr(md5(CAST(src_id AS VARCHAR) || '_'
+       |        || k || '_' || j), 1, 5))::BIGINT / 524288.0) - 1.0) AS p
+       |  FROM pdims),
+       |planted AS (
+       |  SELECT src_id, k, src_id + $V25Offset + k*100000 AS p_id,
+       |         array_agg(p ORDER BY j) AS emb
+       |  FROM pvals GROUP BY src_id, k),
+       |uni AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+       |  FROM embeddings
+       |  UNION ALL SELECT p_id AS vec_id, emb AS embedding FROM planted),
+       |${VectorFunctions.hyperplaneSignatureExactCtes(planes = 32,
+          source = "uni")},
+       |bw AS (
+       |  SELECT greatest(4, least(8,
+       |    4 + CAST(floor(log2(greatest(count(*), 1) / 2000.0)) AS INT)))
+       |    AS w
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, b AS band_idx,
+       |    ((sig >> (b * 4)) & 15) |
+       |      (((sig >> (16 + b * 4)) & ((1 << (w - 4)) - 1)) << 4) AS band
+       |  FROM hp_sigs, (SELECT unnest([0, 1, 2, 3]) AS b), bw),
+       |gold AS (
+       |  SELECT p.src_id AS id_a, p.p_id AS id_b,
+       |    CAST(round(CAST(list_cosine_similarity(s.v, p.emb)
+       |      AS DECIMAL(18,10)), 4) AS DOUBLE) AS cos
+       |  FROM planted p JOIN src s USING (src_id)),
+       |caught AS (
+       |  SELECT DISTINCT g.id_a, g.id_b
+       |  FROM gold g JOIN bands a ON a.vec_id = g.id_a
+       |              JOIN bands b ON b.vec_id = g.id_b
+       |             AND a.band_idx = b.band_idx AND a.band = b.band),
+       |banded AS (
+       |  SELECT CASE WHEN cos >= 0.95 THEN 'a_0.95_1.00'
+       |              WHEN cos >= 0.80 THEN 'b_0.80_0.95'
+       |              WHEN cos >= 0.60 THEN 'c_0.60_0.80'
+       |              WHEN cos >= 0.40 THEN 'd_0.40_0.60'
+       |              ELSE 'e_below_0.40' END AS cos_band,
+       |         g.cos, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM gold g LEFT JOIN caught c USING (id_a, id_b)),
+       |agg AS (
+       |  SELECT cos_band, count(*) AS n_gold,
+       |    CAST(sum(hit) AS BIGINT) AS n_caught,
+       |    CAST(sum(CAST(cos AS DECIMAL(18,10))) AS DOUBLE) / count(*)
+       |      AS avg_raw
+       |  FROM banded GROUP BY cos_band)
+       |SELECT cos_band, n_gold, n_caught,
+       |  CAST(round(CAST(CAST(n_caught AS DOUBLE) / n_gold
+       |    AS DECIMAL(18,10)), 6) AS DOUBLE) AS recall,
+       |  CAST(round(CAST(avg_raw AS DECIMAL(18,10)), 4) AS DOUBLE)
+       |    AS avg_cos
+       |FROM agg ORDER BY cos_band""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v23_filtered_ann" -> v23 _, "v24_radius_search" -> v24 _,
+    "v25_blocking_recall_eval" -> v25 _,
     "v11_semantic_dedup" -> v11 _,
     "v10_mmr_select" -> v10 _,
     "v12_hard_negatives" -> v12 _, "v13_rrf_fusion" -> v13 _,
@@ -1669,6 +1839,7 @@ object SimilarityOps {
     // v19's reload bit-identity with v14 is spec-pinned, one oracle both
     "v14_pq_adc" -> v14OracleSql,
     "v19_pq_index_serve" -> v14OracleSql,
+    "v25_blocking_recall_eval" -> v25OracleSql,
     "v21_ivf_pq" -> v21OracleSql,
     "v02_knn_lsh" -> v02OracleSql,
     "v03_embed_neardup" -> v03OracleSql,

@@ -57,4 +57,37 @@ class RecallEvalSpec extends SparkSpec {
         s"$sf: prefix filter must catch every true subset, got $pfRecall")
     }
   }
+
+  test("v25: banded embedding blocking recall declines with cosine, " +
+      "high band complete") {
+    // LSH theory at w=4, 4 bands: P(collide) = 1-(1-p^4)^4 with
+    // p = 1-acos(c)/pi — ~0.99 at c=0.96, ~0.93 at 0.87, ~0.73 at 0.65,
+    // ~0.53 at 0.44. Floors sit under the measured values (sf0.001:
+    // 1.0/0.976/0.667/0.595; sf0.01: 1.0/0.905/0.771/0.607) with margin
+    // for construction tweaks, but a banding bug (wrong band extraction,
+    // dead signature) craters straight through them.
+    for (sf <- sfs) {
+      val rows = SimilarityOps.queries("v25_blocking_recall_eval")(spark, sf)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+      assert(rows.keySet == Set("a_0.95_1.00", "b_0.80_0.95",
+        "c_0.60_0.80", "d_0.40_0.60", "e_below_0.40"),
+        s"$sf: bands ${rows.keySet}")
+      assert(rows.values.map(_._1).sum == 160L,
+        s"$sf: planted gold total ${rows.values.map(_._1).sum} != 160")
+      rows.foreach { case (band, (nGold, _)) =>
+        assert(nGold >= 10, s"$sf: band $band too thin ($nGold) to pin") }
+      def recall(b: String) = rows(b)._2
+      assert(recall("a_0.95_1.00") == 1.0,
+        s"$sf: high band must be complete, got ${recall("a_0.95_1.00")}")
+      assert(recall("b_0.80_0.95") >= 0.85, s"$sf b: ${recall("b_0.80_0.95")}")
+      assert(recall("c_0.60_0.80") >= 0.60, s"$sf c: ${recall("c_0.60_0.80")}")
+      assert(recall("d_0.40_0.60") >= 0.45, s"$sf d: ${recall("d_0.40_0.60")}")
+      // the decline itself is the measurement: blocking quality is a
+      // function of cosine, and the below-threshold band (out of v03's
+      // contract) must not look better than the in-contract bands
+      assert(recall("a_0.95_1.00") > recall("d_0.40_0.60"), s"$sf monotone")
+      assert(recall("e_below_0.40") < recall("b_0.80_0.95"), s"$sf below")
+    }
+  }
 }
