@@ -123,11 +123,47 @@ object SessionGates {
     * unit the file-source gates copy into their input dirs. One file per
     * intended micro-batch: multiple part files would split a batch under
     * `maxFilesPerTrigger=1` and collide on fixed target names. */
+  /** JVM-wide memo of STAGED INPUT FILES keyed by the frame's
+    * canonicalized logical plan (r18 verdict item 6, streaming cost diet
+    * phase 2): every staged frame is a deterministic pure function of the
+    * read-only fixture (slices/sentinels of [[graft.Tables]] with literal
+    * bounds derived from fixture stats), so re-running the coalesce(1)
+    * batch write per gate invocation — ~30 call sites × bench reps — is
+    * pure recompute, the [[SimilarityOps]] memoLocal discipline applied
+    * to fixture staging. The cached artifact is the written parquet FILE;
+    * [[arriveAs]] still COPIES it into each gate's own watched in/ dir
+    * with the gate's mtime stamps, so arrival order, checkpoint isolation
+    * and scratch cleanup are untouched — only the harness-side staging
+    * job is shared. The plan key embeds the fixture path (the scan
+    * relation), so SF dirs can't alias. Cache lives until JVM exit
+    * (shutdown hook removes the files); bounded by the distinct staged
+    * frames (~40), each a one-part gate-scale parquet. */
+  private val stagedParts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]
+  private lazy val stagedBase: java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_staged_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }))
+    dir
+  }
+
+  /** `out` (the gate's scratch dir) is accepted and intentionally unused
+    * since the staging memo: the staged file now lives in [[stagedBase]]
+    * so it can outlive any single gate's withScratchCleanup. Kept so the
+    * ~30 call sites read unchanged. */
   private def onePartFile(df: DataFrame, out: java.io.File,
                           stage: String): java.io.File = {
-    val slice = new java.io.File(out, s"stage_$stage")
-    df.coalesce(1).write.parquet(slice.getPath)
-    slice.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val key = df.queryExecution.analyzed.canonicalized.toString()
+    stagedParts.computeIfAbsent(key, _ => {
+      val slice = new java.io.File(stagedBase,
+        s"stage_${stage}_${stagedParts.size()}")
+      df.coalesce(1).write.parquet(slice.getPath)
+      slice.listFiles().filter(_.getName.endsWith(".parquet")).head
+    })
   }
 
   /** Lands `part` in the gate's watched `in/` dir under `name`, mtime-
