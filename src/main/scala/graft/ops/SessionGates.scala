@@ -140,6 +140,10 @@ object SessionGates {
     * frames (~40), each a one-part gate-scale parquet. */
   private val stagedParts =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]
+  // unique slice-dir suffix: stage names repeat across gates ("f0",
+  // "events") and suites run in parallel — a size()-derived name could
+  // collide when two different frames stage concurrently
+  private val stagedSeq = new java.util.concurrent.atomic.AtomicLong
   private lazy val stagedBase: java.io.File = {
     val dir = java.nio.file.Files.createTempDirectory("graft_staged_").toFile
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -160,7 +164,7 @@ object SessionGates {
     val key = df.queryExecution.analyzed.canonicalized.toString()
     stagedParts.computeIfAbsent(key, _ => {
       val slice = new java.io.File(stagedBase,
-        s"stage_${stage}_${stagedParts.size()}")
+        s"stage_${stage}_${stagedSeq.getAndIncrement()}")
       df.coalesce(1).write.parquet(slice.getPath)
       slice.listFiles().filter(_.getName.endsWith(".parquet")).head
     })
