@@ -115,23 +115,31 @@ object AmplifySf {
     // survive in the amplified set; n_chars stays consistent with text
     def saltTok(w: org.apache.spark.sql.Column) =
       concat(w, lit("x"), chr(col("rep") + lit(96)))
+    // Salt-aliasing guard, BOTH modes (r19 review): the salt shape is
+    // base+"x"+letter, so a BASE token already ending in x+<used letter>
+    // would alias a salted type of its stem — in full mode the unsalted
+    // rep-0 copy collides with a salted replica (vocab < V·X, replicas no
+    // longer shingle-disjoint); in Heaps mode it skews the V·X^β pin.
+    // Letters actually used are 'a'..chr(96+x−1) (rep ∈ [1, x)), so the
+    // range is bounded by x — a base token ending "xz" is harmless below
+    // x = 26. Fail loudly (one distinct-token scan, builder-side only,
+    // never benched).
+    if (x >= 2) {
+      val hi = ('a' + x - 2).toChar
+      val aliased = read("documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike(s"x[a-$hi]$$")).distinct().limit(5)
+        .collect().map(_.getString(0))
+      require(aliased.isEmpty,
+        s"replica salting aliases base tokens ending in x<letter<=$hi>: " +
+          s"${aliased.mkString(", ")} — pick a different salt shape")
+    }
     val salted = vocabBeta match {
       case None =>
         // full salting: replicas strictly shingle-disjoint, vocab ×X
         array_join(transform(split(col("text"), " "), w => saltTok(w)), " ")
       case Some(beta) =>
         require(beta > 0.0 && beta <= 1.0, s"Heaps beta $beta outside (0, 1]")
-        // Heaps mode precondition: the salt shape is base+"x"+letter, so a
-        // BASE token already ending in x+[a-z] would alias a salted type of
-        // its stem and silently skew the V·X^β vocabulary pin. Fail loudly
-        // (one cheap distinct-token scan, builder-side only, never benched).
-        val aliased = read("documents")
-          .select(explode(split(col("text"), " ")).as("w"))
-          .filter(col("w").rlike("x[a-z]$")).distinct().limit(5)
-          .collect().map(_.getString(0))
-        require(aliased.isEmpty,
-          s"Heaps salting aliases base tokens ending in x<letter>: " +
-            s"${aliased.mkString(", ")} — pick a different salt shape")
         // marginal Heaps increments, per-ten-thousand (basis-point)
         // thresholds per replica: round(10000·f(r)) compared against
         // pmod(hash, 10000)

@@ -1271,8 +1271,12 @@ object Relational {
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
       .select(col("event_type"), col("exact_users"), col("n"),
-        (abs(col("est").cast("double") - col("exact_users")) /
-          col("exact_users") <= 0.15).as("hll_within_3rsd"))
+        // all-NULL user_id group: exact = est = 0 and the bound is
+        // vacuously met — without the guard 0/0 yields a NULL boolean
+        // that would hash-fail against the oracle's pinned TRUE
+        when(col("exact_users") === 0L, lit(true))
+          .otherwise(abs(col("est").cast("double") - col("exact_users")) /
+            col("exact_users") <= 0.15).as("hll_within_3rsd"))
       .orderBy("event_type")
 
   /** Gap-based sessionization as a batch composition (lag → flag → running
@@ -3001,11 +3005,15 @@ object Relational {
     def lt(a: String) = sum(when(col("value") < col(a), 1L).otherwise(0L))
     def le(a: String) = sum(when(col("value") <= col(a), 1L).otherwise(0L))
     def inBand(p: Double, ltc: Column, lec: Column): Column =
-      (ltc + lit(1L)).cast("double") <= (lit(p + 0.005) * col("n")) &&
-        lec.cast("double") >= (lit(p - 0.005) * col("n"))
+      (ltc + lit(1L)).cast("double") <= (lit(p + 0.005) * col("nv")) &&
+        lec.cast("double") >= (lit(p - 0.005) * col("nv"))
     ev.join(broadcast(ap), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
+        // GK's rank guarantee is over NON-NULL values (which lt/le also
+        // count), so the band arithmetic uses count(value), not row
+        // count — n stays the oracle-pinned total-row column
+        count(col("value")).as("nv"),
         lt("a25").as("lt25"), le("a25").as("le25"),
         lt("a50").as("lt50"), le("a50").as("le50"),
         lt("a75").as("lt75"), le("a75").as("le75"))

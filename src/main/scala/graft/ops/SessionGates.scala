@@ -134,8 +134,10 @@ object SessionGates {
     * [[arriveAs]] still COPIES it into each gate's own watched in/ dir
     * with the gate's mtime stamps, so arrival order, checkpoint isolation
     * and scratch cleanup are untouched — only the harness-side staging
-    * job is shared. The plan key embeds the fixture path (the scan
-    * relation), so SF dirs can't alias. Cache lives until JVM exit
+    * job is shared. The key is (sorted backing files, canonicalized
+    * plan) — the file list carries the fixture dir explicitly because
+    * canonicalization normalizes scan paths away, so SF dirs could
+    * otherwise alias. Cache lives until JVM exit
     * (shutdown hook removes the files); bounded by the distinct staged
     * frames (~40), each a one-part gate-scale parquet. */
   private val stagedParts =
@@ -161,7 +163,12 @@ object SessionGates {
     * ~30 call sites read unchanged. */
   private def onePartFile(df: DataFrame, out: java.io.File,
                           stage: String): java.io.File = {
-    val key = df.queryExecution.analyzed.canonicalized.toString()
+    // canonicalized plans NORMALIZE AWAY the scan path (verified: the
+    // events relation canonicalizes identically for every fixture dir),
+    // so the key must carry the backing files explicitly or a JVM
+    // staging two SFs would serve the first dir's file for the second
+    val key = df.inputFiles.sorted.mkString(",") + "|" +
+      df.queryExecution.analyzed.canonicalized.toString()
     stagedParts.computeIfAbsent(key, _ => {
       val slice = new java.io.File(stagedBase,
         s"stage_${stage}_${stagedSeq.getAndIncrement()}")

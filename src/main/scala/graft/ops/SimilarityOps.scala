@@ -1391,8 +1391,12 @@ object SimilarityOps {
         round(graft.functions.VectorExpressions.cosineSim(
             s, col("v"), col("emb")).cast("decimal(18,10)"), 4)
           .cast("double").as("cos"))
-    val caught = bands.select(col("vec_id").as("id_a"),
-        col("band_idx"), col("band"))
+    // id_a side filtered to the sources BEFORE the signature kernel:
+    // every gold id_a is < V25Src, so the filter is semantics-preserving
+    // and pushes below the per-vector signature projection — without it
+    // the corpus-sized signature scan runs twice (once per join leg)
+    val caught = bands.filter(col("vec_id") < V25Src)
+      .select(col("vec_id").as("id_a"), col("band_idx"), col("band"))
       .join(broadcast(gold.select("id_a", "id_b")), "id_a")
       .join(bands.select(col("vec_id").as("id_b"),
         col("band_idx"), col("band")), Seq("id_b", "band_idx", "band"))
