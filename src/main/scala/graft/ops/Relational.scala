@@ -3004,10 +3004,19 @@ object Relational {
         expr("approx_percentile(value, 0.75, 1000)").as("a75"))
     def lt(a: String) = sum(when(col("value") < col(a), 1L).otherwise(0L))
     def le(a: String) = sum(when(col("value") <= col(a), 1L).otherwise(0L))
+    // all-NULL guard (r19 ADVICE, mirrors q31's exact_users === 0 rule):
+    // a group with zero non-null values has no percentile to verify —
+    // approx_percentile returns NULL, lt=le=0 and the band test would
+    // read (0+1) <= p·0 = FALSE against the oracle's vacuous TRUE
     def inBand(p: Double, ltc: Column, lec: Column): Column =
-      (ltc + lit(1L)).cast("double") <= (lit(p + 0.005) * col("nv")) &&
-        lec.cast("double") >= (lit(p - 0.005) * col("nv"))
-    ev.join(broadcast(ap), "event_type")
+      when(col("nv") === 0L, lit(true)).otherwise(
+        (ltc + lit(1L)).cast("double") <= (lit(p + 0.005) * col("nv")) &&
+          lec.cast("double") >= (lit(p - 0.005) * col("nv")))
+    // null-safe equi-join (r19 ADVICE): groupBy retains a NULL event_type
+    // group (as does the oracle's GROUP BY), but a plain inner equi-join
+    // would drop it — <=> keeps the NULL group's row aligned with both
+    val apR = ap.withColumnRenamed("event_type", "ap_event_type")
+    ev.join(broadcast(apR), col("event_type") <=> col("ap_event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         // GK's rank guarantee is over NON-NULL values (which lt/le also

@@ -166,9 +166,16 @@ object SessionGates {
     // canonicalized plans NORMALIZE AWAY the scan path (verified: the
     // events relation canonicalizes identically for every fixture dir),
     // so the key must carry the backing files explicitly or a JVM
-    // staging two SFs would serve the first dir's file for the second
+    // staging two SFs would serve the first dir's file for the second.
+    // semanticHash + schema DDL, not canonicalized.toString (r19 ADVICE):
+    // treeString truncates node fields at spark.sql.debug.maxToStringFields
+    // (default 25), so two distinct wide-projection plans could RENDER
+    // identically and alias to one cached file; the semantic hash sees
+    // every field, and the schema DDL guards the (unlikely) hash collision
+    // class that matters most — same-shape plans with different columns
     val key = df.inputFiles.sorted.mkString(",") + "|" +
-      df.queryExecution.analyzed.canonicalized.toString()
+      df.queryExecution.analyzed.canonicalized.semanticHash() + "|" +
+      df.schema.toDDL
     stagedParts.computeIfAbsent(key, _ => {
       val slice = new java.io.File(stagedBase,
         s"stage_${stage}_${stagedSeq.getAndIncrement()}")

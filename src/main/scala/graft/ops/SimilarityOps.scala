@@ -1356,10 +1356,10 @@ object SimilarityOps {
     * corpus-sized work is the signature scan + the 4-rows-per-vector band
     * explode joined against the broadcast gold ids — the same linear
     * topology as v03's candidate generation, nothing quadratic. */
-  private def v25(s: SparkSession, d: String): DataFrame = {
-    val corpus = emb(s, d)
-    val bw = bandWidth(corpus.count())
-    val src = corpus.filter(col("vec_id") < V25Src)
+  /** (src, planted) — the v25 construction, shared with the spec's
+    * boundary probe via [[v25GoldFrame]]. */
+  private def v25Planted(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val src = emb(s, d).filter(col("vec_id") < V25Src)
       .select(col("vec_id").as("src_id"),
         VectorFunctions.toDouble(col("embedding")).as("v"))
     val planted = V25Wbs.map { case (k, wb) =>
@@ -1371,6 +1371,13 @@ object SimilarityOps {
               (i + lit(1)).cast("string"))), 1, 5), 16, 10)
             .cast("double") / lit(524288.0) - lit(1.0))).as("emb"))
     }.reduce(_.unionByName(_))
+    (src, planted)
+  }
+
+  private def v25(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+    val bw = bandWidth(corpus.count())
+    val (src, planted) = v25Planted(s, d)
     // collision guard, lazy in-row (the d38 pattern): a corpus id at or
     // above the planted offset would alias a gold pair invisibly — the
     // oracle replays the same arithmetic — so raise during the scan
@@ -1386,11 +1393,7 @@ object SimilarityOps {
         .hyperplaneSig(s, col("emb"), planes = 32))
       .select(col("vec_id"), posexplode(array(bandCols(col("sig"), bw): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
-    val gold = planted.join(src, "src_id")
-      .select(col("src_id").as("id_a"), col("p_id").as("id_b"),
-        round(graft.functions.VectorExpressions.cosineSim(
-            s, col("v"), col("emb")).cast("decimal(18,10)"), 4)
-          .cast("double").as("cos"))
+    val gold = v25Gold(s, planted.join(src, "src_id"))
     // id_a side filtered to the sources BEFORE the signature kernel:
     // every gold id_a is < V25Src, so the filter is semantics-preserving
     // and pushes below the per-vector signature projection — without it
@@ -1418,6 +1421,32 @@ object SimilarityOps {
         round(col("avg_raw").cast("decimal(18,10)"), 4)
           .cast("double").as("avg_cos"))
       .orderBy("cos_band")
+  }
+
+  /** The v25 gold pairs with their ROUNDED cosine (the gate's value).
+    * Factored so [[v25GoldRaw]] can expose the pre-round double to the
+    * boundary-distance spec without duplicating the expression. */
+  private def v25Gold(s: SparkSession, joined: DataFrame): DataFrame =
+    v25GoldRaw(s, joined).drop("cos_raw")
+
+  /** Gold pairs carrying BOTH the raw cross-engine cosine double and the
+    * gate's rounded value (r19 ADVICE: v24 probes its tau boundary
+    * distance; this is v25's analogue — RecallEvalSpec asserts every
+    * gold cosine sits clear of the 4-decimal rounding midpoints and the
+    * cos_band edges, so engine float disagreement can't flip a hash). */
+  private[ops] def v25GoldRaw(s: SparkSession, joined: DataFrame): DataFrame =
+    joined.select(col("src_id").as("id_a"), col("p_id").as("id_b"),
+      graft.functions.VectorExpressions.cosineSim(
+        s, col("v"), col("emb")).as("cos_raw"),
+      round(graft.functions.VectorExpressions.cosineSim(
+          s, col("v"), col("emb")).cast("decimal(18,10)"), 4)
+        .cast("double").as("cos"))
+
+  /** The v25 planted/source join for the spec's boundary probe — the
+    * same construction the gate builds. */
+  private[ops] def v25GoldFrame(s: SparkSession, d: String): DataFrame = {
+    val (src, planted) = v25Planted(s, d)
+    v25GoldRaw(s, planted.join(src, "src_id"))
   }
 
   /** v25's oracle: the identical construction — md5-dyadic planted

@@ -90,4 +90,36 @@ class RecallEvalSpec extends SparkSpec {
       assert(recall("e_below_0.40") < recall("b_0.80_0.95"), s"$sf below")
     }
   }
+
+  test("v25: gold cosines sit clear of rounding midpoints and band edges") {
+    // The gold cosine crosses engines through a float dot/norm/sqrt
+    // before round-to-4 (r19 ADVICE): a raw value within the engines'
+    // float disagreement of a 4-decimal rounding MIDPOINT (x.xxxx5)
+    // could round differently per engine, and a raw within that
+    // disagreement of a cos_band edge (0.40/0.60/0.80/0.95) could band
+    // differently — either flips the gate hash. This is v24's RadiusTau
+    // boundary-distance probe applied to v25's value surface.
+    //
+    // Margin calibration: both engines compute the same 64-term dot,
+    // norms and sqrt in IEEE doubles, so their results agree to a few
+    // ulps (≲1e-13 relative at cosine magnitude ~1); 1e-9 leaves four
+    // orders of safety above that while tolerating the fixture's
+    // observed minimum midpoint distance (4.5e-7 at sf0.001 — real, and
+    // harmless at double precision).
+    val edges = Seq(0.40, 0.60, 0.80, 0.95)
+    for (sf <- sfs) {
+      val raws = SimilarityOps.v25GoldFrame(spark, sf)
+        .select("cos_raw").collect().map(_.getDouble(0))
+      assert(raws.length == 160, s"$sf: gold count ${raws.length}")
+      for (c <- raws) {
+        val scaled = c * 10000.0
+        val midDist = math.abs(scaled - math.floor(scaled) - 0.5) / 10000.0
+        assert(midDist >= 1e-9,
+          f"$sf: gold cosine $c%.12f within $midDist%.2e of a 4-decimal rounding midpoint")
+        val edgeDist = edges.map(e => math.abs(c - e)).min
+        assert(edgeDist >= 1e-9,
+          f"$sf: gold cosine $c%.12f within $edgeDist%.2e of a cos_band edge")
+      }
+    }
+  }
 }
