@@ -292,16 +292,35 @@ object TextOps {
     ragRerank(scored)
   }
 
+  /** The compositional per-token slot hash the DuckDB oracles replay —
+    * kept as the spec reference for [[graft.functions.Md5TokenSlotHashes]]
+    * (RagSlotKernelsSpec pins bit-identity); the engine hot path runs the
+    * native kernel. */
   private[graft] def ragSlotHash(t: org.apache.spark.sql.Column) =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long") % RagSlots
 
-  // Slot counts are ONE aggregate pass over the hash array (fold the
-  // 16-slot histogram), not 16 per-slot filters: CollapseProject inlines
-  // a multiply-referenced array expression into every use, so the
-  // filter-per-slot form re-evaluated the md5 transform 16× per row —
-  // and higher-order functions are codegen-fallback, so the redundancy
-  // was interpreted. Measured 7.5 s → ~1 s at sf0.1, same values.
-  private[graft] def ragSlotCounts(hs: org.apache.spark.sql.Column) =
+  /** Native per-token slot hashes over `tokenize(text, "space-raw")` —
+    * one JVM pass per document instead of an interpreted md5-hex →
+    * substring → conv lambda per token (r20 optimization; bit-identity
+    * spec-pinned against the [[ragSlotHash]] transform). */
+  private[graft] def ragSlotHashes(s: SparkSession,
+      text: org.apache.spark.sql.Column) =
+    graft.functions.Md5TokenSlotHashes(s, text, RagSlots)
+
+  // Slot counts are ONE pass over the hash array. History: the original
+  // 16-filters-per-slot form re-evaluated the md5 transform 16× per row
+  // (7.5 s → ~1 s at sf0.1 when folded into one aggregate); the fold
+  // itself still ran interpreted (higher-order functions are
+  // codegen-fallback) and allocated a fresh 16-slot array per TOKEN, so
+  // r20 moved it into the native [[graft.functions.SlotHistogram]]
+  // kernel (bit-identity spec-pinned against the fold form).
+  private[graft] def ragSlotCounts(s: SparkSession,
+      hs: org.apache.spark.sql.Column) =
+    graft.functions.SlotHistogram(s, hs, RagSlots)
+
+  /** The compositional histogram fold the DuckDB oracles replay — spec
+    * reference for [[graft.functions.SlotHistogram]]. */
+  private[graft] def ragSlotCountsComposed(hs: org.apache.spark.sql.Column) =
     aggregate(hs, expr(s"array_repeat(0L, $RagSlots)"),
       (acc, h) => transform(acc,
         (v, j) => when(j.cast("long") === h, v + 1L).otherwise(v)))
@@ -311,8 +330,9 @@ object TextOps {
 
   /** Whole-document 16-slot feature-hash embedding — the t24 chunk
     * encoder applied to a full text; m07's stub "encoder tower". */
-  private[graft] def docSlotEmbed(text: org.apache.spark.sql.Column) =
-    ragSlotCounts(transform(tokenize(text, "space-raw"), ragSlotHash _))
+  private[graft] def docSlotEmbed(s: SparkSession,
+      text: org.apache.spark.sql.Column) =
+    ragSlotCounts(s, ragSlotHashes(s, text))
 
   /** The t24/t25 shared chunk+embed stage: (doc_id, chunk_start,
     * cv: array<long> slot counts, cn: L2 norm). Map-only — no shuffle.
@@ -324,27 +344,28 @@ object TextOps {
     * md5+conv twice (transform∘slice ≡ slice∘transform — emitted rows are
     * bit-identical, checked exceptAll-both-ways at sf0.1; measured 1.05 s
     * → 0.78 s for the embed pass, r20 optimization pass). */
-  def ragChunkEmbeddings(docsDf: DataFrame): DataFrame =
+  def ragChunkEmbeddings(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
     docsDf
-      .withColumn("hs_full", transform(
-        tokenize(col("text"), "space-raw"), ragSlotHash _))
+      .withColumn("hs_full", ragSlotHashes(s, col("text")))
       .withColumn("n_tokens", size(col("hs_full")).cast("long"))
       .withColumn("chunk_start", explode(expr(
         s"sequence(0L, greatest(n_tokens - 1, 0L), ${RagChunkStride}L)")))
       .withColumn("hs", slice(col("hs_full"),
         (col("chunk_start") + 1).cast("int"), lit(RagChunkTokens)))
       .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), col("chunk_start"), ragSlotCounts(col("hs")).as("cv"))
+      .select(col("doc_id"), col("chunk_start"),
+        ragSlotCounts(s, col("hs")).as("cv"))
       .withColumn("cn", ragNorm(col("cv")))
+  }
 
   /** The fixed 3-query embedding table (query_id, qv, qn) — broadcast
     * everywhere it appears. */
   def ragQueryEmbeddings(s: SparkSession): DataFrame = {
     import s.implicits._
     RagQueries.toDF("query_id", "query_text")
-      .select(col("query_id"),
-        transform(tokenize(col("query_text"), "space-raw"), ragSlotHash _).as("hs"))
-      .select(col("query_id"), ragSlotCounts(col("hs")).as("qv"))
+      .select(col("query_id"), ragSlotHashes(s, col("query_text")).as("hs"))
+      .select(col("query_id"), ragSlotCounts(s, col("hs")).as("qv"))
       .withColumn("qn", ragNorm(col("qv")))
   }
 
