@@ -136,7 +136,9 @@ object Multimodal {
     // derived from the data: max(doc_id)+1 cannot collide at any SF
     // (a fixed offset silently collides once the table outgrows it,
     // flipping keeper semantics). One scalar from a column-pruned agg.
-    val offset = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val offset = Tables.fixtureStat(d, "media_maxid") {
+      base.agg(max(col("doc_id"))).head().getLong(0)
+    } + 1L
     val reingested = base.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + lit(offset))
     sampleFrames(base.union(reingested)).toDF()
@@ -185,7 +187,9 @@ object Multimodal {
     * key; nothing is quadratic in the corpus. */
   private def m06(s: SparkSession, d: String): DataFrame = {
     val base = mediaTable(s, d)
-    val offset = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val offset = Tables.fixtureStat(d, "media_maxid") {
+      base.agg(max(col("doc_id"))).head().getLong(0)
+    } + 1L
     val variants = base.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + lit(offset))
     // re-encoded frames: same payload → same base phash, then the drift
@@ -294,7 +298,9 @@ object Multimodal {
     // byte-exact duplicates, so without the shard the dedup stage would
     // be dead code in this gate); lang rides along for the accounting
     val base0 = mediaTable(s, d)
-    val offset = base0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val offset = Tables.fixtureStat(d, "media_maxid") {
+      base0.agg(max(col("doc_id"))).head().getLong(0)
+    } + 1L
     val media = base0.unionByName(
       base0.filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + lit(offset)))

@@ -690,7 +690,7 @@ object DedupOps {
           .otherwise(lit("both_ends")).as("class"))
     val titled = padded.select(id, col("title"))
       .unionByName(variants.select(id, col("title")))
-    val (nDocs, maxId) = {
+    val (nDocs, maxId) = Tables.fixtureStat(d, "docs_count_maxid") {
       val r = docs(s, d).agg(count(lit(1)), max(id)).head()
       // max() is NULL on an empty corpus — no ids, no collision possible
       (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))

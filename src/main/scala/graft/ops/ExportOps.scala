@@ -806,11 +806,14 @@ object ExportOps {
     val li = Tables(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"))
-    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
-      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pLo, pHi, sLo, sHi) = Tables.fixtureStat(d, "lineitem_zbounds") {
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    }
     val z = zValue(
-      zBucket(col("l_partkey"), b.getLong(0), b.getLong(1), bits),
-      zBucket(col("l_suppkey"), b.getLong(2), b.getLong(3), bits), bits)
+      zBucket(col("l_partkey"), pLo, pHi, bits),
+      zBucket(col("l_suppkey"), sLo, sHi, bits), bits)
     li.withColumn("zval", z)
       .repartitionByRange(numFiles, col("zval"), col("l_orderkey"),
         col("l_linenumber"))
@@ -996,9 +999,14 @@ object ExportOps {
         .write.parquet(dataDir)
       bloomManifest(s, dataDir, "doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/manifest")
-      val bounds = s.read.parquet(dataDir)
-        .agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      // the written table is a projection of documents, so its doc_id
+      // bounds ARE the fixture's — served from the stat memo (catalog
+      // min/max), not a post-write scan
+      val (mn, mx) = Tables.fixtureStat(d, "documents_docid_bounds") {
+        val b = Tables(s, d, "documents")
+          .agg(min(col("doc_id")), max(col("doc_id"))).head()
+        (b.getLong(0), b.getLong(1))
+      }
       val keys = (0 to 4).map(i => mn + (mx - mn) * i / 4).distinct
       val hit = bloomProbe(s, dataDir, s.read.parquet(s"$out/manifest"),
         "doc_id", keys)
@@ -1040,9 +1048,11 @@ object ExportOps {
       // sliver into every day (tasks × days tiny files — e04's compaction
       // disease, created on purpose); aligned, each day lands as one file
       ev.repartition(col("day")).write.partitionBy("day").parquet(root)
-      val mid = ev.agg(
-        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m"))
-        .head().getLong(0)
+      // (min + max) div 2 over immutable fixture timestamps — served from
+      // the shared ts-stats memo (one job per JVM, not per invocation);
+      // Scala / and SQL div agree on positive longs
+      val (tsLo, tsHi, _) = graft.ops.SessionGates.eventTsStats(s, d)
+      val mid = (tsLo + tsHi) / 2L
       val cutoff = s.range(1).select(
         date_format(timestamp_micros(lit(mid)), "yyyy-MM-dd"))
         .head().getString(0)
@@ -1329,7 +1339,9 @@ object ExportOps {
         summary(docsT.filter(col("doc_id") % 2 === 0)), root, 1L, violation),
         "e17: the clean v1 must publish")
       // the poisoned candidate: one language's sum goes null upstream
-      val firstLang = docsT.agg(min(col("lang"))).head().getString(0)
+      val firstLang = Tables.fixtureStat(d, "documents_min_lang") {
+        docsT.agg(min(col("lang"))).head().getString(0)
+      }
       val poisoned = summary(docsT).withColumn("sum_chars",
         when(col("lang") === firstLang, lit(null)).otherwise(col("sum_chars")))
       require(!auditedPublish(poisoned, root, 2L, violation),

@@ -1191,12 +1191,16 @@ object SimilarityOps {
     * Oracle: the same greedy unrolled as a k-step CTE chain over DuckDB's
     * list_cosine_similarity (exact-parity kernel proven by v01). */
   private def v10(s: SparkSession, d: String): DataFrame = {
+    // the fixed query vector is a single immutable fixture row — stat-memo
+    // (one lookup job per JVM), not a per-invocation head()
+    val qVec = Tables.fixtureStat(d, "mmr_query_vec") {
+      emb(s, d).filter(col("vec_id") === MmrQueryId)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+    }
     val rel = emb(s, d).filter(col("vec_id") =!= MmrQueryId)
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorExpressions.cosineSim(s,
-          typedlit(emb(s, d).filter(col("vec_id") === MmrQueryId)
-            .select(col("embedding")).head().getSeq[Float](0).toArray),
-          col("embedding")).as("rel"))
+          typedlit(qVec), col("embedding")).as("rel"))
       .cache()
     try {
       val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]

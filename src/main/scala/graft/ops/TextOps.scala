@@ -1457,10 +1457,11 @@ object TextOps {
     * arithmetic so the oracle recomputes it exactly — a fixed 10⁵ made
     * score ties (hence rank order, AUC, the cut boundary) nondeterministic
     * once amplified fixtures pushed doc_id past 10⁵ (r14 ADVICE). */
-  private def aucScoreMult(s: SparkSession, d: String): Long = {
-    val maxId = docs(s, d).agg(max(col("doc_id"))).head.getLong(0)
-    math.max(100000L, ("1" + "0" * maxId.toString.length).toLong)
-  }
+  private def aucScoreMult(s: SparkSession, d: String): Long =
+    Tables.fixtureStat(d, "auc_score_mult") {
+      val maxId = docs(s, d).agg(max(col("doc_id"))).head.getLong(0)
+      math.max(100000L, ("1" + "0" * maxId.toString.length).toLong)
+    }
 
   private def t37(s: SparkSession, d: String): DataFrame = {
     val scored = docs(s, d).select(col("doc_id"),
