@@ -1206,12 +1206,12 @@ object TextOps {
     // substring both index by code point, so the emitted trigrams are
     // byte-identical (r20 optimization pass; results oracle-checked
     // unchanged).
-    val tri = expr(
-      "if(length(text) < 3, cast(array() as array<string>)," +
-        " transform(sequence(1, length(text) - 2)," +
-        "   i -> concat(cs[i-1], cs[i], cs[i+1])))")
-    val base = docs(s, d).withColumn("cs", split(col("text"), ""))
-      .select(col("doc_id"), col("lang"), tri.as("tris"))
+    // r20: the split("")-array + per-position concat form (kept in
+    // CharTrigramsSpec as the oracle-replayed reference) moved into the
+    // native one-pass CharTrigrams kernel — one byte scan per document,
+    // one slice per trigram, bit-identity spec-pinned.
+    val base = docs(s, d).select(col("doc_id"), col("lang"),
+      graft.functions.CharTrigrams(s, col("text")).as("tris"))
     val prof = base.filter(col("doc_id") % 2 === 0)
       .select(col("lang"), explode(col("tris")).as("g"))
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
