@@ -679,7 +679,17 @@ object ExportOps {
   def writeBucketed(df: DataFrame, table: String, n: Int, key: String): Unit = {
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.format("parquet").bucketBy(n, key).sortBy(key)
+    // cluster by the bucket key before the write (guide-standard move):
+    // repartition(n, key) and bucket id share the same murmur3-pmod hash,
+    // so each task holds exactly one bucket's rows — the write
+    // parallelizes n-ways and emits ONE file per bucket, where an
+    // unclustered write routes every input task to all n buckets (and a
+    // single-partition local scan writes them serially). Content is
+    // layout-invariant either way (spec-pinned); at scale this is the
+    // cluster-before-bucketed-write discipline that avoids
+    // files-per-task-per-bucket explosion.
+    df.repartition(n, col(key))
+      .write.format("parquet").bucketBy(n, key).sortBy(key)
       .mode(SaveMode.Overwrite).saveAsTable(table)
   }
 
@@ -735,7 +745,8 @@ object ExportOps {
     * the physical layout): batches land bucketed forever, and no query
     * ever pays the shuffle again. */
   def appendBucketed(df: DataFrame, table: String, n: Int, key: String): Unit =
-    df.write.format("parquet").bucketBy(n, key).sortBy(key)
+    df.repartition(n, col(key)) // see writeBucketed: one file per bucket
+      .write.format("parquet").bucketBy(n, key).sortBy(key)
       .mode(SaveMode.Append).saveAsTable(table)
 
   /** e11: bucketed-layout APPEND maintenance gated end-to-end — the
