@@ -533,10 +533,14 @@ object SimilarityOps {
         slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
   }
 
-  private def pqL2sq(a: org.apache.spark.sql.Column,
+  /** Squared L2 over array<double> — the native [[graft.functions
+    * .SquaredL2]] kernel (r20), bit-identical to the fold
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, (acc,e) ->
+    * acc + e)` the oracles replay (SquaredL2Spec pins it, element order
+    * and null semantics included). */
+  private def pqL2sq(s: SparkSession, a: org.apache.spark.sql.Column,
                      b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, e) => acc + e)
+    graft.functions.SquaredL2(s, a, b)
 
   /** Encodes every vector against the codebook: (vec_id, sub, code) —
     * the 8x-compressed corpus representation an index persists. */
@@ -544,7 +548,8 @@ object SimilarityOps {
                m: Int = 8): DataFrame =
     pqSubvecs(vecs, m).join(broadcast(codebook), "sub")
       .select(col("vec_id"), col("sub"),
-        struct(pqL2sq(col("sv"), col("cent")).as("dist"), col("code")).as("sc"))
+        struct(pqL2sq(vecs.sparkSession, col("sv"), col("cent")).as("dist"),
+          col("code")).as("sc"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(col("sc")).as("best"))
       .select(col("vec_id"), col("sub"), col("best.code").as("code"))
@@ -555,7 +560,7 @@ object SimilarityOps {
   def pqAdcServe(s: SparkSession, vecs: DataFrame, codebook: DataFrame,
                  codes: DataFrame, m: Int = 8): DataFrame = {
     def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      pqL2sq(a, b)
+      pqL2sq(s, a, b)
     val queries = pqSubvecs(vecs, m).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qv"))
     val qTables = queries.join(broadcast(codebook), "sub")
@@ -826,7 +831,7 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qv"))
       .join(broadcast(codebook), "sub")
       .select(col("q_id"), col("sub"), col("code"),
-        pqL2sq(col("qv"), col("cent")).as("qdist"))
+        pqL2sq(s, col("qv"), col("cent")).as("qdist"))
     val adc = codes.join(broadcast(probed), Seq("cell"))
       .join(broadcast(qTables), Seq("q_id", "sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -843,7 +848,7 @@ object SimilarityOps {
       .join(vecs.select(col("vec_id"), col("v")), "vec_id")
       .join(broadcast(qFull), "q_id")
       .select(col("q_id"), col("vec_id"), col("adc"),
-        pqL2sq(col("v"), col("qv")).as("dist"))
+        pqL2sq(s, col("v"), col("qv")).as("dist"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("dist").asc, col("vec_id").asc)
     reranked.withColumn("rank", row_number().over(w))
