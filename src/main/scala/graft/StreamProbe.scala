@@ -41,13 +41,35 @@ object StreamProbe {
               .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
         })
     SparkEntry.queries("g05_stream_flagship")(spark, sfDir).count() // warm
+    // GRAFT_PROBE_SHARDS="2,8": interleave the state-shard override within
+    // one JVM (rep1@2, rep1@8, rep2@2, ...) so A/B comparisons are immune
+    // to the load drift that order-separated runs pick up.
+    val shardsList = sys.env.get("GRAFT_PROBE_SHARDS")
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
     names.foreach { n =>
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+      if (shardsList.nonEmpty) {
+        val reps = 3
+        val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+          .withDefaultValue(Vector.empty)
+        for (_ <- 1 to reps; sh <- shardsList) {
+          sys.props("graft.stream.shuffle.partitions") = sh
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          times(sh) = times(sh) :+ (System.nanoTime() - t0) / 1e9
+        }
+        sys.props.remove("graft.stream.shuffle.partitions")
+        shardsList.foreach { sh =>
+          val ts = times(sh)
+          println(f"$n%-32s shards=$sh%-3s ${ts.map(t => f"$t%.2f").mkString(" ")} median=${ts.sorted.apply(reps / 2)}%.2f")
+        }
+      } else {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$n%-32s ${ts.map(t => f"$t%.2f").mkString(" ")} median=${ts.sorted.apply(1)}%.2f")
       }
-      println(f"$n%-32s ${ts.map(t => f"$t%.2f").mkString(" ")} median=${ts.sorted.apply(1)}%.2f")
     }
     spark.stop()
   }
